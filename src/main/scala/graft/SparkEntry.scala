@@ -1,13 +1,387 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.agg.Analytics
+import graft.agg.Analytics.{davg, dsum}
+import graft.etl.{Enrich, Quality}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Driver contract — see SURVEY.md §7 + BASELINE.md.
+  *
+  * Every SURVEY §2 operator (and each north-star extension) appears as a
+  * named query over the driver's testdata, paired — wherever ANSI SQL can
+  * express it — with DuckDB oracle SQL in [[oracleSql]]. Determinism
+  * policy: money sums/averages aggregate exactly on DECIMAL(18,6)
+  * ([[Analytics.dsum]]), every multi-row result carries a total ORDER BY,
+  * and double outputs that involve per-row arithmetic are either
+  * bit-deterministic (same fold order both engines) or rounded to 4dp.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val kSchema = StructType(Seq(StructField("k", IntegerType)))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("trip_stats")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------------------------
+    // A1–A7 — the reference's analytics surface (events = trip stream:
+    // ts→pickup, user_id→vendor, value→fare, event_type→category)
+    // ----------------------------------------------------------------
+
+    // A1 + P13: global trip statistics over a closed date range
+    // (streamlit.py:38-48 semantics).
+    "trip_stats" -> ((s, dir) => Analytics.tripStatistics(
+      Quality.between(T(s, dir, "events"), col("ts"),
+        "2024-01-05 00:00:00", "2024-01-20 00:00:00"),
+      col("value"))),
+
+    // A2: vendor comparison (database_handler.py:456-467 semantics).
+    "vendor_comparison" -> ((s, dir) => Analytics.vendorComparison(
+      T(s, dir, "events"), col("user_id"), col("value"))),
+
+    // A3: min/max date-range discovery (streamlit.py:21).
+    "date_bounds" -> ((s, dir) =>
+      Analytics.dateBounds(T(s, dir, "events"), col("ts"))),
+
+    // A6: hourly statistics (database_handler.py:152-164).
+    "hourly_stats" -> ((s, dir) => Analytics.hourlyStatistics(
+      T(s, dir, "events"), col("ts"), col("value"))),
+
+    // A7: vendor-daily performance (database_handler.py:135-148).
+    "vendor_daily" -> ((s, dir) => Analytics.vendorDaily(
+      T(s, dir, "events"), col("user_id"), col("ts"), col("value"))),
+
+    // A5: denormalized conditional counts (database_handler.py:124-128).
+    "category_counts" -> ((s, dir) => Analytics.conditionalCounts(
+      T(s, dir, "events"), Seq(
+        "click_trips" -> (col("event_type") === "click"),
+        "view_trips" -> (col("event_type") === "view"),
+        "purchase_trips" -> (col("event_type") === "purchase"),
+        "signup_trips" -> (col("event_type") === "signup"),
+        "error_trips" -> (col("event_type") === "error"),
+        "short_trips" -> (col("value") <= 20),
+        "medium_trips" -> (col("value") > 20 && col("value") <= 100),
+        "long_trips" -> (col("value") > 100)))),
+
+    // ----------------------------------------------------------------
+    // P-layer — projections / filters / scalar expressions
+    // ----------------------------------------------------------------
+
+    // P2/P3: PERMISSIVE JSON parse + field extraction
+    // (spark_consumer.py:61-62) on events.props.
+    "json_kv" -> ((s, dir) => T(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), kSchema).getField("k").as("k"))
+      .orderBy("event_id")),
+
+    // P4/P8/P9/P10: the enrichment projection — pickup hour, 3-way CASE
+    // bucketing (inclusive bounds), guarded percentage
+    // (spark_consumer.py:63-76).
+    "derived_trip_columns" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("k", from_json(col("props"), kSchema).getField("k"))
+      ev.select(
+          col("event_id"),
+          hour(col("ts")).as("pickup_hour"),
+          Enrich.tripCategory(col("value"), 20.0, 100.0).as("trip_category"),
+          round(Enrich.tipPercentage(col("k"), col("value")), 4).as("tip_pct"))
+        .orderBy("event_id")
+    }),
+
+    // P11: conjunctive validity filter (spark_consumer.py:77-78 shape).
+    "valid_filter" -> ((s, dir) => T(s, dir, "events")
+      .filter(col("value") > 0 && col("value") < 300 &&
+        col("event_type") =!= "error")
+      .agg(count(lit(1)).as("valid_events"),
+        dsum(col("value")).as("valid_revenue"))),
+
+    // P12: dynamic predicate construction — lower bound only
+    // (database_handler.py:428-433).
+    "dynamic_range" -> ((s, dir) => Quality.timeRange(
+        T(s, dir, "events"), col("ts"), Some("2024-01-15 12:00:00"), None)
+      .agg(count(lit(1)).as("n_events"), davg(col("value")).as("avg_value"))),
+
+    // P16: partition-key derivation cascade (kafka_producer.py:85-95
+    // semantics: deterministic bucket), summarized per key.
+    "partition_keys" -> ((s, dir) => T(s, dir, "events")
+      .select(coalesce(pmod(col("user_id"), lit(100)).cast("string"),
+        lit("0")).as("part_key"))
+      .groupBy("part_key").agg(count(lit(1)).as("n_events"))
+      .orderBy("part_key")),
+
+    // P17 + sort: top-k via ORDER BY … LIMIT (TakeOrderedAndProject —
+    // no global sort materialization).
+    "top_events" -> ((s, dir) => T(s, dir, "events")
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(100)
+      .select(col("event_id"), col("user_id"), col("value"))),
+
+    // ----------------------------------------------------------------
+    // Aggregation/join capability beyond the reference (§2.4): the
+    // engine ships full join/window/set-op support.
+    // ----------------------------------------------------------------
+
+    // TPC-H Q1 shape: wide grouped aggregate with filter pushdown.
+    "q1_agg" -> ((s, dir) => T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-12-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    // Star-schema join: fact ⋈ orders ⋈ customer, grouped by segment.
+    "star_revenue" -> ((s, dir) => T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("c_mktsegment")),
+
+    // Broadcast dimension joins: small dims never shuffle the fact side.
+    "region_customers" -> ((s, dir) => T(s, dir, "customer")
+      .join(broadcast(T(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("r_name")),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    "semi_join" -> ((s, dir) => T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .agg(count(lit(1)).as("customers_with_orders"))),
+
+    "anti_join" -> ((s, dir) => T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("customers_without_orders"))),
+
+    // DISTINCT aggregates.
+    "distinct_counts" -> ((s, dir) => T(s, dir, "events")
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        countDistinct(col("event_type")).as("distinct_types"))),
+
+    // Window function: top-3 per category (rank with total tiebreak).
+    "window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+        .orderBy("event_type", "rn")
+    }),
+
+    // Window function: running per-user revenue (deterministic frame).
+    "running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 4).as("running_revenue"))
+        .orderBy("event_id")
+    }),
+
+    // UNION ALL of two grouped selections.
+    "union_daily" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      def daily(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      daily("click").unionByName(daily("purchase")).orderBy("d", "event_type")
+    }),
+
+    // P6 analog on a real timestamp pair: order→ship latency in days,
+    // integer-day floor, grouped by priority.
+    "ship_latency" -> ((s, dir) => T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        floor((col("l_shipdate").cast("timestamp").cast("double") -
+          col("o_orderdate").cast("timestamp").cast("double")) / 86400.0)
+          .as("latency_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lineitems"),
+        round(avg(col("latency_days")), 4).as("avg_latency_days"))
+      .orderBy("o_orderpriority")),
+
+    // ----------------------------------------------------------------
+    // North-star: dedup / text analysis / similarity / multimodal
+    // ----------------------------------------------------------------
+
+    "dedup_exact" -> ((s, dir) => Dedup.exactStats(T(s, dir, "documents"))),
+
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.normalizedStats(T(s, dir, "documents"))),
+
+    "dedup_keep_first" -> ((s, dir) =>
+      Dedup.dedupKeepFirst(T(s, dir, "documents")).orderBy("content_digest")),
+
+    "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(T(s, dir, "documents"))),
+
+    "lang_stats" -> ((s, dir) => TextAnalysis.langStats(T(s, dir, "documents"))),
+
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(T(s, dir, "documents"))),
+
+    "lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdHeuristic(T(s, dir, "documents"))),
+
+    "embed_stats" -> ((s, dir) => Similarity.embedStats(T(s, dir, "embeddings"))),
+
+    "cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(T(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(T(s, dir, "documents"))),
+
+    // -- rows-only checks (not ANSI-SQL-expressible; no oracle entry) --
+
+    "minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(T(s, dir, "documents"))),
+
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.exactJaccard(docs,
+        Dedup.minhashNearDupPairs(docs).select(col("doc_a"), col("doc_b")))
+    }),
+
+    "simhash_docs" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))),
+
+    "doc_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprint(T(s, dir, "documents"))),
+
+    // 4 planes + Hamming-1 multiprobe: ~5/16 of the corpus scanned.
+    "ann_topk_lsh" -> ((s, dir) => Similarity.annTopK(
+      T(s, dir, "embeddings"), queryId = 0L, k = 10, numPlanes = 4)),
+
+    // Testdata embeddings are near-orthogonal (max pairwise cosine ≈0.4),
+    // so the "near-dup" threshold here is set low to exercise the
+    // bucketed-pair path; production near-dup would use ≥0.9.
+    "embed_neardup_pairs" -> ((s, dir) => Similarity.nearDupPairs(
+      T(s, dir, "embeddings"), threshold = 0.25, numPlanes = 4))
+  )
+
+  /** DuckDB-runnable ANSI SQL twins of [[queries]] (same parquet tables,
+    * same column names/types, same ordering). Omitted keys get the
+    * driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = {
+    val moneySum = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+    val nTokens = "LEN(string_split_regex(TRIM(text), '\\s+'))"
+    val alphaLen = "LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))"
+    val noSpaceLen = "LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g'))"
+    val normText =
+      "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    Map(
+      "trip_stats" ->
+        s"""SELECT COUNT(*) AS total_trips, $moneySum / COUNT(*) AS avg_fare, $moneySum AS total_revenue, MIN(value) AS min_fare, MAX(value) AS max_fare FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'""",
+      "vendor_comparison" ->
+        s"""SELECT user_id AS vendor_id, COUNT(*) AS total_trips, $moneySum / COUNT(*) AS avg_fare, $moneySum AS total_revenue FROM events GROUP BY user_id ORDER BY vendor_id""",
+      "date_bounds" ->
+        "SELECT strftime(MIN(ts), '%Y-%m-%d') AS min_date, strftime(MAX(ts), '%Y-%m-%d') AS max_date, CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS min_ts_sec, CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS max_ts_sec FROM events",
+      "hourly_stats" ->
+        s"""SELECT strftime(ts, '%Y-%m-%d') AS analysis_date, CAST(HOUR(ts) AS INTEGER) AS hour_of_day, COUNT(*) AS trip_count, $moneySum / COUNT(*) AS avg_fare, $moneySum AS total_revenue FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "vendor_daily" ->
+        s"""SELECT user_id AS vendor_id, strftime(ts, '%Y-%m-%d') AS analysis_date, COUNT(*) AS total_trips, $moneySum / COUNT(*) AS avg_fare, $moneySum AS total_revenue FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "category_counts" ->
+        ("SELECT " + Seq(
+          "event_type = 'click'" -> "click_trips",
+          "event_type = 'view'" -> "view_trips",
+          "event_type = 'purchase'" -> "purchase_trips",
+          "event_type = 'signup'" -> "signup_trips",
+          "event_type = 'error'" -> "error_trips",
+          "value <= 20" -> "short_trips",
+          "value > 20 AND value <= 100" -> "medium_trips",
+          "value > 100" -> "long_trips").map { case (cond, name) =>
+            s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+          }.mkString(", ") + " FROM events"),
+      "json_kv" ->
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",
+      "derived_trip_columns" ->
+        "SELECT event_id, CAST(HOUR(ts) AS INTEGER) AS pickup_hour, CASE WHEN value <= 20 THEN 'short' WHEN value <= 100 THEN 'medium' ELSE 'long' END AS trip_category, ROUND(CASE WHEN value > 0 THEN CAST(json_extract(props, '$.k') AS INTEGER) / value * 100.0 ELSE 0.0 END, 4) AS tip_pct FROM events ORDER BY event_id",
+      "valid_filter" ->
+        s"""SELECT COUNT(*) AS valid_events, $moneySum AS valid_revenue FROM events WHERE value > 0 AND value < 300 AND event_type <> 'error'""",
+      "dynamic_range" ->
+        s"""SELECT COUNT(*) AS n_events, $moneySum / COUNT(*) AS avg_value FROM events WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'""",
+      "partition_keys" ->
+        "SELECT COALESCE(CAST(user_id % 100 AS VARCHAR), '0') AS part_key, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 1",
+      "top_events" ->
+        "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
+      "q1_agg" ->
+        ("SELECT l_returnflag, l_linestatus, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, " +
+          "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, " +
+          "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price, " +
+          "CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
+          "COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00' " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      "star_revenue" ->
+        "SELECT c_mktsegment, COUNT(*) AS n_lineitems, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+      "region_customers" ->
+        "SELECT r_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+      "semi_join" ->
+        "SELECT COUNT(*) AS customers_with_orders FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+      "anti_join" ->
+        "SELECT COUNT(*) AS customers_without_orders FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+      "distinct_counts" ->
+        "SELECT COUNT(DISTINCT user_id) AS distinct_users, COUNT(DISTINCT event_type) AS distinct_types FROM events",
+      "window_topk" ->
+        "SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, value FROM (SELECT event_type, event_id, value, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) t WHERE rn <= 3 ORDER BY event_type, rn",
+      "running_total" ->
+        "SELECT event_id, user_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_revenue FROM events ORDER BY event_id",
+      "union_daily" ->
+        "SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n FROM events WHERE event_type = 'click' GROUP BY 1, 2 UNION ALL SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY d, event_type",
+      "ship_latency" ->
+        "SELECT o_orderpriority, COUNT(*) AS n_lineitems, ROUND(AVG(FLOOR((EPOCH(l_shipdate) - EPOCH(o_orderdate)) / 86400.0)), 4) AS avg_latency_days FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+      "dedup_exact" ->
+        "SELECT COUNT(*) AS total_docs, COUNT(DISTINCT MD5(text)) AS distinct_docs, COUNT(*) - COUNT(DISTINCT MD5(text)) AS duplicate_docs FROM documents",
+      "dedup_normalized" ->
+        s"""SELECT COUNT(*) AS total_docs, COUNT(DISTINCT MD5($normText)) AS distinct_docs, COUNT(*) - COUNT(DISTINCT MD5($normText)) AS duplicate_docs FROM documents""",
+      "dedup_keep_first" ->
+        "SELECT MD5(text) AS content_digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size FROM documents GROUP BY 1 ORDER BY 1",
+      "token_stats" ->
+        s"""SELECT doc_id, CAST($nTokens AS INTEGER) AS n_tokens, CAST(LENGTH(text) AS INTEGER) AS n_chars_calc FROM documents ORDER BY doc_id""",
+      "lang_stats" ->
+        s"""SELECT lang, COUNT(*) AS n_docs, AVG($nTokens) AS avg_tokens, AVG(n_chars) AS avg_chars FROM documents GROUP BY lang ORDER BY lang""",
+      "quality_score" ->
+        s"""SELECT doc_id, CAST($nTokens AS INTEGER) AS n_tokens, ROUND($alphaLen / LENGTH(text), 4) AS alpha_ratio, ROUND((LENGTH(text) - $noSpaceLen) / LENGTH(text), 4) AS space_ratio, ROUND($noSpaceLen / $nTokens, 4) AS avg_token_len, CASE WHEN $nTokens >= 5 AND $alphaLen / LENGTH(text) > 0.6 THEN 'good' ELSE 'poor' END AS quality FROM documents ORDER BY doc_id""",
+      "lang_confusion" ->
+        """SELECT lang, CASE WHEN LEN(regexp_extract_all(text, '\b(the|and|of|to|in|is|a)\b')) >= 3 THEN 'en' ELSE 'other' END AS predicted_lang, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+      "embed_stats" ->
+        "SELECT vec_id, label, ROUND(SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm, ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / LEN(embedding), 4) AS mean_component, ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_component FROM embeddings ORDER BY vec_id",
+      "cosine_topk" ->
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, e.label, ROUND(d.dp / (SQRT(d.na) * SQRT(d.nb)), 4) AS cosine FROM embeddings e, q, LATERAL (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp, SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na, SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb FROM (SELECT UNNEST(e.embedding) AS a, UNNEST(q.qe) AS b) t) d WHERE e.vec_id <> 0 ORDER BY cosine DESC, e.vec_id LIMIT 10",
+      "multimodal_meta" ->
+        "SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS byte_len, SHA256(text) AS sha256 FROM documents ORDER BY doc_id"
+    )
+  }
 }

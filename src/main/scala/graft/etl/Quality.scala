@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality predicates — the reference's validity filter and dynamic
+  * range predicates (reference: spark_consumer.py:77-78,
+  * database_handler.py:428-433, streamlit.py:48). Pure declarative filters:
+  * Catalyst pushes them into the parquet scan (visible as `PushedFilters`),
+  * which is what makes them viable at 100 TB — invalid rows never leave the
+  * scan stage.
+  */
+object Quality {
+
+  /** P11 — conjunctive validity filter (spark_consumer.py:77-78):
+    * `distance >= 0 AND fare >= 0 AND 0 < duration < 300`. Note the open
+    * interval on duration.
+    */
+  def validTrips(df: DataFrame): DataFrame = df.filter(
+    col("trip_distance") >= 0 &&
+    col("fare_amount") >= 0 &&
+    col("trip_duration_minutes") > 0 &&
+    col("trip_duration_minutes") < 300)
+
+  /** P12 — dynamic predicate construction (database_handler.py:428-433):
+    * optional lower/upper bounds folded onto the plan. `None` bounds add no
+    * predicate at all (matching the reference's conditional WHERE build).
+    */
+  def timeRange(df: DataFrame, ts: Column,
+                from: Option[String], to: Option[String]): DataFrame = {
+    val lower = from.map(b => ts >= to_timestamp(lit(b)))
+    val upper = to.map(b => ts <= to_timestamp(lit(b)))
+    (lower.toSeq ++ upper.toSeq).foldLeft(df)(_ filter _)
+  }
+
+  /** P13 — closed-interval date range (streamlit.py:48 BETWEEN). */
+  def between(df: DataFrame, ts: Column, lo: String, hi: String): DataFrame =
+    df.filter(ts.between(to_timestamp(lit(lo)), to_timestamp(lit(hi))))
+}

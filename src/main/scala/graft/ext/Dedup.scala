@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §7.2
+  * PR 5): exact, normalized-exact, MinHash+LSH near-dup, SimHash, and
+  * exact n-gram Jaccard verification over LSH candidates.
+  *
+  * Scale design: nothing here is O(n²). Exact/normalized dedup are
+  * hash-aggregates on a 128-bit content digest (shuffle carries digests,
+  * not documents). Near-dup generates candidate pairs only through LSH
+  * band buckets — a shuffle keyed on (band, band-hash) — and verifies
+  * candidates pairwise, so cost tracks the number of *colliding* pairs,
+  * not n². All hashing is xxhash64/md5 (stable across executors), never
+  * JVM hashCode.
+  */
+object Dedup {
+
+  /** Content digest for exact dedup — hash-groupBy carries 32-byte digests
+    * instead of full documents through the shuffle.
+    */
+  def digest(text: Column): Column = md5(text)
+
+  /** Aggressive whitespace/punctuation/case normalization, the standard
+    * near-exact pre-pass.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Exact-duplicate summary: corpus size vs distinct digests. */
+  def exactStats(docs: DataFrame): DataFrame = docs.agg(
+    count(lit(1)).as("total_docs"),
+    countDistinct(digest(col("text"))).as("distinct_docs"),
+    (count(lit(1)) - countDistinct(digest(col("text")))).as("duplicate_docs"))
+
+  /** Exact-duplicate summary after normalization. */
+  def normalizedStats(docs: DataFrame): DataFrame = docs.agg(
+    count(lit(1)).as("total_docs"),
+    countDistinct(digest(normalize(col("text")))).as("distinct_docs"),
+    (count(lit(1)) - countDistinct(digest(normalize(col("text")))))
+      .as("duplicate_docs"))
+
+  /** Exact dedup keeping the lowest doc_id per digest group — the
+    * materializing variant of [[exactStats]].
+    */
+  def dedupKeepFirst(docs: DataFrame): DataFrame = docs
+    .groupBy(digest(col("text")).as("content_digest"))
+    .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH near-duplicate detection
+  // ---------------------------------------------------------------------
+
+  /** Word n-gram shingles as an array column (empty when the document has
+    * fewer than n tokens).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** MinHash signature: doc_id → array of `numHashes` minima of seeded
+    * xxhash64 over the distinct shingle set. One explode + one
+    * hash-aggregate; the shuffle carries (doc_id, shingle) pairs once,
+    * regardless of `numHashes`.
+    */
+  def minhashSignatures(docs: DataFrame, shingleSize: Int = 3,
+                        numHashes: Int = 32): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"), shingleSize)).as("sh"))
+      .distinct()
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))))
+    exploded.groupBy("doc_id").agg(array(mins: _*).as("signature"))
+  }
+
+  /** LSH banding: signature → (band index, band hash) rows. Docs sharing
+    * any band bucket become candidate pairs. bands×rowsPerBand must equal
+    * the signature length.
+    */
+  def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
+          .as("band_hash"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+  }
+
+  /** Candidate near-dup pairs with estimated Jaccard (fraction of agreeing
+    * MinHash components), thresholded. The self-join is keyed on
+    * (band, band_hash) — the LSH bucket — so only colliding docs pair up.
+    */
+  def minhashNearDupPairs(docs: DataFrame, shingleSize: Int = 3,
+                          numHashes: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleSize, numHashes)
+    val bandRows = lshBands(sigs, bands, numHashes / bands)
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSigs = candidates
+      .join(sigs.withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("signature", "sig_a"), Seq("doc_a"))
+      .join(sigs.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("signature", "sig_b"), Seq("doc_b"))
+    withSigs
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / numHashes.toDouble)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (the verify step after LSH).
+    * `pairs` must have doc_a/doc_b columns; shingle sets are re-derived and
+    * intersected via a shuffle keyed on the shingle, never materializing
+    * full cross products.
+    */
+  def exactJaccard(docs: DataFrame, pairs: DataFrame,
+                   shingleSize: Int = 3): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), shingleSize)).as("shset"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+         size(array_union(col("set_a"), col("set_b"))))
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash over the whitespace token stream: per-bit vote of
+    * token hashes, sign → bit. One explode + one 64-column hash-aggregate.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val h = xxhash64(col("tok"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map { b =>
+      shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)
+    }
+    voted.select(col("doc_id"),
+        bits.reduce(_ bitwiseOR _).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) — SURVEY
+  * §7.2 PR 5. Brute-force cosine top-k is the exact baseline; the scale
+  * path is random-hyperplane LSH bucketing so a 100 TB corpus only
+  * brute-forces within buckets.
+  *
+  * Vector math uses `zip_with`/`aggregate` over the array column, cast to
+  * double element-wise: codegen'd, no UDF, and the fold order is the list
+  * order — deterministic on any executor.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm, accumulated in double. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity (safe for non-normalized inputs). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-vector sanity statistics (norm / mean / max component). */
+  def embedStats(emb: DataFrame): DataFrame = emb.select(
+      col("vec_id"),
+      col("label"),
+      round(norm(col("embedding")), 4).as("l2_norm"),
+      round(aggregate(transform(col("embedding"), x => x.cast("double")),
+        lit(0.0), (acc, v) => acc + v) / size(col("embedding")), 4)
+        .as("mean_component"),
+      round(array_max(col("embedding")).cast("double"), 4).as("max_component"))
+    .orderBy("vec_id")
+
+  /** Exact brute-force cosine top-k against one stored query vector: the
+    * single-row query side is broadcast, so this is one scan of the corpus
+    * with a TakeOrdered(k) — no shuffle of the corpus itself.
+    */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // LSH-bucketed ANN (random hyperplane signs)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes (seeded, so every executor —
+    * and every round — derives identical planes).
+    */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of an embedding against the hyperplane set. */
+  def lshBucket(embedding: Column, numPlanes: Int, dim: Int,
+                seed: Long = 42L): Column = {
+    val ps = planes(numPlanes, dim, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      val planeCol = typedLit(p)
+      shiftleft(when(dot(embedding, planeCol) >= 0, 1L).otherwise(0L), i)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** ANN top-k: bucket the corpus by hyperplane signs, then brute-force
+    * cosine only inside buckets within Hamming distance `probe` of the
+    * query's bucket (multiprobe LSH — recovers recall lost to bucket
+    * boundaries without touching the whole corpus). The bucketing is a
+    * plain projection — at scale the bucket column would be written as a
+    * partition/bucket key so repeated queries prune to few buckets' files.
+    */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int, numPlanes: Int = 8,
+              dim: Int = 64, probe: Int = 1): DataFrame = {
+    val bucketed = emb.withColumn("bucket",
+      lshBucket(col("embedding"), numPlanes, dim))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_embedding"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probe)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_embedding")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket — the
+    * embedding analog of [[Dedup.minhashNearDupPairs]]: pairs form only
+    * within buckets, never across the full corpus.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+                   numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline —
+  * beyond the reference's surface (SURVEY §7.2 PR 5): token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  *
+  * All per-document derivations are single codegen'd projections (no
+  * shuffle, no UDFs); the only shuffles are the final grouped summaries.
+  * At 100 TB this layer is scan-bound, which is the best possible shape.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — token count without materializing the
+    * token array when only the count is needed.
+    */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  private def alphaLen(text: Column) =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+  private def noSpaceLen(text: Column) =
+    length(regexp_replace(text, "\\s", ""))
+
+  /** Per-document token/char statistics. */
+  def tokenStats(docs: DataFrame): DataFrame = docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).as("n_chars_calc"))
+    .orderBy("doc_id")
+
+  /** Corpus summary per language tag. */
+  def langStats(docs: DataFrame): DataFrame = docs
+    .groupBy(col("lang"))
+    .agg(
+      count(lit(1)).as("n_docs"),
+      avg(tokenCount(col("text"))).as("avg_tokens"),
+      avg(col("n_chars")).as("avg_chars"))
+    .orderBy("lang")
+
+  /** Heuristic quality scoring: length / alpha-ratio / whitespace-ratio /
+    * token-shape signals, plus a categorical verdict. The verdict compares
+    * *unrounded* ratios so the decision boundary is exact.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nTokens = tokenCount(text)
+    val alphaRatio = alphaLen(text) / length(text)
+    val spaceRatio = (length(text) - noSpaceLen(text)) / length(text)
+    docs.select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        round(spaceRatio, 4).as("space_ratio"),
+        round(noSpaceLen(text) / nTokens, 4).as("avg_token_len"),
+        when(nTokens >= 5 && alphaRatio > 0.6, lit("good"))
+          .otherwise(lit("poor")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val EnStopwords = "\\b(the|and|of|to|in|is|a)\\b"
+
+  /** N-gram-free language-ID heuristic: English-stopword hit count →
+    * en/other verdict, summarized against the corpus `lang` tag (a
+    * confusion-matrix view).
+    */
+  def langIdHeuristic(docs: DataFrame, minHits: Int = 3): DataFrame = {
+    val hits = size(regexp_extract_all(col("text"), lit(EnStopwords), lit(0)))
+    docs.select(
+        col("lang"),
+        when(hits >= minHits, lit("en")).otherwise(lit("other"))
+          .as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  /** Document fingerprint: 64-bit content hash over the normalized token
+    * stream (xxhash64 — stable across runs/executors, unlike JVM
+    * `hashCode`). Suitable as a cheap join/dedup key at any scale.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = docs.select(
+      col("doc_id"),
+      xxhash64(concat_ws(" ", split(trim(lower(col("text"))), "\\s+")))
+        .as("fingerprint"))
+    .orderBy("doc_id")
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's deterministic parquet testdata (TESTDATA.md).
+  *
+  * One parquet file per table under `/root/testdata/sf&lt;N&gt;/`. All engine
+  * queries read through here so scans stay uniform: plain
+  * `spark.read.parquet` — column pruning and predicate pushdown reach the
+  * scan via Catalyst, no options needed.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    // (µs) cannot hold natively — read nanos as long, then truncate to µs
+    // with exact integer division (`div`, not `/`: ns-since-epoch ≈ 1.7e18
+    // exceeds double's 2^53 exact-integer range). DuckDB applies the same
+    // ns→µs truncation, so oracle comparisons stay exact.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view (same namespace the DuckDB oracle
+    * uses), enabling `spark.sql` over identical names.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,35 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet warehouse — replaces the reference's PostgreSQL layer
+  * (reference: database_handler.py:65-195 DDL + :197-268 batch inserts).
+  *
+  * The reference's three B-tree indexes (pickup_datetime, vendor_id,
+  * pickup_hour — database_handler.py:167-180) become **storage layout**:
+  * the trips table is partitioned by pickup date, so the dashboard's
+  * BETWEEN queries prune whole partitions, and parquet row-group min/max
+  * stats + predicate pushdown serve vendor/hour selections. Appends are
+  * inherently batched (S7) — one file per task, no per-row round trips.
+  */
+object Warehouse {
+
+  val TripsTable = "taxi_trips"
+
+  /** S5/S7 — append a micro-batch (or batch) of enriched trips,
+    * date-partitioned. `pickup_date` is derived here so callers write the
+    * 12-column contract of [[graft.model.Schemas.warehouseTrips]].
+    */
+  def appendTrips(df: DataFrame, path: String): Unit = df
+    .withColumn("pickup_date", to_date(col("pickup_datetime")))
+    .write.mode("append")
+    .partitionBy("pickup_date")
+    .parquet(path)
+
+  /** S4-replacement — analytic reads come straight off parquet; partition
+    * pruning on `pickup_date` replaces the pickup_datetime index.
+    */
+  def readTrips(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

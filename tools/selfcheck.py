@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and compare with the Verify.scala dump.
+Usage: selfcheck.py <sfdir> <verify_out_dir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def load_spark(path):
+    return pq.read_table(path).to_pandas()
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    import glob
+    import os
+    dumped = {os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)}
+    fails = []
+    for name in sorted(dumped):
+        spark_df = load_spark(f"{outdir}/{name}")
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            fails.append(name)
+            continue
+        s = spark_df[sorted(spark_df.columns)]
+        d = duck_df[sorted(duck_df.columns)]
+        if list(s.columns) != list(d.columns):
+            print(f"✗ {name}: column mismatch spark={list(s.columns)} duck={list(d.columns)}")
+            fails.append(name)
+            continue
+        if len(s) != len(d):
+            print(f"✗ {name}: row count spark={len(s)} duck={len(d)}")
+            fails.append(name)
+            continue
+        bad = None
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            try:
+                import numpy as np
+                if str(sv.dtype).startswith("float") or str(dv.dtype).startswith("float"):
+                    eq = np.asarray((sv.isna() & dv.isna()) | (sv.values == dv.values))
+                else:
+                    eq = np.asarray(sv.astype(str).values == dv.astype(str).values)
+                if not eq.all():
+                    idx = (~eq).nonzero()[0][:3]
+                    bad = (c, [(int(i), sv.iloc[i], dv.iloc[i]) for i in idx])
+                    break
+            except Exception as e:
+                bad = (c, f"compare error: {e}")
+                break
+        if bad:
+            print(f"✗ {name}: col '{bad[0]}' differs; first: {bad[1]}")
+            print(f"    spark dtypes: {dict(s.dtypes.astype(str))}")
+            print(f"    duck  dtypes: {dict(d.dtypes.astype(str))}")
+            fails.append(name)
+        else:
+            # dtype visibility (the driver may also compare schemas)
+            dt_mismatch = [
+                (c, str(s[c].dtype), str(d[c].dtype))
+                for c in s.columns if str(s[c].dtype) != str(d[c].dtype)]
+            note = f"  [dtype note: {dt_mismatch}]" if dt_mismatch else ""
+            print(f"✓ {name}: {len(s)} rows exact match{note}")
+    print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL MATCH")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
