@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extensions on hand-built corpora. */
+class ExtSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "The quick brown fox, jumps over the lazy dog again and again!"), // dup after normalize
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near-dup
+    (4L, "completely different content about spark query engines at scale"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup counts duplicates via content digest") {
+    val r = Dedup.exactStats(docs).head()
+    assert(r.getAs[Long]("total_docs") == 5)
+    assert(r.getAs[Long]("distinct_docs") == 4)
+    assert(r.getAs[Long]("duplicate_docs") == 1)
+  }
+
+  test("normalized dedup folds case/punctuation variants") {
+    val r = Dedup.normalizedStats(docs).head()
+    assert(r.getAs[Long]("distinct_docs") == 3) // {0,1,2} fold together
+  }
+
+  test("keep-first dedup keeps the lowest doc_id per group") {
+    val groups = Dedup.dedupKeepFirst(docs).collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.filter(_.getAs[Long]("group_size") == 2)
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_doc_id") == 0L)
+  }
+
+  test("minhash LSH surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical → jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated stays out
+  }
+
+  test("exact n-gram jaccard: identical docs → 1.0") {
+    val pairs = Seq((0L, 1L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val j = Dedup.exactJaccard(docs, pairs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toList
+    assert(j.exists { case (a, b, v) => a == 0 && b == 1 && v == 1.0 })
+    assert(j.exists { case (a, b, v) => a == 0 && b == 4 && v == 0.0 })
+  }
+
+  test("simhash: identical docs share fingerprints; hamming small for near-dups") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(3L)) < hamming(sh(0L), sh(4L)))
+  }
+
+  test("token stats and fingerprints are deterministic") {
+    val t = TextAnalysis.tokenStats(docs).head()
+    assert(t.getAs[Int]("n_tokens") == 12)
+    val f1 = TextAnalysis.fingerprint(docs).collect()
+    val f2 = TextAnalysis.fingerprint(docs).collect()
+    assert(f1.sameElements(f2))
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0), (1L, Seq(0f, 1f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f), 1), (3L, Seq(0.6f, 0.8f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.cosineTopK(emb, queryId = 0L, k = 3).collect()
+    assert(top.head.getAs[Long]("vec_id") == 2L)
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+    assert(top.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine"))
+      .toMap.apply(1L) == 0.0)
+  }
+
+  test("multiprobe LSH ANN finds the identical vector") {
+    val emb = (0 until 32).map { i =>
+      val v = Array.fill(8)(0f); v(i % 8) = 1f
+      (i.toLong, v.toSeq, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val top = Similarity.annTopK(emb, queryId = 0L, k = 5, numPlanes = 4,
+      dim = 8, probe = 2).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getAs[Double]("cosine") == 1.0) // vec 8/16/24 ≡ vec 0
+  }
+
+  test("multimodal decode plumbing: deterministic metadata per payload") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val meta = Multimodal.decodeMeta(spark, media).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(meta.size == 5)
+    // identical payloads → identical fake metadata
+    assert(meta(0L).toSeq.tail == meta(1L).toSeq.tail)
+    assert(meta(0L).getAs[Int]("byte_len") ==
+      docs.head().getAs[String]("text").getBytes("UTF-8").length)
+    assert(Set("jpeg", "png").contains(meta(0L).getAs[String]("format")))
+  }
+}
