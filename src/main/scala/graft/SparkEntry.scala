@@ -43,7 +43,7 @@ object SparkEntry {
     // A1 + P13: global trip statistics over a closed date range
     // (streamlit.py:38-48 semantics).
     "trip_stats" -> ((s, dir) => Analytics.tripStatistics(
-      Quality.between(T(s, dir, "events"), col("ts"),
+      Quality.betweenWithPushdown(T(s, dir, "events"), col("ts"), col("ts_ns"),
         "2024-01-05 00:00:00", "2024-01-20 00:00:00"),
       col("value"))),
 
@@ -109,8 +109,9 @@ object SparkEntry {
 
     // P12: dynamic predicate construction — lower bound only
     // (database_handler.py:428-433).
-    "dynamic_range" -> ((s, dir) => Quality.timeRange(
-        T(s, dir, "events"), col("ts"), Some("2024-01-15 12:00:00"), None)
+    "dynamic_range" -> ((s, dir) => Quality.timeRangeWithPushdown(
+        T(s, dir, "events"), col("ts"), col("ts_ns"),
+        Some("2024-01-15 12:00:00"), None)
       .agg(count(lit(1)).as("n_events"), davg(col("value")).as("avg_value"))),
 
     // P16: partition-key derivation cascade (kafka_producer.py:85-95

@@ -36,4 +36,27 @@ object Quality {
   /** P13 — closed-interval date range (streamlit.py:48 BETWEEN). */
   def between(df: DataFrame, ts: Column, lo: String, hi: String): DataFrame =
     df.filter(ts.between(to_timestamp(lit(lo)), to_timestamp(lit(hi))))
+
+  private def epochNs(bound: String): Long =
+    java.time.LocalDateTime.parse(bound.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+
+  /** [[between]] plus a redundant predicate on the raw int64-nanos column.
+    * The derived-µs `ts` predicate is exact but opaque to the parquet
+    * scan; the ns predicate is pushable, so row groups outside the range
+    * are skipped at any scale. The +999 slack covers ns values that
+    * µs-truncation pulls onto the upper bound.
+    */
+  def betweenWithPushdown(df: DataFrame, ts: Column, tsNs: Column,
+                          lo: String, hi: String): DataFrame =
+    between(df, ts, lo, hi)
+      .filter(tsNs >= epochNs(lo) && tsNs <= epochNs(hi) + 999L)
+
+  /** [[timeRange]] (P12) with the same pushable ns-column reinforcement. */
+  def timeRangeWithPushdown(df: DataFrame, ts: Column, tsNs: Column,
+                            from: Option[String], to: Option[String]): DataFrame = {
+    val pushed = (from.map(b => tsNs >= epochNs(b)).toSeq ++
+      to.map(b => tsNs <= epochNs(b) + 999L).toSeq).foldLeft(df)(_ filter _)
+    timeRange(pushed, ts, from, to)
+  }
 }

@@ -99,7 +99,12 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, shingleSize: Int = 3,
                           numHashes: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5): DataFrame = {
+    // Signatures feed three plan branches (banding + both pair-side
+    // joins); persist so the shingle explode/aggregate runs once. The
+    // signature table is tiny relative to the corpus (numHashes longs per
+    // doc), so this holds at any scale.
     val sigs = minhashSignatures(docs, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = lshBands(sigs, bands, numHashes / bands)
     val a = bandRows.as("a")
     val b = bandRows.as("b")

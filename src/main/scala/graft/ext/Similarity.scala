@@ -3,35 +3,37 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
 /** Similarity search over an embedding column (`array<float>`) — SURVEY
   * §7.2 PR 5. Brute-force cosine top-k is the exact baseline; the scale
   * path is random-hyperplane LSH bucketing so a 100 TB corpus only
-  * brute-forces within buckets.
+  * brute-forces within (multiprobed) buckets.
   *
-  * Vector math uses `zip_with`/`aggregate` over the array column, cast to
-  * double element-wise: codegen'd, no UDF, and the fold order is the list
-  * order — deterministic on any executor.
+  * The inner loop is [[graft.functions.FloatVecDot]] — a custom Catalyst
+  * expression with whole-stage codegen (the built-in `zip_with` +
+  * `aggregate` chain is interpreted and allocates per row; on the pair
+  * join it was the bench bottleneck). Norms are projected **once per
+  * vector** before any pair join, never recomputed per pair.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd dot product, accumulated in double in list order. */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  /** L2 norm, accumulated in double. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** L2 norm via the same kernel. */
+  def norm(a: Column): Column = vec_norm(a)
 
-  /** Cosine similarity (safe for non-normalized inputs). */
+  /** Cosine similarity (safe for non-normalized inputs). Prefer the
+    * precomputed-norm forms below for anything pairwise.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Per-vector sanity statistics (norm / mean / max component). */
   def embedStats(emb: DataFrame): DataFrame = emb.select(
       col("vec_id"),
       col("label"),
-      round(norm(col("embedding")), 4).as("l2_norm"),
+      round(vec_norm(col("embedding")), 4).as("l2_norm"),
       round(aggregate(transform(col("embedding"), x => x.cast("double")),
         lit(0.0), (acc, v) => acc + v) / size(col("embedding")), 4)
         .as("mean_component"),
@@ -44,11 +46,13 @@ object Similarity {
     */
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"))
+      .select(col("embedding").as("q_embedding"),
+        vec_norm(col("embedding")).as("q_norm"))
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("q_embedding")), 4).as("cosine"))
+        round(vec_dot(col("embedding"), col("q_embedding")) /
+          (vec_norm(col("embedding")) * col("q_norm")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -60,9 +64,9 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes (seeded, so every executor —
     * and every round — derives identical planes).
     */
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rng = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian().toFloat))
   }
 
   /** Sign-bit bucket id of an embedding against the hyperplane set. */
@@ -70,8 +74,7 @@ object Similarity {
                 seed: Long = 42L): Column = {
     val ps = planes(numPlanes, dim, seed)
     ps.zipWithIndex.map { case (p, i) =>
-      val planeCol = typedLit(p)
-      shiftleft(when(dot(embedding, planeCol) >= 0, 1L).otherwise(0L), i)
+      shiftleft(when(vec_dot(embedding, typedLit(p)) >= 0, 1L).otherwise(0L), i)
     }.reduce(_ bitwiseOR _)
   }
 
@@ -84,33 +87,39 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, queryId: Long, k: Int, numPlanes: Int = 8,
               dim: Int = 64, probe: Int = 1): DataFrame = {
-    val bucketed = emb.withColumn("bucket",
-      lshBucket(col("embedding"), numPlanes, dim))
+    val bucketed = emb.select(col("vec_id"), col("label"), col("embedding"),
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"),
+      vec_norm(col("embedding")).as("nrm"))
     val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("bucket").as("q_bucket"), col("embedding").as("q_embedding"))
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_embedding"),
+        col("nrm").as("q_norm"))
     bucketed.filter(col("vec_id") =!= queryId)
       .join(broadcast(q),
         bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probe)
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("q_embedding")), 4).as("cosine"))
+        round(vec_dot(col("embedding"), col("q_embedding")) /
+          (col("nrm") * col("q_norm")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket — the
     * embedding analog of [[Dedup.minhashNearDupPairs]]: pairs form only
-    * within buckets, never across the full corpus.
+    * within buckets (a shuffle keyed on the bucket), never across the
+    * full corpus.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.95,
                    numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"),
+      vec_norm(col("embedding")).as("nrm"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cosine"))
+        round(vec_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
