@@ -25,12 +25,28 @@ object Json {
                   as: String = "data"): DataFrame =
     df.withColumn(as, from_json(jsonCol, schema))
 
+  /** P14 — NaN → null normalization (kafka_producer.py:57-59): floating
+    * NaNs become JSON nulls rather than non-standard `NaN` tokens.
+    */
+  def normalizeNaN(df: DataFrame): DataFrame = {
+    val fixed = df.schema.fields.map {
+      case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+                f.dataType == org.apache.spark.sql.types.FloatType =>
+        when(isnan(col(f.name)), lit(null)).otherwise(col(f.name)).as(f.name)
+      case f => col(f.name)
+    }
+    df.select(fixed.toSeq: _*)
+  }
+
   /** S6 — producer-side serialization: row → JSON `value` with a string
-    * `key` (kafka_producer.py:51-65,98). NaN→null is native to Spark's JSON
-    * writer; metadata enrichment (P15) is applied by the caller via
+    * `key` (kafka_producer.py:51-65,98), NaNs normalized to nulls first
+    * (P14); metadata enrichment (P15) is applied by the caller via
     * [[graft.etl.Enrich.withProducerMetadata]].
     */
-  def toKeyedJson(df: DataFrame, key: Column): DataFrame = df.select(
-    key.cast("string").as("key"),
-    to_json(struct(df.columns.map(col): _*)).as("value"))
+  def toKeyedJson(df: DataFrame, key: Column): DataFrame = {
+    val clean = normalizeNaN(df)
+    clean.select(
+      key.cast("string").as("key"),
+      to_json(struct(clean.columns.map(col): _*)).as("value"))
+  }
 }

@@ -38,4 +38,12 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** S2 — CSV batch scan with explicit schema + header
+    * (reference: kafka_producer.py:37-38; schema explicit rather than
+    * inferred so a bad file fails loudly instead of silently retyping).
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
 }

@@ -44,6 +44,14 @@ class JsonSpec extends AnyFunSuite {
     assert(r.getAs[Double]("trip_distance") == 2.5)
   }
 
+  test("S2: CSV scan with explicit schema round-trips the trip shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = Json.parseStream(TestSpark.tripJson(Seq(good)), Schemas.tripStream)
+    df.write.option("header", "true").mode("overwrite").csv(dir)
+    val back = graft.sources.Tables.csv(spark, dir, Schemas.tripStream)
+    assert(back.collect().toSeq == df.collect().toSeq)
+  }
+
   test("producer serialize → consumer parse is identity on schema fields") {
     val df = Json.parseStream(TestSpark.tripJson(Seq(good)), Schemas.tripStream)
     val keyed = Json.toKeyedJson(

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{Enrich, Quality}
+import graft.ingest.Json
+import graft.model.Schemas
+
+/** Property tests (SURVEY §5.3): structural invariants of the ETL DAG on
+  * ScalaCheck-generated trip batches (fixed seeds — deterministic in CI).
+  */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class RawTrip(vendor: Int, pick: String, durMin: Int,
+                             dist: Double, fare: Double, tip: Double)
+
+  private val tripGen: Gen[RawTrip] = for {
+    vendor <- Gen.choose(1, 2)
+    hourOff <- Gen.choose(0, 23)
+    durMin <- Gen.choose(-10, 400)
+    dist <- Gen.choose(-5.0, 50.0)
+    fare <- Gen.choose(-5.0, 200.0)
+    tip <- Gen.choose(0.0, 50.0)
+  } yield RawTrip(vendor, f"2015-01-15 $hourOff%02d:00:00", durMin, dist, fare, tip)
+
+  private def batches(n: Int): Seq[List[RawTrip]] = (1 to n).map { i =>
+    Gen.listOfN(40, tripGen).pureApply(Gen.Parameters.default, Seed(i.toLong))
+  }
+
+  private def toDf(trips: List[RawTrip]) = trips.map { t =>
+    val drop = java.time.LocalDateTime.parse(t.pick.replace(' ', 'T'))
+      .plusMinutes(t.durMin.toLong).toString.replace('T', ' ')
+    (t.vendor, t.pick, drop, 1, t.dist, t.fare, t.tip, t.fare + t.tip)
+  }.toDF("VendorID", "tpep_pickup_datetime", "tpep_dropoff_datetime",
+    "passenger_count", "trip_distance", "fare_amount", "tip_amount",
+    "total_amount")
+
+  test("enrichment preserves row count; filter output satisfies its predicates") {
+    batches(5).foreach { trips =>
+      val enriched = Enrich.enrich(toDf(trips))
+      assert(enriched.count() == trips.length)
+      val violations = Quality.validTrips(enriched).filter(
+        col("trip_distance") < 0 || col("fare_amount") < 0 ||
+        col("trip_duration_minutes") <= 0 ||
+        col("trip_duration_minutes") >= 300)
+      assert(violations.isEmpty)
+    }
+  }
+
+  test("to_json then from_json is identity on schema fields") {
+    batches(3).foreach { trips =>
+      val df = toDf(trips)
+      val roundTripped = Json.parseStream(
+        Json.toKeyedJson(df, col("VendorID")), Schemas.tripStream)
+      assert(roundTripped.exceptAll(df).isEmpty && df.exceptAll(roundTripped).isEmpty)
+    }
+  }
+
+  test("enrichment columns honor their value-domain invariants") {
+    batches(5).foreach { trips =>
+      val e = Enrich.enrich(toDf(trips))
+      assert(e.filter(col("pickup_hour") < 0 || col("pickup_hour") > 23).isEmpty)
+      assert(e.filter(!col("trip_category").isin("short", "medium", "long")).isEmpty)
+      assert(e.filter(col("speed_mph") < 0).isEmpty)
+      assert(e.filter(col("fare_amount") <= 0 && col("tip_percentage") =!= 0).isEmpty)
+    }
+  }
+
+  test("NaN normalization: NaN doubles serialize as JSON nulls (P14)") {
+    val df = Seq((1, Double.NaN, 2.5)).toDF("VendorID", "fare_amount", "trip_distance")
+    val parsed = Json.parseStream(Json.toKeyedJson(df, col("VendorID")),
+      Schemas.tripStream).head()
+    assert(parsed.isNullAt(parsed.fieldIndex("fare_amount")))
+    assert(parsed.getAs[Double]("trip_distance") == 2.5)
+  }
+}
