@@ -8,6 +8,11 @@ import graft.ingest.Json
 import graft.model.Schemas
 import graft.warehouse.Warehouse
 
+/** Keyed state carried across micro-batches by
+  * [[Pipeline.vendorRunningTotals]].
+  */
+case class VendorTotals(vendor_id: Int, trips: Long, revenue: Double)
+
 /** Streaming ingest pipeline — the reference's consumer end-to-end
   * (reference: spark_consumer.py:40-140), on Structured Streaming.
   *
@@ -51,6 +56,46 @@ object Pipeline {
         }
       }
       .start()
+
+  /** T5 upgrade path — event-time hourly aggregation with a watermark:
+    * the streaming form of [[graft.agg.Analytics.hourlyStatistics]]. State
+    * for windows older than the watermark is dropped, so state size is
+    * bounded by (watermark span × groups), not stream length — the
+    * property that matters on an unbounded 100 TB/day stream.
+    */
+  def hourlyStream(trips: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    trips
+      .withWatermark("pickup_datetime", watermark)
+      .groupBy(window(col("pickup_datetime"), "1 hour"), col("vendor_id"))
+      .agg(count(lit(1)).as("trip_count"),
+        graft.agg.Analytics.dsum(col("fare_amount")).as("revenue"))
+  }
+
+  /** T6 upgrade path — arbitrary keyed state via `mapGroupsWithState`:
+    * per-vendor running totals that survive across micro-batches (the
+    * kind of custom state the reference kept in PostgreSQL).
+    */
+  def vendorRunningTotals(trips: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[VendorTotals] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import trips.sparkSession.implicits._
+    trips
+      .selectExpr("vendor_id", "fare_amount")
+      .as[(Int, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (vendor: Int, batch: Iterator[(Int, Double)],
+         state: GroupState[VendorTotals]) =>
+          val prev = state.getOption.getOrElse(VendorTotals(vendor, 0L, 0.0))
+          val (n, rev) = batch.foldLeft((prev.trips, prev.revenue)) {
+            case ((c, r), (_, fare)) => (c + 1, r + fare)
+          }
+          val next = VendorTotals(vendor, n, rev)
+          state.update(next)
+          next
+      }
+  }
 
   /** T2/T7/T8 — Kafka source options are configuration, not logic
     * (SURVEY §7.4); provided for completeness when a broker exists.

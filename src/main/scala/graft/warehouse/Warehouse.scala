@@ -32,4 +32,17 @@ object Warehouse {
     */
   def readTrips(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed table write: co-locates rows by join key so repeated joins
+    * on that key are exchange-free (both sides read pre-hashed buckets —
+    * the warehouse analog of the reference's vendor_id index, but one
+    * that also kills the join shuffle). Requires a catalog table
+    * (bucketBy metadata lives in the metastore, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Skew
+import graft.stream.Pipeline
+import graft.warehouse.Warehouse
+
+/** Scale techniques: salted joins, bucketed co-located joins, watermarked
+  * and stateful streaming aggregation.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    // 90% of fact rows share one hot key — the salted plan must not
+    // change results, only shuffle layout.
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1 else i % 10, i.toLong))
+      .toDF("key", "fact_id")
+    val dim = (0 to 9).map(k => (k, s"dim$k")).toDF("key", "dim_val")
+    val plain = fact.join(dim, "key")
+    val salted = Skew.saltedJoin(fact, dim, "key", col("fact_id"), salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lines")
+    Warehouse.writeBucketed((1 to 100).map(i => (i.toLong, s"o$i"))
+      .toDF("k", "o"), "bt_orders", "k", 4)
+    Warehouse.writeBucketed((1 to 300).map(i => ((i % 100 + 1).toLong, i))
+      .toDF("k", "li"), "bt_lines", "k", 4)
+    // Force the shuffle-based path (tiny tables would broadcast) so the
+    // assertion targets what bucketing eliminates: the shuffle exchange.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bt_orders").join(spark.table("bt_lines"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"expected shuffle-free join:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      assert(joined.count() == 300)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("watermarked hourly window aggregates the stream by event time") {
+    val source = MemoryStream[String](
+      implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
+    def trip(pick: String, fare: Double) = {
+      // dropoff = pickup + 10 min so the validity filter keeps the row
+      val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
+        .plusMinutes(10).toString.replace('T', ' ')
+      s"""{"VendorID":1,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":3.0,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
+    }
+    source.addData(
+      trip("2015-01-15 10:05:00", 10.0), trip("2015-01-15 10:55:00", 20.0),
+      trip("2015-01-15 11:05:00", 40.0))
+    val agg = Pipeline.hourlyStream(Pipeline.transform(source.toDF()))
+    val query = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("1 second")).start()
+    try query.processAllAvailable() finally query.stop()
+    val out = spark.table("hourly")
+      .select(date_format(col("window.start"), "HH:mm").as("h"),
+        col("trip_count"), col("revenue"))
+      .orderBy("h").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("10:00", 2L, 30.0), ("11:00", 1L, 40.0)))
+  }
+
+  test("mapGroupsWithState carries per-vendor totals across micro-batches") {
+    val source = MemoryStream[(Int, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Int, Double)]], spark.sqlContext)
+    val trips = source.toDF().toDF("vendor_id", "fare_amount")
+    val query = Pipeline.vendorRunningTotals(trips)
+      .writeStream.format("memory").queryName("vtotals")
+      .outputMode("update").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      source.addData((1, 10.0), (1, 20.0), (2, 5.0))
+      query.processAllAvailable()
+      source.addData((1, 30.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    // update-mode memory sink appends each state emission; the last row
+    // per vendor is the current running total.
+    val last = spark.table("vtotals").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (v, rows) => v -> rows.last._2 }
+    assert(last(1) == (3L, 60.0))
+    assert(last(2) == (1L, 5.0))
+  }
+}
