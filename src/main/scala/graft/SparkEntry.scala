@@ -218,6 +218,23 @@ object SparkEntry {
       daily("click").unionByName(daily("purchase")).orderBy("d", "event_type")
     }),
 
+    // ROLLUP: hierarchical subtotals (engine capability beyond the
+    // reference — grouping sets share one shuffle).
+    "rollup_daily" -> ((s, dir) => T(s, dir, "events")
+      .rollup(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("revenue"))
+      .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)),
+
+    // PIVOT: categories to columns (explicit value list keeps the plan a
+    // single pass — no distinct-scan to discover columns).
+    "pivot_user_type" -> ((s, dir) => T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")),
+
     // P6 analog on a real timestamp pair: order→ship latency in days,
     // integer-day floor, grouped by priority.
     "ship_latency" -> ((s, dir) => T(s, dir, "lineitem")
@@ -266,10 +283,22 @@ object SparkEntry {
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(T(s, dir, "documents"))),
 
+    // Sketch aggregates (HLL++) — approx values are engine-specific, so
+    // exact twins ride along for the recorded relative error.
+    "approx_distinct" -> ((s, dir) => T(s, dir, "events")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
+        countDistinct(col("event_id")).as("exact_events"))),
+
+    // Exact verification of raw LSH candidates (band collisions), the
+    // recall-safe complement of minhash_pairs' estimate-thresholded view.
     "ngram_jaccard_pairs" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       Dedup.exactJaccard(docs,
-        Dedup.minhashNearDupPairs(docs).select(col("doc_a"), col("doc_b")))
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs), 8, 4))
+        .filter(col("jaccard") >= 0.3)
     }),
 
     "simhash_docs" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))),
@@ -361,6 +390,12 @@ object SparkEntry {
         "SELECT event_id, user_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_revenue FROM events ORDER BY event_id",
       "union_daily" ->
         "SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n FROM events WHERE event_type = 'click' GROUP BY 1, 2 UNION ALL SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY d, event_type",
+      "rollup_daily" ->
+        s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n, $moneySum AS revenue FROM events GROUP BY ROLLUP(event_type, d) ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
+      "pivot_user_type" ->
+        ("SELECT user_id, " + Seq("click", "view", "purchase", "signup", "error")
+          .map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t")
+          .mkString(", ") + " FROM events GROUP BY user_id ORDER BY user_id"),
       "ship_latency" ->
         "SELECT o_orderpriority, COUNT(*) AS n_lineitems, ROUND(AVG(FLOOR((EPOCH(l_shipdate) - EPOCH(o_orderdate)) / 86400.0)), 4) AS avg_latency_days FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
       "dedup_exact" ->

@@ -64,16 +64,21 @@ object Dedup {
   }
 
   /** MinHash signature: doc_id → array of `numHashes` minima of seeded
-    * xxhash64 over the distinct shingle set. One explode + one
-    * hash-aggregate; the shuffle carries (doc_id, shingle) pairs once,
-    * regardless of `numHashes`.
+    * xxhash64 over the shingle stream. No `distinct` pre-pass: MIN over a
+    * multiset equals MIN over its set, and `min` partial-aggregates
+    * map-side, so the only shuffle carries one `numHashes`-long partial
+    * signature per (doc, partition) — never the shingles themselves.
     */
   def minhashSignatures(docs: DataFrame, shingleSize: Int = 3,
                         numHashes: Int = 32): DataFrame = {
+    // Hash each shingle string ONCE, then derive the k seeded hash
+    // functions from the resulting 8-byte value — rehashing a long is far
+    // cheaper than rehashing the string k times, with the same
+    // permutation-family statistics.
     val exploded = docs
       .select(col("doc_id"), explode(shingles(col("text"), shingleSize)).as("sh"))
-      .distinct()
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))))
     exploded.groupBy("doc_id").agg(array(mins: _*).as("signature"))
   }
 
@@ -92,9 +97,25 @@ object Dedup {
         col("bh.band_hash").as("band_hash"))
   }
 
+  /** LSH candidate pairs: docs sharing at least one band bucket. The
+    * self-join is keyed on (band, band_hash), so only colliding docs pair
+    * up — cost tracks collisions, never n². Pass the signatures in (and
+    * persist them) when they'll be reused for verification.
+    */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = lshBands(sigs, bands, rowsPerBand)
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Candidate near-dup pairs with estimated Jaccard (fraction of agreeing
-    * MinHash components), thresholded. The self-join is keyed on
-    * (band, band_hash) — the LSH bucket — so only colliding docs pair up.
+    * MinHash components), thresholded.
     */
   def minhashNearDupPairs(docs: DataFrame, shingleSize: Int = 3,
                           numHashes: Int = 32, bands: Int = 8,
@@ -102,18 +123,11 @@ object Dedup {
     // Signatures feed three plan branches (banding + both pair-side
     // joins); persist so the shingle explode/aggregate runs once. The
     // signature table is tiny relative to the corpus (numHashes longs per
-    // doc), so this holds at any scale.
+    // doc, and min() partial-aggregates map-side, so the shuffle already
+    // carries signatures, not shingles), so this holds at any scale.
     val sigs = minhashSignatures(docs, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = lshBands(sigs, bands, numHashes / bands)
-    val a = bandRows.as("a")
-    val b = bandRows.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val candidates = lshCandidatePairs(sigs, bands, numHashes / bands)
     val withSigs = candidates
       .join(sigs.withColumnRenamed("doc_id", "doc_a")
                 .withColumnRenamed("signature", "sig_a"), Seq("doc_a"))
