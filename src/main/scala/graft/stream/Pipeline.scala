@@ -99,6 +99,8 @@ object Pipeline {
 
   /** T2/T7/T8 — Kafka source options are configuration, not logic
     * (SURVEY §7.4); provided for completeness when a broker exists.
+    * Requires the `spark-sql-kafka` connector on the classpath (not
+    * bundled in this environment — the MemoryStream/file paths cover CI).
     */
   def kafkaSource(spark: org.apache.spark.sql.SparkSession,
                   bootstrap: String, topic: String): DataFrame =

@@ -33,6 +33,15 @@ object Warehouse {
   def readTrips(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S5 as the reference actually wired it — JDBC append — for
+    * deployments where a live database replaces the parquet warehouse.
+    * Batched writes per partition (the `execute_values` analog,
+    * database_handler.py:252-254) are Spark's default JDBC behavior.
+    */
+  def appendTripsJdbc(df: DataFrame, url: String, table: String,
+                      props: java.util.Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+
   /** Bucketed table write: co-locates rows by join key so repeated joins
     * on that key are exchange-free (both sides read pre-hashed buckets —
     * the warehouse analog of the reference's vendor_id index, but one
