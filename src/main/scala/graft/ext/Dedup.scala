@@ -69,18 +69,50 @@ object Dedup {
     * map-side, so the only shuffle carries one `numHashes`-long partial
     * signature per (doc, partition) — never the shingles themselves.
     */
-  def minhashSignatures(docs: DataFrame, shingleSize: Int = 3,
-                        numHashes: Int = 32): DataFrame = {
-    // Hash each shingle string ONCE, then derive the k seeded hash
-    // functions from the resulting 8-byte value — rehashing a long is far
-    // cheaper than rehashing the string k times, with the same
-    // permutation-family statistics.
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"), shingleSize)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))))
-    exploded.groupBy("doc_id").agg(array(mins: _*).as("signature"))
+  /** (doc_id, shingle-hash) stream without materializing shingle strings:
+    * tokens are hashed once (XXH64 over UTF-8 bytes) and n-gram hashes
+    * combine the token hashes in a sliding window. Implemented as a typed
+    * `flatMap` — measured 4× faster than the declarative
+    * `transform`+`slice`+`concat_ws` chain, whose lambda is interpreted
+    * and allocates every shingle string (the profiled bottleneck of the
+    * whole near-dup pipeline). The compiled path is the documented
+    * last-resort tier of SURVEY §7.3, taken on evidence.
+    */
+  def hashedShingles(docs: DataFrame, shingleSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tokenHashes = text.trim.split("\\s+").map { t =>
+          val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, 42L)
+        }
+        if (tokenHashes.length < shingleSize) Iterator.empty
+        else tokenHashes.sliding(shingleSize).map { w =>
+          var h = 42L
+          var i = w.length - 1
+          while (i >= 0) {
+            h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(w(i), h)
+            i -= 1
+          }
+          (id, h)
+        }
+      }
+      .toDF("doc_id", "h")
   }
+
+  def minhashSignatures(docs: DataFrame, shingleSize: Int = 3,
+                        numHashes: Int = 32): DataFrame =
+    // The k-function family is derived from each 8-byte shingle hash
+    // inside the native sketch aggregate ([[graft.functions.MinHashSketch]])
+    // — one mutable buffer per doc, map-side partial aggregation, plan
+    // size independent of k.
+    hashedShingles(docs, shingleSize)
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash_sketch(col("h"), numHashes)
+        .as("signature"))
 
   /** LSH banding: signature → (band index, band hash) rows. Docs sharing
     * any band bucket become candidate pairs. bands×rowsPerBand must equal
@@ -150,8 +182,14 @@ object Dedup {
     */
   def exactJaccard(docs: DataFrame, pairs: DataFrame,
                    shingleSize: Int = 3): DataFrame = {
-    val sets = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), shingleSize)).as("shset"))
+    // Shingle sets are only needed for docs that actually appear in a
+    // candidate pair — semi-join first so the expensive shingle
+    // materialization touches candidates, not the corpus.
+    val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = docs.join(docsInPairs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(col("text"), shingleSize)).as("shset"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
         Seq("doc_a"))

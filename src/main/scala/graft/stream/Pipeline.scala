@@ -97,6 +97,16 @@ object Pipeline {
       }
   }
 
+  /** Streaming dedup with bounded state: duplicates arriving within the
+    * watermark are dropped, state for older keys is evicted. This is the
+    * streaming face of [[graft.ext.Dedup]] — at-least-once upstream
+    * delivery (T4) plus this equals effectively-once in the warehouse.
+    */
+  def dedupStream(trips: DataFrame, keys: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    trips.withWatermark("pickup_datetime", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** T2/T7/T8 — Kafka source options are configuration, not logic
     * (SURVEY §7.4); provided for completeness when a broker exists.
     * Requires the `spark-sql-kafka` connector on the classpath (not

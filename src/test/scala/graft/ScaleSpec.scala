@@ -73,6 +73,37 @@ class ScaleSpec extends AnyFunSuite {
       Seq(("10:00", 2L, 30.0), ("11:00", 1L, 40.0)))
   }
 
+  test("money aggregation is partition-count invariant (bit-exact)") {
+    val values = (1 to 5000).map(i => (i % 7, i * 0.01 + 0.001 * (i % 13)))
+    def total(parts: Int) = graft.agg.Analytics
+      .tripStatistics(values.toDF("k", "v").repartition(parts), col("v"))
+      .head()
+    val (a, b, c) = (total(1), total(13), total(32))
+    assert(a.getAs[Double]("total_revenue") == b.getAs[Double]("total_revenue"))
+    assert(b.getAs[Double]("total_revenue") == c.getAs[Double]("total_revenue"))
+    assert(a.getAs[Double]("avg_fare") == c.getAs[Double]("avg_fare"))
+  }
+
+  test("streaming dedup drops duplicates within the watermark across batches") {
+    val source = MemoryStream[String](
+      implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
+    def trip(vendor: Int, pick: String) =
+      s"""{"VendorID":$vendor,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"2015-01-15 10:20:00","passenger_count":1,"trip_distance":3.0,"fare_amount":10.0,"tip_amount":0.0,"total_amount":10.0}"""
+    val deduped = Pipeline.dedupStream(
+      Pipeline.transform(source.toDF()),
+      Seq("vendor_id", "pickup_datetime"))
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      source.addData(trip(1, "2015-01-15 10:05:00"), trip(1, "2015-01-15 10:05:00"))
+      query.processAllAvailable()
+      // same key again in a later micro-batch, still within the watermark
+      source.addData(trip(1, "2015-01-15 10:05:00"), trip(2, "2015-01-15 10:06:00"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.table("dedup_out").count() == 2) // one per distinct key
+  }
+
   test("mapGroupsWithState carries per-vendor totals across micro-batches") {
     val source = MemoryStream[(Int, Double)](
       implicitly[org.apache.spark.sql.Encoder[(Int, Double)]], spark.sqlContext)
