@@ -161,6 +161,21 @@ object SparkEntry {
           .as("revenue"))
       .orderBy("c_mktsegment")),
 
+    // TPC-H Q3 shape: selective star join + grouped revenue + top-k.
+    "q3_topk" -> ((s, dir) => T(s, dir, "lineitem")
+      .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01 00:00:00")))
+      .join(T(s, dir, "orders")
+          .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)),
+
     // Broadcast dimension joins: small dims never shuffle the fact side.
     "region_customers" -> ((s, dir) => T(s, dir, "customer")
       .join(broadcast(T(s, dir, "nation")),
@@ -310,6 +325,13 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, dir) => Similarity.annTopK(
       T(s, dir, "embeddings"), queryId = 0L, k = 10, numPlanes = 4)),
 
+    // IVF variant: coarse quantizer + 2 probed inverted lists.
+    "ann_topk_ivf" -> ((s, dir) => Similarity.annTopKIvf(
+      T(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    "doc_winnow" -> ((s, dir) =>
+      Dedup.winnowedFingerprints(T(s, dir, "documents"))),
+
     // Testdata embeddings are near-orthogonal (max pairwise cosine ≈0.4),
     // so the "near-dup" threshold here is set low to exercise the
     // bucketed-pair path; production near-dup would use ≥0.9.
@@ -376,6 +398,8 @@ object SparkEntry {
           "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
       "star_revenue" ->
         "SELECT c_mktsegment, COUNT(*) AS n_lineitems, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+      "q3_topk" ->
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND c_mktsegment = 'BUILDING' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10",
       "region_customers" ->
         "SELECT r_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
       "semi_join" ->
@@ -405,7 +429,7 @@ object SparkEntry {
       "dedup_keep_first" ->
         "SELECT MD5(text) AS content_digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size FROM documents GROUP BY 1 ORDER BY 1",
       "token_stats" ->
-        s"""SELECT doc_id, CAST($nTokens AS INTEGER) AS n_tokens, CAST(LENGTH(text) AS INTEGER) AS n_chars_calc FROM documents ORDER BY doc_id""",
+        s"""SELECT doc_id, CAST($nTokens AS INTEGER) AS n_tokens, CAST(LEN(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS bpe_tokens, CAST(LENGTH(text) AS INTEGER) AS n_chars_calc FROM documents ORDER BY doc_id""",
       "lang_stats" ->
         s"""SELECT lang, COUNT(*) AS n_docs, AVG($nTokens) AS avg_tokens, AVG(n_chars) AS avg_chars FROM documents GROUP BY lang ORDER BY lang""",
       "quality_score" ->

@@ -202,6 +202,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting): the
+    * minimum shingle hash of every `window`-wide sliding window, distinct
+    * per doc. Robust to insertions/reordering the way single whole-doc
+    * hashes aren't; two docs sharing fingerprints share regions. Built on
+    * the compiled [[hashedShingles]] stream.
+    */
+  def winnowedFingerprints(docs: DataFrame, shingleSize: Int = 3,
+                           window: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    hashedShingles(docs, shingleSize).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, rows: Iterator[(Long, Long)]) =>
+        val hs = rows.map(_._2).toArray
+        if (hs.length < window) hs.distinct.sorted.iterator.map((id, _))
+        else hs.sliding(window).map(_.min).toArray
+          .distinct.sorted.iterator.map((id, _))
+      }
+      .toDF("doc_id", "fingerprint")
+      .orderBy("doc_id", "fingerprint")
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------

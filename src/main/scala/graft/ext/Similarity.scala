@@ -103,6 +103,60 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------
+  // IVF-style ANN (coarse quantizer + probed inverted lists)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic coarse centroids (seeded gaussian, L2-normalized). A
+    * production build would k-means these; seeded planes keep every
+    * executor and every round identical without an iterative fit.
+    */
+  private def centroids(k: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(k) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+  }
+
+  /** Index of the best-scoring centroid for an embedding. */
+  def ivfCell(embedding: Column, k: Int, dim: Int, seed: Long = 7L): Column = {
+    val scores = array(centroids(k, dim, seed)
+      .map(c => vec_dot(embedding, typedLit(c))): _*)
+    // array_position is 1-based; cells are 0-based
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** IVF ANN top-k: assign every vector to its nearest coarse centroid
+    * (the inverted list), then brute-force only the `nprobe` lists
+    * closest to the query. Same contract as [[annTopK]]; different
+    * recall/latency trade — lists follow the data distribution where LSH
+    * cuts blindly. At scale the cell id is the partition/bucket key.
+    */
+  def annTopKIvf(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+                 dim: Int = 64, nprobe: Int = 2): DataFrame = {
+    val cs = centroids(nlist, dim, 7L)
+    val listed = emb.select(col("vec_id"), col("label"), col("embedding"),
+      ivfCell(col("embedding"), nlist, dim).as("cell"),
+      vec_norm(col("embedding")).as("nrm"))
+    // The query's nprobe best cells, as a broadcast single-row frame.
+    val qScores = array(cs.map(c => vec_dot(col("embedding"), typedLit(c))): _*)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"),
+        vec_norm(col("embedding")).as("q_norm"),
+        slice(reverse(array_sort(zip_with(qScores,
+          sequence(lit(0), lit(nlist - 1)),
+          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe)
+          .getField("i").as("probe_cells"))
+    listed.join(broadcast(q), array_contains(col("probe_cells"), col("cell")))
+      .select(col("vec_id"), col("label"),
+        round(vec_dot(col("embedding"), col("q_embedding")) /
+          (col("nrm") * col("q_norm")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket — the
     * embedding analog of [[Dedup.minhashNearDupPairs]]: pairs form only
     * within buckets (a shuffle keyed on the bucket), never across the

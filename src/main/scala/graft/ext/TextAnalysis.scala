@@ -23,10 +23,18 @@ object TextAnalysis {
   private def noSpaceLen(text: Column) =
     length(regexp_replace(text, "\\s", ""))
 
+  /** BPE-ish token estimate: word/punctuation pieces (the units a
+    * subword tokenizer starts from) — a scan-only proxy for LLM token
+    * accounting when the real tokenizer isn't on the cluster.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
   /** Per-document token/char statistics. */
   def tokenStats(docs: DataFrame): DataFrame = docs.select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
+      bpeTokenEstimate(col("text")).as("bpe_tokens"),
       length(col("text")).as("n_chars_calc"))
     .orderBy("doc_id")
 

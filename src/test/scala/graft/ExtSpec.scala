@@ -92,6 +92,27 @@ class ExtSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cosine") == 1.0) // vec 8/16/24 ≡ vec 0
   }
 
+  test("IVF ANN finds the identical vector through probed lists") {
+    val emb = (0 until 64).map { i =>
+      val v = Array.fill(8)(0.1f); v(i % 8) = 1f
+      (i.toLong, v.toSeq, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val top = Similarity.annTopKIvf(emb, queryId = 0L, k = 5, nlist = 4,
+      dim = 8, nprobe = 4).collect() // nprobe = nlist → exhaustive, recall 1
+    assert(top.head.getAs[Double]("cosine") == 1.0) // vec 8/16/... ≡ vec 0
+  }
+
+  test("winnowed fingerprints: shared regions → shared fingerprints") {
+    val fp = Dedup.winnowedFingerprints(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fingerprint")).toSet).toMap
+    assert(fp(0L) == fp(1L)) // identical docs → identical fingerprint sets
+    val inter03 = fp(0L).intersect(fp(3L)).size.toDouble / fp(0L).union(fp(3L)).size
+    val inter04 = fp(0L).intersect(fp(4L)).size.toDouble / fp(0L).union(fp(4L)).size
+    assert(inter03 > inter04) // near-dup overlaps more than unrelated
+    assert(inter04 == 0.0)
+  }
+
   test("multimodal decode plumbing: deterministic metadata per payload") {
     val media = Multimodal.mediaFromDocuments(docs)
     val meta = Multimodal.decodeMeta(spark, media).collect()
