@@ -69,4 +69,83 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): DataFrame = docs.select(
     col("doc_id").as("id"),
     col("text").cast("binary").as("payload"))
+
+  // ---------------------------------------------------------------------
+  // Feature-extract / resize / frame-sample — same per-partition batch
+  // shape as decodeMeta; codec bodies are deterministic STUBS (no media
+  // libraries in this environment), signatures and schemas are real.
+  // ---------------------------------------------------------------------
+
+  private def fold(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    payload.foreach(b => h = h * 31 + b)
+    h
+  }
+
+  /** STUB feature extractor: payload → fixed-size float vector (a real
+    * one runs a vision/audio encoder per partition-initialized model).
+    * Output schema (id, embedding array<float>) plugs directly into
+    * [[Similarity]] operators — that composition is the point.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      dim: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val rdd = media.select(col("id"), col("payload")).rdd.mapPartitions { it =>
+      // model/codec init would happen here, once per partition
+      it.map { r =>
+        val h = fold(r.getAs[Array[Byte]]("payload"))
+        val vec = Array.tabulate(dim)(i =>
+          (math.floorMod(h >> (i * 7), 1000) / 1000.0f) - 0.5f)
+        Row(r.getLong(0), vec.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB resize: payload → payload' with target dims recorded. A real
+    * implementation transforms bytes; the stub truncates/pads so output
+    * size actually depends on the target — batch shape and schema real.
+    */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val target = math.max(16, (w * h) / 64)
+    val rdd = media.select(col("id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        Row(r.getLong(0), java.util.Arrays.copyOf(p, target), w, h)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB frame sampler: one video payload → every `stride`-th "frame"
+    * (fixed-size byte slices), exploded to one row per frame — the
+    * fan-out shape (id, frame_idx, frame payload) a real sampler yields.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = media.select(col("id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val nFrames = math.max(1, p.length / frameBytes)
+        (0 until nFrames by stride).map { f =>
+          val from = f * frameBytes
+          Row(r.getLong(0), f,
+            java.util.Arrays.copyOfRange(p, from,
+              math.min(from + frameBytes, p.length)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

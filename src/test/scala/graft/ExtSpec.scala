@@ -113,6 +113,28 @@ class ExtSpec extends AnyFunSuite {
     assert(inter04 == 0.0)
   }
 
+  test("multimodal feature-extraction composes with similarity search") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.schema("embedding").dataType.simpleString == "array<float>")
+    // identical payloads → identical embeddings, found by brute-force ANN
+    val emb = feats.withColumnRenamed("id", "vec_id")
+      .withColumn("label", lit(0))
+    val top = Similarity.cosineTopK(emb, queryId = 0L, k = 1).head()
+    assert(top.getAs[Long]("vec_id") == 1L) // doc 1 is doc 0's exact dup
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("multimodal resize and frame-sampling keep the batch shape") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val resized = Multimodal.resize(spark, media, 64, 64)
+    assert(resized.count() == 5)
+    assert(resized.head().getAs[Array[Byte]]("payload").length == 64)
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 16, stride = 2)
+    assert(frames.count() > 5) // fan-out: multiple frames per payload
+    assert(frames.groupBy("id").count().count() == 5)
+  }
+
   test("multimodal decode plumbing: deterministic metadata per payload") {
     val media = Multimodal.mediaFromDocuments(docs)
     val meta = Multimodal.decodeMeta(spark, media).collect()

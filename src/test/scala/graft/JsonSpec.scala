@@ -20,6 +20,13 @@ class JsonSpec extends AnyFunSuite {
       |"trip_distance":1.59,"fare_amount":12.0,"tip_amount":3.25,
       |"total_amount":17.05}""".stripMargin.replace("\n", "")
 
+  test("P1: binary Kafka value casts to string before parse") {
+    val binary = TestSpark.tripJson(Seq(good))
+      .select(col("value").cast("binary").as("value"))
+    val df = Json.parseStream(binary, Schemas.tripStream)
+    assert(df.head().getAs[Integer]("VendorID") == 2)
+  }
+
   test("malformed JSON yields a null-struct row (PERMISSIVE), not a failure") {
     val df = Json.parseStream(TestSpark.tripJson(Seq(good, "{not json")),
       Schemas.tripStream)
