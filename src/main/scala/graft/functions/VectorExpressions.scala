@@ -90,9 +90,12 @@ object VectorFunctions {
 }
 
 /** `SparkSessionExtensions` hook registering the engine's custom SQL
-  * functions (see [[VectorFunctions.dotInjection]]).
+  * functions and optimizer rules. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.dotInjection)
+    ext.injectOptimizerRule(_ => graft.plans.PushNanosTimestampPredicates)
+  }
 }
