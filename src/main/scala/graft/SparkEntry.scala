@@ -228,17 +228,20 @@ object SparkEntry {
     "union_daily" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       def daily(t: String) = ev.filter(col("event_type") === t)
-        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+        .groupBy(to_date(col("ts")).as("dd"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+        .select(date_format(col("dd"), "yyyy-MM-dd").as("d"),
+          col("event_type"), col("n"))
       daily("click").unionByName(daily("purchase")).orderBy("d", "event_type")
     }),
 
     // ROLLUP: hierarchical subtotals (engine capability beyond the
     // reference — grouping sets share one shuffle).
     "rollup_daily" -> ((s, dir) => T(s, dir, "events")
-      .rollup(col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .rollup(col("event_type"), to_date(col("ts")).as("dd"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("revenue"))
+      .select(col("event_type"),
+        date_format(col("dd"), "yyyy-MM-dd").as("d"), col("n"), col("revenue"))
       .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)),
 
     // PIVOT: categories to columns (explicit value list keeps the plan a

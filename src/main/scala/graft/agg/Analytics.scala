@@ -80,25 +80,29 @@ object Analytics {
     * `analysis_date` × `hour_of_day` counts/averages/revenue.
     */
   def hourlyStatistics(df: DataFrame, ts: Column, fare: Column): DataFrame =
-    df.groupBy(
-        date_format(ts, "yyyy-MM-dd").as("analysis_date"),
-        hour(ts).as("hour_of_day"))
+    // Group on the native date value and render the ISO string after
+    // aggregation: formatting runs once per group, not once per row.
+    df.groupBy(to_date(ts).as("d"), hour(ts).as("hour_of_day"))
       .agg(
         count(lit(1)).as("trip_count"),
         davg(fare).as("avg_fare"),
         dsum(fare).as("total_revenue"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("analysis_date"),
+        col("hour_of_day"), col("trip_count"), col("avg_fare"),
+        col("total_revenue"))
       .orderBy("analysis_date", "hour_of_day")
 
   /** A7 — vendor-daily performance (database_handler.py:135-148): per
     * vendor × date trips/averages/revenue.
     */
   def vendorDaily(df: DataFrame, vendor: Column, ts: Column, fare: Column): DataFrame =
-    df.groupBy(
-        vendor.as("vendor_id"),
-        date_format(ts, "yyyy-MM-dd").as("analysis_date"))
+    df.groupBy(vendor.as("vendor_id"), to_date(ts).as("d"))
       .agg(
         count(lit(1)).as("total_trips"),
         davg(fare).as("avg_fare"),
         dsum(fare).as("total_revenue"))
+      .select(col("vendor_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("analysis_date"),
+        col("total_trips"), col("avg_fare"), col("total_revenue"))
       .orderBy("vendor_id", "analysis_date")
 }
