@@ -224,6 +224,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Analytic-vs-group comparison: customers above their nation's mean
+    // balance. The window mean uses the exact decimal sum so the
+    // above/below cut is engine-independent (a double window-AVG could
+    // flip boundary rows between engines).
+    "above_nation_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+      val exactAvg = sum(col("c_acctbal").cast("decimal(18,6)")).over(w)
+        .cast("double") / count(lit(1)).over(w)
+      T(s, dir, "customer")
+        .withColumn("nation_avg", exactAvg)
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"),
+          dsum(col("c_acctbal")).as("sum_above"))
+        .orderBy("c_nationkey")
+    }),
+
     // UNION ALL of two grouped selections.
     "union_daily" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -415,6 +432,8 @@ object SparkEntry {
         "SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, value FROM (SELECT event_type, event_id, value, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) t WHERE rn <= 3 ORDER BY event_type, rn",
       "running_total" ->
         "SELECT event_id, user_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_revenue FROM events ORDER BY event_id",
+      "above_nation_avg" ->
+        "SELECT c_nationkey, COUNT(*) AS n_above, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_above FROM (SELECT c_nationkey, c_acctbal, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey) AS DOUBLE) / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg FROM customer) t WHERE c_acctbal > nation_avg GROUP BY c_nationkey ORDER BY c_nationkey",
       "union_daily" ->
         "SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n FROM events WHERE event_type = 'click' GROUP BY 1, 2 UNION ALL SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY d, event_type",
       "rollup_daily" ->

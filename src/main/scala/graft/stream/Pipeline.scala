@@ -13,6 +13,14 @@ import graft.warehouse.Warehouse
   */
 case class VendorTotals(vendor_id: Int, trips: Long, revenue: Double)
 
+/** A closed rider session emitted by [[Pipeline.sessionize]]. */
+case class VendorSession(vendor_id: Int, trips: Long, revenue: Double,
+                         first_ts: java.sql.Timestamp,
+                         last_ts: java.sql.Timestamp)
+
+private case class SessionState(trips: Long, revenue: Double,
+                                firstMs: Long, lastMs: Long)
+
 /** Streaming ingest pipeline — the reference's consumer end-to-end
   * (reference: spark_consumer.py:40-140), on Structured Streaming.
   *
@@ -106,6 +114,44 @@ object Pipeline {
                   watermark: String = "10 minutes"): DataFrame =
     trips.withWatermark("pickup_datetime", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Sessionization with gap timeout — `flatMapGroupsWithState` +
+    * `GroupStateTimeout.ProcessingTimeTimeout`: per-vendor activity
+    * accumulates until `gapMs` of silence, then the closed session is
+    * emitted and its state dropped. The reference kept all cross-batch
+    * state in PostgreSQL; this is the bounded-state Spark-native form.
+    */
+  def sessionize(trips: DataFrame, gapMs: Long = 30000L)
+      : org.apache.spark.sql.Dataset[VendorSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import trips.sparkSession.implicits._
+    trips
+      .selectExpr("vendor_id", "fare_amount",
+        "CAST(pickup_datetime AS LONG) * 1000 AS ts_ms")
+      .as[(Int, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (vendor: Int, batch: Iterator[(Int, Double, Long)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(VendorSession(vendor, s.trips, s.revenue,
+              new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            val next = batch.foldLeft(prev) { case (s, (_, fare, ts)) =>
+              SessionState(s.trips + 1, s.revenue + fare,
+                math.min(s.firstMs, ts), math.max(s.lastMs, ts))
+            }
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** T2/T7/T8 — Kafka source options are configuration, not logic
     * (SURVEY §7.4); provided for completeness when a broker exists.

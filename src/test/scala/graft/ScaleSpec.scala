@@ -104,6 +104,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2) // one per distinct key
   }
 
+  test("sessionization emits a closed session after the gap timeout") {
+    val source = MemoryStream[String](
+      implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
+    def trip(vendor: Int, pick: String, fare: Double) = {
+      val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
+        .plusMinutes(5).toString.replace('T', ' ')
+      s"""{"VendorID":$vendor,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":2.0,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
+    }
+    val sessions = Pipeline.sessionize(Pipeline.transform(source.toDF()),
+      gapMs = 1500L)
+    // NOTE: processing-time timeouts keep the query permanently busy, so
+    // processAllAvailable() can block forever here — use bounded
+    // awaitTermination waits instead.
+    val query = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime("300 milliseconds"))
+      .start()
+    try {
+      source.addData(trip(1, "2015-01-15 10:00:00", 10.0),
+        trip(1, "2015-01-15 10:03:00", 20.0))
+      query.awaitTermination(1200)
+      assert(spark.table("sessions").isEmpty) // still open, nothing emitted
+      Thread.sleep(2000) // exceed the gap
+      source.addData(trip(2, "2015-01-15 11:00:00", 5.0)) // drives batches
+      // vendor 1's session must close by timeout within the wait budget
+      var waited = 0
+      while (spark.table("sessions").filter(col("vendor_id") === 1).isEmpty
+          && waited < 30) {
+        query.awaitTermination(1000); waited += 1
+      }
+      val closed = spark.table("sessions")
+        .filter(col("vendor_id") === 1).collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("trips") == 2)
+      assert(closed.head.getAs[Double]("revenue") == 30.0)
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState carries per-vendor totals across micro-batches") {
     val source = MemoryStream[(Int, Double)](
       implicitly[org.apache.spark.sql.Encoder[(Int, Double)]], spark.sqlContext)
