@@ -47,6 +47,6 @@ object Json {
     val clean = normalizeNaN(df)
     clean.select(
       key.cast("string").as("key"),
-      to_json(struct(clean.columns.map(col): _*)).as("value"))
+      to_json(struct(clean.columns.toIndexedSeq.map(col): _*)).as("value"))
   }
 }
