@@ -183,13 +183,16 @@ object Dedup {
   def exactJaccard(docs: DataFrame, pairs: DataFrame,
                    shingleSize: Int = 3): DataFrame = {
     // Shingle sets are only needed for docs that actually appear in a
-    // candidate pair — semi-join first so the expensive shingle
-    // materialization touches candidates, not the corpus.
+    // candidate pair — semi-join first so shingle materialization touches
+    // candidates, not the corpus. Sets are 64-bit shingle *hashes* (the
+    // compiled [[hashedShingles]] path): set arithmetic over longs, no
+    // shingle strings; Jaccard is exact modulo negligible hash collisions.
     val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = docs.join(docsInPairs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        array_distinct(shingles(col("text"), shingleSize)).as("shset"))
+    val sets = hashedShingles(
+        docs.join(docsInPairs, Seq("doc_id"), "left_semi"), shingleSize)
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("shset"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
         Seq("doc_a"))
