@@ -187,6 +187,29 @@ object SparkEntry {
         dsum(col("c_acctbal")).as("total_acctbal"))
       .orderBy("r_name")),
 
+    // LEFT OUTER join: customers keep their row at zero orders
+    // (COUNT(col) skips the null-extended side).
+    "left_join_counts" -> ((s, dir) => T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")),
+
+    // String-function coverage (absent from the reference — engine
+    // capability): LIKE, UPPER, SUBSTRING, CONCAT over part descriptions.
+    "string_funcs" -> ((s, dir) => T(s, dir, "part")
+      .filter(col("p_type").like("S%"))
+      .select(
+        concat(upper(substring(col("p_brand"), 1, 5)), lit("-"),
+          col("p_size").cast("string")).as("brand_size"),
+        col("p_partkey"))
+      .groupBy("brand_size")
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("first_part"))
+      .orderBy("brand_size")),
+
     // Semi/anti joins (EXISTS / NOT EXISTS).
     "semi_join" -> ((s, dir) => T(s, dir, "customer")
       .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
@@ -422,6 +445,10 @@ object SparkEntry {
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND c_mktsegment = 'BUILDING' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10",
       "region_customers" ->
         "SELECT r_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+      "left_join_counts" ->
+        "SELECT n_orders, COUNT(*) AS n_customers FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) t GROUP BY n_orders ORDER BY n_orders",
+      "string_funcs" ->
+        "SELECT CONCAT(UPPER(SUBSTRING(p_brand, 1, 5)), '-', CAST(p_size AS VARCHAR)) AS brand_size, COUNT(*) AS n_parts, MIN(p_partkey) AS first_part FROM part WHERE p_type LIKE 'S%' GROUP BY 1 ORDER BY 1",
       "semi_join" ->
         "SELECT COUNT(*) AS customers_with_orders FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
       "anti_join" ->
