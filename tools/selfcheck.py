@@ -30,7 +30,11 @@ def main(sfdir, outdir):
     for name in sorted(dumped):
         spark_df = load_spark(f"{outdir}/{name}")
         if name not in oracle:
-            print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            if len(spark_df) == 0:
+                print(f"✗ {name}: rows-only query returned 0 rows")
+                fails.append(name)
+            else:
+                print(f"  [rows-only] {name}: {len(spark_df)} rows")
             continue
         try:
             duck_df = con.execute(oracle[name]).df()
