@@ -25,17 +25,23 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
-          // A swallowed failure must not masquerade as a fast query.
+          // A failed query's partial elapsed time must not leak into the
+          // headline numbers (fail-fast deflates, fail-late inflates) —
+          // record -1 and keep it out of `total`; `failed` carries the
+          // signal.
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

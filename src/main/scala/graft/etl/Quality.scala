@@ -37,26 +37,36 @@ object Quality {
   def between(df: DataFrame, ts: Column, lo: String, hi: String): DataFrame =
     df.filter(ts.between(to_timestamp(lit(lo)), to_timestamp(lit(hi))))
 
-  private def epochNs(bound: String): Long =
-    java.time.LocalDateTime.parse(bound.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+  /** Smallest ns the µs `between`/`timeRange` predicate can admit for a
+    * lower bound — exact ns from the parsed value (sub-millisecond digits
+    * included), floored to Spark's µs parse, then the sign-correct
+    * truncation preimage ([[graft.model.NsTime]]).
+    */
+  private def nsLower(bound: String): Long =
+    graft.model.NsTime.minNs(graft.model.NsTime.boundMicros(bound))
+
+  /** Largest admissible ns for an upper bound (see [[nsLower]]). */
+  private def nsUpper(bound: String): Long =
+    graft.model.NsTime.maxNs(graft.model.NsTime.boundMicros(bound))
 
   /** [[between]] plus a redundant predicate on the raw int64-nanos column.
     * The derived-µs `ts` predicate is exact but opaque to the parquet
     * scan; the ns predicate is pushable, so row groups outside the range
-    * are skipped at any scale. The +999 slack covers ns values that
-    * µs-truncation pulls onto the upper bound.
+    * are skipped at any scale. The ns bounds are the truncation preimage
+    * of the µs bounds — necessary conditions, so no row the µs predicate
+    * keeps is ever dropped (including sub-millisecond and pre-epoch
+    * bounds).
     */
   def betweenWithPushdown(df: DataFrame, ts: Column, tsNs: Column,
                           lo: String, hi: String): DataFrame =
     between(df, ts, lo, hi)
-      .filter(tsNs >= epochNs(lo) && tsNs <= epochNs(hi) + 999L)
+      .filter(tsNs >= nsLower(lo) && tsNs <= nsUpper(hi))
 
   /** [[timeRange]] (P12) with the same pushable ns-column reinforcement. */
   def timeRangeWithPushdown(df: DataFrame, ts: Column, tsNs: Column,
                             from: Option[String], to: Option[String]): DataFrame = {
-    val pushed = (from.map(b => tsNs >= epochNs(b)).toSeq ++
-      to.map(b => tsNs <= epochNs(b) + 999L).toSeq).foldLeft(df)(_ filter _)
+    val pushed = (from.map(b => tsNs >= nsLower(b)).toSeq ++
+      to.map(b => tsNs <= nsUpper(b)).toSeq).foldLeft(df)(_ filter _)
     timeRange(pushed, ts, from, to)
   }
 }

@@ -69,14 +69,19 @@ object Dedup {
     * map-side, so the only shuffle carries one `numHashes`-long partial
     * signature per (doc, partition) — never the shingles themselves.
     */
-  /** (doc_id, shingle-hash) stream without materializing shingle strings:
-    * tokens are hashed once (XXH64 over UTF-8 bytes) and n-gram hashes
-    * combine the token hashes in a sliding window. Implemented as a typed
-    * `flatMap` — measured 4× faster than the declarative
-    * `transform`+`slice`+`concat_ws` chain, whose lambda is interpreted
-    * and allocates every shingle string (the profiled bottleneck of the
-    * whole near-dup pipeline). The compiled path is the documented
-    * last-resort tier of SURVEY §7.3, taken on evidence.
+  /** (doc_id, pos, shingle-hash) stream without materializing shingle
+    * strings: tokens are hashed once (XXH64 over UTF-8 bytes) and n-gram
+    * hashes combine the token hashes in a sliding window. `pos` is the
+    * shingle's 0-based offset in the document — consumers that need
+    * document order ([[winnowedFingerprints]]) sort on it rather than
+    * relying on row arrival order, which Spark does not guarantee through
+    * a groupBy shuffle; order-insensitive consumers (min-sketch,
+    * collect_set) ignore it and column pruning drops it before their
+    * shuffle. Implemented as a typed `flatMap` — measured 4× faster than
+    * the declarative `transform`+`slice`+`concat_ws` chain, whose lambda
+    * is interpreted and allocates every shingle string (the profiled
+    * bottleneck of the whole near-dup pipeline). The compiled path is the
+    * documented last-resort tier of SURVEY §7.3, taken on evidence.
     */
   def hashedShingles(docs: DataFrame, shingleSize: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -90,17 +95,17 @@ object Dedup {
               b.length, 42L)
         }
         if (tokenHashes.length < shingleSize) Iterator.empty
-        else tokenHashes.sliding(shingleSize).map { w =>
+        else tokenHashes.sliding(shingleSize).zipWithIndex.map { case (w, pos) =>
           var h = 42L
           var i = w.length - 1
           while (i >= 0) {
             h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(w(i), h)
             i -= 1
           }
-          (id, h)
+          (id, pos, h)
         }
       }
-      .toDF("doc_id", "h")
+      .toDF("doc_id", "pos", "h")
   }
 
   def minhashSignatures(docs: DataFrame, shingleSize: Int = 3,
@@ -110,6 +115,7 @@ object Dedup {
     // — one mutable buffer per doc, map-side partial aggregation, plan
     // size independent of k.
     hashedShingles(docs, shingleSize)
+      .select("doc_id", "h")
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash_sketch(col("h"), numHashes)
         .as("signature"))
@@ -148,30 +154,46 @@ object Dedup {
 
   /** Candidate near-dup pairs with estimated Jaccard (fraction of agreeing
     * MinHash components), thresholded.
+    *
+    * Single-pipeline design: the signature rides along through the band
+    * explode and the (band, band_hash) self-join, so signatures are
+    * computed exactly once with NO multi-branch reuse — no persist, no
+    * cache-lifetime question, and two fewer shuffled joins than the
+    * lookup-the-signatures-again formulation. The band rows carry
+    * `bands` copies of each signature (numHashes longs ≈ 256 bytes) —
+    * bounded, scan-shaped shuffle volume that holds at any corpus size,
+    * vs. cluster-cache pressure that doesn't.
     */
   def minhashNearDupPairs(docs: DataFrame, shingleSize: Int = 3,
                           numHashes: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5): DataFrame = {
-    // Signatures feed three plan branches (banding + both pair-side
-    // joins); persist so the shingle explode/aggregate runs once. The
-    // signature table is tiny relative to the corpus (numHashes longs per
-    // doc, and min() partial-aggregates map-side, so the shuffle already
-    // carries signatures, not shingles), so this holds at any scale.
-    val sigs = minhashSignatures(docs, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = lshCandidatePairs(sigs, bands, numHashes / bands)
-    val withSigs = candidates
-      .join(sigs.withColumnRenamed("doc_id", "doc_a")
-                .withColumnRenamed("signature", "sig_a"), Seq("doc_a"))
-      .join(sigs.withColumnRenamed("doc_id", "doc_b")
-                .withColumnRenamed("signature", "sig_b"), Seq("doc_b"))
-    withSigs
-      .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+    val rowsPerBand = numHashes / bands
+    val bandHashes = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
+          .as("band_hash"))
+    }
+    val bandRows = minhashSignatures(docs, shingleSize, numHashes)
+      .select(col("doc_id"), col("signature"),
+        explode(array(bandHashes: _*)).as("bh"))
+      .select(col("doc_id"), col("signature"),
+        col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (aggregate(zip_with(col("a.signature"), col("b.signature"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v) / numHashes.toDouble)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      // A pair colliding in several bands yields identical rows
+      // (est_jaccard is a function of the two signatures) — distinct
+      // runs on the thresholded survivors only.
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -191,6 +213,7 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sets = hashedShingles(
         docs.join(docsInPairs, Seq("doc_id"), "left_semi"), shingleSize)
+      .select("doc_id", "h")
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("shset"))
     pairs
@@ -215,10 +238,13 @@ object Dedup {
                            window: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    hashedShingles(docs, shingleSize).as[(Long, Long)]
+    hashedShingles(docs, shingleSize).as[(Long, Int, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, rows: Iterator[(Long, Long)]) =>
-        val hs = rows.map(_._2).toArray
+      .flatMapGroups { (id: Long, rows: Iterator[(Long, Int, Long)]) =>
+        // Sort by the emitted shingle position — row arrival order inside
+        // flatMapGroups is not a Spark contract, and the window minima
+        // depend on document order.
+        val hs = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1).map(_._2)
         if (hs.length < window) hs.distinct.sorted.iterator.map((id, _))
         else hs.sliding(window).map(_.min).toArray
           .distinct.sorted.iterator.map((id, _))

@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * *necessary* conditions are added (implied by the original, which is
   * kept), so results are unchanged:
   *
-  *   ts >= L  ⇒  ns >= L·1000            ts >  L  ⇒  ns >  L·1000 + 999
-  *   ts <= L  ⇒  ns <= L·1000 + 999      ts <  L  ⇒  ns <  L·1000
+  *   ts >= L  ⇒  ns >= minNs(L)          ts >  L  ⇒  ns >  maxNs(L)
+  *   ts <= L  ⇒  ns <= maxNs(L)          ts <  L  ⇒  ns <  minNs(L)
   *
-  * (999 = the sub-µs range truncation folds onto a boundary value.)
+  * where minNs/maxNs ([[graft.model.NsTime]]) are the bounds of the µs
+  * value's truncation preimage — sign-dependent, because IntegralDivide
+  * truncates toward zero, so for pre-epoch (negative) values the preimage
+  * is [L·1000−999, L·1000], not [L·1000, L·1000+999].
   * Idempotent: skips predicates already present, so the optimizer's
   * fixed-point batch terminates.
   */
@@ -46,13 +49,13 @@ object PushNanosTimestampPredicates extends Rule[LogicalPlan] {
   }
 
   /** ns-domain necessary condition for `ts <op> literal`. `lo`/`hi` are
-    * the ns bounds of the µs value's truncation preimage
-    * [us·1000, us·1000+999].
+    * the sign-correct ns bounds of the µs value's truncation preimage
+    * ([[graft.model.NsTime.minNs]]/[[graft.model.NsTime.maxNs]]).
     */
   private def nsPredicate(cmp: BinaryComparison, ns: Expression,
                           us: Long): Option[Expression] = {
-    val lo = Literal(us * 1000L)
-    val hi = Literal(us * 1000L + 999L)
+    val lo = Literal(graft.model.NsTime.minNs(us))
+    val hi = Literal(graft.model.NsTime.maxNs(us))
     cmp match {
       case _: GreaterThanOrEqual => Some(GreaterThanOrEqual(ns, lo))
       case _: GreaterThan => Some(GreaterThan(ns, hi))

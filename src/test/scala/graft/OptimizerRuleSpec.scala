@@ -43,6 +43,52 @@ class OptimizerRuleSpec extends AnyFunSuite {
     assert(filtered.exceptAll(manual).isEmpty && manual.exceptAll(filtered).isEmpty)
   }
 
+  test("pre-epoch bounds keep truncation-boundary rows (sign-correct preimage)") {
+    // IntegralDivide truncates toward zero, so for negative ns the µs
+    // preimage is [us·1000-999, us·1000]. A floor-division assumption here
+    // silently drops rows (e.g. ns = -500 has ts = epoch, which satisfies
+    // ts >= '1970-01-01', but ns >= 0 excludes it).
+    import spark.implicits._
+    val data = Seq(-2000L, -1500L, -1000L, -999L, -500L, -1L,
+      0L, 1L, 500L, 999L, 1000L, 1500L)
+    val tmp = java.nio.file.Files.createTempDirectory("preepoch").toString
+    data.toDF("raw_ns").write.mode("overwrite").parquet(tmp)
+    // Same derivation shape as Tables.load, so the rule fires on a real scan.
+    val df = spark.read.parquet(tmp)
+      .withColumn("ts", timestamp_micros(expr("raw_ns div 1000")))
+    def got(f: org.apache.spark.sql.DataFrame): Seq[Long] =
+      f.select("raw_ns").collect().map(_.getLong(0)).toSeq.sorted
+    val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
+    val minusOneUs = to_timestamp(lit("1969-12-31 23:59:59.999999"))
+    // us >= 0  ⟺  ns >= -999
+    assert(got(df.filter(col("ts") >= epoch)) === data.filter(_ >= -999).sorted)
+    assert(got(df.filter(col("ts") > minusOneUs)) === data.filter(_ >= -999).sorted)
+    // us <= -1  ⟺  ns <= -1000
+    assert(got(df.filter(col("ts") <= minusOneUs)) === data.filter(_ <= -1000).sorted)
+    assert(got(df.filter(col("ts") < epoch)) === data.filter(_ <= -1000).sorted)
+    // us = -1  ⟺  ns ∈ [-1999, -1000]
+    assert(got(df.filter(col("ts") === minusOneUs)) ===
+      data.filter(n => n >= -1999 && n <= -1000).sorted)
+    // And the injected scan predicate carries the sign-correct bound.
+    val plan = df.filter(col("ts") >= epoch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(raw_ns,-999)"), plan)
+  }
+
+  test("sub-millisecond bounds: manual ns pushdown equals plain between") {
+    // epochNs via toEpochMilli dropped sub-ms digits, making the ns
+    // conjunct stricter than the µs predicate for bounds like ….000500.
+    val ev = Tables.load(spark, dir, "events")
+    val lo = "2024-01-10 00:00:00.000500"
+    val hi = "2024-01-20 12:34:56.789123"
+    val plain = Quality.between(ev, col("ts"), lo, hi)
+    val pushed = Quality.betweenWithPushdown(ev, col("ts"), col("ts_ns"), lo, hi)
+    assert(plain.exceptAll(pushed).isEmpty && pushed.exceptAll(plain).isEmpty)
+    val dyn = Quality.timeRangeWithPushdown(ev, col("ts"), col("ts_ns"),
+      Some(lo), Some(hi))
+    assert(plain.exceptAll(dyn).isEmpty && dyn.exceptAll(plain).isEmpty)
+  }
+
   test("vec_dot is callable from SQL via the injected function") {
     Tables.registerAll(spark, dir)
     val r = spark.sql(
