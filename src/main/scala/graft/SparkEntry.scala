@@ -9,6 +9,7 @@ import graft.agg.Analytics
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.Temporal
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7 + BASELINE.md.
@@ -293,6 +294,107 @@ object SparkEntry {
       .na.fill(0L)
       .orderBy("user_id")),
 
+    // As-of join (backward): each click paired with the user's most
+    // recent purchase at-or-before it — single shuffle on the key, no
+    // inequality join (graft.operators.Temporal).
+    "asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      Temporal.asofJoinBackward(clicks, purchases, "user_id",
+          "ts", "ts", "event_id", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          unix_micros(col("asof_ts")).as("purchase_us"),
+          col("asof_event_id").as("purchase_event_id"),
+          col("asof_value").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // Gaps-and-islands sessionization (30-min gap) — the batch,
+    // oracle-checkable twin of the streaming flatMapGroupsWithState
+    // sessionizer.
+    "sessionize_batch" -> ((s, dir) => Temporal.sessionize(
+        T(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tu")),
+        "user_id", "tu", "event_id", gapUs = 1800000000L)
+      .orderBy("user_id", "session_id")),
+
+    // Tolerance (interval) join with no equi-key: purchase/signup event
+    // pairs within 60 s of each other, via time-bucket manufactured keys
+    // (never a cartesian).
+    "tolerance_pairs" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("p_us"))
+      val g = ev.filter(col("event_type") === "signup")
+        .select(unix_micros(col("ts")).as("s_us"))
+      Temporal.toleranceJoin(p, g, "p_us", "s_us", tolUs = 60000000L)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("p_us") - col("s_us"))).as("sum_gap_us"))
+    }),
+
+    // Window RANGE frame as a range-join substitute: clicks in the hour
+    // preceding each purchase, counted with one shuffle and zero joins.
+    "clicks_before_purchase" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu"))
+      val w = Window.partitionBy("user_id").orderBy("tu")
+        .rangeBetween(-3600000000L, 0L)
+      ev.withColumn("clicks_1h",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("clicks_1h"))
+        .orderBy("event_id")
+    }),
+
+    // CUBE: all four grouping combinations in one shuffle.
+    "cube_daily" -> ((s, dir) => T(s, dir, "events")
+      .cube(col("event_type"), to_date(col("ts")).as("dd"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("revenue"))
+      .select(col("event_type"),
+        date_format(col("dd"), "yyyy-MM-dd").as("d"), col("n"), col("revenue"))
+      .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)),
+
+    // Explicit GROUPING SETS through the SQL surface.
+    "grouping_sets" -> ((s, dir) => {
+      T(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""SELECT user_id % 10 AS user_bucket, event_type,
+                      COUNT(*) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               FROM events
+               GROUP BY GROUPING SETS ((user_id % 10, event_type),
+                                       (user_id % 10), ())
+               ORDER BY user_bucket ASC NULLS FIRST,
+                        event_type ASC NULLS FIRST""")
+    }),
+
+    // INTERSECT / EXCEPT set operators.
+    "set_ops_users" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id").distinct()
+      users("click").intersect(users("purchase"))
+        .withColumn("set_op", lit("click_and_purchase"))
+        .unionByName(users("click").except(users("purchase"))
+          .withColumn("set_op", lit("click_only")))
+        .orderBy("set_op", "user_id")
+    }),
+
+    // Exact interpolated percentiles per group (sort-based; the approx
+    // sketch twin is approx_distinct's HLL — for quantiles at 100 TB use
+    // percentile_approx, benchmarked separately).
+    "value_percentiles" -> ((s, dir) => T(s, dir, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")),
+
     // P6 analog on a real timestamp pair: order→ship latency in days,
     // integer-day floor, grouped by priority.
     "ship_latency" -> ((s, dir) => T(s, dir, "lineitem")
@@ -469,6 +571,71 @@ object SparkEntry {
         ("SELECT user_id, " + Seq("click", "view", "purchase", "signup", "error")
           .map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t")
           .mkString(", ") + " FROM events GROUP BY user_id ORDER BY user_id"),
+      "asof_join" ->
+        """WITH u AS (
+          |  SELECT user_id, epoch_us(ts) AS tu, 1 AS side, event_id,
+          |         NULL::BIGINT AS p_us, NULL::BIGINT AS p_eid, NULL::DOUBLE AS p_val
+          |  FROM events WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT user_id, epoch_us(ts), 0, event_id,
+          |         epoch_us(ts), event_id, value
+          |  FROM events WHERE event_type = 'purchase'),
+          |w AS (
+          |  SELECT *,
+          |    LAST_VALUE(p_us IGNORE NULLS) OVER win AS a_us,
+          |    LAST_VALUE(p_eid IGNORE NULLS) OVER win AS a_eid,
+          |    LAST_VALUE(p_val IGNORE NULLS) OVER win AS a_val
+          |  FROM u
+          |  WINDOW win AS (PARTITION BY user_id ORDER BY tu, side, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT event_id, user_id, tu AS click_us, a_us AS purchase_us,
+          |       a_eid AS purchase_event_id, a_val AS purchase_value
+          |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+      "sessionize_batch" ->
+        """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+          |f AS (SELECT user_id, event_id, tu,
+          |        CASE WHEN LAG(tu) OVER w IS NULL OR tu - LAG(tu) OVER w > 1800000000
+          |             THEN 1 ELSE 0 END AS new_s
+          |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+          |s AS (SELECT user_id, tu,
+          |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tu, event_id
+          |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |      FROM f)
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          |       MIN(tu) AS session_start_us, MAX(tu) AS session_end_us,
+          |       COUNT(*) AS n_events
+          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      "tolerance_pairs" ->
+        """SELECT COUNT(*) AS n_pairs,
+          |       CAST(SUM(ABS(epoch_us(a.ts) - epoch_us(b.ts))) AS BIGINT) AS sum_gap_us
+          |FROM events a, events b
+          |WHERE a.event_type = 'purchase' AND b.event_type = 'signup'
+          |  AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000""".stripMargin,
+      "clicks_before_purchase" ->
+        """SELECT event_id, user_id, clicks_1h FROM (
+          |  SELECT event_id, user_id, event_type,
+          |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS clicks_1h
+          |  FROM events) t
+          |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+      "cube_daily" ->
+        s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n, $moneySum AS revenue FROM events GROUP BY CUBE(event_type, d) ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
+      "grouping_sets" ->
+        s"""SELECT user_id % 10 AS user_bucket, event_type, COUNT(*) AS n, $moneySum AS revenue FROM events GROUP BY GROUPING SETS ((user_bucket, event_type), (user_bucket), ()) ORDER BY user_bucket ASC NULLS FIRST, event_type ASC NULLS FIRST""",
+      "set_ops_users" ->
+        """SELECT user_id, 'click_and_purchase' AS set_op FROM (
+          |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          |  INTERSECT
+          |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+          |UNION ALL
+          |SELECT user_id, 'click_only' FROM (
+          |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          |  EXCEPT
+          |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+          |ORDER BY set_op, user_id""".stripMargin,
+      "value_percentiles" ->
+        "SELECT event_type, ROUND(quantile_cont(value, 0.25), 4) AS p25, ROUND(quantile_cont(value, 0.5), 4) AS p50, ROUND(quantile_cont(value, 0.9), 4) AS p90, ROUND(quantile_cont(value, 0.99), 4) AS p99 FROM events GROUP BY event_type ORDER BY event_type",
       "ship_latency" ->
         "SELECT o_orderpriority, COUNT(*) AS n_lineitems, ROUND(AVG(FLOOR((EPOCH(l_shipdate) - EPOCH(o_orderdate)) / 86400.0)), 4) AS avg_latency_days FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
       "dedup_exact" ->

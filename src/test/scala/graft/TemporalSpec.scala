@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** [[graft.operators.Temporal]] — as-of join, sessionization, tolerance
+  * join: exact semantics on hand-built rows (ties, empty sides, gap
+  * boundaries), plus equivalence of the bucketed tolerance join with the
+  * naive cross-filter on small data.
+  */
+class TemporalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof backward: picks latest right at-or-before, ties by tie column") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 5L))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (11L, 100L, 10L, 1.0),  // exactly at left t=10 → inclusive
+      (12L, 100L, 10L, 2.0),  // same ts, higher tie id wins
+      (13L, 100L, 20L, 3.0),
+      (14L, 999L, 1L, 9.0))   // other key, never matches
+      .toDF("rid", "k", "t", "v")
+    val out = Temporal.asofJoinBackward(left, right, "k", "t", "t", "rid",
+        Seq("v"))
+      .select("id", "asof_rid", "asof_v").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out === Array(
+      (1L, 12L, 2.0),   // ties at t=10 → rid 12
+      (2L, 13L, 3.0),   // latest <= 25 is t=20
+      (3L, -1L, -1.0))) // key 200 has no purchases
+  }
+
+  test("sessionize: splits exactly when gap exceeds threshold") {
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 100L, 2L), (1L, 101L, 3L), // gap 100 == gap → same
+      (1L, 302L, 4L),                               // gap 201 > 100 → new
+      (2L, 0L, 5L))
+      .toDF("k", "tu", "id")
+    val out = Temporal.sessionize(df, "k", "tu", "id", gapUs = 100L)
+      .orderBy("k", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (1L, 1L, 0L, 101L, 3L),
+      (1L, 2L, 302L, 302L, 1L),
+      (2L, 1L, 0L, 0L, 1L)))
+  }
+
+  test("tolerance join equals the naive cross-filter") {
+    val l = (0L until 50L).map(i => i * 37L % 1000L).toDF("l_us")
+    val r = (0L until 50L).map(i => i * 53L % 1000L).toDF("r_us")
+    val tol = 25L
+    val bucketed = Temporal.toleranceJoin(l, r, "l_us", "r_us", tol)
+      .select("l_us", "r_us").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sorted
+    val naive = l.crossJoin(r)
+      .filter(abs(col("l_us") - col("r_us")) <= tol)
+      .select("l_us", "r_us").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sorted
+    assert(bucketed.nonEmpty && bucketed === naive)
+  }
+}
