@@ -221,9 +221,16 @@ object Dedup {
         Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
         Seq("doc_b"))
+      // Sets are distinct by construction, so |A∪B| = |A|+|B|−|A∩B| and
+      // one fused overlap count ([[graft.functions.LongSetOverlap]],
+      // codegen'd, allocation-free) replaces materializing both the
+      // intersection and union arrays per candidate pair.
+      .withColumn("__ov",
+        graft.functions.SetFunctions.set_overlap(col("set_a"), col("set_b"))
+          .cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-         size(array_union(col("set_a"), col("set_b"))))
+        (col("__ov") /
+          (size(col("set_a")) + size(col("set_b")) - col("__ov")))
           .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }

@@ -96,6 +96,10 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.dotInjection)
+    ext.injectFunction((
+      FunctionIdentifier("set_overlap"),
+      new ExpressionInfo(classOf[LongSetOverlap].getName, "set_overlap"),
+      (exprs: Seq[Expression]) => LongSetOverlap(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.PushNanosTimestampPredicates)
   }
 }

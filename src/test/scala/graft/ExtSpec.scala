@@ -37,6 +37,27 @@ class ExtSpec extends AnyFunSuite {
     assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_doc_id") == 0L)
   }
 
+  test("set_overlap equals size(array_intersect) on random long sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select(col("i"),
+        graft.functions.SetFunctions.set_overlap(col("a"), col("b")).as("ov"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) === r.getInt(2), s"row ${r.getInt(0)}"))
+    // Degenerate shapes: empty either side, zero element value.
+    val edge = Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(0L, 5L), Seq.empty[Long]),
+      (Seq(0L), Seq(0L))).toDF("a", "b")
+    val eg = edge.select(
+      graft.functions.SetFunctions.set_overlap(col("a"), col("b"))).collect()
+    assert(eg.map(_.getInt(0)).toSeq === Seq(0, 0, 1))
+  }
+
   test("minhash LSH surfaces exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
