@@ -408,6 +408,26 @@ object SparkEntry {
         round(avg(col("latency_days")), 4).as("avg_latency_days"))
       .orderBy("o_orderpriority")),
 
+    // Generator (UDTF-surface analog): explode the token stream, global
+    // top-k by frequency — partial aggregation absorbs the explosion
+    // before the shuffle.
+    "top_tokens" -> ((s, dir) => T(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)),
+
+    // Map-typed column: JSON props as map<string,int>, exploded to
+    // key/value rows and re-aggregated per key.
+    "props_map" -> ((s, dir) => T(s, dir, "events")
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, IntegerType)))
+        .as(Seq("key", "value")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .orderBy("key")),
+
     // ----------------------------------------------------------------
     // North-star: dedup / text analysis / similarity / multimodal
     // ----------------------------------------------------------------
@@ -638,6 +658,16 @@ object SparkEntry {
         "SELECT event_type, ROUND(quantile_cont(value, 0.25), 4) AS p25, ROUND(quantile_cont(value, 0.5), 4) AS p50, ROUND(quantile_cont(value, 0.9), 4) AS p90, ROUND(quantile_cont(value, 0.99), 4) AS p99 FROM events GROUP BY event_type ORDER BY event_type",
       "ship_latency" ->
         "SELECT o_orderpriority, COUNT(*) AS n_lineitems, ROUND(AVG(FLOOR((EPOCH(l_shipdate) - EPOCH(o_orderdate)) / 86400.0)), 4) AS avg_latency_days FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+      "top_tokens" ->
+        """SELECT token, COUNT(*) AS n FROM (
+          |  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+          |  FROM documents) t
+          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+      "props_map" ->
+        """SELECT key, COUNT(*) AS n,
+          |       CAST(SUM(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS BIGINT) AS sum_v
+          |FROM (SELECT props, UNNEST(json_keys(props)) AS key FROM events) t
+          |GROUP BY key ORDER BY key""".stripMargin,
       "dedup_exact" ->
         "SELECT COUNT(*) AS total_docs, COUNT(DISTINCT MD5(text)) AS distinct_docs, COUNT(*) - COUNT(DISTINCT MD5(text)) AS duplicate_docs FROM documents",
       "dedup_normalized" ->

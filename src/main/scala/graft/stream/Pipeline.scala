@@ -153,6 +153,77 @@ object Pipeline {
       }
   }
 
+  /** Event-time sessionization — the watermark-driven twin of
+    * [[sessionize]]. Two differences from the processing-time form, both
+    * of which make it deterministic w.r.t. the DATA rather than the wall
+    * clock: (1) sessions split on event-time gaps — each trigger's rows
+    * are sorted by event time and folded, closing a session whenever the
+    * next event is more than `gapMs` after the last; (2) an open session
+    * closes when the event-time watermark passes `last event + gapMs`
+    * (`EventTimeTimeout`), not after wall-clock silence. Same session
+    * definition as the batch [[graft.operators.Temporal.sessionize]], so
+    * replaying a day's stream yields the oracle-checked batch answer.
+    *
+    * State is one `SessionState` per active key — bounded by key
+    * cardinality, evicted at timeout; the sort is per key per trigger.
+    * Events arriving later than the watermark allows are dropped by the
+    * watermark itself (standard Spark semantics); within-watermark late
+    * events extend the open session but cannot re-split already-closed
+    * ones.
+    */
+  def sessionizeEventTime(trips: DataFrame, gapMs: Long = 30000L,
+                          watermark: String = "1 minute")
+      : org.apache.spark.sql.Dataset[VendorSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import trips.sparkSession.implicits._
+    trips
+      .withWatermark("pickup_datetime", watermark)
+      // The watermarked column itself must reach the stateful operator —
+      // deriving epoch-ms here would strip the event-time metadata and
+      // fail analysis; convert inside the lambda instead.
+      .selectExpr("vendor_id", "fare_amount", "pickup_datetime")
+      .as[(Int, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (vendor: Int, rawBatch: Iterator[(Int, Double, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          val batch = rawBatch.map(r => (r._1, r._2, r._3.getTime))
+          def close(s: SessionState) = VendorSession(vendor, s.trips,
+            s.revenue, new java.sql.Timestamp(s.firstMs),
+            new java.sql.Timestamp(s.lastMs))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            val rows = batch.toArray.sortBy(_._3)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[VendorSession]
+            var open = state.getOption
+            rows.foreach { case (_, fare, ts) =>
+              open = open match {
+                case Some(s) if ts - s.lastMs > gapMs =>
+                  closed += close(s)
+                  Some(SessionState(1L, fare, ts, ts))
+                case Some(s) =>
+                  Some(SessionState(s.trips + 1, s.revenue + fare,
+                    math.min(s.firstMs, ts), math.max(s.lastMs, ts)))
+                case None =>
+                  Some(SessionState(1L, fare, ts, ts))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Fire when the watermark passes last + gap; Spark requires
+              // the timeout timestamp to be beyond the current watermark.
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** T2/T7/T8 — Kafka source options are configuration, not logic
     * (SURVEY §7.4); provided for completeness when a broker exists.
     * Requires the `spark-sql-kafka` connector on the classpath (not

@@ -141,6 +141,51 @@ class ScaleSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("event-time sessionization: gap splits and watermark-driven close") {
+    val source = MemoryStream[String](
+      implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
+    def trip(vendor: Int, pick: String, fare: Double) = {
+      val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
+        .plusMinutes(5).toString.replace('T', ' ')
+      s"""{"VendorID":$vendor,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":2.0,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
+    }
+    // 2-minute gap, 1-minute watermark delay: splits depend only on
+    // event time, so no sleeps are needed to drive them.
+    val sessions = Pipeline.sessionizeEventTime(
+      Pipeline.transform(source.toDF()), gapMs = 120000L, watermark = "1 minute")
+    val query = sessions.writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      // Intra-batch gap: 10:00:00 → 10:03:30 exceeds 2 min, so the first
+      // session closes inside this very batch.
+      source.addData(trip(1, "2015-01-15 10:00:00", 10.0),
+        trip(1, "2015-01-15 10:03:30", 20.0))
+      query.processAllAvailable()
+      val first = spark.table("et_sessions").collect()
+      assert(first.length == 1 && first.head.getAs[Long]("trips") == 1
+        && first.head.getAs[Double]("revenue") == 10.0)
+      // Cross-batch gap: 11:00 closes the 10:03:30 session by fold.
+      source.addData(trip(1, "2015-01-15 11:00:00", 5.0))
+      query.processAllAvailable()
+      assert(spark.table("et_sessions").count() == 2)
+      // Watermark pass: another vendor's 13:00 event pushes the watermark
+      // to 12:59 > 11:02, so vendor 1's open session times out — possibly
+      // needing the extra no-data batch Spark schedules on watermark
+      // advance.
+      source.addData(trip(2, "2015-01-15 13:00:00", 7.0))
+      query.processAllAvailable()
+      var waited = 0
+      while (spark.table("et_sessions").count() < 3 && waited < 30) {
+        query.processAllAvailable(); Thread.sleep(500); waited += 1
+      }
+      val v1 = spark.table("et_sessions").filter(col("vendor_id") === 1)
+        .orderBy("first_ts").collect()
+      assert(v1.length == 3)
+      assert(v1.map(_.getAs[Long]("trips")).toSeq == Seq(1L, 1L, 1L))
+      assert(v1.map(_.getAs[Double]("revenue")).toSeq == Seq(10.0, 20.0, 5.0))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState carries per-vendor totals across micro-batches") {
     val source = MemoryStream[(Int, Double)](
       implicitly[org.apache.spark.sql.Encoder[(Int, Double)]], spark.sqlContext)
