@@ -428,6 +428,54 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
       .orderBy("key")),
 
+    // Array aggregation: per-user distinct type set, sorted and joined to
+    // a canonical string (portable across engines; raw array formats
+    // aren't).
+    "user_type_sets" -> ((s, dir) => T(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")),
+
+    // LAG analytic: delta between consecutive per-user event values
+    // (order pinned by unique event_id).
+    "lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+        .orderBy("event_id")
+    }),
+
+    // Order-independent variance/stddev: double accumulation is
+    // fold-order-dependent (forbidden by the determinism contract), so
+    // the moments are exact DECIMAL sums and the variance algebra runs
+    // once per group in double — identical on any engine or partitioning.
+    "value_moments" -> ((s, dir) => T(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s1d"),
+        sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2d"))
+      .select(col("event_type"), col("n"),
+        round(col("s1d").cast("double") / col("n"), 4).as("mean_value"),
+        round((col("s2d").cast("double") -
+            pow(col("s1d").cast("double"), 2) / col("n")) / (col("n") - 1), 4)
+          .as("var_value"),
+        round(sqrt((col("s2d").cast("double") -
+            pow(col("s1d").cast("double"), 2) / col("n")) / (col("n") - 1)), 4)
+          .as("stddev_value"))
+      .orderBy("event_type")),
+
+    // Regex extraction: numeric prefix of the order priority.
+    "priority_extract" -> ((s, dir) => T(s, dir, "orders")
+      .select(regexp_extract(col("o_orderpriority"), "^(\\d+)", 1)
+        .cast("int").as("priority"), col("o_totalprice"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("priority")),
+
     // ----------------------------------------------------------------
     // North-star: dedup / text analysis / similarity / multimodal
     // ----------------------------------------------------------------
@@ -658,6 +706,18 @@ object SparkEntry {
         "SELECT event_type, ROUND(quantile_cont(value, 0.25), 4) AS p25, ROUND(quantile_cont(value, 0.5), 4) AS p50, ROUND(quantile_cont(value, 0.9), 4) AS p90, ROUND(quantile_cont(value, 0.99), 4) AS p99 FROM events GROUP BY event_type ORDER BY event_type",
       "ship_latency" ->
         "SELECT o_orderpriority, COUNT(*) AS n_lineitems, ROUND(AVG(FLOOR((EPOCH(l_shipdate) - EPOCH(o_orderdate)) / 86400.0)), 4) AS avg_latency_days FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+      "user_type_sets" ->
+        "SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id",
+      "lag_delta" ->
+        "SELECT event_id, user_id, ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS delta FROM events ORDER BY event_id",
+      "value_moments" ->
+        ("SELECT event_type, COUNT(*) AS n, " +
+          "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS mean_value, " +
+          "ROUND((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) - POW(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) / COUNT(*)) / (COUNT(*) - 1), 4) AS var_value, " +
+          "ROUND(SQRT((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) - POW(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) / COUNT(*)) / (COUNT(*) - 1)), 4) AS stddev_value " +
+          "FROM events GROUP BY event_type ORDER BY event_type"),
+      "priority_extract" ->
+        "SELECT CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INTEGER) AS priority, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price FROM orders GROUP BY 1 ORDER BY 1",
       "top_tokens" ->
         """SELECT token, COUNT(*) AS n FROM (
           |  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
