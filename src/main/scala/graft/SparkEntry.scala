@@ -511,6 +511,11 @@ object SparkEntry {
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(T(s, dir, "documents"))),
 
+    // Near-dup pairs → connected components → corpus-wide cluster
+    // assignment with canonical survivors (min doc_id per cluster).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(T(s, dir, "documents"))),
+
     // Sketch aggregates (HLL++) — approx values are engine-specific, so
     // exact twins ride along for the recorded relative error.
     "approx_distinct" -> ((s, dir) => T(s, dir, "events")

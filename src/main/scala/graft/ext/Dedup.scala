@@ -261,6 +261,72 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Near-dup clustering (connected components)
+  // ---------------------------------------------------------------------
+
+  /** Connected components by iterative min-label propagation: every
+    * vertex converges to the smallest vertex id reachable from it.
+    * `edges` must have long columns `src`/`dst` (undirected; direction
+    * and duplicates don't matter).
+    *
+    * Each iteration is one shuffle-join + aggregate over the edge list —
+    * the standard distributed formulation; iteration count tracks
+    * component diameter, which for near-dup clusters is tiny (dup groups
+    * are dense). Per-iteration results are `localCheckpoint`ed to
+    * truncate lineage (plain loops replan the whole history every
+    * convergence check); the checkpoint blocks are unreferenced on the
+    * next iteration and reclaimed by Spark's ContextCleaner — nothing
+    * registers in the cache manager. On a cluster, swap for
+    * reliable `checkpoint()` to also survive executor loss.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .groupBy("id").agg(min(col("comp")).as("msg"))
+      val next = labels.withColumnRenamed("comp", "old")
+        .join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("msg"), col("old"))).as("comp"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.select("id", "comp")
+      i += 1
+    }
+    labels
+  }
+
+  /** Corpus-wide near-duplicate cluster assignment: MinHash+LSH pairs
+    * ([[minhashNearDupPairs]]) become edges, connected components label
+    * every clustered doc with its cluster's minimum doc_id, and docs in
+    * no pair are their own singleton cluster. `keep = (doc_id ==
+    * cluster_id)` is the canonical survivor — the materializing "which
+    * rows do I keep at 100 TB" form of near-dup detection.
+    */
+  def nearDupClusters(docs: DataFrame, shingleSize: Int = 3,
+                      numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val edges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
+        threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = connectedComponents(edges)
+    docs.select(col("doc_id"))
+      .join(comps.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
 

@@ -224,6 +224,29 @@ object Pipeline {
       }
   }
 
+  /** Stream-stream inner join with bounded state: right rows join left
+    * rows with the same key whose event time they follow within
+    * `withinSec`. BOTH sides carry watermarks and the join condition
+    * bounds the event-time distance, which is exactly what lets Spark
+    * evict join state older than the watermark — without the time bound
+    * the state would grow with the stream. Column names must be disjoint
+    * apart from `key`.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       withinSec: Long, watermark: String = "1 minute")
+      : DataFrame = {
+    // (import functions._ would shadow the left/right parameters)
+    import org.apache.spark.sql.functions.expr
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinSec SECONDS"))
+      .drop(r(key))
+  }
+
   /** T2/T7/T8 — Kafka source options are configuration, not logic
     * (SURVEY §7.4); provided for completeness when a broker exists.
     * Requires the `spark-sql-kafka` connector on the classpath (not

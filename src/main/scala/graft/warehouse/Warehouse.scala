@@ -33,6 +33,22 @@ object Warehouse {
   def readTrips(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** T4 upgrade path — effectively-once sink: the batch lands in its own
+    * `batch_id=` partition with dynamic partition overwrite, so a
+    * replayed micro-batch (at-least-once upstream, a foreachBatch retry
+    * after failure) OVERWRITES its previous attempt instead of appending
+    * duplicates. Readers see exactly-once data without any coordination;
+    * the reference's non-idempotent JDBC append (spark_consumer.py:106)
+    * cannot make that claim.
+    */
+  def appendTripsIdempotent(df: DataFrame, path: String, batchId: Long): Unit = df
+    .withColumn("pickup_date", to_date(col("pickup_datetime")))
+    .withColumn("batch_id", lit(batchId))
+    .write.mode("overwrite")
+    .option("partitionOverwriteMode", "dynamic")
+    .partitionBy("batch_id", "pickup_date")
+    .parquet(path)
+
   /** S5 as the reference actually wired it — JDBC append — for
     * deployments where a live database replaces the parquet warehouse.
     * Batched writes per partition (the `execute_values` analog,

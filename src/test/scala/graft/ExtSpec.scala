@@ -37,6 +37,30 @@ class ExtSpec extends AnyFunSuite {
     assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_doc_id") == 0L)
   }
 
+  test("connected components: min label reaches every vertex of a chain") {
+    // Two components: a 5-vertex chain 1-2-3-4-5 (diameter forces several
+    // propagation rounds) and the pair 10-11; edges arbitrary direction.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (11L, 10L))
+      .toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("near-dup clusters: dups share a cluster, canonical keeps min id") {
+    val out = Dedup.nearDupClusters(docs, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val cluster = out.filter(_._2 == 0L).map(_._1).toSet
+    assert(Set(0L, 1L).subsetOf(cluster)) // exact dups share cluster 0
+    assert(!cluster.contains(4L))         // unrelated doc is singleton
+    assert(out.find(_._1 == 4L).get._2 == 4L)
+    // keep = exactly the cluster minima
+    assert(out.filter(_._3).map(_._1).toSet ==
+      out.map(_._2).toSet)
+  }
+
   test("set_overlap equals size(array_intersect) on random long sets") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { i =>

@@ -186,6 +186,48 @@ class ScaleSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream join matches within the time bound only") {
+    val clicks = MemoryStream[(Int, java.sql.Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Int, java.sql.Timestamp, String)]],
+      spark.sqlContext)
+    val buys = MemoryStream[(Int, java.sql.Timestamp, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(Int, java.sql.Timestamp, Double)]],
+      spark.sqlContext)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = Pipeline.streamStreamJoin(
+      clicks.toDF().toDF("key", "click_ts", "page"),
+      buys.toDF().toDF("key", "buy_ts", "amount"),
+      "key", "click_ts", "buy_ts", withinSec = 600L)
+    val query = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1, ts("2015-01-15 10:00:00"), "home"),
+        (2, ts("2015-01-15 10:00:00"), "search"))
+      buys.addData(
+        (1, ts("2015-01-15 10:05:00"), 42.0),  // within 10 min → match
+        (2, ts("2015-01-15 10:20:00"), 9.0),   // 20 min later → no match
+        (3, ts("2015-01-15 10:05:00"), 7.0))   // no click side → no match
+      query.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Int]("key") == 1
+        && rows.head.getAs[Double]("amount") == 42.0
+        && rows.head.getAs[String]("page") == "home")
+    } finally query.stop()
+  }
+
+  test("idempotent sink: replaying a batch id does not duplicate rows") {
+    val dir = java.nio.file.Files.createTempDirectory("idem").toString
+    val batch = Seq((1, "2015-01-15 10:00:00", 10.0), (2, "2015-01-15 11:00:00", 5.0))
+      .toDF("vendor_id", "p", "fare_amount")
+      .withColumn("pickup_datetime", to_timestamp(col("p"))).drop("p")
+    Warehouse.appendTripsIdempotent(batch, dir, batchId = 7L)
+    Warehouse.appendTripsIdempotent(batch, dir, batchId = 7L) // replay
+    assert(spark.read.parquet(dir).count() == 2)
+    Warehouse.appendTripsIdempotent(batch, dir, batchId = 8L) // new batch
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("mapGroupsWithState carries per-vendor totals across micro-batches") {
     val source = MemoryStream[(Int, Double)](
       implicitly[org.apache.spark.sql.Encoder[(Int, Double)]], spark.sqlContext)
