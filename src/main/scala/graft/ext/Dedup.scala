@@ -280,8 +280,13 @@ object Dedup {
     * reliable `checkpoint()` to also survive executor loss.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Checkpoint the symmetrized edge list once: it is consumed by every
+    // iteration's join (plus the vertex derivation), and a lazy `edges`
+    // plan — e.g. the whole MinHash+LSH pipeline — would otherwise be
+    // recomputed from the source per iteration.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
