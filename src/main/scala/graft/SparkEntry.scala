@@ -177,6 +177,39 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)),
 
+    // TPC-H Q5 shape: 6-table join with a region filter and the
+    // local-supplier condition — join-order / broadcast stress.
+    "q5_region_revenue" -> ((s, dir) => T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(T(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))),
+
+    // Correlated scalar subquery: orders above their own customer's mean
+    // price (decimal mean so the cut is engine-independent).
+    "correlated_subquery" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT c_custkey, COUNT(*) AS n_above
+               FROM orders o JOIN customer ON o.o_custkey = c_custkey
+               WHERE o.o_totalprice > (
+                 SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(*)
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+               GROUP BY c_custkey ORDER BY c_custkey""")
+    }),
+
     // Broadcast dimension joins: small dims never shuffle the fact side.
     "region_customers" -> ((s, dir) => T(s, dir, "customer")
       .join(broadcast(T(s, dir, "nation")),
@@ -516,6 +549,18 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(T(s, dir, "documents"))),
 
+    // Sketch quantiles (KLL-style percentile_approx) — the 100 TB path
+    // where exact sort-based percentiles stop being viable; exact twins
+    // ride along to record the sketch error, like approx_distinct.
+    "approx_percentiles" -> ((s, dir) => T(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_approx(value, 0.5, 10000)"), 4).as("p50_approx"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile_approx(value, 0.99, 10000)"), 4).as("p99_approx"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
+      .orderBy("event_type")),
+
     // Sketch aggregates (HLL++) — approx values are engine-specific, so
     // exact twins ride along for the recorded relative error.
     "approx_distinct" -> ((s, dir) => T(s, dir, "events")
@@ -618,6 +663,24 @@ object SparkEntry {
         "SELECT c_mktsegment, COUNT(*) AS n_lineitems, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
       "q3_topk" ->
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND c_mktsegment = 'BUILDING' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10",
+      "q5_region_revenue" ->
+        """SELECT n_name, COUNT(*) AS n_lineitems,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+      "correlated_subquery" ->
+        """SELECT c_custkey, COUNT(*) AS n_above
+          |FROM orders o JOIN customer ON o.o_custkey = c_custkey
+          |WHERE o.o_totalprice > (
+          |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+          |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
       "region_customers" ->
         "SELECT r_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
       "left_join_counts" ->
