@@ -65,6 +65,26 @@ object Pipeline {
       }
       .start()
 
+  /** [[start]] with the effectively-once sink: each micro-batch lands in
+    * its own `batch_id=` partition via dynamic overwrite
+    * ([[graft.warehouse.Warehouse.appendTripsIdempotent]]), so replays
+    * after failure overwrite instead of duplicating — the T4 upgrade path
+    * SURVEY §2.6 names.
+    */
+  def startIdempotent(raw: DataFrame, warehousePath: String,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery =
+    transform(raw).writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Warehouse.appendTripsIdempotent(batch, warehousePath, batchId)
+      }
+      .start()
+
   /** T5 upgrade path — event-time hourly aggregation with a watermark:
     * the streaming form of [[graft.agg.Analytics.hourlyStatistics]]. State
     * for windows older than the watermark is dropped, so state size is

@@ -50,6 +50,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.columns.contains("pickup_date"))
   }
 
+  test("idempotent streaming sink partitions by batch_id and matches start()") {
+    val warehouse = Files.createTempDirectory("graft-wh-idem").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt-idem").toString
+    val source = MemoryStream[String](
+      implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
+    source.addData(goodRows ++ badRows: _*)
+    val query = Pipeline.startIdempotent(source.toDF(), warehouse, checkpoint,
+      Trigger.ProcessingTime("1 second"))
+    try query.processAllAvailable()
+    finally query.stop()
+    val streamed = spark.read.parquet(warehouse)
+    assert(streamed.count() == 2) // same survivors as start()
+    // Layout carries the replay key: batch_id partition + pickup_date.
+    assert(streamed.columns.contains("batch_id"))
+    assert(streamed.columns.contains("pickup_date"))
+  }
+
   test("empty micro-batches are skipped (no output files, no failure)") {
     val warehouse = Files.createTempDirectory("graft-wh2").toString
     val checkpoint = Files.createTempDirectory("graft-ckpt2").toString
