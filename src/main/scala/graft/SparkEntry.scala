@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.agg.Analytics
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators.Temporal
 import graft.sources.Tables
 
@@ -513,6 +513,29 @@ object SparkEntry {
     // North-star: dedup / text analysis / similarity / multimodal
     // ----------------------------------------------------------------
 
+    // Deterministic exact-fraction stratified sample (digest-ranked, no
+    // RNG — reproducible on any cluster layout).
+    "stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(
+        T(s, dir, "documents"), col("lang"), col("doc_id"), 0.1)
+      .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Stable train/validation/test assignment: a row's split never
+    // changes as the corpus grows.
+    "dataset_split" -> ((s, dir) => Sampling.datasetSplit(
+        T(s, dir, "documents"), col("doc_id"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")),
+
+    // Greedy contiguous packing of docs into max-token training
+    // sequences; per-sequence fill statistics.
+    "pack_sequences" -> ((s, dir) => Sampling.packSequences(
+        T(s, dir, "documents"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), maxTokens = 2048)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("seq_tokens"))
+      .orderBy("seq_id")),
+
     "dedup_exact" -> ((s, dir) => Dedup.exactStats(T(s, dir, "documents"))),
 
     "dedup_normalized" -> ((s, dir) =>
@@ -796,6 +819,26 @@ object SparkEntry {
           |       CAST(SUM(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS BIGINT) AS sum_v
           |FROM (SELECT props, UNNEST(json_keys(props)) AS key FROM events) t
           |GROUP BY key ORDER BY key""".stripMargin,
+      "stratified_sample" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang,
+          |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rn,
+          |         COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents) t
+          |WHERE rn <= CEIL(0.1 * n) ORDER BY doc_id""".stripMargin,
+      "dataset_split" ->
+        """SELECT lang,
+          |       CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+          |            WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'validation'
+          |            ELSE 'test' END AS split,
+          |       COUNT(*) AS n_docs
+          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "pack_sequences" ->
+        s"""SELECT seq_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS seq_tokens FROM (
+          |  SELECT CAST(FLOOR((SUM(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt) / 2048) AS BIGINT) AS seq_id,
+          |         nt
+          |  FROM (SELECT doc_id, $nTokens AS nt FROM documents) x) t
+          |GROUP BY seq_id ORDER BY seq_id""".stripMargin,
       "dedup_exact" ->
         "SELECT COUNT(*) AS total_docs, COUNT(DISTINCT MD5(text)) AS distinct_docs, COUNT(*) - COUNT(DISTINCT MD5(text)) AS duplicate_docs FROM documents",
       "dedup_normalized" ->

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Sampling
+
+/** [[graft.ext.Sampling]] — exact stratified fractions, split stability
+  * under corpus growth, packing boundary behavior.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stratified sample: exactly ceil(fraction * n) per stratum") {
+    val df = (0L until 100L).map(i => (i, if (i < 70) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, col("lang"), col("id"), 0.1)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("en" -> 7L, "de" -> 3L))
+    // Deterministic: same rows on a rerun.
+    val a = Sampling.stratifiedSample(df, col("lang"), col("id"), 0.1)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.stratifiedSample(df, col("lang"), col("id"), 0.1)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(a sameElements b)
+  }
+
+  test("dataset split: assignment of a row never changes as corpus grows") {
+    val small = (0L until 50L).toDF("id")
+    val large = (0L until 500L).toDF("id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.datasetSplit(df, col("id")).filter(col("id") < 50)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits(small) == splits(large))
+    val all = Sampling.datasetSplit(large, col("id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 12/2/2 sixteenths ≈ 75/12.5/12.5 — loose sanity bounds.
+    assert(all("train") > 300 && all("validation") > 20 && all("test") > 20)
+    assert(all.values.sum == 500)
+  }
+
+  test("pack sequences: docs fill greedily, boundary doc opens next seq") {
+    val df = Seq((1L, 1000), (2L, 1000), (3L, 100), (4L, 2000), (5L, 10))
+      .toDF("id", "toks")
+    val out = Sampling.packSequences(df, col("id"), col("toks"), 2048)
+      .select("id", "seq_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cumsum-before: 0,1000,2000,2100,4100 → seq 0,0,0,1,2
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+}
