@@ -615,6 +615,28 @@ object SparkEntry {
     "ann_topk_ivf" -> ((s, dir) => Similarity.annTopKIvf(
       T(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
+    // Recall@10 of both ANN variants against the exact scan — the
+    // quality metric that justifies the approximate path at scale
+    // (deterministic: fixed planes/centroids, no RNG). On this corpus
+    // recall ≈ the scanned fraction (LSH probes 5/16 ≈ 0.31, observed
+    // 0.3): the synthetic embeddings are near-orthogonal noise with no
+    // neighbor structure, so that equality is itself the correctness
+    // check — a real corpus with clustered neighbors scores far above
+    // the scanned fraction.
+    "ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, queryId = 0L, k = 10)
+        .select("vec_id")
+      val lsh = Similarity.annTopK(emb, queryId = 0L, k = 10, numPlanes = 4)
+        .select("vec_id")
+      val ivf = Similarity.annTopKIvf(emb, queryId = 0L, k = 10)
+        .select("vec_id")
+      exact.join(lsh, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 10.0).as("recall_lsh"))
+        .crossJoin(exact.join(ivf, Seq("vec_id"), "left_semi")
+          .agg((count(lit(1)) / 10.0).as("recall_ivf")))
+    }),
+
     "doc_winnow" -> ((s, dir) =>
       Dedup.winnowedFingerprints(T(s, dir, "documents"))),
 
