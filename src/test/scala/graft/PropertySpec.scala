@@ -71,6 +71,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asof join: exactly one output row per left row; picks satisfy <=") {
+    val evGen = for {
+      k <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 1000L)
+    } yield (k, t)
+    (1 to 5).foreach { seed =>
+      val lefts = Gen.listOfN(30, evGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rights = Gen.listOfN(30, evGen)
+        .pureApply(Gen.Parameters.default, Seed(seed + 100L))
+        .zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }
+      val l = lefts.toDF("lid", "k", "t")
+      val r = rights.toDF("rid", "k", "t")
+      val out = graft.operators.Temporal
+        .asofJoinBackward(l, r, "k", "t", "t", "rid", Seq.empty)
+        .collect()
+      assert(out.length == lefts.length)
+      // Every pick is the max right (t, rid) with t <= left t in the key.
+      out.foreach { row =>
+        val (k, lt) = (row.getAs[Long]("k"), row.getAs[Long]("t"))
+        val expected = rights.filter(x => x._2 == k && x._3 <= lt)
+          .map(x => (x._3, x._1)).sorted.lastOption
+        val got = if (row.isNullAt(row.fieldIndex("asof_rid"))) None
+          else Some((row.getAs[Long]("asof_t"), row.getAs[Long]("asof_rid")))
+        assert(got == expected, s"key=$k t=$lt")
+      }
+    }
+  }
+
+  test("sessionize: partitions the input (session sizes sum to row count)") {
+    val evGen = for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 500L)
+    } yield (k, t)
+    (1 to 5).foreach { seed =>
+      val rows = Gen.listOfN(60, evGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val df = rows.toDF("k", "tu", "id")
+      val sess = graft.operators.Temporal
+        .sessionize(df, "k", "tu", "id", gapUs = 50L).collect()
+      assert(sess.map(_.getAs[Long]("n_events")).sum == rows.length)
+      // Within a key, sessions are disjoint and gap-separated.
+      sess.groupBy(_.getAs[Long]("k")).foreach { case (_, ss) =>
+        val spans = ss.map(r => (r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"))).sortBy(_._1)
+        spans.toSeq.sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) => assert(s2 - e1 > 50L)
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("NaN normalization: NaN doubles serialize as JSON nulls (P14)") {
     val df = Seq((1, Double.NaN, 2.5)).toDF("VendorID", "fare_amount", "trip_distance")
     val parsed = Json.parseStream(Json.toKeyedJson(df, col("VendorID")),
