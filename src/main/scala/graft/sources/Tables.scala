@@ -15,23 +15,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    // (µs) cannot hold natively — read nanos as long, then truncate to µs
-    // with exact integer division (`div`, not `/`: ns-since-epoch ≈ 1.7e18
-    // exceeds double's 2^53 exact-integer range). DuckDB applies the same
-    // ns→µs truncation, so oracle comparisons stay exact.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The raw ns column is kept as ts_ns: predicates on the *derived* ts
-    // cannot be pushed into the scan (Spark can't invert the conversion),
-    // so range queries add a redundant pushable predicate on ts_ns — see
-    // [[graft.etl.Quality.betweenWithPushdown]].
-    if (name == "events")
-      df.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  // Memoized per (session, dir): the returned DataFrame is a reusable
+  // logical plan (no data is cached) — repeated queries over the same
+  // table skip the file listing + parquet footer/schema read that
+  // `spark.read.parquet` performs each call, and identical analyzed
+  // plans improve codegen-cache hits across a query batch.
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    planCache.getOrElseUpdate(
+      (String.valueOf(System.identityHashCode(spark)), dir, name), {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+      // (µs) cannot hold natively — read nanos as long, then truncate to µs
+      // with exact integer division (`div`, not `/`: ns-since-epoch ≈ 1.7e18
+      // exceeds double's 2^53 exact-integer range). DuckDB applies the same
+      // ns→µs truncation, so oracle comparisons stay exact.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // The raw ns column is kept as ts_ns: predicates on the *derived* ts
+      // cannot be pushed into the scan (Spark can't invert the conversion),
+      // so range queries add a redundant pushable predicate on ts_ns — see
+      // [[graft.etl.Quality.betweenWithPushdown]].
+      if (name == "events")
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 
   /** Register every table as a temp view (same namespace the DuckDB oracle
     * uses), enabling `spark.sql` over identical names.
