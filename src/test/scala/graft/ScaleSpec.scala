@@ -186,6 +186,34 @@ class ScaleSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dynamic partition pruning fires on the date-partitioned warehouse") {
+    // The warehouse layout (partitionBy date) exists precisely so that
+    // joins against a filtered dimension scan only matching partitions at
+    // runtime — the 100 TB payoff of S8's "index analog". Assert Spark
+    // actually plans the DPP subquery filter against our layout.
+    // Large enough that the pruning-benefit estimate (pruned fact bytes
+    // vs. subquery cost) is positive — DPP deliberately skips toy scans.
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    val n = 100000
+    val fact = (0 until n).map(i => (i.toLong, f"2024-01-${i % 10 + 1}%02d", i * 1.0))
+      .toDF("id", "dd", "v")
+    fact.write.partitionBy("dd").mode("overwrite").parquet(dir)
+    // The dim must be a real source: an in-memory Seq constant-folds to a
+    // LocalRelation (filter evaluated at plan time), and DPP requires a
+    // live selective predicate on the pruning side.
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp-dim").toString
+    Seq(("2024-01-03", "keep"), ("2024-01-04", "drop")).toDF("dd", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(dim.filter(col("tag") === "keep"), "dd")
+      .agg(sum(col("v")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(joined.collect().head.getDouble(0) ==
+      (0 until n).filter(_ % 10 == 2).map(_ * 1.0).sum)
+  }
+
   test("stream-stream join matches within the time bound only") {
     val clicks = MemoryStream[(Int, java.sql.Timestamp, String)](
       implicitly[org.apache.spark.sql.Encoder[(Int, java.sql.Timestamp, String)]],
