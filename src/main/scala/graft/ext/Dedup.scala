@@ -284,9 +284,17 @@ object Dedup {
     // iteration's join (plus the vertex derivation), and a lazy `edges`
     // plan — e.g. the whole MinHash+LSH pipeline — would otherwise be
     // recomputed from the source per iteration.
-    val sym = edges.select(col("src"), col("dst"))
+    val symRaw = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // Right-size the loop to the GRAPH, not the corpus: the near-dup
+    // graph is usually orders of magnitude smaller than its corpus, and
+    // running each iteration at the corpus' partition count schedules
+    // mostly-empty tasks. ~50k edges per partition keeps small graphs on
+    // few tasks while a billion-edge graph still fans out fully.
+    val parts = math.max(1L, math.min(
+      symRaw.rdd.getNumPartitions.toLong, symRaw.count() / 50000L + 1L)).toInt
+    val sym = symRaw.repartition(parts).localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
