@@ -44,6 +44,23 @@ object Pipeline {
         Enrich.enrich(
           Json.parseStream(raw, Schemas.tripStream))))
 
+  /** [[transform]] with named observed metrics (`Dataset.observe`):
+    * per-micro-batch parsed/valid row counts and fare sum, surfaced
+    * through `StreamingQueryProgress.observedMetrics` (and
+    * `QueryExecutionListener` in batch). This is how a 100 TB pipeline
+    * watches its quality-filter drop rate in production — metrics ride
+    * the existing job as accumulators, no extra pass, no count() jobs.
+    */
+  def transformObserved(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parsed = Enrich.enrich(Json.parseStream(raw, Schemas.tripStream))
+      .observe("graft_parsed", count(lit(1)).as("rows_parsed"))
+    Enrich.warehouseProjection(
+      Quality.validTrips(parsed)
+        .observe("graft_valid", count(lit(1)).as("rows_valid"),
+          sum(col("fare_amount")).as("fare_sum")))
+  }
+
   /** T1/T3/T4/T9 — start the sink: micro-batch append to the parquet
     * warehouse via `foreachBatch`.
     */

@@ -186,6 +186,65 @@ class ScaleSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Row-level runtime filtering: when a shuffle join's build side is
+    // selective, Spark injects a bloom filter into the probe-side scan —
+    // at 100 TB this skips most fact rows before the shuffle. Thresholds
+    // are production-sized, so lower them to demonstrate on test data.
+    val factDir = java.nio.file.Files.createTempDirectory("bf-fact").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("bf-dim").toString
+    (0 until 100000).map(i => (i.toLong % 1000L, i * 1.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(factDir)
+    (0 until 1000).map(i => (i.toLong, if (i == 7) "keep" else "drop"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(dimDir)
+    val old = (
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      val joined = spark.read.parquet(factDir)
+        .join(spark.read.parquet(dimDir).filter(col("tag") === "keep"), "k")
+        .agg(sum(col("v")).as("s"))
+      val plan = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"), plan)
+      assert(joined.collect().head.getDouble(0) ==
+        (0 until 100000).filter(_ % 1000 == 7).map(_ * 1.0).sum)
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.autoBroadcastJoinThreshold", old._1)
+      restore("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", old._2)
+      restore("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old._3)
+    }
+  }
+
+  test("observed metrics report parsed vs valid rows per micro-batch") {
+    val source = MemoryStream[String](
+      implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
+    def trip(fare: Double, durMin: Int) = {
+      val pick = "2015-01-15 10:00:00"
+      val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
+        .plusMinutes(durMin.toLong).toString.replace('T', ' ')
+      s"""{"VendorID":1,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":2.0,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
+    }
+    val query = Pipeline.transformObserved(source.toDF())
+      .writeStream.format("memory").queryName("observed")
+      .outputMode("append").start()
+    try {
+      source.addData(trip(10.0, 5), trip(20.0, 6), trip(5.0, 0)) // last: invalid
+      query.processAllAvailable()
+      val metrics = query.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_parsed")).map(r =>
+          r.getAs[Long]("rows_parsed")) zip
+        Option(p.observedMetrics.get("graft_valid")).map(r =>
+          r.getAs[Long]("rows_valid")))
+      assert(metrics.exists { case (p, v) => p == 3L && v == 2L })
+    } finally query.stop()
+  }
+
   test("dynamic partition pruning fires on the date-partitioned warehouse") {
     // The warehouse layout (partitionBy date) exists precisely so that
     // joins against a filtered dimension scan only matching partitions at
