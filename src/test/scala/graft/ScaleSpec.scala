@@ -186,6 +186,48 @@ class ScaleSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The automatic complement of Skew.saltedJoin: AQE detects the hot
+    // key's oversized shuffle partition and splits it into parallel
+    // tasks. Thresholds lowered to demonstrate on test data.
+    val aDir = java.nio.file.Files.createTempDirectory("skew-a").toString
+    val bDir = java.nio.file.Files.createTempDirectory("skew-b").toString
+    // 95% of left rows share key 0; right is uniform.
+    (0 until 200000).map(i => (if (i % 20 != 0) 0L else i.toLong % 100L,
+      s"payload-$i-${"x" * 40}")).toDF("k", "pay")
+      .write.mode("overwrite").parquet(aDir)
+    (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("k", "w")
+      .write.mode("overwrite").parquet(bDir)
+    val old = (
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      spark.conf.getOption("spark.sql.adaptive.forceOptimizeSkewedJoin"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // The downstream aggregate needs the join's partitioning, which by
+      // default vetoes the skew split (it would add a shuffle); force it,
+      // as a production job with a known hot key would.
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val joined = spark.read.parquet(aDir)
+        .join(spark.read.parquet(bDir), "k")
+        .agg(count(lit(1)).as("n"))
+      val n = joined.collect().head.getLong(0)
+      assert(n == 200000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.autoBroadcastJoinThreshold", old._1)
+      restore("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", old._2)
+      restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", old._3)
+      restore("spark.sql.adaptive.forceOptimizeSkewedJoin", old._4)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Row-level runtime filtering: when a shuffle join's build side is
     // selective, Spark injects a bloom filter into the probe-side scan —
