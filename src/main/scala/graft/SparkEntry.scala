@@ -281,6 +281,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // NTILE: equal-frequency quartiles per group (remainder to earlier
+    // tiles — identical definition in ANSI engines given a total order).
+    "ntile_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("q", ntile(4).over(w))
+        .groupBy("event_type", "q")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("min_v"),
+          round(max(col("value")), 4).as("max_v"))
+        .orderBy("event_type", "q")
+    }),
+
+    // RANK vs DENSE_RANK over tied keys (coarsened value buckets — ties
+    // make the two diverge; both are constant within a bucket).
+    "rank_buckets" -> ((s, dir) => {
+      val bucket = floor(col("value") / 50).cast("long")
+      val w = Window.partitionBy("event_type").orderBy(bucket.desc)
+      T(s, dir, "events")
+        .withColumn("bucket", bucket)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .groupBy("event_type", "bucket")
+        .agg(min(col("rnk")).as("rnk"), min(col("drnk")).as("drnk"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // Analytic-vs-group comparison: customers above their nation's mean
     // balance. The window mean uses the exact decimal sum so the
     // above/below cut is engine-independent (a double window-AVG could
@@ -742,6 +771,10 @@ object SparkEntry {
         "SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, value FROM (SELECT event_type, event_id, value, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) t WHERE rn <= 3 ORDER BY event_type, rn",
       "running_total" ->
         "SELECT event_id, user_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_revenue FROM events ORDER BY event_id",
+      "ntile_quartiles" ->
+        "SELECT event_type, CAST(q AS INTEGER) AS q, COUNT(*) AS n, ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v FROM (SELECT event_type, value, NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q FROM events) t GROUP BY event_type, q ORDER BY event_type, q",
+      "rank_buckets" ->
+        "SELECT event_type, bucket, CAST(MIN(rnk) AS INTEGER) AS rnk, CAST(MIN(drnk) AS INTEGER) AS drnk, COUNT(*) AS n FROM (SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket, RANK() OVER (PARTITION BY event_type ORDER BY CAST(FLOOR(value / 50) AS BIGINT) DESC) AS rnk, DENSE_RANK() OVER (PARTITION BY event_type ORDER BY CAST(FLOOR(value / 50) AS BIGINT) DESC) AS drnk FROM events) t GROUP BY event_type, bucket ORDER BY event_type, bucket",
       "above_nation_avg" ->
         "SELECT c_nationkey, COUNT(*) AS n_above, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_above FROM (SELECT c_nationkey, c_acctbal, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey) AS DOUBLE) / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg FROM customer) t WHERE c_acctbal > nation_avg GROUP BY c_nationkey ORDER BY c_nationkey",
       "union_daily" ->
