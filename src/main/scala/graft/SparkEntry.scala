@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.agg.Analytics
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality}
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators.Temporal
 import graft.sources.Tables
 
@@ -565,6 +565,14 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("seq_tokens"))
       .orderBy("seq_id")),
 
+    // Benchmark-contamination screen: eval docs (id < 50) vs the training
+    // rest, 3-gram overlap with stop-gram pruning.
+    "contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Contamination.ngramOverlap(
+        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50))
+    }),
+
     "dedup_exact" -> ((s, dir) => Dedup.exactStats(T(s, dir, "documents"))),
 
     "dedup_normalized" -> ((s, dir) =>
@@ -874,6 +882,17 @@ object SparkEntry {
           |       CAST(SUM(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS BIGINT) AS sum_v
           |FROM (SELECT props, UNNEST(json_keys(props)) AS key FROM events) t
           |GROUP BY key ORDER BY key""".stripMargin,
+      "contamination" ->
+        """WITH g AS (
+          |  SELECT doc_id, UNNEST([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+          |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents)),
+          |ev AS (SELECT DISTINCT doc_id AS eval_id, sh FROM g WHERE doc_id < 50),
+          |tr AS (SELECT DISTINCT doc_id AS train_id, sh FROM g WHERE doc_id >= 50),
+          |rare AS (SELECT sh FROM tr GROUP BY sh HAVING COUNT(*) <= 20)
+          |SELECT eval_id, train_id, COUNT(*) AS shared_ngrams
+          |FROM ev JOIN tr USING (sh) JOIN rare USING (sh)
+          |GROUP BY eval_id, train_id HAVING COUNT(*) >= 5
+          |ORDER BY eval_id, train_id""".stripMargin,
       "stratified_sample" ->
         """SELECT doc_id, lang FROM (
           |  SELECT doc_id, lang,

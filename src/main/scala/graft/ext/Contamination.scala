@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: which training documents share
+  * enough word n-grams with an evaluation set to suggest leakage — the
+  * standard pre-training hygiene check (e.g. 3-gram overlap screens).
+  *
+  * Shape at 100 TB: an inverted-index join keyed on the n-gram — the
+  * shuffle carries (doc, gram) pairs, never document pairs, so cost
+  * tracks postings, not |eval|·|train|. Ubiquitous grams ("of the and")
+  * would both blow up the join and carry no signal, so grams above a
+  * training-corpus document-frequency cap are dropped first — the same
+  * stop-gram pruning production screens use. String grams here keep the
+  * operator oracle-checkable; at scale swap in the 64-bit hashed-shingle
+  * stream ([[Dedup.hashedShingles]]) — the pipeline shape is identical
+  * (that's exactly how [[Dedup.exactJaccard]] runs).
+  */
+object Contamination {
+
+  /** Pairs (eval doc, train doc) sharing at least `minShared` distinct
+    * word `n`-grams, counting only grams contained in at most `dfCap`
+    * training documents.
+    */
+  def ngramOverlap(eval: DataFrame, train: DataFrame, n: Int = 3,
+                   minShared: Int = 5, dfCap: Int = 20): DataFrame = {
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(Dedup.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val trainGrams = grams(train, "train_id")
+    val rare = trainGrams.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("sh")
+    grams(eval, "eval_id")
+      .join(trainGrams.join(rare, "sh"), "sh")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .orderBy("eval_id", "train_id")
+  }
+}

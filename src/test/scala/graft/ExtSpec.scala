@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** North-star extensions on hand-built corpora. */
 class ExtSpec extends AnyFunSuite {
@@ -35,6 +35,26 @@ class ExtSpec extends AnyFunSuite {
     assert(groups.length == 4)
     val dupGroup = groups.filter(_.getAs[Long]("group_size") == 2)
     assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_doc_id") == 0L)
+  }
+
+  test("contamination: copied docs flagged, stop-grams carry no signal") {
+    val eval = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim copy
+      (101L, "alpha beta gamma something else entirely here now"), // 2 shared
+      (102L, "unrelated training text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(eval, train, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 100L, 6L))) // 8 tokens → 6 trigrams, all shared
+    // A gram present in every training doc is pruned by the df cap.
+    val spam = (200L to 230L).map(i => (i, s"common phrase here plus-$i"))
+      .toDF("doc_id", "text")
+    val out2 = Contamination.ngramOverlap(
+      Seq((2L, "common phrase here")).toDF("doc_id", "text"),
+      spam, minShared = 1, dfCap = 20)
+    assert(out2.isEmpty) // df=31 > cap for the only shared gram
   }
 
   test("connected components: min label reaches every vertex of a chain") {
