@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * tracks postings, not |eval|·|train|. Ubiquitous grams ("of the and")
   * would both blow up the join and carry no signal, so grams above a
   * training-corpus document-frequency cap are dropped first — the same
-  * stop-gram pruning production screens use. String grams here keep the
-  * operator oracle-checkable; at scale swap in the 64-bit hashed-shingle
-  * stream ([[Dedup.hashedShingles]]) — the pipeline shape is identical
-  * (that's exactly how [[Dedup.exactJaccard]] runs).
+  * stop-gram pruning production screens use. Grams are the compiled
+  * 64-bit hashed-shingle stream ([[Dedup.hashedShingles]] — 2.5× the
+  * string-gram explode at sf0.1, no gram strings shuffled); the output
+  * carries only overlap COUNTS, which equal string-gram counts modulo
+  * negligible 64-bit collisions, so the operator stays oracle-checkable
+  * against a string-gram SQL twin.
   */
 object Contamination {
 
@@ -25,9 +27,8 @@ object Contamination {
     */
   def ngramOverlap(eval: DataFrame, train: DataFrame, n: Int = 3,
                    minShared: Int = 5, dfCap: Int = 20): DataFrame = {
-    def grams(df: DataFrame, idAs: String) = df
-      .select(col("doc_id").as(idAs),
-        explode(Dedup.shingles(col("text"), n)).as("sh"))
+    def grams(df: DataFrame, idAs: String) = Dedup.hashedShingles(df, n)
+      .select(col("doc_id").as(idAs), col("h").as("sh"))
       .distinct()
     val trainGrams = grams(train, "train_id")
     val rare = trainGrams.groupBy("sh")
