@@ -284,6 +284,17 @@ object Pipeline {
       .drop(r(key))
   }
 
+  /** File-based streaming source: JSON-lines files appearing under `dir`
+    * stream through the same DAG as Kafka messages (`.text` yields the
+    * same `value: string` column the Kafka source does after P1).
+    * `maxFilesPerTrigger` is the file-source form of T7 rate control.
+    */
+  def fileTextSource(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
   /** T2/T7/T8 — Kafka source options are configuration, not logic
     * (SURVEY §7.4); provided for completeness when a broker exists.
     * Requires the `spark-sql-kafka` connector on the classpath (not

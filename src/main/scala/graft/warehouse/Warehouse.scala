@@ -58,6 +58,23 @@ object Warehouse {
                       props: java.util.Properties): Unit =
     df.write.mode("append").jdbc(url, table, props)
 
+  /** Compaction: micro-batch appends leave one small file per (batch ×
+    * task) — the classic streaming-warehouse small-file problem, which
+    * at 100 TB degrades every downstream scan (footer/open cost per
+    * file, tiny row groups, starved vectorized reads). Rewrites the
+    * table with one task per `partitionCol` value into `dest`; the
+    * caller swaps directories (compact-and-swap keeps readers consistent
+    * — compacting in place would require materializing the input before
+    * overwriting it).
+    */
+  def compact(spark: SparkSession, src: String, dest: String,
+              partitionCol: String): Unit =
+    spark.read.parquet(src)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(dest)
+
   /** Bucketed table write: co-locates rows by join key so repeated joins
     * on that key are exchange-free (both sides read pre-hashed buckets —
     * the warehouse analog of the reference's vendor_id index, but one

@@ -3,10 +3,12 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, to_timestamp}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.stream.Pipeline
+import graft.warehouse.Warehouse
 
 /** T1–T9: the streaming pipeline against a MemoryStream source (no Kafka
   * in CI — SURVEY §7.4), asserting batch/stream DAG equivalence and the
@@ -65,6 +67,46 @@ class PipelineSpec extends AnyFunSuite {
     // Layout carries the replay key: batch_id partition + pickup_date.
     assert(streamed.columns.contains("batch_id"))
     assert(streamed.columns.contains("pickup_date"))
+  }
+
+  test("file text source streams JSONL through the shared DAG") {
+    val inDir = Files.createTempDirectory("graft-in").toString
+    val warehouse = Files.createTempDirectory("graft-wh-file").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt-file").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(inDir, "batch1.jsonl"),
+      (goodRows ++ badRows).mkString("\n").getBytes)
+    val query = Pipeline.start(
+      Pipeline.fileTextSource(spark, inDir, maxFilesPerTrigger = 1),
+      warehouse, checkpoint, Trigger.ProcessingTime("1 second"))
+    try {
+      query.processAllAvailable()
+      assert(spark.read.parquet(warehouse).count() == 2)
+      // A file landing later is picked up as a new micro-batch.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inDir, "batch2.jsonl"),
+        goodRows.mkString("\n").getBytes)
+      query.processAllAvailable()
+      assert(spark.read.parquet(warehouse).count() == 4)
+    } finally query.stop()
+  }
+
+  test("compaction: one file per partition, identical rows") {
+    val src = Files.createTempDirectory("graft-compact-src").toString
+    val dest = Files.createTempDirectory("graft-compact-dest").toString
+    val batch = Seq((1, "2015-01-15 10:00:00", 10.0), (2, "2015-01-16 11:00:00", 5.0))
+      .toDF("vendor_id", "p", "fare_amount")
+      .withColumn("pickup_datetime", to_timestamp(col("p"))).drop("p")
+    // Three appends → ≥3 files per date partition (the small-file problem).
+    (1 to 3).foreach(_ => Warehouse.appendTrips(batch, src))
+    def dataFiles(dir: String) = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(dataFiles(src) >= 6)
+    Warehouse.compact(spark, src, dest, "pickup_date")
+    assert(dataFiles(dest) == 2) // one per date partition
+    val a = spark.read.parquet(src).orderBy("vendor_id", "fare_amount")
+    val b = spark.read.parquet(dest).orderBy("vendor_id", "fare_amount")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
   test("empty micro-batches are skipped (no output files, no failure)") {
