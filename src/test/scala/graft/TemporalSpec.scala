@@ -52,6 +52,34 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 1L, 0L, 0L, 1L)))
   }
 
+  test("sessionize matches Spark's built-in session_window off-boundary") {
+    // Same session definition, one boundary difference: gaps-and-islands
+    // starts a new session when diff > gap (<= stays); session_window
+    // merges while diff < gap (== gap splits). Off the exact boundary
+    // the two agree — this pins both semantics.
+    val rows = Seq(
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 99L, 3L),   // diffs 50, 49 < gap
+      (1L, 300L, 4L),                                // diff 201 > gap
+      (2L, 10L, 5L), (2L, 500L, 6L))
+      .toDF("k", "tu", "id")
+    val gapUs = 100L
+    val ours = Temporal.sessionize(rows, "k", "tu", "id", gapUs)
+      .select("k", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val builtin = rows
+      .withColumn("ts", timestamp_micros(col("tu")))
+      .groupBy(col("k"), session_window(col("ts"), "0.0001 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), unix_micros(col("session_window.start")).as("s"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // Compare on (key, start, count) — session_window's end is start+gap
+    // padded, not the last event.
+    assert(ours.map(t => (t._1, t._2, t._4)) === builtin)
+  }
+
   test("tolerance join equals the naive cross-filter") {
     val l = (0L until 50L).map(i => i * 37L % 1000L).toDF("l_us")
     val r = (0L until 50L).map(i => i * 53L % 1000L).toDF("r_us")
