@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.sources.TripGenSource]] — the DSv2 read path: determinism,
+  * column pruning, exact id-range filter pushdown with partition
+  * pruning.
+  */
+class TripGenSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def gen(rows: Long, parts: Int = 4) = spark.read
+    .format("graft.sources.TripGenSource")
+    .option("rows", rows.toString).option("partitions", parts.toString)
+    .load()
+
+  test("generates exactly `rows` deterministic rows") {
+    val df = gen(1000)
+    assert(df.count() == 1000)
+    val a = df.filter(col("id") === 123).select("fare_amount").head().getDouble(0)
+    val b = gen(1000, 7).filter(col("id") === 123)
+      .select("fare_amount").head().getDouble(0)
+    assert(a == b) // independent of partitioning
+    assert(df.select(countDistinct(col("id"))).head().getLong(0) == 1000)
+  }
+
+  test("id range filters push down exactly and prune partitions") {
+    val df = gen(1000, 10).filter(col("id") >= 900 && col("id") < 950)
+    assert(df.count() == 50)
+    val scan = df.queryExecution.executedPlan.toString
+    // The accepted filters appear in the scan description, and only the
+    // surviving sub-range is planned (1 partition of 10).
+    assert(scan.contains("range=[900,950)"), scan)
+    val partsUsed = df.select(spark_partition_id()).distinct().count()
+    assert(partsUsed == 1, s"expected 1 planned partition, got $partsUsed")
+  }
+
+  test("column pruning reaches the generator") {
+    val df = gen(100).select("id", "fare_amount")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("cols=id,fare_amount"), scan)
+    assert(df.agg(sum("fare_amount")).head().getDouble(0) > 0)
+  }
+
+  test("feeds the engine like any table (agg over generated trips)") {
+    val out = gen(10000)
+      .groupBy("vendor_id")
+      .agg(count(lit(1)).as("n"),
+        graft.agg.Analytics.dsum(col("fare_amount")).as("revenue"))
+      .orderBy("vendor_id").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("n")).sum == 10000)
+  }
+}
