@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,7 +41,8 @@ class TripGenSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new TripGenTable(
       properties.asScala.getOrElse("rows", "1000").toLong,
-      properties.asScala.getOrElse("partitions", "4").toInt)
+      properties.asScala.getOrElse("partitions", "4").toInt,
+      properties.asScala.getOrElse("rowsPerTrigger", "100").toLong)
 }
 
 object TripGenSource {
@@ -60,17 +62,18 @@ object TripGenSource {
   }
 }
 
-private class TripGenTable(rows: Long, partitions: Int)
+private class TripGenTable(rows: Long, partitions: Int, rowsPerTrigger: Long)
     extends Table with SupportsRead {
   override def name(): String = s"tripgen($rows)"
   override def schema(): StructType = TripGenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TripGenScanBuilder(rows, partitions)
+    new TripGenScanBuilder(rows, partitions, rowsPerTrigger)
 }
 
-private class TripGenScanBuilder(rows: Long, partitions: Int)
+private class TripGenScanBuilder(rows: Long, partitions: Int,
+                                 rowsPerTrigger: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -132,6 +135,43 @@ private class TripGenScanBuilder(rows: Long, partitions: Int)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       TripGenReaderFactory()
+
+    /** The same scan as a micro-batch stream (the V2 unified read path —
+      * pruning and pushdown apply identically): offsets are row ids,
+      * `latestOffset` advances by `rowsPerTrigger` per trigger (T7 rate
+      * control) until the finite id range is exhausted; each batch plans
+      * the [start, end) slice with the already-narrowed bounds.
+      */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new MicroBatchStream {
+        private def off(v: Long): Offset = new Offset {
+          override def json(): String = v.toString
+        }
+        // Advances by rowsPerTrigger each time the engine asks what's
+        // available — bounded micro-batches over the finite id range.
+        private var available = lo
+        override def initialOffset(): Offset = off(lo)
+        override def deserializeOffset(json: String): Offset = off(json.toLong)
+        override def latestOffset(): Offset = synchronized {
+          available = math.min(hi, math.max(available, lo) + rowsPerTrigger)
+          off(available)
+        }
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
+        override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+          val s = start.json().toLong
+          val e = end.json().toLong
+          val per = math.max(1L, (e - s + partitions - 1) / partitions)
+          (0 until partitions).iterator
+            .map(p => (s + p * per, math.min(e, s + (p + 1) * per)))
+            .filter { case (a, b) => a < b }
+            .map { case (a, b) =>
+              TripGenPartition(a, b, required.fieldNames): InputPartition }
+            .toArray
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          TripGenReaderFactory()
+      }
   }
 }
 

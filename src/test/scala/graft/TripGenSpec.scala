@@ -43,6 +43,29 @@ class TripGenSpec extends AnyFunSuite {
     assert(df.agg(sum("fare_amount")).head().getDouble(0) > 0)
   }
 
+  test("streams as micro-batches with rate control (V2 unified read path)") {
+    val q = spark.readStream
+      .format("graft.sources.TripGenSource")
+      .option("rows", "250").option("partitions", "3")
+      .option("rowsPerTrigger", "100")
+      .load()
+      .writeStream.format("memory").queryName("tripgen_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tripgen_stream").count() == 250)
+      // Rate control: no micro-batch exceeded rowsPerTrigger.
+      val batchRows = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchRows.nonEmpty && batchRows.forall(_ <= 100))
+      // Same deterministic rows as the batch path.
+      val streamed = spark.table("tripgen_stream")
+        .filter(col("id") === 123).select("fare_amount").head().getDouble(0)
+      val batch = gen(250).filter(col("id") === 123)
+        .select("fare_amount").head().getDouble(0)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("feeds the engine like any table (agg over generated trips)") {
     val out = gen(10000)
       .groupBy("vendor_id")
