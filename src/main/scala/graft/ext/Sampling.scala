@@ -63,4 +63,20 @@ object Sampling {
         floor((col("__cum") - tokenCount) / maxTokens).cast("long"))
       .drop("__cum")
   }
+
+  /** [[packSequences]] at 100 TB: the running sum is windowed per
+    * `shard` (a date / source-file / language bucket), so every shard
+    * packs independently in parallel — no single-partition global sort.
+    * `seq_id` is unique only within a shard; (shard, seq_id) is the
+    * global sequence key.
+    */
+  def packSequencesSharded(df: DataFrame, shard: Column, key: Column,
+                           tokenCount: Column, maxTokens: Int): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokenCount).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - tokenCount) / maxTokens).cast("long"))
+      .drop("__cum")
+  }
 }

@@ -42,6 +42,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.values.sum == 500)
   }
 
+  test("sharded packing equals per-shard unsharded packing") {
+    val df = (0L until 200L).map(i => (i % 4, i, 300 + (i % 7).toInt * 100))
+      .toDF("shard", "id", "toks")
+    val sharded = Sampling.packSequencesSharded(df, col("shard"), col("id"),
+        col("toks"), 2048)
+      .select("shard", "id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 4L).foreach { s =>
+      val solo = Sampling.packSequences(df.filter(col("shard") === s),
+          col("id"), col("toks"), 2048)
+        .select("id", "seq_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      solo.foreach { case (id, seq) => assert(sharded((s, id)) == seq) }
+    }
+  }
+
   test("pack sequences: docs fill greedily, boundary doc opens next seq") {
     val df = Seq((1L, 1000), (2L, 1000), (3L, 100), (4L, 2000), (5L, 10))
       .toDF("id", "toks")
