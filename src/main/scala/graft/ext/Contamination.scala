@@ -30,13 +30,17 @@ object Contamination {
     def grams(df: DataFrame, idAs: String) = Dedup.hashedShingles(df, n)
       .select(col("doc_id").as(idAs), col("h").as("sh"))
       .distinct()
-    val trainGrams = grams(train, "train_id")
-    val rare = trainGrams.groupBy("sh")
-      .agg(count(lit(1)).as("df"))
+    // Single pipeline: the df cap is a count window over the SAME gram
+    // stream the join consumes — one shuffle on the gram, no second plan
+    // branch re-running the shingle flatMap + distinct (the pattern the
+    // minhashNearDupPairs rewrite exists to avoid).
+    val trainRare = grams(train, "train_id")
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("df") <= dfCap)
-      .select("sh")
+      .drop("df")
     grams(eval, "eval_id")
-      .join(trainGrams.join(rare, "sh"), "sh")
+      .join(trainRare, "sh")
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

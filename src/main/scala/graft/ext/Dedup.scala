@@ -120,20 +120,27 @@ object Dedup {
       .agg(graft.functions.MinHashAgg.minhash_sketch(col("h"), numHashes)
         .as("signature"))
 
-  /** LSH banding: signature → (band index, band hash) rows. Docs sharing
-    * any band bucket become candidate pairs. bands×rowsPerBand must equal
-    * the signature length.
+  /** struct(band, band_hash) columns over a `signature` column — the ONE
+    * definition of the banding hash (seed, slice bounds), shared by
+    * [[lshBands]] and [[minhashNearDupPairs]] so their candidate sets
+    * can never silently diverge.
     */
-  def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandHashes = (0 until bands).map { b =>
+  private def bandHashStructs(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
           .as("band_hash"))
     }
-    sigs.select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
+
+  /** LSH banding: signature → (band index, band hash) rows. Docs sharing
+    * any band bucket become candidate pairs. bands×rowsPerBand must equal
+    * the signature length.
+    */
+  def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"),
         col("bh.band_hash").as("band_hash"))
-  }
 
   /** LSH candidate pairs: docs sharing at least one band bucket. The
     * self-join is keyed on (band, band_hash), so only colliding docs pair
@@ -168,14 +175,9 @@ object Dedup {
                           numHashes: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val bandHashes = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
-          .as("band_hash"))
-    }
     val bandRows = minhashSignatures(docs, shingleSize, numHashes)
       .select(col("doc_id"), col("signature"),
-        explode(array(bandHashes: _*)).as("bh"))
+        explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
       .select(col("doc_id"), col("signature"),
         col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
     val a = bandRows.as("a")
@@ -313,6 +315,14 @@ object Dedup {
       labels = next.select("id", "comp")
       i += 1
     }
+    // Unconverged labels would silently split one real component into
+    // several clusters (duplicates retained as distinct "survivors") —
+    // fail loudly instead. Propagation moves min labels more than one
+    // hop per iteration in practice; a legitimate >maxIter diameter
+    // (a 20+-doc similarity chain) should raise maxIter consciously.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter")
     labels
   }
 

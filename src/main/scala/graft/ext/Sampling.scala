@@ -22,11 +22,14 @@ object Sampling {
     * digest and keep `ceil(fraction · stratum_size)` — unlike
     * `DataFrame.sampleBy`, the per-stratum count is exact, not binomial.
     * One shuffle on the stratum; the rank and the stratum size share its
-    * window.
+    * window. `key` must be unique per row (a doc/row id): equal keys
+    * produce equal digests, and which of the tied rows falls under the
+    * cutoff would then depend on partition order — the key itself is the
+    * secondary sort, so ONLY exact key duplicates are ambiguous.
     */
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
                        fraction: Double): DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(keyDigest(key))
+    val w = Window.partitionBy(stratum).orderBy(keyDigest(key), key)
     val n = Window.partitionBy(stratum)
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(n))

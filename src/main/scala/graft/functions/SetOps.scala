@@ -20,7 +20,11 @@ object SetOps {
     * array, membership probes from the larger. No result-array
     * allocation — unlike `size(array_intersect(a, b))`, which builds the
     * intersection (and for Jaccard also the union) as real arrays per
-    * row only to take their lengths.
+    * row only to take their lengths. Null elements are SKIPPED on both
+    * sides (they never match anything — `ArrayData.getLong` on a null
+    * slot would silently read 0 and miscount), a deliberate divergence
+    * from `array_intersect`'s null-matches-null; the intended inputs
+    * (`collect_set` output) contain no nulls.
     */
   def overlap(a: ArrayData, b: ArrayData): Int = {
     val (small, large) =
@@ -34,24 +38,28 @@ object SetOps {
     val used = new Array[Boolean](cap)
     var i = 0
     while (i < n) {
-      val v = small.getLong(i)
-      var idx = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
-      while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
-      table(idx) = v
-      used(idx) = true
+      if (!small.isNullAt(i)) {
+        val v = small.getLong(i)
+        var idx = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
+        while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
+        table(idx) = v
+        used(idx) = true
+      }
       i += 1
     }
     var cnt = 0
     val m = large.numElements()
     var j = 0
     while (j < m) {
-      val v = large.getLong(j)
-      var idx = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
-      var probing = true
-      while (probing) {
-        if (!used(idx)) probing = false
-        else if (table(idx) == v) { cnt += 1; probing = false }
-        else idx = (idx + 1) & mask
+      if (!large.isNullAt(j)) {
+        val v = large.getLong(j)
+        var idx = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
+        var probing = true
+        while (probing) {
+          if (!used(idx)) probing = false
+          else if (table(idx) == v) { cnt += 1; probing = false }
+          else idx = (idx + 1) & mask
+        }
       }
       j += 1
     }

@@ -86,7 +86,12 @@ object VectorFunctions {
   val dotInjection: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-    (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)))
+    (exprs: Seq[Expression]) => {
+      // A clean arity error beats IndexOutOfBounds out of the analyzer.
+      require(exprs.length == 2,
+        s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
+      FloatVecDot(exprs.head, exprs(1))
+    })
 }
 
 /** `SparkSessionExtensions` hook registering the engine's custom SQL
@@ -99,7 +104,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("set_overlap"),
       new ExpressionInfo(classOf[LongSetOverlap].getName, "set_overlap"),
-      (exprs: Seq[Expression]) => LongSetOverlap(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"set_overlap requires exactly 2 arguments, got ${exprs.length}")
+        LongSetOverlap(exprs.head, exprs(1))
+      }))
     ext.injectOptimizerRule(_ => graft.plans.PushNanosTimestampPredicates)
   }
 }

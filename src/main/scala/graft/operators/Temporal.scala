@@ -108,8 +108,15 @@ object Temporal {
   def toleranceJoin(left: DataFrame, right: DataFrame,
                     leftTsUs: String, rightTsUs: String,
                     tolUs: Long): DataFrame = {
-    val lb = left.withColumn("__b", floor(col(leftTsUs) / tolUs))
-    val rBucket = floor(col(rightTsUs) / tolUs)
+    // Exact integer floor-division: `floor(col / tol)` divides in double
+    // and mis-floors once |ts| exceeds 2^53 (e.g. ns-epoch magnitudes),
+    // which can strand a within-tolerance pair in non-adjacent buckets.
+    // Subtracting pmod makes the value an exact floor multiple, and
+    // integral `div` of an exact multiple is the floor at any magnitude.
+    def bucket(c: String) =
+      expr(s"(`$c` - pmod(`$c`, ${tolUs}L)) div ${tolUs}L")
+    val lb = left.withColumn("__b", bucket(leftTsUs))
+    val rBucket = bucket(rightTsUs)
     val rb = right.withColumn("__b",
       explode(array(rBucket - 1, rBucket, rBucket + 1)))
     lb.join(rb, "__b")

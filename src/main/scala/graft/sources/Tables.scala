@@ -19,13 +19,21 @@ object Tables {
   // logical plan (no data is cached) — repeated queries over the same
   // table skip the file listing + parquet footer/schema read that
   // `spark.read.parquet` performs each call, and identical analyzed
-  // plans improve codegen-cache hits across a query batch.
+  // plans improve codegen-cache hits across a query batch. Keyed on the
+  // session OBJECT (reference equality) through weak keys, so a stopped
+  // session's plans never leak to another session and are GC-reclaimed;
+  // assumes table directories are immutable once read (true for the
+  // driver's testdata contract) — a rewritten dir needs a new session.
   private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    planCache.getOrElseUpdate(
-      (String.valueOf(System.identityHashCode(spark)), dir, name), {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = planCache.synchronized {
+      planCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+    }
+    perSession.getOrElseUpdate((dir, name), {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
       // (µs) cannot hold natively — read nanos as long, then truncate to µs
       // with exact integer division (`div`, not `/`: ns-since-epoch ≈ 1.7e18
@@ -42,6 +50,7 @@ object Tables {
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
+  }
 
   /** Register every table as a temp view (same namespace the DuckDB oracle
     * uses), enabling `spark.sql` over identical names.

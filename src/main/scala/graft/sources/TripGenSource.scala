@@ -94,18 +94,21 @@ private class TripGenScanBuilder(rows: Long, partitions: Int,
       case LessThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
       case _ => false
     }
+    // Saturating +1: boundary literals (Long.MaxValue) must not wrap the
+    // exclusive bound around to Long.MinValue and empty the scan.
+    def succ(x: Long): Long = if (x == Long.MaxValue) x else x + 1
     handled.foreach {
       case EqualTo("id", v) =>
         val x = v.asInstanceOf[Number].longValue()
-        lo = math.max(lo, x); hi = math.min(hi, x + 1)
+        lo = math.max(lo, x); hi = math.min(hi, succ(x))
       case GreaterThan("id", v) =>
-        lo = math.max(lo, v.asInstanceOf[Number].longValue() + 1)
+        lo = math.max(lo, succ(v.asInstanceOf[Number].longValue()))
       case GreaterThanOrEqual("id", v) =>
         lo = math.max(lo, v.asInstanceOf[Number].longValue())
       case LessThan("id", v) =>
         hi = math.min(hi, v.asInstanceOf[Number].longValue())
       case LessThanOrEqual("id", v) =>
-        hi = math.min(hi, v.asInstanceOf[Number].longValue() + 1)
+        hi = math.min(hi, succ(v.asInstanceOf[Number].longValue()))
       case _ =>
     }
     accepted = handled
@@ -151,7 +154,14 @@ private class TripGenScanBuilder(rows: Long, partitions: Int,
         // available — bounded micro-batches over the finite id range.
         private var available = lo
         override def initialOffset(): Offset = off(lo)
-        override def deserializeOffset(json: String): Offset = off(json.toLong)
+        override def deserializeOffset(json: String): Offset = synchronized {
+          // A restored checkpoint offset must floor the advance — without
+          // this, a restart would regress below the committed offset and
+          // re-emit rows.
+          val v = json.toLong
+          available = math.max(available, v)
+          off(v)
+        }
         override def latestOffset(): Offset = synchronized {
           available = math.min(hi, math.max(available, lo) + rowsPerTrigger)
           off(available)

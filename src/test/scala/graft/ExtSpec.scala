@@ -57,6 +57,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out2.isEmpty) // df=31 > cap for the only shared gram
   }
 
+  test("set_overlap skips null elements instead of reading them as 0") {
+    val r = spark.sql(
+      """SELECT set_overlap(array(CAST(NULL AS BIGINT), 5L), array(5L)) AS a,
+        |       set_overlap(array(CAST(NULL AS BIGINT)), array(0L)) AS b
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 0)
+  }
+
+  test("connected components fail loudly when maxIter is too small") {
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components: min label reaches every vertex of a chain") {
     // Two components: a 5-vertex chain 1-2-3-4-5 (diameter forces several
     // propagation rounds) and the pair 10-11; edges arbitrary direction.

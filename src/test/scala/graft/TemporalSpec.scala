@@ -52,6 +52,24 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 1L, 0L, 0L, 1L)))
   }
 
+  test("tolerance join is exact at magnitudes beyond double precision") {
+    // ns-epoch-scale values (≫ 2^53): double-division bucketing mis-floors
+    // here; the integer floor-division path must still find every pair.
+    val base = 1700000000000000000L
+    val tol = 1000L
+    val ls = Seq(base, base + 999L, base + 2500L, base + 7777L).toDF("l_us")
+    val rs = Seq(base + 1000L, base + 1999L, base + 3500L, base + 9000L)
+      .toDF("r_us")
+    val bucketed = Temporal.toleranceJoin(ls, rs, "l_us", "r_us", tol)
+      .select("l_us", "r_us").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    val naive = ls.crossJoin(rs)
+      .filter(abs(col("l_us") - col("r_us")) <= tol)
+      .select("l_us", "r_us").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    assert(naive.nonEmpty && (bucketed sameElements naive))
+  }
+
   test("sessionize matches Spark's built-in session_window off-boundary") {
     // Same session definition, one boundary difference: gaps-and-islands
     // starts a new session when diff > gap (<= stays); session_window

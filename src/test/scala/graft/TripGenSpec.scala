@@ -7,6 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * column pruning, exact id-range filter pushdown with partition
   * pruning.
   */
+object TripGenSpec {
+  /** Ids observed across restarts (foreachBatch closures must reference
+    * a static sink to survive serialization).
+    */
+  val seen: java.util.Set[java.lang.Long] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+}
+
 class TripGenSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
@@ -64,6 +72,33 @@ class TripGenSpec extends AnyFunSuite {
         .select("fare_amount").head().getDouble(0)
       assert(streamed == batch)
     } finally q.stop()
+  }
+
+  test("stream restart from checkpoint does not regress or duplicate") {
+    val ckpt = java.nio.file.Files.createTempDirectory("tripgen-ckpt").toString
+    TripGenSpec.seen.clear()
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.TripGenSource")
+        .option("rows", "250").option("rowsPerTrigger", "100")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r =>
+            TripGenSpec.seen.add(r.getLong(0)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(TripGenSpec.seen.size == 250)
+    // Restart on the same checkpoint: a regressed offset would re-emit
+    // committed rows (foreachBatch is at-least-once per batch, but a
+    // correct source yields NO new batches — the range is exhausted).
+    run()
+    assert(TripGenSpec.seen.size == 250)
   }
 
   test("feeds the engine like any table (agg over generated trips)") {
