@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the headline queries: the properties
+  * that make them viable at 100 TB are asserted on the physical plan, so
+  * a refactor that silently trades them away (a lost pushdown, a
+  * broadcast turned shuffle, a top-k turned global sort) fails CI, not
+  * the cluster. Complements PLANS.md (the human-reviewed snapshots).
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("top_events is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("top_events")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q3_topk ends in a TakeOrderedAndProject") {
+    assert(plan("q3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("region_customers broadcasts its dimensions") {
+    val p = plan("region_customers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("trip_stats pushes rule-derived int64-ns bounds into the scan") {
+    val p = plan("trip_stats")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
+  }
+
+  test("string_funcs pushes the LIKE prefix into the scan") {
+    assert(plan("string_funcs").contains("StringStartsWith(p_type,S)"))
+  }
+
+  test("q1_agg scan reads only the referenced columns") {
+    // Formatted mode prints the untruncated ReadSchema.
+    val p = SparkEntry.queries("q1_agg")(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, p)
+    // 7 referenced lineitem columns of 11 — pruning must hold.
+    val cols = read.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate"), cols)
+  }
+
+  test("valid_filter pushes its conjuncts to the scan") {
+    val p = plan("valid_filter")
+    assert(p.contains("GreaterThan(value,0.0)"), p)
+  }
+
+  test("tolerance_pairs never plans a cartesian or nested-loop join") {
+    val p = plan("tolerance_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("asof_join never plans a cartesian or nested-loop join") {
+    val p = plan("asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("sessionize_batch plans exactly one pre-output exchange") {
+    val p = plan("sessionize_batch")
+    // One Exchange for the key windows + aggregate, one for the final
+    // presentation ORDER BY — any more means a lost partitioning reuse.
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(p).length
+    assert(exchanges == 2, s"$exchanges exchanges:\n$p")
+  }
+}
