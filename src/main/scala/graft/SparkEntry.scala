@@ -573,6 +573,20 @@ object SparkEntry {
         docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50))
     }),
 
+    // Edit-distance verify (the character-level near-dup metric):
+    // adjacent-id pairs over 200-char prefixes — pairwise DP cost is
+    // bounded by pair count × prefix², exactly how a candidate-pair
+    // verify stage budgets it.
+    "edit_distance" -> ((s, dir) => {
+      val d = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("prefix"))
+      val a = d.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
+      val b = d.select(col("doc_id").as("doc_b"), col("prefix").as("pb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), levenshtein(col("pa"), col("pb")).as("edit_dist"))
+        .orderBy("doc_a")
+    }),
+
     "dedup_exact" -> ((s, dir) => Dedup.exactStats(T(s, dir, "documents"))),
 
     "dedup_normalized" -> ((s, dir) =>
@@ -913,6 +927,8 @@ object SparkEntry {
           |         nt
           |  FROM (SELECT doc_id, $nTokens AS nt FROM documents) x) t
           |GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+      "edit_distance" ->
+        "SELECT a.doc_id AS doc_a, CAST(levenshtein(SUBSTRING(a.text, 1, 200), SUBSTRING(b.text, 1, 200)) AS INTEGER) AS edit_dist FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 200 AND b.doc_id < 200 ORDER BY doc_a",
       "dedup_exact" ->
         "SELECT COUNT(*) AS total_docs, COUNT(DISTINCT MD5(text)) AS distinct_docs, COUNT(*) - COUNT(DISTINCT MD5(text)) AS duplicate_docs FROM documents",
       "dedup_normalized" ->

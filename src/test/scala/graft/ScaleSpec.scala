@@ -49,6 +49,27 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("ANALYZE TABLE statistics feed the cost-based optimizer") {
+    // At 100 TB the CBO's join reordering and broadcast decisions hinge
+    // on catalog stats — the warehouse write path must leave tables
+    // ANALYZE-able and the stats must actually reach the plan.
+    spark.sql("DROP TABLE IF EXISTS cbo_t")
+    (1 to 1000).map(i => (i.toLong, i % 10)).toDF("id", "g")
+      .write.saveAsTable("cbo_t")
+    spark.sql("ANALYZE TABLE cbo_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    // Row counts surface in plan stats only when the CBO is on (the
+    // setting a stats-maintained warehouse would run with).
+    val oldCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("cbo_t").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1000)), stats)
+    } finally spark.conf.set("spark.sql.cbo.enabled", oldCbo)
+    val desc = spark.sql("DESC EXTENDED cbo_t id").collect()
+      .map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("distinct_count"), desc)
+  }
+
   test("watermarked hourly window aggregates the stream by event time") {
     val source = MemoryStream[String](
       implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
