@@ -613,6 +613,27 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(T(s, dir, "documents"))),
 
+    // Frame-sampling plumbing, oracle-checked: the sampled-frame count
+    // per payload is a pure function of byte length (stride over
+    // fixed-size slices), so ANSI SQL can predict it exactly.
+    "frame_stats" -> ((s, dir) => Multimodal.sampleFrames(s,
+        Multimodal.mediaFromDocuments(T(s, dir, "documents")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(octet_length(col("frame")).cast("long")).as("frame_bytes"))
+      .orderBy("id")),
+
+    // UNPIVOT (melt): wide measure columns to (measure, value) rows.
+    "unpivot_measures" -> ((s, dir) => T(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        Analytics.dsum(col("val")).as("total"))
+      .orderBy("measure")),
+
     // -- rows-only checks (not ANSI-SQL-expressible; no oracle entry) --
 
     "minhash_pairs" -> ((s, dir) =>
@@ -948,7 +969,22 @@ object SparkEntry {
       "cosine_topk" ->
         "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, e.label, ROUND(d.dp / (SQRT(d.na) * SQRT(d.nb)), 4) AS cosine FROM embeddings e, q, LATERAL (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp, SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na, SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb FROM (SELECT UNNEST(e.embedding) AS a, UNNEST(q.qe) AS b) t) d WHERE e.vec_id <> 0 ORDER BY cosine DESC, e.vec_id LIMIT 10",
       "multimodal_meta" ->
-        "SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS byte_len, SHA256(text) AS sha256 FROM documents ORDER BY doc_id"
+        "SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS byte_len, SHA256(text) AS sha256 FROM documents ORDER BY doc_id",
+      "frame_stats" ->
+        // nFrames = max(1, len div 32); sampled count = ceil(nFrames/4);
+        // every sampled frame is a full 32 bytes except the len<32 case
+        // (one truncated frame) — trailing sub-frame bytes are unsampled.
+        """SELECT doc_id AS id,
+          |       CAST(CEIL(GREATEST(1, OCTET_LENGTH(ENCODE(text)) // 32) / 4.0) AS BIGINT) AS n_frames,
+          |       CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) < 32 THEN OCTET_LENGTH(ENCODE(text))
+          |            ELSE 32 * CEIL((OCTET_LENGTH(ENCODE(text)) // 32) / 4.0) END AS BIGINT) AS frame_bytes
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "unpivot_measures" ->
+        """SELECT measure, COUNT(*) AS n, CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total FROM (
+          |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+          |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+          |GROUP BY measure ORDER BY measure""".stripMargin
     )
   }
 }
