@@ -644,6 +644,14 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(T(s, dir, "documents"))),
 
+    // The end-to-end curation report: quality screen + exact dedup +
+    // near-dup survivors + contamination vs a held-out slice, one pass.
+    "corpus_prep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.CorpusPrep.report(graft.ext.CorpusPrep.prepare(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50)))
+    }),
+
     // Sketch quantiles (KLL-style percentile_approx) — the 100 TB path
     // where exact sort-based percentiles stop being viable; exact twins
     // ride along to record the sketch error, like approx_distinct.

@@ -57,6 +57,34 @@ class ExtSpec extends AnyFunSuite {
     assert(out2.isEmpty) // df=31 > cap for the only shared gram
   }
 
+  test("corpus prep composes the filters and audits each verdict") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 10
+      (12L, "short"), // low quality (under 5 tokens)
+      (13L, "held out evaluation sentence appearing verbatim in training data today"),
+      (14L, "a genuinely unique training document about distributed query engines"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (1L, "held out evaluation sentence appearing verbatim in training data today"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.CorpusPrep.prepare(corpus, evalSet)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    // (quality_ok, is_exact_dup, is_near_dup, is_contaminated, kept)
+    assert(out(10L) == ((true, false, false, false, true)))
+    assert(out(11L)._2 || out(11L)._3) // flagged as a duplicate either way
+    assert(!out(11L)._5)
+    assert(out(12L)._1 == false && !out(12L)._5)
+    assert(out(13L)._4 == true && !out(13L)._5)
+    assert(out(14L) == ((true, false, false, false, true)))
+    val rep = graft.ext.CorpusPrep.report(
+      graft.ext.CorpusPrep.prepare(corpus, evalSet)).head()
+    assert(rep.getAs[Long]("total_docs") == 5)
+    assert(rep.getAs[Long]("kept_docs") == 2)
+  }
+
   test("set_overlap skips null elements instead of reading them as 0") {
     val r = spark.sql(
       """SELECT set_overlap(array(CAST(NULL AS BIGINT), 5L), array(5L)) AS a,
