@@ -1,63 +1,92 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preparation — the composition the rest of
-  * `ext` exists for: quality screen → exact dedup → near-dup cluster
-  * survivors → benchmark-contamination removal, emitting one row per
-  * document with every verdict and the final keep decision. Each stage
-  * is the already-tested operator; this wires them into the single pass
-  * a 100 TB preparation job runs.
+  * `ext` exists for: quality screen, exact dedup, near-dup clustering,
+  * and benchmark-contamination removal in one audited job, emitting one
+  * row per document with every verdict and the final keep decision.
   *
-  * All verdicts are computed (not short-circuited) so the output doubles
-  * as an audit table: how many docs each filter would remove,
-  * independently — the numbers a data-curation report needs.
+  * Survivor selection is STAGED: quality and contamination verdicts come
+  * first, and each exact-digest group / near-dup cluster then keeps its
+  * minimum ELIGIBLE doc. Independent verdicts AND-ed together would
+  * silently delete content whose designated survivor happens to fail
+  * another filter (cluster {5, 9}: 5 contaminated, 9 clean — naive
+  * composition drops both; staged keeps 9). Content dies only when
+  * every copy is ineligible.
+  *
+  * The audit columns stay INDEPENDENT verdicts (what would each filter
+  * remove on its own — the numbers a curation report needs); only `kept`
+  * uses the staged logic.
+  *
+  * Note on passes: near-dup clustering and the contamination screen each
+  * scan the corpus through [[Dedup.hashedShingles]]. That is deliberate —
+  * the shingle stream is ~shingle-count× the corpus row count, so
+  * re-running the compiled, scan-bound hash pass is cheaper at any scale
+  * than materializing (persist/checkpoint) that intermediate to share it.
   */
 object CorpusPrep {
 
-  /** @param docs   corpus with (doc_id, text)
+  /** @param docs     corpus with (doc_id, text)
     * @param evalDocs held-out eval set with (doc_id, text) — contamination
     *                 reference; pass an empty frame to skip
     * @return one row per doc: quality_ok, is_exact_dup (non-canonical
-    *         copy), is_near_dup (non-survivor of its cluster),
-    *         is_contaminated, and kept = all four pass
+    *         copy, independent verdict), is_near_dup (cluster
+    *         non-survivor, independent verdict), is_contaminated, and
+    *         `kept` = eligible AND the minimum eligible doc of both its
+    *         digest group and its near-dup cluster
     */
   def prepare(docs: DataFrame, evalDocs: DataFrame,
               nearDupThreshold: Double = 0.5,
               contaminationMinShared: Int = 5): DataFrame = {
-    // Quality: the same heuristics TextAnalysis.qualityScore applies.
+    // Stage 1 — row-local verdicts.
     val quality = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), (col("quality") === "good").as("quality_ok"))
-
-    // Exact dedup: keep the lowest doc_id per content digest.
-    val exactKeep = Dedup.dedupKeepFirst(docs)
-      .select(col("keep_doc_id").as("doc_id"), lit(true).as("exact_canonical"))
-
-    // Near-dup clusters: survivor = cluster minimum.
-    val clusters = Dedup.nearDupClusters(docs, threshold = nearDupThreshold)
-      .select(col("doc_id"), col("keep").as("near_dup_survivor"))
-
-    // Contamination: any eval doc sharing enough n-grams taints the doc.
     val contaminated = Contamination
       .ngramOverlap(evalDocs, docs, minShared = contaminationMinShared)
       .select(col("train_id").as("doc_id")).distinct()
       .withColumn("is_contaminated", lit(true))
 
-    docs.select("doc_id")
+    // Stage 2 — group structure (content-based, over the FULL corpus:
+    // similarity does not depend on eligibility).
+    val digests = docs.select(col("doc_id"),
+      Dedup.digest(col("text")).as("content_digest"))
+    val clusters = Dedup.nearDupClusters(docs, threshold = nearDupThreshold)
+      .select(col("doc_id"), col("cluster_id"))
+
+    val flagged = docs.select("doc_id")
       .join(quality, Seq("doc_id"), "left_outer")
-      .join(exactKeep, Seq("doc_id"), "left_outer")
-      .join(clusters, Seq("doc_id"), "left_outer")
       .join(contaminated, Seq("doc_id"), "left_outer")
+      .join(digests, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("content_digest"), col("cluster_id"),
+        coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+      .withColumn("eligible", col("quality_ok") && !col("is_contaminated"))
+
+    // Stage 3 — survivors: minimum eligible doc per digest group and per
+    // cluster (null when a group has no eligible member). Windows reuse
+    // one shuffle per grouping; the independent-audit flags use the
+    // unconditional minima.
+    val eligibleId = when(col("eligible"), col("doc_id"))
+    val wd = Window.partitionBy("content_digest")
+    val wc = Window.partitionBy("cluster_id")
+    flagged
+      .withColumn("__digest_survivor", min(eligibleId).over(wd))
+      .withColumn("__cluster_survivor", min(eligibleId).over(wc))
+      .withColumn("__digest_min", min(col("doc_id")).over(wd))
+      .withColumn("__cluster_min", min(col("doc_id")).over(wc))
       .select(
         col("doc_id"),
-        coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
-        (!coalesce(col("exact_canonical"), lit(false))).as("is_exact_dup"),
-        (!coalesce(col("near_dup_survivor"), lit(true))).as("is_near_dup"),
-        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
-      .withColumn("kept",
-        col("quality_ok") && !col("is_exact_dup") && !col("is_near_dup") &&
-          !col("is_contaminated"))
+        col("quality_ok"),
+        (col("doc_id") =!= col("__digest_min")).as("is_exact_dup"),
+        (col("doc_id") =!= col("__cluster_min")).as("is_near_dup"),
+        col("is_contaminated"),
+        (col("eligible") &&
+          col("doc_id") === col("__digest_survivor") &&
+          col("doc_id") === col("__cluster_survivor")).as("kept"))
       .orderBy("doc_id")
   }
 

@@ -85,6 +85,28 @@ class ExtSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("kept_docs") == 2)
   }
 
+  test("staged survivors: clean near-dup copy survives a tainted canonical") {
+    // Docs 20/21 are near-dups (one token apart); the eval slice overlaps
+    // doc 20's tail with 3 trigrams but doc 21's with only 2, so at
+    // minShared=3 the cluster's minimum doc is contaminated while its
+    // copy is clean. Naive AND-of-verdicts would delete the content
+    // entirely; staged promotion keeps the clean copy.
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (22L, "completely unrelated training document about engines and physics"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((1L, "theta iota kappa lambda mu nu xi omicron"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.CorpusPrep
+      .prepare(corpus, evalSet, contaminationMinShared = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getBoolean(5))).toMap // (is_contaminated, kept)
+    assert(out(20L) == ((true, false)))
+    assert(out(21L) == ((false, true))) // near-dup, but the clean survivor
+    assert(out(22L) == ((false, true)))
+  }
+
   test("set_overlap skips null elements instead of reading them as 0") {
     val r = spark.sql(
       """SELECT set_overlap(array(CAST(NULL AS BIGINT), 5L), array(5L)) AS a,
