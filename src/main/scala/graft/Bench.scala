@@ -43,7 +43,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Second, warm pass: steady-state total with plans/codegen/JIT hot —
+    // the number that predicts per-query cost on a long-lived cluster
+    // session. The cold pass above stays the headline `value` (it is
+    // what a fresh job pays).
+    val warmTotal = SparkEntry.queries.values.map { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => 0.0 }
+    }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
