@@ -310,6 +310,16 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    // Typed Aggregator (bounded per-group top-k — k doubles per group ×
+    // partition through the shuffle, vs. a window sort of every member).
+    "topk_values_agg" -> ((s, dir) => T(s, dir, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.TopKAgg.top_k_values(col("value"), 5).as("tv"))
+      .select(col("event_type"),
+        concat_ws(",", transform(col("tv"), v => round(v, 4).cast("string")))
+          .as("top_values"))
+      .orderBy("event_type")),
+
     // Analytic-vs-group comparison: customers above their nation's mean
     // balance. The window mean uses the exact decimal sum so the
     // above/below cut is engine-independent (a double window-AVG could
@@ -826,6 +836,12 @@ object SparkEntry {
         "SELECT event_type, CAST(q AS INTEGER) AS q, COUNT(*) AS n, ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v FROM (SELECT event_type, value, NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q FROM events) t GROUP BY event_type, q ORDER BY event_type, q",
       "rank_buckets" ->
         "SELECT event_type, bucket, CAST(MIN(rnk) AS INTEGER) AS rnk, CAST(MIN(drnk) AS INTEGER) AS drnk, COUNT(*) AS n FROM (SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket, RANK() OVER (PARTITION BY event_type ORDER BY CAST(FLOOR(value / 50) AS BIGINT) DESC) AS rnk, DENSE_RANK() OVER (PARTITION BY event_type ORDER BY CAST(FLOOR(value / 50) AS BIGINT) DESC) AS drnk FROM events) t GROUP BY event_type, bucket ORDER BY event_type, bucket",
+      "topk_values_agg" ->
+        """SELECT event_type,
+          |       array_to_string(list_transform(
+          |         (array_agg(value ORDER BY value DESC))[1:5],
+          |         v -> CAST(ROUND(v, 4) AS VARCHAR)), ',') AS top_values
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "above_nation_avg" ->
         "SELECT c_nationkey, COUNT(*) AS n_above, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_above FROM (SELECT c_nationkey, c_acctbal, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey) AS DOUBLE) / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg FROM customer) t WHERE c_acctbal > nation_avg GROUP BY c_nationkey ORDER BY c_nationkey",
       "union_daily" ->

@@ -7,6 +7,20 @@ import graft.agg.Analytics
 
 /** A1–A7 on hand-computed fixtures. */
 class AnalyticsSpec extends AnyFunSuite {
+
+  test("typed top-k aggregator: bounded buffer, correct under merge and ties") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 5.0), ("a", 9.0), ("a", 9.0), ("a", 1.0), ("a", 7.0),
+        ("b", 2.0))
+      .toDF("g", "v").repartition(4) // force partial-buffer merges
+    val out = df.groupBy("g")
+      .agg(graft.functions.TopKAgg.top_k_values(col("v"), 3).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") == Seq(9.0, 9.0, 7.0)) // duplicate values both kept
+    assert(out("b") == Seq(2.0))           // fewer than k
+  }
   private val spark = TestSpark.spark
   import spark.implicits._
 
