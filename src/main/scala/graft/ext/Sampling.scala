@@ -43,11 +43,13 @@ object Sampling {
     * corpus grows — the property that matters for incremental 100 TB
     * ingestion (re-sampling fractions would reshuffle every row's split).
     */
-  def datasetSplit(df: DataFrame, key: Column): DataFrame =
+  def datasetSplit(df: DataFrame, key: Column): DataFrame = {
+    val digit = substring(keyDigest(key), 1, 1)
     df.withColumn("split",
-      when(substring(keyDigest(key), 1, 1) < "c", "train")
-        .when(substring(keyDigest(key), 1, 1) < "e", "validation")
+      when(digit < "c", "train")
+        .when(digit < "e", "validation")
         .otherwise("test"))
+  }
 
   /** Greedy contiguous sequence packing: docs ordered by `key`
     * accumulate token counts, and each doc's sequence id is

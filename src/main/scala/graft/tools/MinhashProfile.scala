@@ -1,13 +1,9 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 import graft.ext.Dedup
 import graft.sources.Tables
 object MinhashProfile {
   def main(args: Array[String]): Unit = {
-    val sp = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    sp.sparkContext.setLogLevel("ERROR")
+    val sp = ToolSession.local(8)
     val docs = Tables.load(sp, "/root/testdata/sf0.1", "documents")
     docs.count() // warm scan
     def time(label: String)(f: => Long): Unit = {

@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Warm-vs-cold profiler: runs each named query three times in one
   * session (`runMain graft.tools.QueryProfile <sfdir> <names…>`), so
   * first-run codegen/JIT cost separates from steady-state compute — the
@@ -13,12 +11,7 @@ object QueryProfile {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q1_agg", "minhash_pairs")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ToolSession.local(32)
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       (1 to 3).foreach { i =>

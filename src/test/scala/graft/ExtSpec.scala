@@ -68,7 +68,8 @@ class ExtSpec extends AnyFunSuite {
     val evalSet = Seq(
       (1L, "held out evaluation sentence appearing verbatim in training data today"))
       .toDF("doc_id", "text")
-    val out = graft.ext.CorpusPrep.prepare(corpus, evalSet)
+    val prepared = graft.ext.CorpusPrep.prepare(corpus, evalSet)
+    val out = prepared
       .collect().map(r => r.getLong(0) ->
         (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
           r.getBoolean(5))).toMap
@@ -79,8 +80,7 @@ class ExtSpec extends AnyFunSuite {
     assert(out(12L)._1 == false && !out(12L)._5)
     assert(out(13L)._4 == true && !out(13L)._5)
     assert(out(14L) == ((true, false, false, false, true)))
-    val rep = graft.ext.CorpusPrep.report(
-      graft.ext.CorpusPrep.prepare(corpus, evalSet)).head()
+    val rep = graft.ext.CorpusPrep.report(prepared).head()
     assert(rep.getAs[Long]("total_docs") == 5)
     assert(rep.getAs[Long]("kept_docs") == 2)
   }

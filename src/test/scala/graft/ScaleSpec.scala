@@ -16,6 +16,16 @@ class ScaleSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  /** JSON trip message for the MemoryStream tests (dropoff = pickup +
+    * durMin so the validity filter keeps — or for durMin=0 drops — it).
+    */
+  private def tripJson(vendor: Int, pick: String, fare: Double,
+                       durMin: Int = 5, dist: Double = 2.0): String = {
+    val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
+      .plusMinutes(durMin.toLong).toString.replace('T', ' ')
+    s"""{"VendorID":$vendor,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":$dist,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
+  }
+
   test("salted join returns exactly the plain join's rows") {
     // 90% of fact rows share one hot key — the salted plan must not
     // change results, only shuffle layout.
@@ -73,12 +83,7 @@ class ScaleSpec extends AnyFunSuite {
   test("watermarked hourly window aggregates the stream by event time") {
     val source = MemoryStream[String](
       implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
-    def trip(pick: String, fare: Double) = {
-      // dropoff = pickup + 10 min so the validity filter keeps the row
-      val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
-        .plusMinutes(10).toString.replace('T', ' ')
-      s"""{"VendorID":1,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":3.0,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
-    }
+    def trip(pick: String, fare: Double) = tripJson(1, pick, fare, durMin = 10)
     source.addData(
       trip("2015-01-15 10:05:00", 10.0), trip("2015-01-15 10:55:00", 20.0),
       trip("2015-01-15 11:05:00", 40.0))
@@ -108,8 +113,7 @@ class ScaleSpec extends AnyFunSuite {
   test("streaming dedup drops duplicates within the watermark across batches") {
     val source = MemoryStream[String](
       implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
-    def trip(vendor: Int, pick: String) =
-      s"""{"VendorID":$vendor,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"2015-01-15 10:20:00","passenger_count":1,"trip_distance":3.0,"fare_amount":10.0,"tip_amount":0.0,"total_amount":10.0}"""
+    def trip(vendor: Int, pick: String) = tripJson(vendor, pick, 10.0)
     val deduped = Pipeline.dedupStream(
       Pipeline.transform(source.toDF()),
       Seq("vendor_id", "pickup_datetime"))
@@ -128,11 +132,7 @@ class ScaleSpec extends AnyFunSuite {
   test("sessionization emits a closed session after the gap timeout") {
     val source = MemoryStream[String](
       implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
-    def trip(vendor: Int, pick: String, fare: Double) = {
-      val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
-        .plusMinutes(5).toString.replace('T', ' ')
-      s"""{"VendorID":$vendor,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":2.0,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
-    }
+    def trip(vendor: Int, pick: String, fare: Double) = tripJson(vendor, pick, fare)
     val sessions = Pipeline.sessionize(Pipeline.transform(source.toDF()),
       gapMs = 1500L)
     // NOTE: processing-time timeouts keep the query permanently busy, so
@@ -165,11 +165,7 @@ class ScaleSpec extends AnyFunSuite {
   test("event-time sessionization: gap splits and watermark-driven close") {
     val source = MemoryStream[String](
       implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
-    def trip(vendor: Int, pick: String, fare: Double) = {
-      val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
-        .plusMinutes(5).toString.replace('T', ' ')
-      s"""{"VendorID":$vendor,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":2.0,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
-    }
+    def trip(vendor: Int, pick: String, fare: Double) = tripJson(vendor, pick, fare)
     // 2-minute gap, 1-minute watermark delay: splits depend only on
     // event time, so no sleeps are needed to drive them.
     val sessions = Pipeline.sessionizeEventTime(
@@ -287,12 +283,8 @@ class ScaleSpec extends AnyFunSuite {
   test("observed metrics report parsed vs valid rows per micro-batch") {
     val source = MemoryStream[String](
       implicitly[org.apache.spark.sql.Encoder[String]], spark.sqlContext)
-    def trip(fare: Double, durMin: Int) = {
-      val pick = "2015-01-15 10:00:00"
-      val drop = java.time.LocalDateTime.parse(pick.replace(' ', 'T'))
-        .plusMinutes(durMin.toLong).toString.replace('T', ' ')
-      s"""{"VendorID":1,"tpep_pickup_datetime":"$pick","tpep_dropoff_datetime":"$drop","passenger_count":1,"trip_distance":2.0,"fare_amount":$fare,"tip_amount":0.0,"total_amount":$fare}"""
-    }
+    def trip(fare: Double, durMin: Int) =
+      tripJson(1, "2015-01-15 10:00:00", fare, durMin)
     val query = Pipeline.transformObserved(source.toDF())
       .writeStream.format("memory").queryName("observed")
       .outputMode("append").start()
