@@ -385,6 +385,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of join: each click paired with the user's next
+    // purchase at-or-after it.
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      Temporal.asofJoinForward(clicks, purchases, "user_id",
+          "ts", "ts", "event_id", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          unix_micros(col("asof_ts")).as("next_purchase_us"),
+          col("asof_event_id").as("next_purchase_event_id"),
+          col("asof_value").as("next_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Gaps-and-islands sessionization (30-min gap) — the batch,
     // oracle-checkable twin of the streaming flatMapGroupsWithState
     // sessionizer.
@@ -871,6 +889,26 @@ object SparkEntry {
           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           |SELECT event_id, user_id, tu AS click_us, a_us AS purchase_us,
           |       a_eid AS purchase_event_id, a_val AS purchase_value
+          |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+      "asof_join_forward" ->
+        """WITH u AS (
+          |  SELECT user_id, epoch_us(ts) AS tu, 1 AS side, event_id,
+          |         NULL::BIGINT AS p_us, NULL::BIGINT AS p_eid, NULL::DOUBLE AS p_val
+          |  FROM events WHERE event_type = 'click'
+          |  UNION ALL
+          |  SELECT user_id, epoch_us(ts), 0, event_id,
+          |         epoch_us(ts), event_id, value
+          |  FROM events WHERE event_type = 'purchase'),
+          |w AS (
+          |  SELECT *,
+          |    LAST_VALUE(p_us IGNORE NULLS) OVER win AS a_us,
+          |    LAST_VALUE(p_eid IGNORE NULLS) OVER win AS a_eid,
+          |    LAST_VALUE(p_val IGNORE NULLS) OVER win AS a_val
+          |  FROM u
+          |  WINDOW win AS (PARTITION BY user_id ORDER BY tu DESC, side, event_id DESC
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT event_id, user_id, tu AS click_us, a_us AS next_purchase_us,
+          |       a_eid AS next_purchase_event_id, a_val AS next_purchase_value
           |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
       "sessionize_batch" ->
         """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),

@@ -40,7 +40,26 @@ object Temporal {
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String, rightTie: String,
                        rightPayload: Seq[String],
-                       outPrefix: String = "asof_"): DataFrame = {
+                       outPrefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightTie, rightPayload,
+      outPrefix, forward = false)
+
+  /** Forward as-of join: the EARLIEST right row with `rightTs >= leftTs`
+    * in the key group — same single-shuffle union+window mechanics as
+    * [[asofJoinBackward]], scanning time descending. Among right rows
+    * sharing (key, rightTs), the smallest `rightTie` wins.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String, rightTie: String,
+                      rightPayload: Seq[String],
+                      outPrefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightTie, rightPayload,
+      outPrefix, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String, rightTie: String,
+                       rightPayload: Seq[String], outPrefix: String,
+                       forward: Boolean): DataFrame = {
     val payloadCols = (Seq(rightTs, rightTie) ++ rightPayload).distinct
     val leftStructType = StructType(left.schema.fields)
     val rightSide = right.select(
@@ -53,12 +72,19 @@ object Temporal {
       lit(null).cast(right.schema(rightTie).dataType).as("__tie"),
       lit(null).cast(rightSide.schema("__p").dataType).as("__p"),
       struct(left.columns.map(col): _*).as("__l"))
-    // Sort key: (ts, side, tie). side 0 < 1 puts right rows first at
-    // equal ts (inclusive bound); tie breaks equal right timestamps.
-    // Left rows all carry a null tie — their relative order is
-    // irrelevant, every permutation sees the same preceding right rows.
+    // Backward: scan time ascending, running last-non-null = latest
+    // right at-or-before; ties broken to the LARGEST tie (last in asc
+    // tie order). Forward: scan time descending, running last-non-null
+    // = earliest right at-or-after; ties to the SMALLEST tie (last in
+    // desc tie order). In both, right rows sort before left rows at the
+    // same timestamp — the bound is inclusive. Left rows carry a null
+    // tie; their relative order is irrelevant (every permutation sees
+    // the same right rows before them).
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__side"), col("__tie").desc)
+      else Seq(col("__ts"), col("__side"), col("__tie"))
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightSide.unionByName(leftSide)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))

@@ -36,6 +36,28 @@ class TemporalSpec extends AnyFunSuite {
       (3L, -1L, -1.0))) // key 200 has no purchases
   }
 
+  test("asof forward: picks earliest right at-or-after, ties to min tie") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (11L, 100L, 10L, 1.0),  // exactly at left t=10 → inclusive
+      (12L, 100L, 10L, 2.0),  // same ts, SMALLER tie id wins forward
+      (15L, 100L, 30L, 5.0),
+      (14L, 999L, 60L, 9.0))  // other key, never matches
+      .toDF("rid", "k", "t", "v")
+    val out = Temporal.asofJoinForward(left, right, "k", "t", "t", "rid",
+        Seq("v"))
+      .select("id", "asof_rid", "asof_v").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out === Array(
+      (1L, 11L, 1.0),   // ties at t=10 → rid 11 (smallest)
+      (2L, 15L, 5.0),   // earliest >= 25 is t=30
+      (3L, -1L, -1.0))) // key 200 has nothing following
+  }
+
   test("sessionize: splits exactly when gap exceeds threshold") {
     val df = Seq(
       (1L, 0L, 1L), (1L, 100L, 2L), (1L, 101L, 3L), // gap 100 == gap → same
