@@ -210,6 +210,23 @@ object SparkEntry {
                GROUP BY c_custkey ORDER BY c_custkey""")
     }),
 
+    // TPC-H Q18 shape: HAVING-filtered aggregate subquery drives a
+    // semi-join on the fact (large-volume orders).
+    "q18_big_orders" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val bigOrders = li.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      T(s, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Broadcast dimension joins: small dims never shuffle the fact side.
     "region_customers" -> ((s, dir) => T(s, dir, "customer")
       .join(broadcast(T(s, dir, "nation")),
@@ -834,6 +851,14 @@ object SparkEntry {
           |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
           |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      "q18_big_orders" ->
+        """SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, total_qty
+          |FROM orders
+          |JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+          |      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150) t
+          |  ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
       "region_customers" ->
         "SELECT r_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
       "left_join_counts" ->
