@@ -126,6 +126,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("top-k aggregator equals sort-and-take on random groups") {
+    val rowGen = for {
+      g <- Gen.choose(0, 3)
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (g, v)
+    (1 to 3).foreach { seed =>
+      val rows = Gen.listOfN(80, rowGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val got = rows.toDF("g", "v").repartition(5)
+        .groupBy("g")
+        .agg(graft.functions.TopKAgg.top_k_values(col("v"), 4).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      rows.groupBy(_._1).foreach { case (g, vs) =>
+        val expect = vs.map(_._2).sorted(Ordering[Double].reverse).take(4)
+        assert(got(g) == expect, s"group $g")
+      }
+    }
+  }
+
   test("NaN normalization: NaN doubles serialize as JSON nulls (P14)") {
     val df = Seq((1, Double.NaN, 2.5)).toDF("VendorID", "fare_amount", "trip_distance")
     val parsed = Json.parseStream(Json.toKeyedJson(df, col("VendorID")),
