@@ -679,6 +679,21 @@ object SparkEntry {
         Analytics.dsum(col("val")).as("total"))
       .orderBy("measure")),
 
+    // Per-partition batch decode (mapPartitions plumbing; codec stubbed
+    // deterministically — the schema/batch shape is the real thing).
+    "decode_meta" -> ((s, dir) => Multimodal.decodeMeta(s,
+        Multimodal.mediaFromDocuments(T(s, dir, "documents")))
+      .orderBy("id")),
+
+    // Feature extraction composed with vector math: stub encoder output
+    // flows straight into the codegen'd dot-product kernel.
+    "media_features" -> ((s, dir) => Multimodal.extractFeatures(s,
+        Multimodal.mediaFromDocuments(T(s, dir, "documents")))
+      .select(col("id"),
+        round(sqrt(graft.functions.VectorFunctions.vec_dot(
+          col("embedding"), col("embedding"))), 4).as("feature_norm"))
+      .orderBy("id")),
+
     // -- rows-only checks (not ANSI-SQL-expressible; no oracle entry) --
 
     "minhash_pairs" -> ((s, dir) =>
