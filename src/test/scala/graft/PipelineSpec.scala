@@ -109,6 +109,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("AvailableNow trigger drains the source and self-terminates") {
+    // The batch-over-stream pattern for scheduled ingestion: process
+    // everything available in rate-limited micro-batches, then stop —
+    // no long-running query to babysit.
+    val inDir = Files.createTempDirectory("graft-an-in").toString
+    val warehouse = Files.createTempDirectory("graft-an-wh").toString
+    val checkpoint = Files.createTempDirectory("graft-an-ckpt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(inDir, "a.jsonl"),
+      (goodRows ++ badRows).mkString("\n").getBytes)
+    val query = Pipeline.start(
+      Pipeline.fileTextSource(spark, inDir, maxFilesPerTrigger = 1),
+      warehouse, checkpoint, Trigger.AvailableNow())
+    assert(query.awaitTermination(60000), "query did not self-terminate")
+    assert(spark.read.parquet(warehouse).count() == 2)
+  }
+
   test("empty micro-batches are skipped (no output files, no failure)") {
     val warehouse = Files.createTempDirectory("graft-wh2").toString
     val checkpoint = Files.createTempDirectory("graft-ckpt2").toString
