@@ -46,13 +46,22 @@ object Bench {
     // Second, warm pass: steady-state total with plans/codegen/JIT hot —
     // the number that predicts per-query cost on a long-lived cluster
     // session. The cold pass above stays the headline `value` (it is
-    // what a fresh job pays).
-    val warmTotal = SparkEntry.queries.values.map { fn =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => 0.0 }
+    // what a fresh job pays). Queries that already failed cold are
+    // skipped (not re-run as silent 0.0s), and a warm-only failure is
+    // recorded in warm_failed instead of deflating the sum.
+    var warmFailed = List.empty[String]
+    val warmTotal = SparkEntry.queries.collect {
+      case (name, fn) if !failed.contains(name) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          warmFailed ::= name
+          System.err.println(s"[bench] $name FAILED warm: ${e.getMessage}")
+          0.0
+        }
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"sf":"$sfDir"}""")
+    val warmFailedJson = warmFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"warm_failed":$warmFailedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

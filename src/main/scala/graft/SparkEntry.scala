@@ -101,6 +101,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // P7: guarded average speed (spark_consumer.py:67-69) — value as the
+    // distance, props.k as the duration-in-minutes analog; zero unless
+    // BOTH are positive (the reference's exact guard).
+    "trip_speed" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("k", from_json(col("props"), kSchema).getField("k"))
+      // No rounding: the expression is scalar IEEE arithmetic with the
+      // same op order in both engines — bit-identical doubles; rounding
+      // would INTRODUCE decimal-tie divergence (round-half modes differ).
+      ev.select(col("event_id"),
+          Enrich.speedMph(col("value"), col("k").cast("double"))
+            .as("speed_mph"))
+        .orderBy("event_id")
+    }),
+
     // P11: conjunctive validity filter (spark_consumer.py:77-78 shape).
     "valid_filter" -> ((s, dir) => T(s, dir, "events")
       .filter(col("value") > 0 && col("value") < 300 &&
@@ -601,14 +616,17 @@ object SparkEntry {
       .orderBy("lang", "split")),
 
     // Greedy contiguous packing of docs into max-token training
-    // sequences; per-sequence fill statistics.
-    "pack_sequences" -> ((s, dir) => Sampling.packSequences(
-        T(s, dir, "documents"), col("doc_id"),
+    // sequences, SHARDED by language: each shard's running sum is an
+    // independent window partition, so packing parallelizes across
+    // shards with no global-ORDER-BY single task (the 100 TB form;
+    // (lang, seq_id) is the global sequence key).
+    "pack_sequences" -> ((s, dir) => Sampling.packSequencesSharded(
+        T(s, dir, "documents"), col("lang"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")), maxTokens = 2048)
-      .groupBy("seq_id")
+      .groupBy("lang", "seq_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("seq_tokens"))
-      .orderBy("seq_id")),
+      .orderBy("lang", "seq_id")),
 
     // Benchmark-contamination screen: eval docs (id < 50) vs the training
     // rest, 3-gram overlap with stop-gram pruning.
@@ -735,12 +753,11 @@ object SparkEntry {
 
     // Exact verification of raw LSH candidates (band collisions), the
     // recall-safe complement of minhash_pairs' estimate-thresholded view.
-    "ngram_jaccard_pairs" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      Dedup.exactJaccard(docs,
-        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs), 8, 4))
-        .filter(col("jaccard") >= 0.3)
-    }),
+    // Single-scan form: one hashedShingles pass yields both the banding
+    // signatures and the exact shingle sets.
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.lshVerifiedJaccardPairs(T(s, dir, "documents"))
+        .filter(col("jaccard") >= 0.3)),
 
     "simhash_docs" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))),
 
@@ -754,6 +771,18 @@ object SparkEntry {
     // IVF variant: coarse quantizer + 2 probed inverted lists.
     "ann_topk_ivf" -> ((s, dir) => Similarity.annTopKIvf(
       T(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    // IVF over the PERSISTED index (cell = partition key): the scan reads
+    // ONLY the probed cells' files (static partition pruning — the
+    // repeated-query cost model at 100 TB), and returns exactly
+    // ann_topk_ivf's rows. The index builds once per corpus dir and is
+    // reused by every subsequent query.
+    "ann_topk_indexed" -> ((s, dir) => {
+      val idx = Similarity.ivfIndexPathFor(dir)
+      Similarity.ensureIvfIndex(s, T(s, dir, "embeddings"), idx)
+      val (qVec, qNorm) = Similarity.lookupVec(s, idx, 0L)
+      Similarity.annTopKIndexed(s, idx, qVec, qNorm, k = 10)
+    }),
 
     // Recall@10 of both ANN variants against the exact scan — the
     // quality metric that justifies the approximate path at scale
@@ -825,6 +854,8 @@ object SparkEntry {
         "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",
       "derived_trip_columns" ->
         "SELECT event_id, CAST(HOUR(ts) AS INTEGER) AS pickup_hour, CASE WHEN value <= 20 THEN 'short' WHEN value <= 100 THEN 'medium' ELSE 'long' END AS trip_category, ROUND(CASE WHEN value > 0 THEN CAST(json_extract(props, '$.k') AS INTEGER) / value * 100.0 ELSE 0.0 END, 4) AS tip_pct FROM events ORDER BY event_id",
+      "trip_speed" ->
+        "SELECT event_id, CASE WHEN CAST(json_extract(props, '$.k') AS DOUBLE) > 0 AND value > 0 THEN value / (CAST(json_extract(props, '$.k') AS DOUBLE) / 60.0) ELSE 0.0 END AS speed_mph FROM events ORDER BY event_id",
       "valid_filter" ->
         s"""SELECT COUNT(*) AS valid_events, $moneySum AS valid_revenue FROM events WHERE value > 0 AND value < 300 AND event_type <> 'error'""",
       "dynamic_range" ->
@@ -1045,11 +1076,12 @@ object SparkEntry {
           |       COUNT(*) AS n_docs
           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "pack_sequences" ->
-        s"""SELECT seq_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS seq_tokens FROM (
-          |  SELECT CAST(FLOOR((SUM(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt) / 2048) AS BIGINT) AS seq_id,
+        s"""SELECT lang, seq_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS seq_tokens FROM (
+          |  SELECT lang,
+          |         CAST(FLOOR((SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt) / 2048) AS BIGINT) AS seq_id,
           |         nt
-          |  FROM (SELECT doc_id, $nTokens AS nt FROM documents) x) t
-          |GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+          |  FROM (SELECT doc_id, lang, $nTokens AS nt FROM documents) x) t
+          |GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
       "edit_distance" ->
         "SELECT a.doc_id AS doc_a, CAST(levenshtein(SUBSTRING(a.text, 1, 200), SUBSTRING(b.text, 1, 200)) AS INTEGER) AS edit_dist FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 200 AND b.doc_id < 200 ORDER BY doc_a",
       "dedup_exact" ->

@@ -1,8 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY §7.2 PR 5): media payloads travel as
   * opaque `binary` columns with typed metadata alongside. The Spark-side
@@ -10,15 +9,32 @@ import org.apache.spark.sql.types._
   * tested; the actual codec step is STUBBED (no image/audio libraries in
   * this environment) behind [[fakeDecode]], a deterministic stand-in with
   * the same signature a real decoder would have.
+  *
+  * Execution shape: every codec stage is a TYPED `Dataset.mapPartitions`
+  * — one `DeserializeToObject → MapPartitions → SerializeFromObject`
+  * island inside the regular Dataset plan, so column pruning still
+  * reaches the scan below and whole-stage codegen resumes immediately
+  * above (the earlier RDD round-trip formulation severed the plan in two
+  * and kept everything downstream off codegen). Per-partition codec/model
+  * init lives in the mapPartitions closure, once per partition.
   */
 object Multimodal {
 
-  /** Metadata struct a decode step yields per media object. */
-  val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("byte_len", IntegerType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("format", StringType, nullable = false)))
+  /** Typed record of a decode step's per-object metadata. */
+  case class DecodedMeta(id: Long, byte_len: Int, width: Int, height: Int,
+                         format: String)
+
+  /** Typed record of a feature-extraction step's output; `embedding`
+    * encodes as `array<float>`, plugging directly into [[Similarity]].
+    */
+  case class MediaFeatures(id: Long, embedding: Array[Float])
+
+  /** Typed record of a resize step's output. */
+  case class ResizedMedia(id: Long, payload: Array[Byte], width: Int,
+                          height: Int)
+
+  /** Typed record of a frame-sampling step's fan-out output. */
+  case class SampledFrame(id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Cheap expression-level metadata over a binary column: length +
     * content digest. This is the *real* path for header-only metadata.
@@ -34,33 +50,32 @@ object Multimodal {
     * derives plausible dimensions from a stable content hash so tests are
     * reproducible. Signature and batch shape match the real thing.
     */
-  def fakeDecode(payload: Array[Byte]): Row = {
-    var h = 1125899906842597L // deterministic FNV-ish fold, not hashCode
-    payload.foreach(b => h = h * 31 + b)
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int, String) = {
+    val h = fold(payload)
     val w = 64 + math.floorMod(h, 1024).toInt
     val ht = 64 + math.floorMod(h >> 10, 1024).toInt
     val fmt = if (math.floorMod(h, 2) == 0L) "jpeg" else "png"
-    Row(payload.length, w, ht, fmt)
+    (payload.length, w, ht, fmt)
   }
 
-  /** Per-partition batch decode: binary payloads → metadata structs. This
+  /** Per-partition batch decode: binary payloads → metadata records. This
     * is the distributed shape a real decoder plugs into — `mapPartitions`
     * amortizes codec init per partition (per-executor-core), and the
     * payload column is dropped as early as possible afterwards. Input must
     * have (id: long, payload: binary).
     */
   def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
-    val outSchema = StructType(
-      StructField("id", LongType, nullable = false) +: mediaMetaSchema.fields.toSeq)
-    val rdd = media.select(col("id"), col("payload")).rdd.mapPartitions { it =>
-      // Real codecs would initialize their native context HERE, once per
-      // partition, then stream batches through it.
-      it.map { r =>
-        val meta = fakeDecode(r.getAs[Array[Byte]]("payload"))
-        Row.fromSeq(r.getLong(0) +: meta.toSeq)
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // Real codecs would initialize their native context HERE, once
+        // per partition, then stream batches through it.
+        it.map { case (id, p) =>
+          val (len, w, h, fmt) = fakeDecode(p)
+          DecodedMeta(id, len, w, h, fmt)
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF()
   }
 
   /** Build a media-shaped frame from the documents table (text bytes stand
@@ -71,13 +86,13 @@ object Multimodal {
     col("text").cast("binary").as("payload"))
 
   // ---------------------------------------------------------------------
-  // Feature-extract / resize / frame-sample — same per-partition batch
-  // shape as decodeMeta; codec bodies are deterministic STUBS (no media
-  // libraries in this environment), signatures and schemas are real.
+  // Feature-extract / resize / frame-sample — same per-partition typed
+  // batch shape as decodeMeta; codec bodies are deterministic STUBS (no
+  // media libraries in this environment), signatures and schemas are real.
   // ---------------------------------------------------------------------
 
   private def fold(payload: Array[Byte]): Long = {
-    var h = 1125899906842597L
+    var h = 1125899906842597L // deterministic FNV-ish fold, not hashCode
     payload.foreach(b => h = h * 31 + b)
     h
   }
@@ -89,19 +104,17 @@ object Multimodal {
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 8): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("embedding", ArrayType(FloatType, containsNull = false))))
-    val rdd = media.select(col("id"), col("payload")).rdd.mapPartitions { it =>
-      // model/codec init would happen here, once per partition
-      it.map { r =>
-        val h = fold(r.getAs[Array[Byte]]("payload"))
-        val vec = Array.tabulate(dim)(i =>
-          (math.floorMod(h >> (i * 7), 1000) / 1000.0f) - 0.5f)
-        Row(r.getLong(0), vec.toSeq)
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // model/codec init would happen here, once per partition
+        it.map { case (id, p) =>
+          val h = fold(p)
+          MediaFeatures(id, Array.tabulate(dim)(i =>
+            (math.floorMod(h >> (i * 7), 1000) / 1000.0f) - 0.5f))
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF()
   }
 
   /** STUB resize: payload → payload' with target dims recorded. A real
@@ -109,19 +122,15 @@ object Multimodal {
     * size actually depends on the target — batch shape and schema real.
     */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false)))
+    import spark.implicits._
     val target = math.max(16, (w * h) / 64)
-    val rdd = media.select(col("id"), col("payload")).rdd.mapPartitions { it =>
-      it.map { r =>
-        val p = r.getAs[Array[Byte]]("payload")
-        Row(r.getLong(0), java.util.Arrays.copyOf(p, target), w, h)
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          ResizedMedia(id, java.util.Arrays.copyOf(p, target), w, h)
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF()
   }
 
   /** STUB frame sampler: one video payload → every `stride`-th "frame"
@@ -130,22 +139,19 @@ object Multimodal {
     */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    frameBytes: Int = 32, stride: Int = 4): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame", BinaryType, nullable = false)))
-    val rdd = media.select(col("id"), col("payload")).rdd.mapPartitions { it =>
-      it.flatMap { r =>
-        val p = r.getAs[Array[Byte]]("payload")
-        val nFrames = math.max(1, p.length / frameBytes)
-        (0 until nFrames by stride).map { f =>
-          val from = f * frameBytes
-          Row(r.getLong(0), f,
-            java.util.Arrays.copyOfRange(p, from,
-              math.min(from + frameBytes, p.length)))
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val nFrames = math.max(1, p.length / frameBytes)
+          (0 until nFrames by stride).iterator.map { f =>
+            val from = f * frameBytes
+            SampledFrame(id, f,
+              java.util.Arrays.copyOfRange(p, from,
+                math.min(from + frameBytes, p.length)))
+          }
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF()
   }
 }

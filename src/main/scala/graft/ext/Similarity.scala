@@ -157,6 +157,95 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted IVF index — the materialized form of the "cell id is the
+  // partition key at scale" layout the operators above describe.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic index directory for a testdata dir (tmpdir-scoped). */
+  def ivfIndexPathFor(sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ivf-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  /** Materialize the IVF index: every vector with its coarse cell and
+    * precomputed norm, written PARTITIONED BY cell. Repeated queries then
+    * read ONLY the probed cells' files via static partition pruning —
+    * instead of re-deriving every vector's cell with a full corpus scan
+    * per query ([[annTopKIvf]]'s cost model, fine once, wrong repeated).
+    * One corpus scan to build, amortized over every query after it.
+    */
+  def buildIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
+                    dim: Int = 64): Unit =
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"),
+        ivfCell(col("embedding"), nlist, dim).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Build the index only when absent (`_SUCCESS` marker) — the steady
+    * state is "index exists, queries prune", not "rebuild per query".
+    */
+  def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     emb: => DataFrame, path: String, nlist: Int = 16,
+                     dim: Int = 64): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) buildIvfIndex(emb, path, nlist, dim)
+  }
+
+  /** Driver-side single-vector lookup from the index (the "I hold a query
+    * id, not a vector" entry; a real service holds the vector already).
+    * Returns the stored embedding and its precomputed norm.
+    */
+  def lookupVec(spark: org.apache.spark.sql.SparkSession, path: String,
+                vecId: Long): (Array[Float], Double) = {
+    val r = spark.read.parquet(path)
+      .filter(col("vec_id") === vecId)
+      .select(col("embedding"), col("nrm"))
+      .head()
+    (r.getSeq[Float](0).toArray, r.getDouble(1))
+  }
+
+  /** The query's `nprobe` best cells, computed driver-side against the
+    * same centroids with the same double fold order as
+    * [[graft.functions.FloatVecDot]] (left-to-right, per-term toDouble),
+    * and [[annTopKIvf]]'s tie order (score desc, then cell index desc) —
+    * identical scores, identical probe set.
+    */
+  def probeCells(queryVec: Array[Float], nlist: Int = 16, dim: Int = 64,
+                 nprobe: Int = 2): Seq[Int] =
+    centroids(nlist, dim, 7L).zipWithIndex.map { case (c, i) =>
+      val n = math.min(c.length, queryVec.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += queryVec(j).toDouble * c(j).toDouble; j += 1 }
+      (s, i)
+    }.sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+      .reverse.take(nprobe).map(_._2)
+
+  /** ANN top-k over the PERSISTED index: the scan carries a static
+    * `cell IN (probed…)` partition filter — only the probed cells' files
+    * are read (PlanGuardSpec asserts this) — then scores survivors with
+    * the codegen'd dot kernel against the literal query vector and takes
+    * TakeOrdered(k). Returns exactly [[annTopKIvf]]'s rows (the query is
+    * a vector, not an id — like [[annTopKIvf]], a stored vector querying
+    * for itself appears in its own results; filter by id downstream to
+    * exclude it).
+    */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, queryVec: Array[Float],
+                     queryNorm: Double, k: Int,
+                     nlist: Int = 16, dim: Int = 64,
+                     nprobe: Int = 2): DataFrame = {
+    val cells = probeCells(queryVec, nlist, dim, nprobe)
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("label"),
+        round(vec_dot(col("embedding"), typedLit(queryVec.toSeq)) /
+          (col("nrm") * lit(queryNorm)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket — the
     * embedding analog of [[Dedup.minhashNearDupPairs]]: pairs form only
     * within buckets (a shuffle keyed on the bucket), never across the

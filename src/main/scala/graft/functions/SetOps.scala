@@ -31,7 +31,12 @@ object SetOps {
       if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = small.numElements()
     if (n == 0) return 0
-    // Power-of-two capacity ≥ 2n keeps load factor ≤ 0.5.
+    // Power-of-two capacity ≥ 2n keeps load factor ≤ 0.5. Beyond 2^28
+    // elements the ×4 would overflow Int to a negative array size — fail
+    // with a message instead of a NegativeArraySizeException (a single
+    // collect_set row that large is already far past sane row width).
+    if (n > (1 << 28)) throw new IllegalArgumentException(
+      s"set_overlap input array has $n elements; max supported is 2^28")
     val cap = java.lang.Integer.highestOneBit(math.max(2, n)) * 4
     val mask = cap - 1
     val table = new Array[Long](cap)

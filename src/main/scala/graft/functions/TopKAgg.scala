@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions.udaf
   * which is deterministic under ties (which tied ROW wins is undefined,
   * but the value multiset is not).
   */
-class TopKDoubles(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+class TopKDoubles(k: Int)
+    extends Aggregator[java.lang.Double, Seq[Double], Seq[Double]] {
   require(k > 0, s"k must be positive, got $k")
 
   override def zero: Seq[Double] = Seq.empty
@@ -27,8 +28,11 @@ class TopKDoubles(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
     else if (v > buf.head) (v +: buf.tail).sorted
     else buf
 
-  override def reduce(buf: Seq[Double], v: Double): Seq[Double] =
-    insert(buf, v)
+  // Boxed input so NULLs decode instead of failing the encoder; they are
+  // SKIPPED, matching built-in aggregates (and the oracle's array_agg
+  // over non-null values) on nullable file-source columns.
+  override def reduce(buf: Seq[Double], v: java.lang.Double): Seq[Double] =
+    if (v == null) buf else insert(buf, v.doubleValue())
 
   override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
     b.foldLeft(a)(insert)
@@ -47,5 +51,5 @@ object TopKAgg {
 
   /** Column form: `top_k_values(col, k)` for use in `agg(...)`. */
   def top_k_values(c: Column, k: Int): Column =
-    udaf(new TopKDoubles(k), Encoders.scalaDouble).apply(c)
+    udaf(new TopKDoubles(k), Encoders.DOUBLE).apply(c)
 }

@@ -2,8 +2,6 @@ package graft.sources
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -38,11 +36,16 @@ class TripGenSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TripGenSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // Reader options are case-insensitive everywhere else in Spark —
+    // honor that here too ('rowspertrigger' must not silently fall back
+    // to the default).
+    val opts = new CaseInsensitiveStringMap(properties)
     new TripGenTable(
-      properties.asScala.getOrElse("rows", "1000").toLong,
-      properties.asScala.getOrElse("partitions", "4").toInt,
-      properties.asScala.getOrElse("rowsPerTrigger", "100").toLong)
+      opts.getLong("rows", 1000L),
+      opts.getInt("partitions", 4),
+      opts.getLong("rowsPerTrigger", 100L))
+  }
 }
 
 object TripGenSource {

@@ -184,6 +184,16 @@ class ExtSpec extends AnyFunSuite {
     assert(j.exists { case (a, b, v) => a == 0 && b == 4 && v == 0.0 })
   }
 
+  test("one-pass LSH-verified jaccard equals the two-scan candidate+verify form") {
+    val onePass = Dedup.lshVerifiedJaccardPairs(docs, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twoScan = Dedup.exactJaccard(docs,
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs), 8, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(onePass == twoScan)
+    assert(onePass.contains((0L, 1L, 1.0))) // identical docs verify at 1.0
+  }
+
   test("simhash: identical docs share fingerprints; hamming small for near-dups") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

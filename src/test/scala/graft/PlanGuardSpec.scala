@@ -67,6 +67,32 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("ann_topk_indexed prunes the index scan to the probed cells") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val df = SparkEntry.queries("ann_topk_indexed")(spark, dir)
+    // The scan must carry a STATIC partition filter on the cell key —
+    // pruning decided at plan time, not a post-scan filter.
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+    // The files actually read all come from the probed cells' directories
+    // (≤ nprobe of the 16 cell partitions).
+    val idx = graft.ext.Similarity.ivfIndexPathFor(dir)
+    val (qVec, _) = graft.ext.Similarity.lookupVec(spark, idx, 0L)
+    val probed = graft.ext.Similarity.probeCells(qVec).toSet
+    val scannedCells = spark.read.parquet(idx)
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+      .flatMap(f => "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .toSet
+    assert(scannedCells.nonEmpty && scannedCells.subsetOf(probed),
+      s"scanned $scannedCells, probed $probed")
+    // Pruned scan and full-scan IVF agree row-for-row.
+    assert(df.collect().toSeq ==
+      SparkEntry.queries("ann_topk_ivf")(spark, dir).collect().toSeq)
+  }
+
   test("sessionize_batch plans exactly one pre-output exchange") {
     val p = plan("sessionize_batch")
     // One Exchange for the key windows + aggregate, one for the final

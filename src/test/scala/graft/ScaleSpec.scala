@@ -370,6 +370,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("RocksDB state store runs the stateful pipeline at large key cardinality") {
+    // T5/T6 at 100 TB: the default HDFS-backed provider keeps every key's
+    // state on-heap — unbounded with key cardinality. RocksDB spills
+    // state to native+disk, bounding the heap; this proves the same
+    // stateful operator (mapGroupsWithState) runs unchanged on it and
+    // that the provider actually engaged (its own metrics appear).
+    import scala.jdk.CollectionConverters._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[(Int, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Int, Double)]], spark.sqlContext)
+      val trips = source.toDF().toDF("vendor_id", "fare_amount")
+      val query = Pipeline.vendorRunningTotals(trips)
+        .writeStream.format("memory").queryName("rocks_totals")
+        .outputMode("update").trigger(Trigger.ProcessingTime("1 second")).start()
+      try {
+        source.addData((0 until 5000).map(v => (v, 1.0)): _*)
+        query.processAllAvailable()
+        source.addData((0 until 5000).map(v => (v, 2.0)): _*)
+        query.processAllAvailable()
+        val metrics = query.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet.asScala)
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb state metrics in ${metrics.distinct.mkString(",")}")
+      } finally query.stop()
+      val last = spark.table("rocks_totals").collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (v, rows) => v -> rows.last._2 }
+      assert(last.size == 5000)
+      assert(last.values.forall(_ == (2L, 3.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState carries per-vendor totals across micro-batches") {
     val source = MemoryStream[(Int, Double)](
       implicitly[org.apache.spark.sql.Encoder[(Int, Double)]], spark.sqlContext)
