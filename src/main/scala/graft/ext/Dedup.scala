@@ -149,7 +149,10 @@ object Dedup {
     */
   def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandRows = lshBands(sigs, bands, rowsPerBand)
-    val a = bandRows.as("a")
+    // merge hint → both sides shuffle on the same key from the same
+    // subtree → AQE exchange reuse runs the signature pipeline ONCE (a
+    // broadcast self-join would compute it twice, once per side).
+    val a = bandRows.as("a").hint("merge")
     val b = bandRows.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
@@ -180,7 +183,9 @@ object Dedup {
         explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
       .select(col("doc_id"), col("signature"),
         col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
-    val a = bandRows.as("a")
+    // merge hint → exchange reuse: one shingle+sketch pass feeds both
+    // join sides (see [[lshVerifiedJaccardPairs]] for the rationale).
+    val a = bandRows.as("a").hint("merge")
     val b = bandRows.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
@@ -266,7 +271,12 @@ object Dedup {
         explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
       .select(col("doc_id"), col("shset"), col("bh.band").as("band"),
         col("bh.band_hash").as("band_hash"))
-    val a = bandRows.as("a")
+    // Force a sort-merge self-join: both sides then shuffle on the SAME
+    // (band, band_hash) key from the SAME subtree, and Spark's exchange
+    // reuse computes the shingle scan + aggregation ONCE (a broadcast
+    // join — the small-scale AQE choice — would run the whole corpus
+    // pass twice, once per side; at 100 TB SMJ is the plan anyway).
+    val a = bandRows.as("a").hint("merge")
     val b = bandRows.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&

@@ -256,7 +256,9 @@ object Similarity {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), numPlanes, dim).as("bucket"),
       vec_norm(col("embedding")).as("nrm"))
-    val a = bucketed.as("a")
+    // merge hint → exchange reuse: the bucketing projection (numPlanes
+    // dot products per vector) runs once, not once per join side.
+    val a = bucketed.as("a").hint("merge")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

@@ -93,6 +93,19 @@ class PlanGuardSpec extends AnyFunSuite {
       SparkEntry.queries("ann_topk_ivf")(spark, dir).collect().toSeq)
   }
 
+  test("ngram_jaccard_pairs runs the shingle pass once (reused exchange)") {
+    // The one-pass guarantee is a RUNTIME property: AQE reuses the
+    // (band, band_hash) exchange across the self-join's sides, so the
+    // corpus scan + shingle flatMap + sketch/set aggregation execute
+    // exactly once. Assert on the final adaptive plan, not the initial.
+    val df = SparkEntry.queries("ngram_jaccard_pairs")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    assert("MapPartitions".r.findAllIn(finalPlan).length == 1, finalPlan)
+  }
+
   test("sessionize_batch plans exactly one pre-output exchange") {
     val p = plan("sessionize_batch")
     // One Exchange for the key windows + aggregate, one for the final

@@ -370,6 +370,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("JDBC sink round-trips enriched trips through a live embedded database") {
+    // S5 as the reference wired it (database_handler.py JDBC appends),
+    // exercised against a REAL database — embedded Derby ships with the
+    // Spark distribution, so the write path (batched INSERTs per
+    // partition) and read path run end-to-end, not config-only.
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftwh;create=true"
+    val table = "\"taxi_trips\"" // quoted: Spark quotes column identifiers
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE "taxi_trips" (
+          |  "vendor_id" INTEGER, "pickup_datetime" TIMESTAMP,
+          |  "dropoff_datetime" TIMESTAMP, "passenger_count" INTEGER,
+          |  "trip_distance" DOUBLE, "fare_amount" DOUBLE,
+          |  "tip_amount" DOUBLE, "total_amount" DOUBLE,
+          |  "trip_duration_minutes" DOUBLE, "pickup_hour" INTEGER,
+          |  "trip_category" VARCHAR(16), "tip_percentage" DOUBLE)""".stripMargin)
+    } finally conn.close()
+
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val trips = Seq(
+      (1, ts("2024-01-01 08:00:00"), ts("2024-01-01 08:10:00"), 1, 2.0,
+        10.0, 2.0, 12.0, 10.0, 8, "short", 20.0),
+      (2, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"), 2, 8.0,
+        30.0, 0.0, 30.0, 30.0, 9, "medium", 0.0))
+      .toDF("vendor_id", "pickup_datetime", "dropoff_datetime",
+        "passenger_count", "trip_distance", "fare_amount", "tip_amount",
+        "total_amount", "trip_duration_minutes", "pickup_hour",
+        "trip_category", "tip_percentage")
+
+    val props = new java.util.Properties()
+    Warehouse.appendTripsJdbc(trips, url, table, props)
+    val back = spark.read.jdbc(url, table, props)
+    assert(back.count() == 2)
+    assert(back.select("vendor_id", "trip_category", "fare_amount")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .toSet == Set((1, "short", 10.0), (2, "medium", 30.0)))
+    // append mode appends — a second batch doubles the rows
+    Warehouse.appendTripsJdbc(trips, url, table, props)
+    assert(spark.read.jdbc(url, table, props).count() == 4)
+  }
+
   test("RocksDB state store runs the stateful pipeline at large key cardinality") {
     // T5/T6 at 100 TB: the default HDFS-backed provider keeps every key's
     // state on-heap — unbounded with key cardinality. RocksDB spills
