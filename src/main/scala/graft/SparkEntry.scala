@@ -652,6 +652,40 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) => Dedup.exactStats(T(s, dir, "documents"))),
 
+    // Incremental exact dedup: a new ingestion slice (doc_id >= 450)
+    // anti-joined on content digest against the standing corpus — the
+    // per-batch form of dedup at 100 TB (never rescan-vs-rescan).
+    "incremental_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.dedupAgainstSeen(
+          docs.filter(col("doc_id") >= 450), docs.filter(col("doc_id") < 450))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // PII scrub: emails/URLs/long digit runs → typed placeholders. The
+    // corpus is deterministically augmented with synthetic PII first, so
+    // the replacement path (not just identity) is what both engines hash.
+    "redact_pii" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val aug = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), id,
+          lit("@mail.example.com or https://ex"), id, lit(".org/id/"), id,
+          lit(" ref 123456789")).as("text"))
+      aug.select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("clean"),
+          (length(col("text")) - length(TextAnalysis.redactPii(col("text"))))
+            .as("removed_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence-length histogram (20-token buckets) — the distribution a
+    // packing/truncation policy is tuned against.
+    "token_histogram" -> ((s, dir) => T(s, dir, "documents")
+      .select((floor(TextAnalysis.tokenCount(col("text")) / 20) * 20)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")),
+
     "dedup_normalized" -> ((s, dir) =>
       Dedup.normalizedStats(T(s, dir, "documents"))),
 
@@ -1086,6 +1120,26 @@ object SparkEntry {
         "SELECT a.doc_id AS doc_a, CAST(levenshtein(SUBSTRING(a.text, 1, 200), SUBSTRING(b.text, 1, 200)) AS INTEGER) AS edit_dist FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 200 AND b.doc_id < 200 ORDER BY doc_a",
       "dedup_exact" ->
         "SELECT COUNT(*) AS total_docs, COUNT(DISTINCT MD5(text)) AS distinct_docs, COUNT(*) - COUNT(DISTINCT MD5(text)) AS duplicate_docs FROM documents",
+      "incremental_dedup" ->
+        """SELECT n.doc_id FROM documents n WHERE n.doc_id >= 450 AND NOT EXISTS (
+          |  SELECT 1 FROM documents s WHERE s.doc_id < 450 AND MD5(s.text) = MD5(n.text))
+          |ORDER BY n.doc_id""".stripMargin,
+      "redact_pii" ->
+        """SELECT doc_id,
+          |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text2,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    'https?://[^\s]+', '<URL>', 'g'),
+          |    '\b\d{7,}\b', '<NUMBER>', 'g') AS clean,
+          |  CAST(LENGTH(text2) - LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text2,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    'https?://[^\s]+', '<URL>', 'g'),
+          |    '\b\d{7,}\b', '<NUMBER>', 'g')) AS INTEGER) AS removed_chars
+          |FROM (SELECT doc_id, text || ' contact user' || doc_id ||
+          |        '@mail.example.com or https://ex' || doc_id || '.org/id/' ||
+          |        doc_id || ' ref 123456789' AS text2 FROM documents) t
+          |ORDER BY doc_id""".stripMargin,
+      "token_histogram" ->
+        s"""SELECT CAST(FLOOR($nTokens / 20) * 20 AS BIGINT) AS bucket, COUNT(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1""",
       "dedup_normalized" ->
         s"""SELECT COUNT(*) AS total_docs, COUNT(DISTINCT MD5($normText)) AS distinct_docs, COUNT(*) - COUNT(DISTINCT MD5($normText)) AS duplicate_docs FROM documents""",
       "dedup_keep_first" ->

@@ -48,6 +48,19 @@ object Dedup {
     .groupBy(digest(col("text")).as("content_digest"))
     .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
 
+  /** Incremental exact dedup: documents of `newDocs` whose content digest
+    * does NOT already occur in `seenDocs` — the per-ingestion-batch form
+    * of exact dedup at 100 TB (dedupe the new slice against the standing
+    * corpus, never re-scan-vs-rescan). The anti-join is keyed on the
+    * 16-byte digest: the seen side shrinks to distinct digests (in
+    * production, a maintained digest table read directly), so the shuffle
+    * carries digests, not documents, and a small seen-side broadcasts.
+    */
+  def dedupAgainstSeen(newDocs: DataFrame, seenDocs: DataFrame): DataFrame = {
+    val seen = seenDocs.select(digest(col("text")).as("seen_digest")).distinct()
+    newDocs.join(seen, digest(col("text")) === col("seen_digest"), "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH near-duplicate detection
   // ---------------------------------------------------------------------

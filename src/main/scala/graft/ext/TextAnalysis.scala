@@ -84,6 +84,27 @@ object TextAnalysis {
       .orderBy("lang", "predicted_lang")
   }
 
+  /** Conservative cross-engine regexes (Java regex ∩ RE2 syntax) for the
+    * standard pre-training PII scrub.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongDigitsRe = "\\b\\d{7,}\\b"
+
+  /** PII scrubbing: emails, URLs and long digit runs (ids/phones) replaced
+    * with typed placeholder tokens — the standard redaction pass before a
+    * corpus is trainable. A pure regexp projection: codegen'd, scan-bound,
+    * no shuffle, and ANSI-expressible for the oracle. Order matters:
+    * emails before URLs (an email never contains '://'; a URL may embed
+    * '@'), digits last so placeholder text is never re-scanned.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      LongDigitsRe, "<NUMBER>")
+
   /** Document fingerprint: 64-bit content hash over the normalized token
     * stream (xxhash64 — stable across runs/executors, unlike JVM
     * `hashCode`). Suitable as a cheap join/dedup key at any scale.

@@ -194,6 +194,35 @@ class ExtSpec extends AnyFunSuite {
     assert(onePass.contains((0L, 1L, 1.0))) // identical docs verify at 1.0
   }
 
+  test("PII redaction replaces emails, urls and long digit runs only") {
+    val rows = Seq(
+      (0L, "mail me at jane.doe+x@sub.example.org today"),
+      (1L, "see https://a.example.com/p?q=1 and http://b.io"),
+      (2L, "order 12345678 shipped; pin 123 stays, word7777777word stays"),
+      (3L, "nothing to scrub here"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "mail me at <EMAIL> today")
+    assert(out(1L) == "see <URL> and <URL>")
+    // 7+ digit runs need word boundaries: short pins and digit runs
+    // embedded in words survive.
+    assert(out(2L) == "order <NUMBER> shipped; pin 123 stays, word7777777word stays")
+    assert(out(3L) == "nothing to scrub here")
+  }
+
+  test("incremental dedup keeps only digests unseen in the standing corpus") {
+    val seen = docs.filter(col("doc_id") < 3)
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of seen 0
+      (11L, "genuinely new content never seen before"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstSeen(fresh, seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+  }
+
   test("simhash: identical docs share fingerprints; hamming small for near-dups") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
