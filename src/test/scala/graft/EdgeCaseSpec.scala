@@ -61,5 +61,40 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Sampling.datasetSplit(emptyDocs, col("doc_id")).isEmpty)
     assert(Sampling.packSequences(emptyDocs, col("doc_id"), lit(1),
       100).isEmpty)
+    assert(Sampling.packSequencesSharded(emptyDocs, col("text"),
+      col("doc_id"), lit(1), 100).isEmpty)
+  }
+
+  test("one-pass LSH verify and incremental dedup on empty/degenerate input") {
+    assert(Dedup.lshVerifiedJaccardPairs(emptyDocs).isEmpty)
+    // every new doc is novel when nothing has been seen
+    assert(Dedup.dedupAgainstSeen(someDocs, emptyDocs).count() == 1)
+    // nothing new → nothing out
+    assert(Dedup.dedupAgainstSeen(emptyDocs, someDocs).isEmpty)
+    // docs shorter than the shingle size produce no candidates, not a crash
+    val tiny = Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text")
+    assert(Dedup.lshVerifiedJaccardPairs(tiny).isEmpty)
+  }
+
+  test("persisted IVF index: pruning to cells with no files is empty, not an error") {
+    import graft.ext.Similarity
+    val emb = Seq(
+      (0L, 0, Array(1f, 0f, 0f, 0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf-edge").toString
+    Similarity.buildIvfIndex(emb, path, nlist = 4, dim = 4)
+    // Both vectors land in one cell; a probe set of OTHER cells prunes
+    // every file — the scan must come back empty, not fail.
+    val stored = spark.read.parquet(path)
+    val usedCells = stored.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val unused = (0 until 4).filterNot(usedCells)
+    assert(stored.filter(col("cell").isin(unused: _*)).isEmpty)
+    // and the real query against the index still finds both neighbors
+    val (qv, qn) = Similarity.lookupVec(spark, path, 0L)
+    val top = Similarity.annTopKIndexed(spark, path, qv, qn, k = 2,
+      nlist = 4, dim = 4, nprobe = 4)
+    assert(top.select("vec_id").as[Long].collect().toSet == Set(0L, 1L))
   }
 }

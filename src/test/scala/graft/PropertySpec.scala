@@ -145,6 +145,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("indexed ANN equals full-scan IVF for random corpora and queries") {
+    // The driver-side probeCells/lookup path must reproduce the in-plan
+    // centroid scoring BIT-exactly (same fold order, same tie-break) —
+    // any drift silently changes which cells are probed. Random vectors,
+    // fixed seed; equality is on full rows (id, label, rounded cosine).
+    import graft.ext.Similarity
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 40L).map(i =>
+        (i, (i % 3).toInt, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf-prop").toString
+    Similarity.buildIvfIndex(emb, path, nlist = 8, dim = 16)
+    Seq(0L, 7L, 23L).foreach { q =>
+      val ivf = Similarity.annTopKIvf(emb, q, k = 5, nlist = 8, dim = 16,
+        nprobe = 3).collect().toSeq
+      val (qv, qn) = Similarity.lookupVec(spark, path, q)
+      val idx = Similarity.annTopKIndexed(spark, path, qv, qn, k = 5,
+        nlist = 8, dim = 16, nprobe = 3).collect().toSeq
+      assert(idx == ivf, s"query $q: $idx vs $ivf")
+    }
+  }
+
   test("NaN normalization: NaN doubles serialize as JSON nulls (P14)") {
     val df = Seq((1, Double.NaN, 2.5)).toDF("VendorID", "fare_amount", "trip_distance")
     val parsed = Json.parseStream(Json.toKeyedJson(df, col("VendorID")),
