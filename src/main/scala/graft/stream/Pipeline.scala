@@ -13,6 +13,39 @@ import graft.warehouse.Warehouse
   */
 case class VendorTotals(vendor_id: Int, trips: Long, revenue: Double)
 
+/** [[Pipeline.vendorRunningTotalsTws]]'s processor — the Spark-4-native
+  * arbitrary-state API (`transformWithState`). Per-vendor totals live in
+  * a typed `ValueState` owned by the state store (RocksDB-backed; the
+  * only provider this API supports — bounded heap by construction),
+  * rather than in the encoder-roundtripped GroupState of the
+  * `mapGroupsWithState` formulation. TTL, timers and multi-state are
+  * available on the same handle when eviction/session semantics need
+  * them.
+  */
+class VendorTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Int, (Int, Double), VendorTotals] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var totals: ValueState[VendorTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[VendorTotals]("totals",
+      org.apache.spark.sql.Encoders.product[VendorTotals], TTLConfig.NONE)
+
+  override def handleInputRows(vendor: Int, rows: Iterator[(Int, Double)],
+                               timerValues: TimerValues): Iterator[VendorTotals] = {
+    val prev =
+      if (totals.exists()) totals.get() else VendorTotals(vendor, 0L, 0.0)
+    val (n, rev) = rows.foldLeft((prev.trips, prev.revenue)) {
+      case ((c, r), (_, fare)) => (c + 1, r + fare)
+    }
+    val next = VendorTotals(vendor, n, rev)
+    totals.update(next)
+    Iterator.single(next)
+  }
+}
+
 /** A closed rider session emitted by [[Pipeline.sessionize]]. */
 case class VendorSession(vendor_id: Int, trips: Long, revenue: Double,
                          first_ts: java.sql.Timestamp,
@@ -115,6 +148,25 @@ object Pipeline {
       .groupBy(window(col("pickup_datetime"), "1 hour"), col("vendor_id"))
       .agg(count(lit(1)).as("trip_count"),
         graft.agg.Analytics.dsum(col("fare_amount")).as("revenue"))
+  }
+
+  /** [[vendorRunningTotals]] on the Spark-4-native `transformWithState`
+    * API (same output contract): typed ValueState in the RocksDB-backed
+    * store via [[VendorTotalsProcessor]]. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * `RocksDBStateStoreProvider` — the API rejects the default HDFS
+    * provider, which is the point: state never accumulates on-heap.
+    */
+  def vendorRunningTotalsTws(trips: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[VendorTotals] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import trips.sparkSession.implicits._
+    trips
+      .selectExpr("vendor_id", "fare_amount")
+      .as[(Int, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new VendorTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** T6 upgrade path — arbitrary keyed state via `mapGroupsWithState`:

@@ -446,6 +446,26 @@ class ScaleSpec extends AnyFunSuite {
         .groupBy(_._1).map { case (v, rows) => v -> rows.last._2 }
       assert(last.size == 5000)
       assert(last.values.forall(_ == (2L, 3.0)))
+
+      // Same totals on the Spark-4-native transformWithState API (typed
+      // ValueState in the same RocksDB backend).
+      val twsSource = MemoryStream[(Int, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Int, Double)]], spark.sqlContext)
+      val twsQuery = Pipeline.vendorRunningTotalsTws(
+          twsSource.toDF().toDF("vendor_id", "fare_amount"))
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").trigger(Trigger.ProcessingTime("1 second")).start()
+      try {
+        twsSource.addData((1, 10.0), (1, 20.0), (2, 5.0))
+        twsQuery.processAllAvailable()
+        twsSource.addData((1, 30.0))
+        twsQuery.processAllAvailable()
+      } finally twsQuery.stop()
+      val twsLast = spark.table("tws_totals").collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (v, rows) => v -> rows.last._2 }
+      assert(twsLast(1) == (3L, 60.0))
+      assert(twsLast(2) == (1L, 5.0))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
