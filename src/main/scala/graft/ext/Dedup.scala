@@ -369,11 +369,17 @@ object Dedup {
     val parts = math.max(1L, math.min(
       symRaw.rdd.getNumPartitions.toLong, symRaw.count() / 50000L + 1L)).toInt
     val sym = symRaw.repartition(parts).localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed with iteration 1 computed DIRECTLY off the edge list: with
+    // labels initialized to ids, the first propagation's label-join is
+    // vacuous (comp == id), so min(self, min neighbor id) per vertex is
+    // one groupBy — this replaces both the vertex derivation and a full
+    // join iteration. Every vertex of the symmetrized graph appears as
+    // `dst`, so no vertex is lost.
+    var labels = sym.groupBy(col("dst").as("id"))
+      .agg(least(col("dst"), min(col("src"))).as("comp"))
       .localCheckpoint()
     var changed = 1L
-    var i = 0
+    var i = 1
     while (changed > 0 && i < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
