@@ -204,10 +204,13 @@ object Dedup {
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
+      // Fused codegen'd positional agreement ([[graft.functions
+      // .LongAgreeCount]]): the zip_with+aggregate chain is interpreted
+      // and allocates the zipped array for EVERY colliding pair — at 2M
+      // drill docs it dominated the whole near-dup pipeline.
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (aggregate(zip_with(col("a.signature"), col("b.signature"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) / numHashes.toDouble)
+        (graft.functions.SetFunctions.agree_count(
+            col("a.signature"), col("b.signature")) / numHashes.toDouble)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       // A pair colliding in several bands yields identical rows

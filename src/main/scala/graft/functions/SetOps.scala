@@ -70,6 +70,22 @@ object SetOps {
     }
     cnt
   }
+
+  /** Positional agreement count over the common prefix; null slots never
+    * agree (same rationale as [[overlap]] — intended inputs hold no
+    * nulls).
+    */
+  def agree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        cnt += 1
+      i += 1
+    }
+    cnt
+  }
 }
 
 /** Distinct-common-element count of two `array<long>` set columns —
@@ -106,8 +122,48 @@ case class LongSetOverlap(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two `array<long>` columns agree (common
+  * prefix of unequal-length inputs) — the MinHash signature-agreement
+  * kernel: `est_jaccard = agree_count(sig_a, sig_b) / k`. The built-in
+  * route (`zip_with` + `aggregate`) is interpreted and allocates the
+  * zipped array per row; on the LSH candidate-pair join it is the inner
+  * loop over every colliding pair. This stays inside whole-stage codegen
+  * with zero allocation.
+  */
+case class LongAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "agree_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOps.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SetOps.agree($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetFunctions {
   /** Column API for [[LongSetOverlap]]. */
   def set_overlap(a: Column, b: Column): Column =
     GraftColumn(LongSetOverlap(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** Column API for [[LongAgreeCount]]. */
+  def agree_count(a: Column, b: Column): Column =
+    GraftColumn(LongAgreeCount(GraftColumn.expr(a), GraftColumn.expr(b)))
 }

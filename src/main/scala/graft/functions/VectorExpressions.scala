@@ -109,6 +109,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"set_overlap requires exactly 2 arguments, got ${exprs.length}")
         LongSetOverlap(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("agree_count"),
+      new ExpressionInfo(classOf[LongAgreeCount].getName, "agree_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"agree_count requires exactly 2 arguments, got ${exprs.length}")
+        LongAgreeCount(exprs.head, exprs(1))
+      }))
     ext.injectOptimizerRule(_ => graft.plans.PushNanosTimestampPredicates)
   }
 }

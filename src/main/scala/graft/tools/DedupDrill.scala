@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Dedup scale drill: runs the LLM-pipeline dedup operators over a
+  * synthetic corpus orders of magnitude past the testdata documents
+  * table (`runMain graft.tools.DedupDrill [docs]`, default 2M — 4000×
+  * the sf0.01 corpus). Content derives deterministically from the doc
+  * id (30 tokens over a 5k vocab); 5% of docs are exact duplicates
+  * (every 20th doc repeats the content of the doc 7 below it), so the
+  * expected duplicate count is known and asserted, not just timed.
+  * Demonstrates the dedup family's cost tracks the scan/shuffle of
+  * hashes — not pairs — at volume. Not part of the driver contract.
+  */
+object DedupDrill {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 2000000L
+    val spark = ToolSession.local(32)
+    val docs = spark.range(rows).select(
+        col("id").as("doc_id"),
+        when(col("id") % 20 === 7, col("id") - 7).otherwise(col("id"))
+          .as("seed"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          i => concat(lit("tok"),
+            pmod(xxhash64(col("seed") * 31 + i), lit(5000)))))
+          .as("text"))
+      .localCheckpoint() // materialize once; drills measure the operators
+
+    def time(label: String)(f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n)")
+      n
+    }
+
+    val expectedDups = rows / 20 // every id ≡ 7 (mod 20) repeats id-7
+    val dups = time("exact dedup (digest hash-agg)") {
+      Dedup.exactStats(docs).head().getAs[Long]("duplicate_docs")
+    }
+    assert(dups == expectedDups, s"expected $expectedDups dups, got $dups")
+    time("minhash signatures") {
+      Dedup.minhashSignatures(docs).count()
+    }
+    val pairs = time("minhash near-dup pairs (LSH)") {
+      Dedup.minhashNearDupPairs(docs, threshold = 0.9).count()
+    }
+    assert(pairs >= expectedDups,
+      s"LSH must surface every exact-dup pair: $pairs < $expectedDups")
+    time("incremental dedup (new 1% vs rest)") {
+      val cut = rows - rows / 100
+      Dedup.dedupAgainstSeen(
+        docs.filter(col("doc_id") >= cut),
+        docs.filter(col("doc_id") < cut)).count()
+    }
+    spark.stop()
+  }
+}

@@ -115,6 +115,14 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getInt(0) == 1 && r.getInt(1) == 0)
   }
 
+  test("agree_count equals the zip_with agreement fold (incl. length mismatch)") {
+    val r = spark.sql(
+      """SELECT agree_count(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS a,
+        |       agree_count(array(1L, 2L), array(1L, 2L, 3L)) AS b,
+        |       agree_count(CAST(array() AS ARRAY<BIGINT>), array(5L)) AS c""".stripMargin).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2 && r.getInt(2) == 0)
+  }
+
   test("connected components fail loudly when maxIter is too small") {
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
