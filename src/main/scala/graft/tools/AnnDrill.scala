@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** ANN scale drill: builds the persisted IVF index over a synthetic
+  * 1M × 64-dim embedding corpus (2000× the sf0.01 embeddings table) and
+  * measures the repeated-query cost of the three paths — brute force,
+  * full-scan IVF (cells re-derived per query), and the partition-pruned
+  * persisted index (`runMain graft.tools.AnnDrill [vectors]`). The
+  * indexed path must return exactly the full-scan IVF rows. Not part of
+  * the driver contract.
+  */
+object AnnDrill {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 1000000L
+    val dim = 64
+    val spark = ToolSession.local(32)
+    // Deterministic pseudo-gaussian-ish components from a hash mix: the
+    // drill needs volume and spread, not statistical rigor.
+    val emb = spark.range(rows).select(
+        col("id").as("vec_id"),
+        (col("id") % 5).cast("int").as("label"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => ((pmod(xxhash64(col("id") * 131 + i), lit(2000000)) -
+            1000000L) / 1000000.0).cast("float")).as("embedding"))
+      .localCheckpoint()
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val path = java.nio.file.Files.createTempDirectory("ann-drill").toString
+    time("build IVF index (one-off)") {
+      Similarity.buildIvfIndex(emb, path, nlist = 64, dim = dim)
+    }
+    val exact = time("brute-force top-10 (full scan)") {
+      Similarity.cosineTopK(emb, queryId = 42L, k = 10).collect()
+    }
+    assert(exact.length == 10)
+    val ivf = time("IVF top-10 (cells re-derived)") {
+      Similarity.annTopKIvf(emb, queryId = 42L, k = 10, nlist = 64,
+        dim = dim, nprobe = 4).collect()
+    }
+    val (qv, qn) = Similarity.lookupVec(spark, path, 42L)
+    val idx = time("indexed top-10 (pruned partitions)") {
+      Similarity.annTopKIndexed(spark, path, qv, qn, k = 10, nlist = 64,
+        dim = dim, nprobe = 4).collect()
+    }
+    assert(idx.toSeq == ivf.toSeq, "indexed must equal full-scan IVF")
+    // Steady state: the second indexed query (file index warm).
+    time("indexed top-10 (repeat query)") {
+      Similarity.annTopKIndexed(spark, path, qv, qn, k = 10, nlist = 64,
+        dim = dim, nprobe = 4).collect()
+    }
+    spark.stop()
+  }
+}
