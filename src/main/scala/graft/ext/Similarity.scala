@@ -64,19 +64,21 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes (seeded, so every executor —
     * and every round — derives identical planes).
     */
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+  private[graft] def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian().toFloat))
   }
 
-  /** Sign-bit bucket id of an embedding against the hyperplane set. */
+  /** Sign-bit bucket id of an embedding against the hyperplane set — one
+    * opaque codegen node ([[graft.functions.LshBucketAssign]]); the
+    * composed shift/OR form inlines into every join condition that
+    * references the bucket column (the [[ivfCell]] blowup, same class).
+    */
   def lshBucket(embedding: Column, numPlanes: Int, dim: Int,
-                seed: Long = 42L): Column = {
-    val ps = planes(numPlanes, dim, seed)
-    ps.zipWithIndex.map { case (p, i) =>
-      shiftleft(when(vec_dot(embedding, typedLit(p)) >= 0, 1L).otherwise(0L), i)
-    }.reduce(_ bitwiseOR _)
-  }
+                seed: Long = 42L): Column =
+    org.apache.spark.sql.GraftColumn(graft.functions.LshBucketAssign(
+      org.apache.spark.sql.GraftColumn.expr(embedding),
+      planes(numPlanes, dim, seed)))
 
   /** ANN top-k: bucket the corpus by hyperplane signs, then brute-force
     * cosine only inside buckets within Hamming distance `probe` of the
@@ -111,7 +113,7 @@ object Similarity {
     * production build would k-means these; seeded planes keep every
     * executor and every round identical without an iterative fit.
     */
-  private def centroids(k: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+  private[graft] def centroids(k: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(k) {
       val v = Array.fill(dim)(rng.nextGaussian())

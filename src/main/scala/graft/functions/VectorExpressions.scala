@@ -113,6 +113,64 @@ case class IvfCellAssign(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Sign-bit LSH bucket of an `array<float>` embedding against a
+  * hyperplane set, as one opaque codegen node — same rationale as
+  * [[IvfCellAssign]]: the composed form (`numPlanes` shifted
+  * `vec_dot`-sign terms OR-reduced) is a large expression tree that
+  * projection collapse inlines into every join condition referencing the
+  * bucket column. Bit `i` is set iff `dot(embedding, planes(i)) >= 0`,
+  * with [[FloatVecDot]]'s exact fold order.
+  */
+case class LshBucketAssign(child: Expression, planes: Seq[Seq[Float]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 63,
+    s"plane count must be in [1, 63], got ${planes.length}")
+
+  @transient private lazy val ps: Array[Array[Float]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    LshBucketAssign.assign(input.asInstanceOf[ArrayData], ps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", ps, "float[][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.LshBucketAssign.assign($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucketAssign {
+  /** Static kernel shared by eval and generated code. */
+  def assign(v: ArrayData, ps: Array[Array[Float]]): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < ps.length) {
+      val p = ps(j)
+      val n = math.min(p.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getFloat(i).toDouble * p(i).toDouble
+        i += 1
+      }
+      if (s >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
 object IvfCellAssign {
   /** Static kernel shared by eval and generated code. */
   def assign(v: ArrayData, cents: Array[Array[Float]]): Int = {

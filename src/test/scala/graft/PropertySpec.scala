@@ -167,6 +167,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("opaque quantizer nodes equal their composed expression forms") {
+    // IvfCellAssign / LshBucketAssign exist to stop projection collapse
+    // from inlining the quantizer into every consumer; their VALUES must
+    // stay bit-identical to the composed vec_dot forms they replaced.
+    import graft.ext.Similarity
+    import graft.functions.VectorFunctions.vec_dot
+    val rng = new scala.util.Random(13)
+    val emb = (0L until 50L).map(i =>
+        (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cs = Similarity.centroids(8, 16, 7L)
+    val composedCell = {
+      val scores = array(cs.map(c => vec_dot(col("embedding"), typedLit(c))): _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    val ps = Similarity.planes(6, 16, 42L)
+    val composedBucket = ps.zipWithIndex.map { case (p, i) =>
+      shiftleft(when(vec_dot(col("embedding"), typedLit(p)) >= 0, 1L)
+        .otherwise(0L), i)
+    }.reduce(_ bitwiseOR _)
+    val diff = emb.select(
+        Similarity.ivfCell(col("embedding"), 8, 16).as("cell"),
+        composedCell.as("cell0"),
+        Similarity.lshBucket(col("embedding"), 6, 16).as("bucket"),
+        composedBucket.as("bucket0"))
+      .filter(col("cell") =!= col("cell0") || col("bucket") =!= col("bucket0"))
+    assert(diff.isEmpty)
+  }
+
   test("NaN normalization: NaN doubles serialize as JSON nulls (P14)") {
     val df = Seq((1, Double.NaN, 2.5)).toDF("VendorID", "fare_amount", "trip_distance")
     val parsed = Json.parseStream(Json.toKeyedJson(df, col("VendorID")),
