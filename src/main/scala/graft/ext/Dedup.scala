@@ -175,21 +175,22 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate near-dup pairs with estimated Jaccard (fraction of agreeing
-    * MinHash components), thresholded.
-    *
-    * Single-pipeline design: the signature rides along through the band
-    * explode and the (band, band_hash) self-join, so signatures are
-    * computed exactly once with NO multi-branch reuse — no persist, no
-    * cache-lifetime question, and two fewer shuffled joins than the
-    * lookup-the-signatures-again formulation. The band rows carry
-    * `bands` copies of each signature (numHashes longs ≈ 256 bytes) —
-    * bounded, scan-shaped shuffle volume that holds at any corpus size,
-    * vs. cluster-cache pressure that doesn't.
+  /** [[minhashNearDupPairs]] in fused single-pipeline form: the signature
+    * rides along through the band explode and the (band, band_hash)
+    * self-join, so signatures are computed exactly once with NO
+    * multi-branch reuse and two fewer shuffled joins than the join-back
+    * formulation. The cost is that every self-join row carries a full
+    * signature (numHashes longs ≈ 256 bytes) through the exchange sort —
+    * and the A/B drill showed that cost dominating at every measured
+    * scale (5k docs: 2.47 s vs 1.75 s; 2M docs: 42 s vs 19 s), which is
+    * why the narrow-row join-back form is the default. Kept as the
+    * measured alternative: it wins only if the signature join-back
+    * itself became the bottleneck (tiny signatures, enormous candidate
+    * survivor sets).
     */
-  def minhashNearDupPairs(docs: DataFrame, shingleSize: Int = 3,
-                          numHashes: Int = 32, bands: Int = 8,
-                          threshold: Double = 0.5): DataFrame = {
+  def minhashNearDupPairsFused(docs: DataFrame, shingleSize: Int = 3,
+                               numHashes: Int = 32, bands: Int = 8,
+                               threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandRows = minhashSignatures(docs, shingleSize, numHashes)
       .select(col("doc_id"), col("signature"),
@@ -217,6 +218,39 @@ object Dedup {
       // (est_jaccard is a function of the two signatures) — distinct
       // runs on the thresholded survivors only.
       .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate near-dup pairs with estimated Jaccard (fraction of agreeing
+    * MinHash components), thresholded.
+    *
+    * Join-back design: the band self-join runs over NARROW rows (doc_id,
+    * band, band_hash — 28 bytes) and the two signatures join back onto
+    * the surviving candidate pairs afterwards. Trade vs the fused
+    * signature-through-banding pipeline ([[minhashNearDupPairsFused]]):
+    * two extra joins and a second read of the signature exchange (AQE
+    * exchange reuse — not a recompute), in return for a self-join
+    * sort/shuffle `bands`× narrower. The A/B drill puts join-back ahead
+    * at every measured scale — 1.4× at 5k docs, 2.3× at 2M docs (see
+    * SCALE.md) — because the exchange sort on wide band rows dominates
+    * long before the extra hash joins matter. Same rows out, same
+    * threshold semantics as the fused form (pinned by DedupDrill).
+    */
+  def minhashNearDupPairs(docs: DataFrame, shingleSize: Int = 3,
+                          numHashes: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, shingleSize, numHashes)
+    val pairs = lshCandidatePairs(sigs, bands, rowsPerBand)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (graft.functions.SetFunctions.agree_count(col("sig_a"), col("sig_b")) /
+          numHashes.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -44,11 +44,16 @@ object DedupDrill {
     time("minhash signatures") {
       Dedup.minhashSignatures(docs).count()
     }
-    val pairs = time("minhash near-dup pairs (LSH)") {
+    val pairs = time("minhash near-dup pairs (join-back)") {
       Dedup.minhashNearDupPairs(docs, threshold = 0.9).count()
     }
     assert(pairs >= expectedDups,
       s"LSH must surface every exact-dup pair: $pairs < $expectedDups")
+    val pairsFused = time("minhash near-dup pairs (fused)") {
+      Dedup.minhashNearDupPairsFused(docs, threshold = 0.9).count()
+    }
+    assert(pairsFused == pairs,
+      s"fused form must find the same pairs: $pairsFused != $pairs")
     time("incremental dedup (new 1% vs rest)") {
       val cut = rows - rows / 100
       Dedup.dedupAgainstSeen(
