@@ -686,6 +686,26 @@ object SparkEntry {
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")),
 
+    // Repetition quality signals (the Gopher-style machine-text filters):
+    // duplicate-word fraction, top-word and top-bigram share, riding the
+    // same compiled shingle pass the dedup family uses.
+    "repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(T(s, dir, "documents"))),
+
+    // Deterministic training-mixture resampling: per-language epoch
+    // weights (en ×2.3, zh ×0.4, rest ×1); fractional epochs are a
+    // digest coin per doc and `epoch` numbers the copies.
+    "mixture_sample" -> ((s, dir) => Sampling.mixtureSample(
+        T(s, dir, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> 2.3, "zh" -> 0.4))
+      .select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")),
+
+    // Context-window chunking: 32-token windows at stride 24, the tail
+    // covered exactly once — the splitter that feeds sequence packing.
+    "chunk_tokens" -> ((s, dir) => Sampling.chunkByTokens(
+        T(s, dir, "documents"), chunkTokens = 32, strideTokens = 24)
+      .orderBy("doc_id", "chunk_id")),
+
     "dedup_normalized" -> ((s, dir) =>
       Dedup.normalizedStats(T(s, dir, "documents"))),
 
@@ -847,7 +867,14 @@ object SparkEntry {
     // so the "near-dup" threshold here is set low to exercise the
     // bucketed-pair path; production near-dup would use ≥0.9.
     "embed_neardup_pairs" -> ((s, dir) => Similarity.nearDupPairs(
-      T(s, dir, "embeddings"), threshold = 0.25, numPlanes = 4))
+      T(s, dir, "embeddings"), threshold = 0.25, numPlanes = 4)),
+
+    // Spherical k-means over the embedding corpus (4 Lloyd iterations
+    // from the seeded IVF centroids): per-cluster size + mean cosine to
+    // the fitted centroid. Iterative fit → no ANSI twin (rows-only);
+    // ScalaTest pins partition-invariance and objective improvement.
+    "kmeans_clusters" -> ((s, dir) =>
+      Similarity.kmeansClusters(T(s, dir, "embeddings"), k = 8, iters = 4))
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]] (same parquet tables,
@@ -1172,7 +1199,46 @@ object SparkEntry {
           |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
           |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
           |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
-          |GROUP BY measure ORDER BY measure""".stripMargin
+          |GROUP BY measure ORDER BY measure""".stripMargin,
+      "repetition_stats" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |         UNNEST(string_split_regex(TRIM(text), '\s+')) AS w,
+          |         UNNEST(generate_series(1, LEN(string_split_regex(TRIM(text), '\s+')))) AS pos
+          |  FROM documents),
+          |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+          |ws AS (SELECT doc_id, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS tw FROM wc GROUP BY 1),
+          |bc AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg, COUNT(*) AS c
+          |       FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
+          |bs AS (SELECT doc_id, SUM(c) AS nb, MAX(c) AS tb FROM bc GROUP BY 1)
+          |SELECT ws.doc_id, CAST(nw AS BIGINT) AS n_words,
+          |       ROUND(1.0 - nd / nw, 4) AS dup_word_frac,
+          |       ROUND(tw / nw, 4) AS top_word_frac,
+          |       ROUND(COALESCE(tb / nb, 0.0), 4) AS top_bigram_frac
+          |FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id ORDER BY ws.doc_id""".stripMargin,
+      "mixture_sample" -> {
+        // Same digest-coin thresholds the Spark plan bakes in, from the
+        // same function — the two engines compare identical hex strings.
+        val en = Sampling.hexThreshold(2.3 - math.floor(2.3))
+        val zh = Sampling.hexThreshold(0.4 - math.floor(0.4))
+        s"""SELECT doc_id, lang, epoch FROM (
+          |  SELECT doc_id, lang, CAST(UNNEST(generate_series(1, copies)) AS INTEGER) AS epoch FROM (
+          |    SELECT doc_id, lang,
+          |           CASE WHEN lang = 'en' THEN 2 + CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < '$en' THEN 1 ELSE 0 END
+          |                WHEN lang = 'zh' THEN CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < '$zh' THEN 1 ELSE 0 END
+          |                ELSE 1 END AS copies
+          |    FROM documents) t) u
+          |ORDER BY doc_id, epoch""".stripMargin
+      },
+      "chunk_tokens" ->
+        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+          |e AS (SELECT doc_id, toks, UNNEST(generate_series(0,
+          |        GREATEST(0, CAST(CEIL((LEN(toks) - 32) / 24.0) AS BIGINT)))) AS i FROM d),
+          |c AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+          |             list_slice(toks, i*24 + 1, i*24 + 32) AS ctoks FROM e)
+          |SELECT doc_id, chunk_id, CAST(LEN(ctoks) AS INTEGER) AS n_tokens,
+          |       ARRAY_TO_STRING(ctoks, ' ') AS chunk
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin
     )
   }
 }

@@ -51,6 +51,45 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** 8-hex-digit digest prefix threshold for fractional probability `f`:
+    * P(digest_prefix < threshold) = f exactly (up to 16^-8). Computed at
+    * plan-build time, so both the Spark plan and the SQL oracle compare
+    * plain lowercase-hex strings — no base conversion inside the engine.
+    */
+  private[graft] def hexThreshold(f: Double): String =
+    f"${math.round(f * (1L << 32)).min((1L << 32) - 1).max(0L)}%08x"
+
+  /** Deterministic mixture resampling — reweight a corpus toward target
+    * per-stratum epoch counts (the "data mixture" step of LLM training:
+    * e.g. books ×2.3, web ×0.4). A weight w emits floor(w) copies of
+    * every row plus one more for the digest-fraction of rows under
+    * frac(w) — so the stratum's expected multiplicity is exactly w,
+    * the selection is a pure function of the key (same rows survive on
+    * any cluster layout), and an `epoch` column (1-based) distinguishes
+    * the copies. Rows in strata absent from `weights` get `default`.
+    * Shape: a codegen'd projection + explode(sequence) — scan-bound, no
+    * shuffle; downstream shuffles see the already-reweighted stream.
+    */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+                    weights: Map[String, Double],
+                    default: Double = 1.0): DataFrame = {
+    def copiesFor(w: Double): Column = {
+      val base = math.floor(w).toInt
+      // strict '<' against the half-open digest interval [0, frac(w))
+      lit(base) + when(
+        substring(keyDigest(key), 1, 8) < hexThreshold(w - base), 1)
+        .otherwise(0)
+    }
+    val copies = weights.foldLeft(copiesFor(default)) {
+      case (acc, (s, w)) => when(stratum === s, copiesFor(w)).otherwise(acc)
+    }
+    // Drop zero-copy rows BEFORE the explode: sequence(1, 0) would infer
+    // a descending step and emit [1, 0], not an empty array. The explicit
+    // step keeps the remaining sequences ascending-only.
+    df.filter(copies > 0)
+      .withColumn("epoch", explode(sequence(lit(1), copies, lit(1))))
+  }
+
   /** Greedy contiguous sequence packing: docs ordered by `key`
     * accumulate token counts, and each doc's sequence id is
     * `floor(preceding_cumsum / maxTokens)` — the standard approximate
@@ -67,6 +106,37 @@ object Sampling {
       .withColumn("seq_id",
         floor((col("__cum") - tokenCount) / maxTokens).cast("long"))
       .drop("__cum")
+  }
+
+  /** Fixed-size token-window chunking with overlap — the context-length
+    * splitter that runs before packing: chunk i covers tokens
+    * [i·stride, i·stride+chunk); the last chunk starts at
+    * ceil((len−chunk)/stride)·stride so the tail is covered exactly once
+    * (no fully-redundant trailing chunk). A typed compiled `flatMap`
+    * like [[Dedup.hashedShingles]] — the declarative transform+slice
+    * chain is interpreted and allocates per-chunk arrays twice. Pure
+    * per-row expansion: scan-bound, no shuffle, deterministic, and
+    * ANSI-expressible for the oracle.
+    */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int,
+                    strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1,
+      s"chunk/stride must be positive: $chunkTokens/$strideTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val n = toks.length
+        val last = math.max(0,
+          math.ceil((n - chunkTokens).toDouble / strideTokens).toInt)
+        (0 to last).iterator.map { i =>
+          val s = i * strideTokens
+          val end = math.min(s + chunkTokens, n)
+          (id, i, end - s, toks.slice(s, end).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_id", "n_tokens", "chunk")
   }
 
   /** [[packSequences]] at 100 TB: the running sum is windowed per

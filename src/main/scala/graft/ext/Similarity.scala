@@ -128,9 +128,15 @@ object Similarity {
     * projection collapses (measured 60× blowup at 1M vectors).
     */
   def ivfCell(embedding: Column, k: Int, dim: Int, seed: Long = 7L): Column =
+    cellFor(embedding, centroids(k, dim, seed))
+
+  /** [[ivfCell]] against an EXPLICIT centroid set — the assignment step
+    * shared by the IVF quantizer (seeded centroids) and [[kmeansFit]]
+    * (iteratively refined centroids).
+    */
+  def cellFor(embedding: Column, cs: Seq[Seq[Float]]): Column =
     org.apache.spark.sql.GraftColumn(graft.functions.IvfCellAssign(
-      org.apache.spark.sql.GraftColumn.expr(embedding),
-      centroids(k, dim, seed)))
+      org.apache.spark.sql.GraftColumn.expr(embedding), cs))
 
   /** IVF ANN top-k: assign every vector to its nearest coarse centroid
     * (the inverted list), then brute-force only the `nprobe` lists
@@ -271,5 +277,74 @@ object Similarity {
           (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // Spherical k-means (corpus clustering for curation: SemDeDup-style
+  // pruning, diversity balancing, and fitting REAL IVF centroids)
+  // ---------------------------------------------------------------------
+
+  /** Lloyd iterations of spherical k-means: assign every vector to its
+    * max-dot centroid (the same opaque quantizer node the IVF path uses,
+    * [[cellFor]]), recompute each centroid as the L2-normalized
+    * per-cluster mean, repeat. Per-dimension sums aggregate as DECIMAL —
+    * exact addition, so the fit is bit-identical under any partitioning
+    * (the engine determinism contract; double sums drift with fold
+    * order). Each iteration is one scan + one map-side-combined
+    * aggregate whose shuffle carries k×dim×partitions decimal cells —
+    * never data — and the only driver state is the k×dim centroid
+    * matrix itself, re-broadcast into the next iteration's quantizer
+    * literal. Clusters that lose all members keep their previous
+    * centroid. Returns the final (unit-norm) centroids.
+    */
+  def kmeansFit(emb: DataFrame, k: Int = 8, iters: Int = 5, dim: Int = 64,
+                seed: Long = 7L): Seq[Seq[Float]] = {
+    var cs = centroids(k, dim, seed)
+    for (_ <- 0 until iters) {
+      val sums = emb
+        .select(cellFor(col("embedding"), cs).as("cell"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("cell", "i")
+        .agg(sum(col("v").cast("decimal(27,10)")).as("s"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cs = cs.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case None => old // empty cluster: keep its centroid
+          case Some(rows) =>
+            val mean = new Array[Double](dim)
+            rows.foreach { r =>
+              mean(r.getInt(1)) = r.getDecimal(2).doubleValue()
+            }
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm == 0.0) old
+            else mean.map(x => (x / nrm).toFloat).toSeq
+        }
+      }
+    }
+    cs
+  }
+
+  /** Cluster summary after [[kmeansFit]]: per-cluster size and mean
+    * cosine to the (unit-norm) centroid — the view a curation pipeline
+    * ranks clusters by before pruning or rebalancing. The per-row cosine
+    * is deterministic, and its mean aggregates through DECIMAL like the
+    * fit itself. Iterative fits have no ANSI twin → rows-only oracle;
+    * ScalaTest pins partition-invariance and that the fitted objective
+    * beats the seeded centroids'.
+    */
+  def kmeansClusters(emb: DataFrame, k: Int = 8, iters: Int = 5,
+                     dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val cs = kmeansFit(emb, k, iters, dim, seed)
+    val centLit = typedLit(cs)
+    emb.select(
+        cellFor(col("embedding"), cs).as("cell"),
+        (vec_dot(col("embedding"), element_at(centLit, col("cell") + 1)) /
+          vec_norm(col("embedding"))).as("cos"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos").cast("decimal(27,12)")) / count(lit(1)), 4)
+          .cast("double").as("mean_cos"))
+      .orderBy("cell")
   }
 }

@@ -105,6 +105,38 @@ object TextAnalysis {
         UrlRe, "<URL>"),
       LongDigitsRe, "<NUMBER>")
 
+  /** Repetition quality signals (the Gopher/RefinedWeb-style filters for
+    * machine-generated and boilerplate-heavy text): fraction of duplicate
+    * words, most-frequent-word share, most-frequent-bigram share. Rides
+    * the same compiled [[Dedup.hashedShingles]] pass the dedup family
+    * uses (shingle sizes 1 and 2 — counts over 8-byte hashes, never
+    * token strings), so the shape is scan → map-side-combined two-stage
+    * hash aggregate; fractions are exact integer ratios, deterministic
+    * under any partitioning.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def grams(n: Int) = Dedup.hashedShingles(docs, n)
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val words = grams(1).groupBy("doc_id").agg(
+      sum("c").as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max("c").as("top_word"))
+    val bigrams = grams(2).groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"),
+      max("c").as("top_bigram"))
+    // Left join: a one-word doc has no bigrams; its bigram share is 0.
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        round(lit(1.0) - col("n_distinct") / col("n_words"), 4)
+          .as("dup_word_frac"),
+        round(col("top_word") / col("n_words"), 4).as("top_word_frac"),
+        round(coalesce(col("top_bigram") / col("n_bigrams"), lit(0.0)), 4)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: 64-bit content hash over the normalized token
     * stream (xxhash64 — stable across runs/executors, unlike JVM
     * `hashCode`). Suitable as a cheap join/dedup key at any scale.

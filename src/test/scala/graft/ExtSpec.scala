@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star extensions on hand-built corpora. */
 class ExtSpec extends AnyFunSuite {
@@ -323,5 +323,93 @@ class ExtSpec extends AnyFunSuite {
     assert(meta(0L).getAs[Int]("byte_len") ==
       docs.head().getAs[String]("text").getBytes("UTF-8").length)
     assert(Set("jpeg", "png").contains(meta(0L).getAs[String]("format")))
+  }
+
+  test("repetition stats: dup-word and top-gram shares are exact ratios") {
+    // doc 0: 12 words, 'the'×2 + 'again'×2 → 10 distinct; 11 bigrams,
+    // none repeated.
+    val r = TextAnalysis.repetitionStats(docs).head()
+    assert(r.getAs[Long]("n_words") == 12)
+    assert(r.getAs[Double]("dup_word_frac") == math.round((1.0 - 10.0 / 12) * 1e4) / 1e4)
+    assert(r.getAs[Double]("top_word_frac") == math.round(2.0 / 12 * 1e4) / 1e4)
+    assert(r.getAs[Double]("top_bigram_frac") == math.round(1.0 / 11 * 1e4) / 1e4)
+    // A one-word doc has no bigrams: its bigram share must be 0, not null.
+    val single = Seq((9L, "solo")).toDF("doc_id", "text")
+    val s = TextAnalysis.repetitionStats(single).head()
+    assert(s.getAs[Long]("n_words") == 1)
+    assert(s.getAs[Double]("top_bigram_frac") == 0.0)
+    // Degenerate machine text: one token repeated → dup frac extreme.
+    val spam = Seq((8L, "buy buy buy buy buy")).toDF("doc_id", "text")
+    val p = TextAnalysis.repetitionStats(spam).head()
+    assert(p.getAs[Double]("dup_word_frac") == 0.8)
+    assert(p.getAs[Double]("top_word_frac") == 1.0)
+    assert(p.getAs[Double]("top_bigram_frac") == 1.0)
+  }
+
+  test("mixture sample: integer weights exact, fractional bounded, zero drops") {
+    val corpus = (0L until 300L).map { i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")
+    }.toDF("doc_id", "stratum")
+    val out = Sampling.mixtureSample(corpus, col("stratum"), col("doc_id"),
+      Map("a" -> 2.0, "b" -> 0.0), default = 1.5)
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("a") == 200) // exactly 2 epochs per doc
+    assert(!byStratum.contains("b")) // weight 0 drops the stratum
+    val c = byStratum("c")
+    assert(c >= 100 && c <= 200) // 1 full epoch + digest-coin half epoch
+    // epoch numbers the copies from 1
+    val epochs = out.filter(col("stratum") === "a")
+      .groupBy("epoch").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(epochs == Map(1 -> 100, 2 -> 100))
+    // pure function of the key: survivors identical on any layout
+    val again = Sampling.mixtureSample(corpus.repartition(7),
+      col("stratum"), col("doc_id"), Map("a" -> 2.0, "b" -> 0.0), 1.5)
+      .orderBy("doc_id", "epoch").collect()
+    assert(again.sameElements(
+      out.orderBy("doc_id", "epoch").collect()))
+  }
+
+  test("token chunking covers every token once per window, tail exactly once") {
+    val doc = Seq((1L, (0 until 10).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Sampling.chunkByTokens(doc, chunkTokens = 4, strideTokens = 3)
+      .orderBy("chunk_id").collect()
+    assert(chunks.map(_.getAs[String]("chunk")).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(chunks.map(_.getAs[Int]("n_tokens")).toSeq == Seq(4, 4, 4))
+    // short doc → one whole-doc chunk; 5 tokens → tail chunk of 2
+    val short = Seq((2L, "a b c"), (3L, "a b c d e")).toDF("doc_id", "text")
+    val out = Sampling.chunkByTokens(short, 4, 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (2L, 0, 3, "a b c"), (3L, 0, 4, "a b c d"), (3L, 1, 2, "d e")))
+  }
+
+  test("spherical k-means separates clusters and improves the objective") {
+    val rng = new scala.util.Random(3)
+    val emb = (0 until 200).map { i =>
+      val base = Array.fill(8)(0f)
+      base(if (i % 2 == 0) 0 else 4) = 1f
+      val v = base.map(x => x + rng.nextGaussian().toFloat * 0.05f)
+      (i.toLong, v.toSeq, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val cs = Similarity.kmeansFit(emb, k = 2, iters = 4, dim = 8, seed = 7L)
+    // the two fitted centroids point at the two planted directions
+    val dirs = cs.map(_.zipWithIndex.maxBy(_._1.toDouble)._2).toSet
+    assert(dirs == Set(0, 4))
+    // fitted objective beats the seeded centroids' (iters = 0)
+    def objective(iters: Int): Double =
+      Similarity.kmeansClusters(emb, k = 2, iters = iters, dim = 8)
+        .collect().map(r => r.getAs[Long]("n_vecs") * r.getAs[Double]("mean_cos"))
+        .sum
+    assert(objective(4) > objective(0))
+    // partition-invariant: decimal sums make the fit exact
+    val a = Similarity.kmeansClusters(emb, k = 2, iters = 4, dim = 8).collect()
+    val b = Similarity.kmeansClusters(emb.repartition(13), k = 2, iters = 4,
+      dim = 8).collect()
+    assert(a.sameElements(b))
   }
 }
