@@ -706,6 +706,31 @@ object SparkEntry {
         T(s, dir, "documents"), chunkTokens = 32, strideTokens = 24)
       .orderBy("doc_id", "chunk_id")),
 
+    // Corpus-boilerplate list: word bigrams appearing in ≥ 100 documents
+    // (hash-keyed document-frequency count; gram text broadcast-joined
+    // back for survivors only).
+    "boilerplate_grams" -> ((s, dir) =>
+      TextAnalysis.frequentNgrams(T(s, dir, "documents"), n = 2, minDf = 100)),
+
+    // Unigram log-probability fluency score (the KenLM-perplexity proxy):
+    // corpus word frequencies → per-doc mean log-probability.
+    "unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(T(s, dir, "documents"))),
+
+    // Full-outer user activity: signup counts vs error counts per user,
+    // null-filled on both unmatched sides.
+    "full_outer_users" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      def per(t: String, n: String) = ev.filter(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as(n))
+      per("signup", "n_signups")
+        .join(per("error", "n_errors"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+        .orderBy("user_id")
+    }),
+
     "dedup_normalized" -> ((s, dir) =>
       Dedup.normalizedStats(T(s, dir, "documents"))),
 
@@ -1238,7 +1263,32 @@ object SparkEntry {
           |             list_slice(toks, i*24 + 1, i*24 + 32) AS ctoks FROM e)
           |SELECT doc_id, chunk_id, CAST(LEN(ctoks) AS INTEGER) AS n_tokens,
           |       ARRAY_TO_STRING(ctoks, ' ') AS chunk
-          |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      "boilerplate_grams" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |         UNNEST(string_split_regex(TRIM(text), '\s+')) AS w,
+          |         UNNEST(generate_series(1, LEN(string_split_regex(TRIM(text), '\s+')))) AS pos
+          |  FROM documents),
+          |b AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS gram
+          |      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
+          |SELECT gram, df FROM (SELECT gram, COUNT(*) AS df FROM b GROUP BY 1) t
+          |WHERE df >= 100 ORDER BY df DESC, gram""".stripMargin,
+      "unigram_logprob" ->
+        """WITH w AS (
+          |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
+          |  FROM documents),
+          |f AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1),
+          |t AS (SELECT SUM(cnt) AS tot FROM f)
+          |SELECT doc_id, COUNT(*) AS n_words,
+          |       ROUND(CAST(SUM(CAST(LN(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
+          |FROM w JOIN f USING (w) CROSS JOIN t
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "full_outer_users" ->
+        """SELECT user_id, COALESCE(n_signups, 0) AS n_signups, COALESCE(n_errors, 0) AS n_errors
+          |FROM (SELECT user_id, COUNT(*) AS n_signups FROM events WHERE event_type = 'signup' GROUP BY 1) s
+          |FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_errors FROM events WHERE event_type = 'error' GROUP BY 1) e USING (user_id)
+          |ORDER BY user_id""".stripMargin
     )
   }
 }

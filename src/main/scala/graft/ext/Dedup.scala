@@ -121,6 +121,41 @@ object Dedup {
       .toDF("doc_id", "pos", "h")
   }
 
+  /** (doc_id, h, gram) rows: [[hashedShingles]]'s exact hash (same token
+    * hashing, same window combine order) alongside the gram's text. For
+    * consumers that must map surviving hashes back to human-readable
+    * grams ([[TextAnalysis.frequentNgrams]]' boilerplate list): the
+    * narrow hash stream stays the aggregation key and text joins back
+    * only for the few survivors — gram strings never ride a wide
+    * shuffle.
+    */
+  def shingleStrings(docs: DataFrame, shingleSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val tokenHashes = toks.map { t =>
+          val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, 42L)
+        }
+        if (toks.length < shingleSize) Iterator.empty
+        else (0 to toks.length - shingleSize).iterator.map { s =>
+          var h = 42L
+          var i = s + shingleSize - 1
+          while (i >= s) {
+            h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(tokenHashes(i), h)
+            i -= 1
+          }
+          (id, h, toks.slice(s, s + shingleSize).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "h", "gram")
+  }
+
   def minhashSignatures(docs: DataFrame, shingleSize: Int = 3,
                         numHashes: Int = 32): DataFrame =
     // The k-function family is derived from each 8-byte shingle hash

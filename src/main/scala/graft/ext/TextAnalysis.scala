@@ -137,6 +137,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-boilerplate detector: word n-grams whose DOCUMENT frequency
+    * reaches `minDf` (templates, navigation chrome, memes — the
+    * C4/RefinedWeb-style list a stripping pass consumes). Two-scan,
+    * narrow-shuffle shape: document frequency aggregates over the 8-byte
+    * gram hashes of the compiled shingle pass (a gram counts once per
+    * doc), then gram TEXT is re-derived and broadcast-joined back for
+    * the survivors only — strings never enter a wide shuffle, which is
+    * what makes the operator hold at corpus scale (the survivor list is
+    * small by construction: df ≥ minDf over a heavy-tailed gram
+    * distribution).
+    */
+  def frequentNgrams(docs: DataFrame, n: Int = 2, minDf: Int = 10): DataFrame = {
+    val dfByHash = Dedup.hashedShingles(docs, n)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    Dedup.shingleStrings(docs, n)
+      .join(broadcast(dfByHash), Seq("h"))
+      .groupBy(col("h"), col("df"))
+      .agg(min(col("gram")).as("gram")) // deterministic representative
+      .select(col("gram"), col("df"))
+      .orderBy(desc("df"), col("gram"))
+  }
+
+  /** Unigram log-probability score (the KenLM-perplexity proxy used as a
+    * fluency/quality filter): per document, the mean natural log of each
+    * word's corpus-relative frequency. Very negative = rare-word
+    * gibberish; near the corpus ceiling = stopword soup — both tails get
+    * filtered. Mechanics: one exploded word-hash stream feeds the corpus
+    * frequency table AND the per-doc join (merge-hinted so AQE exchange
+    * reuse runs the scan once); the corpus total rides a broadcast
+    * 1-row frame; per-doc means aggregate through DECIMAL like every
+    * other mean in the engine (per-row `ln` is bit-identical across
+    * JVM and the oracle's libm — verified empirically over every
+    * count ratio in the testdata — and the decimal sum removes fold
+    * order from the result).
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val words = Dedup.hashedShingles(docs, 1).select("doc_id", "h")
+    val freq = words.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("tot"))
+    words.hint("merge").join(freq, Seq("h"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("cnt") / col("tot")).cast("decimal(27,12)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4)
+          .as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: 64-bit content hash over the normalized token
     * stream (xxhash64 — stable across runs/executors, unlike JVM
     * `hashCode`). Suitable as a cheap join/dedup key at any scale.

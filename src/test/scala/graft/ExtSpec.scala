@@ -346,6 +346,31 @@ class ExtSpec extends AnyFunSuite {
     assert(p.getAs[Double]("top_bigram_frac") == 1.0)
   }
 
+  test("frequent n-grams: document frequency over hashes, text joined back") {
+    // Five bigrams survive df ≥ 4 across the fixture's first four docs;
+    // doc 2's punctuation ('fox,' / 'again!') splits its other variants
+    // and doc 4 shares nothing.
+    val out = TextAnalysis.frequentNgrams(docs, n = 2, minDf = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("again and", 4L), ("jumps over", 4L),
+      ("over the", 4L), ("quick brown", 4L), ("the lazy", 4L)))
+    // a gram repeated within one doc still counts once toward df
+    val rep = Seq((0L, "x y x y x y"), (1L, "x y z")).toDF("doc_id", "text")
+    val df2 = TextAnalysis.frequentNgrams(rep, n = 2, minDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(df2.toSeq == Seq(("x y", 2L)))
+  }
+
+  test("unigram log-prob: uniform corpus frequency → exact ln of the share") {
+    val tiny = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // a and b both occur twice in a 4-word corpus: every word's
+    // log-prob is ln(1/2), so both docs score round(ln(0.5), 4).
+    val half = math.rint(math.log(0.5) * 1e4) / 1e4
+    assert(out == Seq((1L, 3L, half), (2L, 1L, half)))
+  }
+
   test("mixture sample: integer weights exact, fractional bounded, zero drops") {
     val corpus = (0L until 300L).map { i =>
       (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")
