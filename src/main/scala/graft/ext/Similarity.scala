@@ -287,38 +287,38 @@ object Similarity {
   /** Lloyd iterations of spherical k-means: assign every vector to its
     * max-dot centroid (the same opaque quantizer node the IVF path uses,
     * [[cellFor]]), recompute each centroid as the L2-normalized
-    * per-cluster mean, repeat. Per-dimension sums aggregate as DECIMAL —
-    * exact addition, so the fit is bit-identical under any partitioning
-    * (the engine determinism contract; double sums drift with fold
-    * order). Each iteration is one scan + one map-side-combined
-    * aggregate whose shuffle carries k×dim×partitions decimal cells —
-    * never data — and the only driver state is the k×dim centroid
-    * matrix itself, re-broadcast into the next iteration's quantizer
-    * literal. Clusters that lose all members keep their previous
-    * centroid. Returns the final (unit-norm) centroids.
+    * per-cluster mean, repeat. Per-dimension sums aggregate through the
+    * fixed-point vector aggregate ([[graft.functions.VecSumFixed]]) —
+    * exact integer addition, so the fit is bit-identical under any
+    * partitioning (the engine determinism contract; double sums drift
+    * with fold order), with NO dim× row explosion: each iteration is
+    * one scan + one map-side-combined aggregate whose shuffle carries
+    * one dim-long vector per (cell × partition) — never data. The only
+    * driver state is the k×dim centroid matrix itself, re-broadcast
+    * into the next iteration's quantizer literal. Clusters that lose
+    * all members keep their previous centroid. Returns the final
+    * (unit-norm) centroids.
     */
   def kmeansFit(emb: DataFrame, k: Int = 8, iters: Int = 5, dim: Int = 64,
                 seed: Long = 7L): Seq[Seq[Float]] = {
     var cs = centroids(k, dim, seed)
     for (_ <- 0 until iters) {
       val sums = emb
-        .select(cellFor(col("embedding"), cs).as("cell"),
-          posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy("cell", "i")
-        .agg(sum(col("v").cast("decimal(27,10)")).as("s"))
+        .select(cellFor(col("embedding"), cs).as("cell"), col("embedding"))
+        .groupBy("cell")
+        .agg(graft.functions.VecSumAgg.vec_sum_fixed(col("embedding"), dim)
+          .as("s"))
         .collect()
-      val byCell = sums.groupBy(_.getInt(0))
+      val byCell = sums.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cs = cs.zipWithIndex.map { case (old, c) =>
         byCell.get(c) match {
           case None => old // empty cluster: keep its centroid
-          case Some(rows) =>
-            val mean = new Array[Double](dim)
-            rows.foreach { r =>
-              mean(r.getInt(1)) = r.getDecimal(2).doubleValue()
-            }
-            val nrm = math.sqrt(mean.map(x => x * x).sum)
+          case Some(s) =>
+            // Normalization makes the per-cluster divide-by-count a
+            // no-op: sum and mean share a direction.
+            val nrm = math.sqrt(s.map(x => x * x).sum)
             if (nrm == 0.0) old
-            else mean.map(x => (x / nrm).toFloat).toSeq
+            else s.map(x => (x / nrm).toFloat)
         }
       }
     }

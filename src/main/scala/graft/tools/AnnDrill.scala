@@ -57,6 +57,18 @@ object AnnDrill {
       Similarity.annTopKIndexed(spark, path, qv, qn, k = 10, nlist = 64,
         dim = dim, nprobe = 4).collect()
     }
+    // Spherical k-means over the same corpus: per-iteration cost is one
+    // scan + one (cell, dim)-keyed decimal aggregate; the fitted
+    // centroids are what a production IVF index would be built from.
+    val cs = time("k-means fit (16 cells, 3 iters)") {
+      Similarity.kmeansFit(emb, k = 16, iters = 3, dim = dim)
+    }
+    assert(cs.length == 16)
+    time("k-means cluster summary") {
+      val cl = Similarity.kmeansClusters(emb, k = 16, iters = 1, dim = dim)
+        .collect()
+      assert(cl.map(_.getAs[Long]("n_vecs")).sum == rows)
+    }
     spark.stop()
   }
 }

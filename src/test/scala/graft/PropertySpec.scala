@@ -196,6 +196,22 @@ class PropertySpec extends AnyFunSuite {
     assert(diff.isEmpty)
   }
 
+  test("vec_sum_fixed equals the driver-side fixed-point sum on any layout") {
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val vecs = Seq.fill(300)(Seq.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+    val expected = (0 until dim).map { i =>
+      vecs.map(v => Math.round(v(i).toDouble * (1L << 24))).sum / (1L << 24).toDouble
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = vecs.map(v => Tuple1(v)).toDF("embedding").repartition(parts)
+        .agg(graft.functions.VecSumAgg.vec_sum_fixed(col("embedding"), dim)
+          .as("s"))
+        .head().getSeq[Double](0)
+      assert(got == expected, s"parts=$parts") // exact, not approximate
+    }
+  }
+
   test("NaN normalization: NaN doubles serialize as JSON nulls (P14)") {
     val df = Seq((1, Double.NaN, 2.5)).toDF("VendorID", "fare_amount", "trip_distance")
     val parsed = Json.parseStream(Json.toKeyedJson(df, col("VendorID")),
