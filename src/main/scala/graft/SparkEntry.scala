@@ -899,7 +899,14 @@ object SparkEntry {
     // the fitted centroid. Iterative fit → no ANSI twin (rows-only);
     // ScalaTest pins partition-invariance and objective improvement.
     "kmeans_clusters" -> ((s, dir) =>
-      Similarity.kmeansClusters(T(s, dir, "embeddings"), k = 8, iters = 4))
+      Similarity.kmeansClusters(T(s, dir, "embeddings"), k = 8, iters = 4)),
+
+    // SemDeDup composite: k-means cells bound the pair space, cosine ≥ t
+    // edges connect into semantic groups, min vec_id per group survives.
+    // Threshold is low for the near-orthogonal testdata (see
+    // embed_neardup_pairs); rows-only (iterative fit upstream).
+    "semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(
+      T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2))
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]] (same parquet tables,

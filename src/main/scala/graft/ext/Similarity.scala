@@ -325,6 +325,44 @@ object Similarity {
     cs
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * spherical k-means, compare vectors only WITHIN a cluster (the cell
+    * plays the LSH bucket's role but follows the data distribution, so
+    * pair cost is bounded by cluster sizes — k grows with the corpus to
+    * keep cells bounded), connect pairs at `threshold` into semantic
+    * groups ([[Dedup.connectedComponents]]), and keep the minimum
+    * vec_id per group. Returns the full audit view — (vec_id, group,
+    * keep) — so the filtered corpus AND the dropped-per-group evidence
+    * both fall out of one result. Known SemDeDup recall trade: a
+    * near-dup pair split across cells is not compared; raise iters/k
+    * quality or add multi-assignment when that matters.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.95, k: Int = 8,
+                    iters: Int = 3, dim: Int = 64): DataFrame = {
+    val cs = kmeansFit(emb, k, iters, dim)
+    val celled = emb.select(col("vec_id"), col("embedding"),
+      cellFor(col("embedding"), cs).as("cell"),
+      vec_norm(col("embedding")).as("nrm"))
+    // merge hint → exchange reuse: cell assignment + norms run once,
+    // not once per self-join side (the nearDupPairs rationale).
+    val a = celled.as("a").hint("merge")
+    val b = celled.as("b")
+    val edges = a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (vec_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("src", "dst")
+    val comps = Dedup.connectedComponents(edges)
+    emb.select(col("vec_id"))
+      .join(comps, col("vec_id") === comps("id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("group"))
+      .withColumn("keep", col("vec_id") === col("group"))
+      .orderBy("vec_id")
+  }
+
   /** Cluster summary after [[kmeansFit]]: per-cluster size and mean
     * cosine to the (unit-norm) centroid — the view a curation pipeline
     * ranks clusters by before pruning or rebalancing. The per-row cosine

@@ -413,6 +413,19 @@ class ExtSpec extends AnyFunSuite {
       (2L, 0, 3, "a b c"), (3L, 0, 4, "a b c d"), (3L, 1, 2, "d e")))
   }
 
+  test("semantic dedup groups exact copies and keeps the min id per group") {
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f)
+    val e3 = Seq(0f, 0f, 1f, 0f)
+    val emb = Seq((0L, e1), (1L, e1), (2L, e1), (3L, e2), (4L, e2), (5L, e3))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, threshold = 0.9, k = 2,
+        iters = 2, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (3L, 3L, true), (4L, 3L, false), (5L, 5L, true)))
+  }
+
   test("spherical k-means separates clusters and improves the objective") {
     val rng = new scala.util.Random(3)
     val emb = (0 until 200).map { i =>

@@ -114,4 +114,39 @@ class PlanGuardSpec extends AnyFunSuite {
       .findAllIn(p).length
     assert(exchanges == 2, s"$exchanges exchanges:\n$p")
   }
+
+  test("boilerplate_grams joins survivor text back via broadcast") {
+    // Gram STRINGS must never enter a wide shuffle: the df-thresholded
+    // hash list broadcasts and the string stream filters against it.
+    // minDf low enough that survivors exist at sf0.001 (the query's
+    // production threshold empties here and AQE collapses the plan).
+    val df = graft.ext.TextAnalysis.frequentNgrams(
+      graft.sources.Tables.load(spark, dir, "documents"), n = 2, minDf = 2)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
+  test("unigram_logprob runs the word pass once (reused exchange)") {
+    val df = SparkEntry.queries("unigram_logprob")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+  }
+
+  test("mixture_sample and chunk_tokens stay scan-shaped") {
+    // Pure per-row expansion: the only exchange either plans is the
+    // final presentation ORDER BY — a join or aggregate appearing here
+    // means the operator stopped being scan-bound.
+    for (name <- Seq("mixture_sample", "chunk_tokens")) {
+      val p = plan(name)
+      val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+        .findAllIn(p).length
+      assert(exchanges == 1, s"$name: $exchanges exchanges:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
+    }
+  }
 }
