@@ -717,6 +717,11 @@ object SparkEntry {
     "unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(T(s, dir, "documents"))),
 
+    // TF-IDF top-3 terms per document (score desc, term asc — a total
+    // order both engines share).
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(T(s, dir, "documents"), topK = 3)),
+
     // Full-outer user activity: signup counts vs error counts per user,
     // null-filled on both unmatched sides.
     "full_outer_users" -> ((s, dir) => {
@@ -1295,7 +1300,22 @@ object SparkEntry {
         """SELECT user_id, COALESCE(n_signups, 0) AS n_signups, COALESCE(n_errors, 0) AS n_errors
           |FROM (SELECT user_id, COUNT(*) AS n_signups FROM events WHERE event_type = 'signup' GROUP BY 1) s
           |FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_errors FROM events WHERE event_type = 'error' GROUP BY 1) e USING (user_id)
-          |ORDER BY user_id""".stripMargin
+          |ORDER BY user_id""".stripMargin,
+      "tfidf_top_terms" ->
+        """WITH w AS (
+          |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+          |idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS n FROM documents),
+          |s AS (SELECT doc_id, term,
+          |        tf * LN(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+          |      FROM tf JOIN idf USING (term) CROSS JOIN n),
+          |r AS (SELECT doc_id, term, score,
+          |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          |      FROM s)
+          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, ROUND(score, 4) AS score
+          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
     )
   }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline —
@@ -187,6 +188,36 @@ object TextAnalysis {
         round(sum(col("lp")).cast("double") / count(lit(1)), 4)
           .as("mean_logp"))
       .orderBy("doc_id")
+  }
+
+  /** TF-IDF top terms per document: term frequency × ln(N/df), ranked
+    * within each doc (score desc, term asc — a total order both engines
+    * share). The frequency plumbing is hash-keyed like every other text
+    * operator (tf and df aggregate 8-byte hashes; term TEXT joins in
+    * from the vocabulary-sized distinct (hash, term) frame before
+    * ranking, so strings ride one vocab-bounded shuffle, never the
+    * corpus-sized one). N rides a broadcast 1-row frame; per-row
+    * `ln` bit-agreement with the oracle's libm is the
+    * [[unigramLogProb]] result.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val words = Dedup.hashedShingles(docs, 1).select("doc_id", "h")
+    val tf = words.groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+    val dfr = words.distinct().groupBy("h").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val terms = Dedup.shingleStrings(docs, 1)
+      .select(col("h"), col("gram").as("term")).distinct()
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfr, Seq("h")).crossJoin(broadcast(n))
+      .join(terms, Seq("h"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n") / col("df"))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rank")
   }
 
   /** Document fingerprint: 64-bit content hash over the normalized token

@@ -204,6 +204,21 @@ object Pipeline {
     trips.withWatermark("pickup_datetime", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Incremental corpus dedup at ingestion: each micro-batch of
+    * documents anti-joins on content digest against the STANDING corpus
+    * — literally the batch operator
+    * ([[graft.ext.Dedup.dedupAgainstSeen]]) run stream-static, which is
+    * the point: one dedup definition serves both planes. The static
+    * side re-plans per micro-batch, so warehouse appends between
+    * batches take effect without restarting the query, and there is NO
+    * streaming state — the "seen" set lives in the warehouse layout
+    * (digest-bucketed at scale, so the join prunes buckets), never in a
+    * billion-key state store. Compose with [[dedupStream]] upstream to
+    * also collapse duplicates arriving WITHIN the stream's watermark.
+    */
+  def dedupAgainstCorpus(docStream: DataFrame, corpus: DataFrame): DataFrame =
+    graft.ext.Dedup.dedupAgainstSeen(docStream, corpus)
+
   /** Sessionization with gap timeout — `flatMapGroupsWithState` +
     * `GroupStateTimeout.ProcessingTimeTimeout`: per-vendor activity
     * accumulates until `gapMs` of silence, then the closed session is

@@ -371,6 +371,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Seq((1L, 3L, half), (2L, 1L, half)))
   }
 
+  test("tf-idf top terms: scores and tie order match the hand computation") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple banana cherry durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(corpus, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    def s(tf: Int, df: Int) = math.rint(tf * math.log(3.0 / df) * 1e4) / 1e4
+    assert(out.toSeq == Seq(
+      (1L, 1, "apple", s(2, 2)), (1L, 2, "banana", 0.0),
+      (2L, 1, "cherry", s(1, 2)), (2L, 2, "banana", 0.0),
+      // apple and cherry tie at ln(3/2): term order breaks it
+      (3L, 1, "durian", s(1, 1)), (3L, 2, "apple", s(1, 2)),
+      (3L, 3, "cherry", s(1, 2))))
+  }
+
   test("mixture sample: integer weights exact, fractional bounded, zero drops") {
     val corpus = (0L until 300L).map { i =>
       (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")

@@ -139,4 +139,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.list(java.nio.file.Paths.get(warehouse)).iterator().hasNext ||
       spark.read.parquet(warehouse).isEmpty)
   }
+
+  test("incremental corpus dedup runs the batch operator stream-static") {
+    import spark.implicits._
+    val corpus = Seq((0L, "seen doc one"), (1L, "seen doc two"))
+      .toDF("doc_id", "text")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.dedupAgainstCorpus(docs, corpus)
+      .writeStream.format("memory").queryName("corpus_dedup_sink")
+      .outputMode("append").start()
+    try {
+      source.addData((2L, "seen doc one"), (3L, "fresh doc"))
+      query.processAllAvailable()
+      // a second micro-batch joins against the same standing corpus
+      source.addData((4L, "seen doc two"), (5L, "another fresh doc"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("corpus_dedup_sink")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    // only the docs whose digest is absent from the corpus survive
+    assert(out.toSeq == Seq(3L, 5L))
+  }
 }
