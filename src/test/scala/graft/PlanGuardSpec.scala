@@ -115,6 +115,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(exchanges == 2, s"$exchanges exchanges:\n$p")
   }
 
+  test("minhash_pairs join-back runs the sketch pipeline once (reused exchanges)") {
+    // The static plan shows the scan+shingle+sketch subtree four times
+    // (two band-join sides, two signature join-backs); at runtime AQE
+    // must collapse them onto one executed MapPartitions via exchange
+    // reuse — the property the 2M-doc drill timings depend on.
+    val df = SparkEntry.queries("minhash_pairs")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("MapPartitions".r.findAllIn(finalPlan).length == 1, finalPlan)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+  }
+
   test("boilerplate_grams joins survivor text back via broadcast") {
     // Gram STRINGS must never enter a wide shuffle: the df-thresholded
     // hash list broadcasts and the string stream filters against it.
