@@ -814,6 +814,17 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50)))
     }),
 
+    // The whole pretraining shard path as one plan: curation survivors →
+    // en ×2 mixture → 32/24 chunking → 256-token packing per lang.
+    // Rows-only (the curation stage has no ANSI twin).
+    "train_prep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.CorpusPrep.trainPrep(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        weights = Map("en" -> 2.0), chunkTokens = 32, strideTokens = 24,
+        maxTokens = 256)
+    }),
+
     // Sketch quantiles (KLL-style percentile_approx) — the 100 TB path
     // where exact sort-based percentiles stop being viable; exact twins
     // ride along to record the sketch error, like approx_distinct.

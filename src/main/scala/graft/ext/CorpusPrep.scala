@@ -100,4 +100,37 @@ object CorpusPrep {
     sum(when(col("is_near_dup"), 1L).otherwise(0L)).as("near_dups"),
     sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("contaminated"),
     sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+
+  /** The full pretraining shard path in one declarative plan: curation
+    * survivors ([[prepare]]) → language-mixture resampling
+    * ([[Sampling.mixtureSample]]) → context-window chunking
+    * ([[Sampling.chunkByTokens]]) → sharded sequence packing
+    * ([[Sampling.packSequencesSharded]]), summarized per (lang, seq_id)
+    * training sequence. Chunking runs once per unique doc and the
+    * epoch multiplicity joins in afterwards (identical copies need no
+    * re-chunking); the packing key (doc_id, epoch, chunk_id) is a
+    * struct, so epochs interleave deterministically within a shard.
+    * Every stage is an independently verified operator — the composite
+    * is plumbing, which is the point: the whole data path is one plan
+    * Catalyst optimizes end to end.
+    */
+  def trainPrep(docs: DataFrame, evalDocs: DataFrame,
+                weights: Map[String, Double] = Map.empty,
+                chunkTokens: Int = 64, strideTokens: Int = 48,
+                maxTokens: Int = 512): DataFrame = {
+    val kept = prepare(docs, evalDocs).filter(col("kept")).select("doc_id")
+    val corpus = docs.join(kept, Seq("doc_id"))
+    val mixed = Sampling.mixtureSample(corpus, col("lang"), col("doc_id"),
+      weights)
+    val chunks = Sampling.chunkByTokens(corpus, chunkTokens, strideTokens)
+    val expanded = chunks.join(
+      mixed.select("doc_id", "lang", "epoch"), Seq("doc_id"))
+    Sampling.packSequencesSharded(expanded, col("lang"),
+        struct(col("doc_id"), col("epoch"), col("chunk_id")),
+        col("n_tokens"), maxTokens)
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("seq_tokens"))
+      .orderBy("lang", "seq_id")
+  }
 }

@@ -429,6 +429,27 @@ class ExtSpec extends AnyFunSuite {
       (2L, 0, 3, "a b c"), (3L, 0, 4, "a b c d"), (3L, 1, 2, "d e")))
   }
 
+  test("train_prep chains curation, mixture, chunking and packing exactly") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup
+      (2L, "completely different content about spark engines running at scale", "en"),
+      (3L, "zz", "de")) // < 5 tokens → poor quality
+      .toDF("doc_id", "text", "lang")
+    val eval_ = Seq((100L, "nothing in common here at all whatsoever friends"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.CorpusPrep.trainPrep(corpus, eval_,
+        weights = Map("en" -> 2.0), chunkTokens = 4, strideTokens = 3,
+        maxTokens = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Survivors 0 and 2 (dup 1 and low-quality 3 drop), each chunked to
+    // (4, 4, 3) tokens and doubled by the en ×2 mixture; greedy packing
+    // of the 12-chunk stream at 8 tokens gives these six sequences.
+    assert(out.toSeq == Seq(
+      ("en", 0L, 2L, 8L), ("en", 1L, 3L, 11L), ("en", 2L, 2L, 7L),
+      ("en", 3L, 2L, 7L), ("en", 4L, 2L, 8L), ("en", 5L, 1L, 3L)))
+  }
+
   test("semantic dedup groups exact copies and keeps the min id per group") {
     val e1 = Seq(1f, 0f, 0f, 0f)
     val e2 = Seq(0f, 1f, 0f, 0f)
