@@ -61,6 +61,39 @@ object Dedup {
     newDocs.join(seen, digest(col("text")) === col("seen_digest"), "left_anti")
   }
 
+  /** [[dedupAgainstSeen]] with a bloom-filter prescreen: one aggregate
+    * over the standing corpus builds a bitset of its content digests
+    * ([[graft.functions.BloomSketch]] — map-side partial OR, one
+    * fixed-size sketch per partition on the wire), broadcast to the new
+    * slice as a single-row cross join. A bloom MISS is definitely-new
+    * (no false negatives) and short-circuits past the join entirely;
+    * only hits — true duplicates plus the ~fpp sliver — pay the exact
+    * digest anti-join. Result is IDENTICAL to [[dedupAgainstSeen]]
+    * (bloom hits are verified exactly), so the DuckDB oracle holds.
+    *
+    * 100 TB cost model: the anti-join's new-side shuffle shrinks from
+    * the whole incoming batch to (dup-rate + fpp) of it; 10 bits/item
+    * at 7 hashes ≈ 1% fpp, 120 MB of broadcast per 100M seen digests.
+    * Past ~1G seen digests, shard the filter or raise fpp — the exact
+    * verify keeps correctness either way.
+    */
+  def dedupAgainstSeenBloom(newDocs: DataFrame, seenDocs: DataFrame,
+                            numBits: Long = 1L << 20,
+                            numHashes: Int = 7): DataFrame = {
+    import graft.functions.SketchFunctions.{bloom_sketch, bloom_contains}
+    val bloom = seenDocs
+      .agg(bloom_sketch(xxhash64(col("text")), numBits, numHashes).as("bits"))
+    val screened = newDocs.crossJoin(broadcast(bloom))
+      .withColumn("maybe_seen",
+        bloom_contains(col("bits"), xxhash64(col("text")), numHashes))
+      .drop("bits")
+    val definitelyNew = screened.filter(!col("maybe_seen")).drop("maybe_seen")
+    val seen = seenDocs.select(digest(col("text")).as("seen_digest")).distinct()
+    val verifiedNew = screened.filter(col("maybe_seen")).drop("maybe_seen")
+      .join(seen, digest(col("text")) === col("seen_digest"), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH near-duplicate detection
   // ---------------------------------------------------------------------

@@ -220,6 +220,43 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Exact corpus heavy hitters: the `k` most frequent whitespace tokens
+    * (count desc, token asc — a total order both engines share). Shape:
+    * explode → two-stage hash aggregate (map-side combine collapses each
+    * partition to its vocabulary before the shuffle) → TakeOrdered(k).
+    * The exact form is the [[heavyHittersCms]] baseline; its cost at
+    * 100 TB is a vocabulary-sized shuffle, which the sketch avoids.
+    */
+  def heavyHittersExact(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Sketched heavy hitters: one [[graft.functions.CountMinSketch]] pass
+    * over the token stream (fixed `depth*width*8` bytes per partition on
+    * the wire — never the vocabulary), then candidate tokens probe the
+    * broadcast 1-row sketch with the codegen'd point-estimate kernel.
+    * Count-min only OVERcounts, so ranking by estimate never drops a true
+    * heavy hitter below its weight — the screen has no false negatives
+    * (ScalaTest pins est ≥ exact per token). Candidates here are the
+    * corpus's distinct tokens; at 100 TB they'd come from a cheap sample
+    * or the stream's own keys, keeping the whole job scan-plus-sketch.
+    */
+  def heavyHittersCms(docs: DataFrame, k: Int = 20, depth: Int = 4,
+                      width: Int = 1 << 12): DataFrame = {
+    import graft.functions.SketchFunctions.{cms_sketch, cms_estimate}
+    val toks = docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    val sketch = toks.agg(
+      cms_sketch(xxhash64(col("token")), depth, width).as("sk"))
+    toks.distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("token"),
+        cms_estimate(col("sk"), xxhash64(col("token")), depth).as("est_cnt"))
+      .orderBy(col("est_cnt").desc, col("token"))
+      .limit(k)
+  }
+
   /** Document fingerprint: 64-bit content hash over the normalized token
     * stream (xxhash64 — stable across runs/executors, unlike JVM
     * `hashCode`). Suitable as a cheap join/dedup key at any scale.
