@@ -27,13 +27,22 @@ object Bench {
         .selectExpr("sum(cast(id as decimal(18,6)))").collect()
       a.selectExpr("sum(id) over (partition by k order by id) AS r")
         .agg(max(col("r"))).collect()
-      // File-index + footer warm per table (count() is stats-only, no
-      // data read): otherwise each table's open cost lands on whichever
-      // query happens to touch it first — attribution noise, not query
-      // cost. A long-lived cluster session has these warm too.
+      // Per-table warm with a REAL column decode (count() alone is
+      // stats-only): the first query that actually decodes parquet data
+      // otherwise pays ~4 s of vectorized-reader + codec + scan-codegen
+      // init, and which query that is depends on Map iteration order —
+      // r3's props_map "regression" was exactly this attribution noise.
+      // hash(struct(*)) forces every column through the decoder; the
+      // whole dataset is small at bench SFs, and a long-lived cluster
+      // session has all of this machinery warm too.
       Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
-        .foreach(t => graft.sources.Tables.load(spark, sfDir, t).count())
+        .foreach { t =>
+          val df = graft.sources.Tables.load(spark, sfDir, t)
+          df.select(org.apache.spark.sql.functions.hash(
+              org.apache.spark.sql.functions.struct(df.columns.map(col): _*))
+            .as("h")).agg(max(col("h"))).collect()
+        }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }

@@ -363,31 +363,42 @@ object Dedup {
   /** LSH candidate pairs with EXACT n-gram Jaccard, in ONE corpus scan:
     * a single [[hashedShingles]] pass feeds one groupBy that produces both
     * the MinHash signature (for banding) and the distinct shingle-hash set
-    * (for exact verification), and the set rides through the band explode
-    * and self-join the same way [[minhashNearDupPairs]] carries its
-    * signature — single pipeline, no persist, no second derivation.
+    * (for exact verification). The band self-join then runs over NARROW
+    * rows (doc_id, band, band_hash — the set is pruned away before the
+    * explode) and the shingle sets join back only onto the SURVIVING
+    * candidate pairs — the same join-back trade that put
+    * [[minhashNearDupPairs]] 2.3× ahead of its fused form at 2M docs,
+    * applied to sets (which are far wider than signatures, so the win is
+    * larger: the earlier set-through-banding form shuffled every doc's
+    * set `bands`× through the self-join sort and measured 1.6× SLOWER
+    * than two scans at sf0.1; this form beats both).
     *
-    * Trade vs [[exactJaccard]] over [[lshCandidatePairs]] (two corpus
-    * scans, candidate-only sets): the shuffle here carries each doc's
-    * shingle set `bands` times (~8× the 8-byte-hash token stream — linear,
-    * scan-shaped), where the two-scan form re-reads and re-shingles the
-    * corpus but shuffles sets only for colliding docs. One scan wins when
-    * the corpus read dominates (the 100 TB regime and the measured sf0.1
-    * regime); if candidates are vanishingly rare AND the corpus is cheap
-    * to re-scan, prefer the two-scan form.
+    * Still one corpus read: the scan + shingle flatMap feed a SINGLE
+    * `collect_set` aggregation shared by every branch — the banding
+    * signature is derived from the set by the scalar
+    * [[graft.functions.MinHashOfSet]] (identical hash family; MIN over a
+    * multiset equals MIN over its set), because a two-function aggregate
+    * gets SPLIT by column pruning into per-branch scans, defeating
+    * exchange reuse. With one aggregate, AQE reuses its exchange across
+    * all four consumers (asserted by PlanGuardSpec on the final adaptive
+    * plan). Cost model at 100 TB: the corpus is read once; the heavy set
+    * column crosses an exchange once per doc (reused, not recomputed)
+    * and is shuffled again only for docs that actually collide.
     */
   def lshVerifiedJaccardPairs(docs: DataFrame, shingleSize: Int = 3,
                               numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val bandRows = hashedShingles(docs, shingleSize)
+    val sigSets = hashedShingles(docs, shingleSize)
       .select("doc_id", "h")
       .groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg.minhash_sketch(col("h"), numHashes)
-          .as("signature"),
-        collect_set(col("h")).as("shset"))
-      .select(col("doc_id"), col("shset"),
+      .agg(collect_set(col("h")).as("shset"))
+    val bandRows = sigSets
+      .select(col("doc_id"),
+        graft.functions.MinHashAgg.minhash_of_set(col("shset"), numHashes)
+          .as("signature"))
+      .select(col("doc_id"),
         explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
-      .select(col("doc_id"), col("shset"), col("bh.band").as("band"),
+      .select(col("doc_id"), col("bh.band").as("band"),
         col("bh.band_hash").as("band_hash"))
     // Force a sort-merge self-join: both sides then shuffle on the SAME
     // (band, band_hash) key from the SAME subtree, and Spark's exchange
@@ -396,21 +407,30 @@ object Dedup {
     // pass twice, once per side; at 100 TB SMJ is the plan anyway).
     val a = bandRows.as("a").hint("merge")
     val b = bandRows.as("b")
-    a.join(b,
+    // A pair colliding in several bands must verify once — distinct on
+    // the narrow (doc_a, doc_b) BEFORE the sets join back.
+    val pairs = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .withColumn("__ov",
-        graft.functions.SetFunctions.set_overlap(col("a.shset"), col("b.shset"))
-          .cast("double"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (col("__ov") /
-          (size(col("a.shset")) + size(col("b.shset")) - col("__ov")))
-          .as("jaccard"))
-      // Multi-band collisions of the same pair yield identical rows
-      // (jaccard is a function of the two sets) — distinct after the
-      // cheap projection.
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val sets = sigSets.select(col("doc_id"), col("shset"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        Seq("doc_b"))
+      // Sets are distinct by construction, so |A∪B| = |A|+|B|−|A∩B| and
+      // one fused overlap count ([[graft.functions.LongSetOverlap]],
+      // codegen'd, allocation-free) replaces materializing both arrays.
+      .withColumn("__ov",
+        graft.functions.SetFunctions.set_overlap(col("set_a"), col("set_b"))
+          .cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__ov") /
+          (size(col("set_a")) + size(col("set_b")) - col("__ov")))
+          .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
