@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.agg.Analytics
 import graft.agg.Analytics.{davg, dsum}
-import graft.etl.{Enrich, Quality}
+import graft.etl.{Enrich, Quality, Skew}
 import graft.ext.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.operators.Temporal
 import graft.sources.Tables
@@ -291,6 +291,16 @@ object SparkEntry {
     "distinct_counts" -> ((s, dir) => T(s, dir, "events")
       .agg(countDistinct(col("user_id")).as("distinct_users"),
         countDistinct(col("event_type")).as("distinct_types"))),
+
+    // Skew-safe per-key distinct count: the salted two-stage form
+    // (graft.etl.Skew.saltedDistinctCount) — provably identical to plain
+    // countDistinct (every distinct value lands in exactly one salt
+    // cell), which the oracle asserts; a hot key's distinct set spreads
+    // over 16 tasks instead of melting one reducer.
+    "distinct_counts_salted" -> ((s, dir) =>
+      Skew.saltedDistinctCount(T(s, dir, "events"), "event_type", "user_id",
+          outName = "distinct_users")
+        .orderBy("event_type")),
 
     // Window function: top-3 per category (rank with total tiebreak).
     "window_topk" -> ((s, dir) => {
@@ -662,6 +672,24 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // The same dedup through the bloom-prescreen path: one BloomSketch
+    // aggregate over the standing corpus, misses short-circuit past the
+    // anti-join (no false negatives), hits are exactly verified — rows
+    // identical to incremental_dedup by construction, same oracle shape.
+    "incremental_dedup_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.dedupAgainstSeenBloom(
+          docs.filter(col("doc_id") >= 450), docs.filter(col("doc_id") < 450))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Count-min-screened frequent tokens: the estimate filter drops
+    // non-candidates BEFORE the exact aggregation (est >= true, so no
+    // qualifying token is lost) and the exact HAVING keeps the output
+    // identical to the plain GROUP BY the oracle runs.
+    "heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.frequentTokensCms(T(s, dir, "documents"), minCount = 50L)),
+
     // PII scrub: emails/URLs/long digit runs → typed placeholders. The
     // corpus is deterministically augmented with synthetic PII first, so
     // the replacement path (not just identity) is what both engines hash.
@@ -1026,6 +1054,8 @@ object SparkEntry {
         "SELECT COUNT(*) AS customers_without_orders FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
       "distinct_counts" ->
         "SELECT COUNT(DISTINCT user_id) AS distinct_users, COUNT(DISTINCT event_type) AS distinct_types FROM events",
+      "distinct_counts_salted" ->
+        "SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users FROM events GROUP BY event_type ORDER BY event_type",
       "window_topk" ->
         "SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, value FROM (SELECT event_type, event_id, value, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) t WHERE rn <= 3 ORDER BY event_type, rn",
       "running_total" ->
@@ -1199,6 +1229,15 @@ object SparkEntry {
         """SELECT n.doc_id FROM documents n WHERE n.doc_id >= 450 AND NOT EXISTS (
           |  SELECT 1 FROM documents s WHERE s.doc_id < 450 AND MD5(s.text) = MD5(n.text))
           |ORDER BY n.doc_id""".stripMargin,
+      "incremental_dedup_bloom" ->
+        """SELECT n.doc_id FROM documents n WHERE n.doc_id >= 450 AND NOT EXISTS (
+          |  SELECT 1 FROM documents s WHERE s.doc_id < 450 AND MD5(s.text) = MD5(n.text))
+          |ORDER BY n.doc_id""".stripMargin,
+      "heavy_hitters" ->
+        """SELECT token, COUNT(*) AS cnt FROM (
+          |  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+          |  FROM documents) t
+          |GROUP BY token HAVING COUNT(*) >= 50 ORDER BY cnt DESC, token""".stripMargin,
       "redact_pii" ->
         """SELECT doc_id,
           |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text2,

@@ -257,6 +257,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Tokens with exact count ≥ `minCount`, CMS-prescreened: the raw token
+    * stream first probes a broadcast 1-row [[graft.functions
+    * .CountMinSketch]] and rows whose ESTIMATE falls below `minCount` are
+    * dropped before the exact aggregation. Because count-min only ever
+    * OVERcounts (est ≥ true), no qualifying token can fail the screen —
+    * the output is IDENTICAL to the plain `GROUP BY token HAVING count ≥
+    * minCount` (the DuckDB oracle asserts this), but the vocabulary-sized
+    * exact shuffle shrinks to the near-heavy survivors. At 100 TB that is
+    * the difference between shuffling billions of distinct tokens and
+    * shuffling the few that could possibly qualify; the sketch itself is
+    * a fixed `depth*width*8` bytes per partition on the wire.
+    */
+  def frequentTokensCms(docs: DataFrame, minCount: Long, depth: Int = 4,
+                        width: Int = 1 << 14): DataFrame = {
+    import graft.functions.SketchFunctions.{cms_sketch, cms_estimate}
+    val toks = docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    val sketch = toks.agg(
+      cms_sketch(xxhash64(col("token")), depth, width).as("sk"))
+    toks.crossJoin(broadcast(sketch))
+      .filter(cms_estimate(col("sk"), xxhash64(col("token")), depth) >= minCount)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** Document fingerprint: 64-bit content hash over the normalized token
     * stream (xxhash64 — stable across runs/executors, unlike JVM
     * `hashCode`). Suitable as a cheap join/dedup key at any scale.

@@ -37,6 +37,44 @@ class ExtSpec extends AnyFunSuite {
     assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_doc_id") == 0L)
   }
 
+  test("bloom-prescreened incremental dedup equals the exact anti-join") {
+    val seen = docs.filter(col("doc_id") <= 2)
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of seen 0
+      (11L, "a genuinely new document that the corpus has never held"),
+      (12L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text") // 12 is NOT in seen (doc 4 is filtered out)
+    val exact = Dedup.dedupAgainstSeen(fresh, seen)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.dedupAgainstSeenBloom(fresh, seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == exact && exact == Set(11L, 12L))
+    // A tiny, collision-heavy filter must still verify exactly: misses
+    // short-circuit, hits fall through to the digest anti-join.
+    val tiny = Dedup.dedupAgainstSeenBloom(fresh, seen, numBits = 64,
+        numHashes = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny == exact)
+  }
+
+  test("count-min estimates dominate exact counts; screen loses no heavy token") {
+    val exact = TextAnalysis.heavyHittersExact(docs, k = 1000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // Narrow width forces collisions so est > exact for some token —
+    // the overcount-only property is what the test pins.
+    val est = TextAnalysis.heavyHittersCms(docs, k = 1000, depth = 2,
+        width = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(exact.keySet == est.keySet)
+    exact.foreach { case (tok, cnt) => assert(est(tok) >= cnt, tok) }
+    // The screened-exact form returns exactly the plain HAVING query.
+    val screened = TextAnalysis.frequentTokensCms(docs, minCount = 3,
+        depth = 2, width = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val plainHaving = exact.filter(_._2 >= 3).toSet
+    assert(screened == plainHaving && screened.nonEmpty)
+  }
+
   test("contamination: copied docs flagged, stop-grams carry no signal") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")

@@ -38,6 +38,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted distinct count equals plain countDistinct on a hot key") {
+    // One key owns 90% of rows AND repeats values (dupes must not
+    // double-count across salt cells — they can't: the salt is a
+    // function of the value, so a value's duplicates share a cell).
+    val df = (1 to 2000).map { i =>
+      (if (i <= 1800) "hot" else s"k${i % 7}", (i % 97).toLong)
+    }.toDF("key", "v")
+    val plain = df.groupBy("key")
+      .agg(countDistinct(col("v")).as("n_distinct"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedDistinctCount(df, "key", "v", salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS bt_orders")
     spark.sql("DROP TABLE IF EXISTS bt_lines")
