@@ -26,15 +26,20 @@ object Contamination {
     * training documents.
     */
   def ngramOverlap(eval: DataFrame, train: DataFrame, n: Int = 3,
-                   minShared: Int = 5, dfCap: Int = 20): DataFrame = {
+                   minShared: Int = 5, dfCap: Int = 20,
+                   trainShingles: Option[DataFrame] = None): DataFrame = {
     def grams(df: DataFrame, idAs: String) = Dedup.hashedShingles(df, n)
+      .select(col("doc_id").as(idAs), col("h").as("sh"))
+      .distinct()
+    def gramsFrom(sh: DataFrame, idAs: String) = sh
       .select(col("doc_id").as(idAs), col("h").as("sh"))
       .distinct()
     // Single pipeline: the df cap is a count window over the SAME gram
     // stream the join consumes — one shuffle on the gram, no second plan
     // branch re-running the shingle flatMap + distinct (the pattern the
     // minhashNearDupPairs rewrite exists to avoid).
-    val trainRare = grams(train, "train_id")
+    val trainRare = trainShingles.map(gramsFrom(_, "train_id"))
+      .getOrElse(grams(train, "train_id"))
       .withColumn("df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("df") <= dfCap)

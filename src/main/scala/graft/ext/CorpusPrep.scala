@@ -21,17 +21,25 @@ import org.apache.spark.sql.functions._
   * remove on its own — the numbers a curation report needs); only `kept`
   * uses the staged logic.
   *
-  * Note on passes: near-dup clustering and the contamination screen each
-  * scan the corpus through [[Dedup.hashedShingles]]. That is deliberate —
-  * the shingle stream is ~shingle-count× the corpus row count, so
-  * re-running the compiled, scan-bound hash pass is cheaper at any scale
-  * than materializing (persist/checkpoint) that intermediate to share it.
+  * Note on passes: near-dup clustering and the contamination screen both
+  * consume the corpus' [[Dedup.hashedShingles]] stream. `shareShingles`
+  * picks between re-running the compiled, scan-bound hash pass per
+  * consumer (false) and `localCheckpoint`ing one pass to feed both
+  * (true). The A/B (tools/PrepDrill, table in SCALE.md) put the share
+  * ahead at every measured size warm (sf0.1 4705-doc corpus 3.7→3.3 s,
+  * 400k-doc synthetic 17.2→9.8 s) and at-or-ahead cold (9.1→4.0 s;
+  * synthetic within noise), so it is the default: the checkpoint holds
+  * only (doc_id, h) — 16 bytes × shingle count, spillable — and
+  * replaces a full corpus re-read + re-tokenize + re-hash. On a cluster,
+  * swap for reliable `checkpoint()` to also survive executor loss.
   */
 object CorpusPrep {
 
   /** @param docs     corpus with (doc_id, text)
     * @param evalDocs held-out eval set with (doc_id, text) — contamination
     *                 reference; pass an empty frame to skip
+    * @param shareShingles materialize one shingle pass for the near-dup
+    *                 and contamination consumers (see object scaladoc)
     * @return one row per doc: quality_ok, is_exact_dup (non-canonical
     *         copy, independent verdict), is_near_dup (cluster
     *         non-survivor, independent verdict), is_contaminated, and
@@ -40,12 +48,23 @@ object CorpusPrep {
     */
   def prepare(docs: DataFrame, evalDocs: DataFrame,
               nearDupThreshold: Double = 0.5,
-              contaminationMinShared: Int = 5): DataFrame = {
+              contaminationMinShared: Int = 5,
+              shareShingles: Boolean = true): DataFrame = {
+    // One compiled shingle pass, shared by the near-dup clustering and
+    // the contamination screen (hashedShingles' pos column is pruned
+    // before the checkpoint; neither consumer needs it).
+    val sharedShingles =
+      if (shareShingles)
+        Some(Dedup.hashedShingles(docs, 3).select("doc_id", "h")
+          .localCheckpoint())
+      else None
+
     // Stage 1 — row-local verdicts.
     val quality = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), (col("quality") === "good").as("quality_ok"))
     val contaminated = Contamination
-      .ngramOverlap(evalDocs, docs, minShared = contaminationMinShared)
+      .ngramOverlap(evalDocs, docs, minShared = contaminationMinShared,
+        trainShingles = sharedShingles)
       .select(col("train_id").as("doc_id")).distinct()
       .withColumn("is_contaminated", lit(true))
 
@@ -53,7 +72,8 @@ object CorpusPrep {
     // similarity does not depend on eligibility).
     val digests = docs.select(col("doc_id"),
       Dedup.digest(col("text")).as("content_digest"))
-    val clusters = Dedup.nearDupClusters(docs, threshold = nearDupThreshold)
+    val clusters = Dedup.nearDupClusters(docs, threshold = nearDupThreshold,
+        shingles = sharedShingles)
       .select(col("doc_id"), col("cluster_id"))
 
     val flagged = docs.select("doc_id")

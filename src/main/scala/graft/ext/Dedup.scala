@@ -191,11 +191,19 @@ object Dedup {
 
   def minhashSignatures(docs: DataFrame, shingleSize: Int = 3,
                         numHashes: Int = 32): DataFrame =
+    minhashSignaturesFromShingles(hashedShingles(docs, shingleSize), numHashes)
+
+  /** [[minhashSignatures]] over an existing (doc_id, h) shingle stream —
+    * the seam that lets one materialized [[hashedShingles]] pass feed
+    * several consumers ([[CorpusPrep.prepare]]'s share-vs-rescan A/B).
+    */
+  def minhashSignaturesFromShingles(shingles: DataFrame,
+                                    numHashes: Int = 32): DataFrame =
     // The k-function family is derived from each 8-byte shingle hash
     // inside the native sketch aggregate ([[graft.functions.MinHashSketch]])
     // — one mutable buffer per doc, map-side partial aggregation, plan
     // size independent of k.
-    hashedShingles(docs, shingleSize)
+    shingles
       .select("doc_id", "h")
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash_sketch(col("h"), numHashes)
@@ -306,9 +314,11 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, shingleSize: Int = 3,
                           numHashes: Int = 32, bands: Int = 8,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5,
+                          shingles: Option[DataFrame] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, shingleSize, numHashes)
+    val sigs = minhashSignaturesFromShingles(
+      shingles.getOrElse(hashedShingles(docs, shingleSize)), numHashes)
     val pairs = lshCandidatePairs(sigs, bands, rowsPerBand)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")),
@@ -545,9 +555,10 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, shingleSize: Int = 3,
                       numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      shingles: Option[DataFrame] = None): DataFrame = {
     val edges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
-        threshold)
+        threshold, shingles)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comps = connectedComponents(edges)
     docs.select(col("doc_id"))
