@@ -950,7 +950,15 @@ object SparkEntry {
     // Threshold is low for the near-orthogonal testdata (see
     // embed_neardup_pairs); rows-only (iterative fit upstream).
     "semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(
-      T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2))
+      T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2)),
+
+    // Multi-assignment SemDeDup: each vector lands in its top-2 cells,
+    // recovering near-dup pairs that straddle a cell boundary (single
+    // assignment's documented recall gap; boundary-geometry ScalaTest in
+    // ExtSpec). Rows-only like semantic_dedup; ≤2× pair space.
+    "semantic_dedup_multi" -> ((s, dir) => Similarity.semanticDedup(
+      T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2,
+      assignments = 2))
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]] (same parquet tables,

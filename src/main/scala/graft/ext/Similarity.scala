@@ -138,6 +138,14 @@ object Similarity {
     org.apache.spark.sql.GraftColumn(graft.functions.IvfCellAssign(
       org.apache.spark.sql.GraftColumn.expr(embedding), cs))
 
+  /** The `m` best cells for an embedding, best first (element 0 is
+    * exactly [[cellFor]]'s answer) — the multi-assignment seam for
+    * [[semanticDedup]]'s boundary-recall upgrade.
+    */
+  def cellsFor(embedding: Column, cs: Seq[Seq[Float]], m: Int): Column =
+    org.apache.spark.sql.GraftColumn(graft.functions.IvfTopCellsAssign(
+      org.apache.spark.sql.GraftColumn.expr(embedding), cs, m))
+
   /** IVF ANN top-k: assign every vector to its nearest coarse centroid
     * (the inverted list), then brute-force only the `nprobe` lists
     * closest to the query. Same contract as [[annTopK]]; different
@@ -333,27 +341,54 @@ object Similarity {
     * groups ([[Dedup.connectedComponents]]), and keep the minimum
     * vec_id per group. Returns the full audit view — (vec_id, group,
     * keep) — so the filtered corpus AND the dropped-per-group evidence
-    * both fall out of one result. Known SemDeDup recall trade: a
-    * near-dup pair split across cells is not compared; raise iters/k
-    * quality or add multi-assignment when that matters.
+    * both fall out of one result.
+    *
+    * `assignments` controls the known SemDeDup recall trade: at 1 a
+    * near-dup pair split across a cell boundary is never compared; at
+    * m > 1 every vector lands in its m best cells, so a boundary pair
+    * shares a cell whenever either side's m-th-best cell reaches across
+    * (asserted on a constructed geometry in ExtSpec). Cost is bounded:
+    * the explode multiplies candidate rows by m, so the pair space grows
+    * ≤ m×, and duplicate pairs from sharing several cells collapse in
+    * one distinct before the CC sees the edge list.
     */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.95, k: Int = 8,
-                    iters: Int = 3, dim: Int = 64): DataFrame = {
+                    iters: Int = 3, dim: Int = 64,
+                    assignments: Int = 1): DataFrame = {
     val cs = kmeansFit(emb, k, iters, dim)
-    val celled = emb.select(col("vec_id"), col("embedding"),
-      cellFor(col("embedding"), cs).as("cell"),
-      vec_norm(col("embedding")).as("nrm"))
+    semanticDedupAssigned(emb, cs, threshold, assignments)
+  }
+
+  /** [[semanticDedup]] after the fit — takes EXPLICIT centroids so the
+    * boundary-recall behavior is testable against a constructed geometry
+    * (and so one fit can be reused across threshold sweeps).
+    */
+  def semanticDedupAssigned(emb: DataFrame, cs: Seq[Seq[Float]],
+                            threshold: Double = 0.95,
+                            assignments: Int = 1): DataFrame = {
+    val celled =
+      if (assignments <= 1)
+        emb.select(col("vec_id"), col("embedding"),
+          cellFor(col("embedding"), cs).as("cell"),
+          vec_norm(col("embedding")).as("nrm"))
+      else
+        emb.select(col("vec_id"), col("embedding"),
+          explode(cellsFor(col("embedding"), cs, assignments)).as("cell"),
+          vec_norm(col("embedding")).as("nrm"))
     // merge hint → exchange reuse: cell assignment + norms run once,
     // not once per self-join side (the nearDupPairs rationale).
     val a = celled.as("a").hint("merge")
     val b = celled.as("b")
-    val edges = a.join(b, col("a.cell") === col("b.cell") &&
+    val rawEdges = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         (vec_dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select("src", "dst")
+    // A pair meeting in several shared cells scores identically each
+    // time — collapse before the CC sees the edge list.
+    val edges = if (assignments <= 1) rawEdges else rawEdges.distinct()
     val comps = Dedup.connectedComponents(edges)
     emb.select(col("vec_id"))
       .join(comps, col("vec_id") === comps("id"), "left_outer")

@@ -171,6 +171,88 @@ object LshBucketAssign {
   }
 }
 
+/** Top-`m` coarse-quantizer assignment: the indices of the `m`
+  * best-scoring centroids (best first; ties keep the lower index, so
+  * element 0 is exactly [[IvfCellAssign]]'s answer), as one opaque
+  * codegen node — same projection-collapse rationale as
+  * [[IvfCellAssign]]. This is the multi-assignment seam for
+  * SemDeDup-style dedup: a vector sitting on a cell boundary lands in
+  * BOTH adjacent cells, so a near-dup pair straddling the boundary is
+  * still compared (single assignment's documented recall gap).
+  */
+case class IvfTopCellsAssign(child: Expression, centroids: Seq[Seq[Float]],
+                             top: Int)
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(top >= 1 && top <= centroids.length,
+    s"top must be in [1, ${centroids.length}], got $top")
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_top_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    IvfTopCellsAssign.assign(input.asInstanceOf[ArrayData], cents, top)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "float[][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.IvfTopCellsAssign.assign($v, $ref, $top)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IvfTopCellsAssign {
+  /** Static kernel shared by eval and generated code: score every
+    * centroid once (the [[FloatVecDot]] fold order), then selection-pick
+    * the top `m` — m and nlist are both small, so the m×nlist selection
+    * beats building a heap.
+    */
+  def assign(v: ArrayData, cents: Array[Array[Float]],
+             top: Int): ArrayData = {
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      val n = math.min(c.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getFloat(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      scores(j) = s
+      j += 1
+    }
+    val taken = new Array[Boolean](k)
+    val out = new Array[Int](top)
+    var t = 0
+    while (t < top) {
+      var best = Double.NegativeInfinity
+      var bi = -1
+      var m = 0
+      while (m < k) {
+        if (!taken(m) && scores(m) > best) { best = scores(m); bi = m }
+        m += 1
+      }
+      taken(bi) = true
+      out(t) = bi
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object IvfCellAssign {
   /** Static kernel shared by eval and generated code. */
   def assign(v: ArrayData, cents: Array[Array[Float]]): Int = {

@@ -219,6 +219,46 @@ object Pipeline {
   def dedupAgainstCorpus(docStream: DataFrame, corpus: DataFrame): DataFrame =
     graft.ext.Dedup.dedupAgainstSeen(docStream, corpus)
 
+  /** Streaming k-means scoring — the streaming twin of
+    * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
+    * assigned to their nearest FITTED centroid (the same opaque
+    * quantizer node the batch fit and the IVF index use,
+    * [[graft.ext.Similarity.cellFor]]) with their cosine to it. The fit
+    * happens offline on the corpus ([[graft.ext.Similarity.kmeansFit]]);
+    * scoring is a stateless projection, so it rides any trigger with
+    * zero streaming state — the fitted k×dim matrix is a plan literal
+    * broadcast with the codegen'd expression, exactly how a production
+    * model-scoring stream ships a small model to every executor.
+    */
+  def scoreEmbeddings(embStream: DataFrame,
+                      cs: Seq[Seq[Float]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val centLit = typedLit(cs)
+    embStream.select(col("vec_id"),
+      Similarity.cellFor(col("embedding"), cs).as("cell"),
+      round(Similarity.dot(col("embedding"),
+          element_at(centLit, col("cell") + 1)) /
+        Similarity.norm(col("embedding")), 4).as("cos"))
+  }
+
+  /** Running per-cluster statistics over the scored stream: count and
+    * mean cosine per cell, the live view of [[graft.ext.Similarity
+    * .kmeansClusters]]'s batch summary (drift here = refit the
+    * centroids). Complete-mode state is exactly k rows — bounded by the
+    * model, not the stream — and the mean aggregates through DECIMAL
+    * like every other mean in the engine.
+    */
+  def clusterStatsStream(embStream: DataFrame,
+                         cs: Seq[Seq[Float]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    scoreEmbeddings(embStream, cs)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos").cast("decimal(27,12)")) / count(lit(1)), 4)
+          .cast("double").as("mean_cos"))
+  }
+
   /** Sessionization with gap timeout — `flatMapGroupsWithState` +
     * `GroupStateTimeout.ProcessingTimeTimeout`: per-vendor activity
     * accumulates until `gapMs` of silence, then the closed session is

@@ -501,6 +501,34 @@ class ExtSpec extends AnyFunSuite {
       (3L, 3L, true), (4L, 3L, false), (5L, 5L, true)))
   }
 
+  test("multi-assignment semantic dedup recovers pairs straddling a cell boundary") {
+    // Constructed geometry: two unit-axis centroids, a near-dup pair
+    // (cos ≈ 0.9985) split across the boundary between them, one anchor
+    // squarely inside each cell.
+    val cs = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+    val emb = Seq(
+      (0L, Seq(0.74f, 0.70f, 0f, 0f)), // best cell 0, second-best 1
+      (1L, Seq(0.70f, 0.74f, 0f, 0f)), // best cell 1, second-best 0
+      (10L, Seq(1f, 0f, 0f, 0f)),
+      (11L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // element 0 of the top-2 assignment IS the single assignment
+    val agree = emb.select(
+        (Similarity.cellsFor(col("embedding"), cs, 2).getItem(0) ===
+          Similarity.cellFor(col("embedding"), cs)).as("ok")).collect()
+    assert(agree.forall(_.getBoolean(0)))
+    // single assignment: 0 and 1 sit in different cells → pair missed
+    val single = Similarity.semanticDedupAssigned(emb, cs, threshold = 0.95,
+        assignments = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(single.toMap == Map(0L -> 0L, 1L -> 1L, 10L -> 10L, 11L -> 11L))
+    // top-2 assignment: both boundary vectors land in both cells → the
+    // pair is compared (in two cells; the edge distinct collapses it)
+    // and groups under the min id. Anchors stay singleton groups.
+    val multi = Similarity.semanticDedupAssigned(emb, cs, threshold = 0.95,
+        assignments = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi.toMap == Map(0L -> 0L, 1L -> 0L, 10L -> 10L, 11L -> 11L))
+  }
+
   test("spherical k-means separates clusters and improves the objective") {
     val rng = new scala.util.Random(3)
     val emb = (0 until 200).map { i =>

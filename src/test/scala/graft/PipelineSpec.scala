@@ -163,4 +163,33 @@ class PipelineSpec extends AnyFunSuite {
     // only the docs whose digest is absent from the corpus survive
     assert(out.toSeq == Seq(3L, 5L))
   }
+
+  test("streaming k-means scoring assigns incoming embeddings to fitted cells") {
+    import spark.implicits._
+    // "fitted" centroids: two unit axes (the fit itself is batch/offline)
+    val cs = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+    val source = MemoryStream[(Long, Seq[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Seq[Float])]],
+      spark.sqlContext)
+    val emb = source.toDF().toDF("vec_id", "embedding")
+    val query = Pipeline.clusterStatsStream(emb, cs)
+      .writeStream.format("memory").queryName("kmeans_score_sink")
+      .outputMode("complete").start()
+    try {
+      source.addData((0L, Seq(0.9f, 0.1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      query.processAllAvailable()
+      val afterFirst = spark.table("kmeans_score_sink")
+        .orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      assert(afterFirst.toSeq == Seq((0, 1L, 0.9939), (1, 1L, 1.0)))
+      // second micro-batch accumulates into the running per-cell stats
+      source.addData((2L, Seq(1f, 0f, 0f, 0f)), (3L, Seq(0.1f, 0.9f, 0f, 0f)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("kmeans_score_sink")
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // cell 0: vecs 0 and 2 (mean of 0.9939 and 1.0); cell 1: vecs 1 and 3
+    assert(out.toSeq == Seq((0, 2L, 0.997), (1, 2L, 0.997)))
+  }
 }
