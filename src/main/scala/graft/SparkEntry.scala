@@ -468,6 +468,25 @@ object SparkEntry {
           sum(abs(col("p_us") - col("s_us"))).as("sum_gap_us"))
     }),
 
+    // Point-in-interval range join, varying-width intervals, no equi-key:
+    // lineitems shipped inside each big order's 3-day fulfillment window,
+    // via bucket-manufactured keys (never a nested-loop join).
+    "range_join_counts" -> ((s, dir) => {
+      val threeDaysUs = 259200000000L
+      val intervals = T(s, dir, "orders")
+        .filter(col("o_totalprice") > 490000)
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate")).as("lo"),
+          (unix_micros(col("o_orderdate")) + threeDaysUs).as("hi"))
+      val points = T(s, dir, "lineitem")
+        .select(col("l_quantity"), unix_micros(col("l_shipdate")).as("pt"))
+      Temporal.rangeJoin(points, intervals, "pt", "lo", "hi", threeDaysUs)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"),
+          dsum(col("l_quantity")).as("qty_sum"))
+        .orderBy("o_orderkey")
+    }),
+
     // Window RANGE frame as a range-join substitute: clicks in the hour
     // preceding each purchase, counted with one shuffle and zero joins.
     "clicks_before_purchase" -> ((s, dir) => {
@@ -1148,6 +1167,14 @@ object SparkEntry {
           |FROM events a, events b
           |WHERE a.event_type = 'purchase' AND b.event_type = 'signup'
           |  AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000""".stripMargin,
+      "range_join_counts" ->
+        """SELECT o_orderkey, COUNT(*) AS n_shipped,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+          |FROM orders o JOIN lineitem l
+          |  ON epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
+          | AND epoch_us(l.l_shipdate) <= epoch_us(o.o_orderdate) + 259200000000
+          |WHERE o.o_totalprice > 490000
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "clicks_before_purchase" ->
         """SELECT event_id, user_id, clicks_1h FROM (
           |  SELECT event_id, user_id, event_type,

@@ -131,6 +131,43 @@ object Temporal {
     * columns pass through (left's then right's — disambiguate names
     * before calling).
     */
+  /** Point-in-interval range join: all (point, interval) pairs with
+    * `lo <= point <= hi`, intervals of VARYING width and NO equi-key —
+    * the general form [[toleranceJoin]] is the symmetric special case
+    * of. Spark plans the naive `BETWEEN` theta-join as a broadcast
+    * nested loop (|P|·|I| comparisons); bucketing manufactures the
+    * equi-key: each interval explodes into every `bucketWidth`-wide
+    * bucket it touches (`sequence(bucket(lo), bucket(hi))`), each point
+    * carries its single bucket, the join shuffles on the bucket, and
+    * the exact predicate filters survivors. A qualifying pair meets in
+    * EXACTLY one bucket (the point's), so no distinct pass is needed.
+    *
+    * Cost: interval fan-out is `width/bucketWidth + 1` rows — pick
+    * `bucketWidth` near the typical interval width so fan-out is ~2 and
+    * a bucket's population bounds the per-task work (AQE splits skewed
+    * buckets). Intervals with `hi < lo` match nothing (as with
+    * BETWEEN) and are dropped before the explode — `sequence` would
+    * otherwise walk them DESCENDING and emit phantom buckets.
+    *
+    * `pointCol`, `loCol`, `hiCol` name integral (e.g. epoch) columns;
+    * all other columns pass through (points' then intervals' —
+    * disambiguate names before calling).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, loCol: String, hiCol: String,
+                bucketWidth: Long): DataFrame = {
+    // Exact integer floor-division (the toleranceJoin rationale: double
+    // floor mis-buckets beyond 2^53).
+    def bucket(c: String) =
+      expr(s"(`$c` - pmod(`$c`, ${bucketWidth}L)) div ${bucketWidth}L")
+    val pb = points.withColumn("__b", bucket(pointCol))
+    val ib = intervals.filter(col(hiCol) >= col(loCol))
+      .withColumn("__b", explode(sequence(bucket(loCol), bucket(hiCol))))
+    pb.join(ib, "__b")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   def toleranceJoin(left: DataFrame, right: DataFrame,
                     leftTsUs: String, rightTsUs: String,
                     tolUs: Long): DataFrame = {

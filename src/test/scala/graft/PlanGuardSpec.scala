@@ -61,6 +61,11 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("range_join_counts joins on the manufactured bucket key") {
+    val p = plan("range_join_counts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("asof_join never plans a cartesian or nested-loop join") {
     val p = plan("asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -120,6 +120,33 @@ class TemporalSpec extends AnyFunSuite {
     assert(ours.map(t => (t._1, t._2, t._4)) === builtin)
   }
 
+  test("range join equals the naive cross-filter and handles edge intervals") {
+    // Varying widths: zero-width, sub-bucket, multi-bucket (spans 4
+    // buckets at width 10), inverted (hi < lo → matches nothing).
+    val intervals = Seq(
+      (1L, 15L, 15L),   // zero-width: only pt == 15
+      (2L, 3L, 7L),     // inside one bucket
+      (3L, 8L, 34L),    // spans buckets 0..3
+      (4L, 40L, 30L))   // inverted → dropped
+      .toDF("iid", "lo", "hi")
+    val points = (0L until 60L).map(p => (p, p)).toDF("pid", "pt")
+    val got = Temporal.rangeJoin(points, intervals, "pt", "lo", "hi",
+        bucketWidth = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    val naive = points.crossJoin(intervals)
+      .filter(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    assert(got.nonEmpty && got === naive)
+    // each qualifying pair appears exactly once despite the multi-bucket
+    // interval explode
+    assert(got.distinct === got)
+    // inclusive on both ends; inverted interval contributed nothing
+    assert(got.contains((15L, 1L)) && got.contains((8L, 3L)) &&
+      got.contains((34L, 3L)) && !got.exists(_._2 == 4L))
+  }
+
   test("tolerance join equals the naive cross-filter") {
     val l = (0L until 50L).map(i => i * 37L % 1000L).toDF("l_us")
     val r = (0L until 50L).map(i => i * 53L % 1000L).toDF("r_us")
