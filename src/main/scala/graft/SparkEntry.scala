@@ -476,10 +476,11 @@ object SparkEntry {
       val intervals = T(s, dir, "orders")
         .filter(col("o_totalprice") > 490000)
         .select(col("o_orderkey"),
-          unix_micros(col("o_orderdate")).as("lo"),
-          (unix_micros(col("o_orderdate")) + threeDaysUs).as("hi"))
+          unix_micros(col("o_orderdate").cast("timestamp")).as("lo"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) + threeDaysUs).as("hi"))
       val points = T(s, dir, "lineitem")
-        .select(col("l_quantity"), unix_micros(col("l_shipdate")).as("pt"))
+        .select(col("l_quantity"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("pt"))
       Temporal.rangeJoin(points, intervals, "pt", "lo", "hi", threeDaysUs)
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_shipped"),

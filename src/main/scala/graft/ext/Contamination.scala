@@ -24,10 +24,25 @@ object Contamination {
   /** Pairs (eval doc, train doc) sharing at least `minShared` distinct
     * word `n`-grams, counting only grams contained in at most `dfCap`
     * training documents.
+    *
+    * `trainShingles`, when supplied, MUST be a [[Dedup.hashedShingles]]
+    * stream built with the SAME `n` as this call — the eval side hashes
+    * its own `n`-grams, and a mismatched gram size silently yields zero
+    * overlap (nothing flagged) rather than an error, the worst failure
+    * mode for a hygiene screen. Callers passing a pre-built stream must
+    * pass its gram size via `trainShinglesN` so the invariant is checked.
     */
   def ngramOverlap(eval: DataFrame, train: DataFrame, n: Int = 3,
                    minShared: Int = 5, dfCap: Int = 20,
-                   trainShingles: Option[DataFrame] = None): DataFrame = {
+                   trainShingles: Option[DataFrame] = None,
+                   trainShinglesN: Option[Int] = None): DataFrame = {
+    trainShingles.foreach { _ =>
+      val tn = trainShinglesN.getOrElse(throw new IllegalArgumentException(
+        "trainShingles supplied without trainShinglesN: declare the gram " +
+          "size the stream was built with (must equal n)"))
+      require(tn == n, s"trainShingles built with n=$tn but eval side " +
+        s"shingles with n=$n: overlap would be silently zero")
+    }
     def grams(df: DataFrame, idAs: String) = Dedup.hashedShingles(df, n)
       .select(col("doc_id").as(idAs), col("h").as("sh"))
       .distinct()

@@ -52,11 +52,17 @@ object CorpusPrep {
               shareShingles: Boolean = true): DataFrame = {
     // One compiled shingle pass, shared by the near-dup clustering and
     // the contamination screen (hashedShingles' pos column is pruned
-    // before the checkpoint; neither consumer needs it).
+    // before the checkpoint; neither consumer needs it). Lazy checkpoint
+    // (eager=false): no Spark job fires at call time — the first
+    // consumer's action materializes the blocks, the second reuses them.
+    // The executor-local blocks live until the checkpointed RDD is
+    // GC-reclaimed on the driver (ContextCleaner), so repeated prepare()
+    // calls in one session release earlier passes as their plans go out
+    // of scope rather than pinning them for the session's lifetime.
     val sharedShingles =
       if (shareShingles)
         Some(Dedup.hashedShingles(docs, 3).select("doc_id", "h")
-          .localCheckpoint())
+          .localCheckpoint(eager = false))
       else None
 
     // Stage 1 — row-local verdicts.
@@ -64,7 +70,7 @@ object CorpusPrep {
       .select(col("doc_id"), (col("quality") === "good").as("quality_ok"))
     val contaminated = Contamination
       .ngramOverlap(evalDocs, docs, minShared = contaminationMinShared,
-        trainShingles = sharedShingles)
+        trainShingles = sharedShingles, trainShinglesN = Some(3))
       .select(col("train_id").as("doc_id")).distinct()
       .withColumn("is_contaminated", lit(true))
 

@@ -245,6 +245,15 @@ object IvfTopCellsAssign {
         if (!taken(m) && scores(m) > best) { best = scores(m); bi = m }
         m += 1
       }
+      if (bi < 0) {
+        // All remaining scores are NaN (e.g. a NaN element poisons every
+        // dot product): `>` never fires and bi stays -1. Take the first
+        // untaken index so element 0 still equals IvfCellAssign's pick
+        // (which degrades to cell 0 on the same input) instead of
+        // throwing ArrayIndexOutOfBounds inside codegen.
+        var m2 = 0
+        while (bi < 0 && m2 < k) { if (!taken(m2)) bi = m2; m2 += 1 }
+      }
       taken(bi) = true
       out(t) = bi
       t += 1

@@ -97,4 +97,44 @@ class EdgeCaseSpec extends AnyFunSuite {
       nlist = 4, dim = 4, nprobe = 4)
     assert(top.select("vec_id").as[Long].collect().toSet == Set(0L, 1L))
   }
+
+  test("NaN embeddings degrade to cell 0 in both quantizers, not a crash") {
+    import graft.ext.Similarity
+    // A NaN element poisons every dot product: single-assignment picks
+    // cell 0 (initialized best index); multi-assignment must agree at
+    // element 0 and fill the rest deterministically instead of throwing
+    // ArrayIndexOutOfBounds from an unset selection index.
+    val cs = Seq(Seq(1f, 0f), Seq(0f, 1f), Seq(-1f, 0f))
+    val rows = Seq(
+      (0L, Array(Float.NaN, 0.5f)),
+      (1L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.cellFor(col("embedding"), cs).as("cell"),
+        Similarity.cellsFor(col("embedding"), cs, 2).as("cells"))
+      .orderBy("vec_id").collect()
+    val nanRow = rows(0)
+    assert(nanRow.getInt(1) == 0)
+    assert(nanRow.getSeq[Int](2) == Seq(0, 1)) // first untaken fallback
+    // element 0 of cellsFor equals cellFor on every input, NaN included
+    rows.foreach(r => assert(r.getSeq[Int](2).head == r.getInt(1)))
+  }
+
+  test("pre-built contamination shingles must declare a matching gram size") {
+    val sh = Dedup.hashedShingles(someDocs, 3).select("doc_id", "h")
+    intercept[IllegalArgumentException] {
+      Contamination.ngramOverlap(someDocs, someDocs,
+        trainShingles = Some(sh)) // gram size undeclared
+    }
+    intercept[IllegalArgumentException] {
+      Contamination.ngramOverlap(someDocs, someDocs, n = 3,
+        trainShingles = Some(sh), trainShinglesN = Some(4)) // mismatched
+    }
+    // declared and matching: same answer as the self-built stream
+    val a = Contamination.ngramOverlap(someDocs, someDocs, minShared = 1)
+      .collect().toSeq
+    val b = Contamination.ngramOverlap(someDocs, someDocs, minShared = 1,
+      trainShingles = Some(sh), trainShinglesN = Some(3)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
