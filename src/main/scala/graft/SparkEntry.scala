@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.agg.Analytics
+import graft.agg.{Analytics, Behavior}
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality, Skew}
 import graft.ext.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
@@ -502,6 +502,27 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("clicks_1h"))
         .orderBy("event_id")
     }),
+
+    // Ordered conversion funnel: stage N counts only events after the
+    // user's earliest stage-N−1 time (three chained user-keyed joins,
+    // one partitioning reused).
+    "funnel_steps" -> ((s, dir) => Behavior.funnel(T(s, dir, "events"),
+      unix_micros(col("ts")), col("user_id"), col("event_type"),
+      Seq("view", "click", "purchase"))),
+
+    // Weekly cohort retention: first-event week × weeks-since, distinct
+    // active users per cell.
+    "cohort_retention" -> ((s, dir) => Behavior.cohortRetention(
+      T(s, dir, "events"), unix_micros(col("ts")), col("user_id"))),
+
+    // Markov bigram matrix over each user's time-ordered event sequence.
+    "event_transitions" -> ((s, dir) => Behavior.transitions(
+      T(s, dir, "events"), unix_micros(col("ts")), col("user_id"),
+      col("event_type"), col("event_id"))),
+
+    // Outlier-robust money stats: exact-percentile clamp then decimal sum.
+    "winsorized_price" -> ((s, dir) => Behavior.winsorizedStats(
+      T(s, dir, "lineitem"), col("l_extendedprice"), 0.01, 0.99)),
 
     // CUBE: all four grouping combinations in one shuffle.
     "cube_daily" -> ((s, dir) => T(s, dir, "events")
@@ -1184,6 +1205,37 @@ object SparkEntry {
           |            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS clicks_1h
           |  FROM events) t
           |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+      "funnel_steps" ->
+        """WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu FROM events),
+          |s1 AS (SELECT u, MIN(tu) AS t0 FROM ev WHERE et = 'view' GROUP BY u),
+          |s2 AS (SELECT ev.u AS u, MIN(tu) AS t1 FROM ev JOIN s1 ON ev.u = s1.u
+          |       WHERE et = 'click' AND tu > t0 GROUP BY ev.u),
+          |s3 AS (SELECT ev.u AS u, MIN(tu) AS t2 FROM ev JOIN s2 ON ev.u = s2.u
+          |       WHERE et = 'purchase' AND tu > t1 GROUP BY ev.u)
+          |SELECT 1 AS stage, 'view' AS stage_name, (SELECT COUNT(*) FROM s1) AS n_users
+          |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+          |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+          |ORDER BY stage""".stripMargin,
+      "cohort_retention" ->
+        """WITH ev AS (SELECT user_id AS u, epoch_us(ts) // 604800000000 AS wk FROM events),
+          |c AS (SELECT u, wk, MIN(wk) OVER (PARTITION BY u) AS cohort_wk FROM ev)
+          |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+          |       COUNT(DISTINCT u) AS n_active
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "event_transitions" ->
+        """WITH l AS (SELECT event_type AS et,
+          |    LEAD(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts), event_id) AS next_et FROM events)
+          |SELECT et AS from_type, next_et AS to_type, COUNT(*) AS n
+          |FROM l WHERE next_et IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "winsorized_price" ->
+        """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+          |b AS (SELECT quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi FROM v),
+          |c AS (SELECT LEAST(GREATEST(v.v, b.lo), b.hi) AS cv FROM v, b)
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(CAST(cv AS DECIMAL(18,6))) AS DOUBLE) AS w_sum,
+          |  CAST(SUM(CAST(cv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS w_avg,
+          |  MIN(cv) AS w_min, MAX(cv) AS w_max FROM c""".stripMargin,
       "cube_daily" ->
         s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n, $moneySum AS revenue FROM events GROUP BY CUBE(event_type, d) ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
       "grouping_sets" ->
