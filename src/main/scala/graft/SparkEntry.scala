@@ -5,10 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.agg.{Analytics, Behavior}
+import graft.agg.{Analytics, Behavior, Profile}
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality, Skew}
-import graft.ext.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Multimodal, Relations, Sampling, Similarity, TextAnalysis}
 import graft.operators.Temporal
 import graft.sources.Tables
 
@@ -523,6 +523,47 @@ object SparkEntry {
     // Outlier-robust money stats: exact-percentile clamp then decimal sum.
     "winsorized_price" -> ((s, dir) => Behavior.winsorizedStats(
       T(s, dir, "lineitem"), col("l_extendedprice"), 0.01, 0.99)),
+
+    // One-pass column profile: rows/nonnull/distinct/min/max/sum per
+    // column (exact distinct plans through one Expand aggregate).
+    "profile_columns" -> ((s, dir) => Profile.profileColumns(
+      T(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Per-group z-score outlier counts from exact decimal moments — the
+    // mean/sd derivation shares one expression tree with the oracle.
+    "outlier_zscore" -> ((s, dir) => Profile.outliersByGroup(
+      T(s, dir, "events"), col("event_type"), col("value"), 2.5)),
+
+    // Gaps-and-islands: collapse each user's stream into maximal
+    // same-event-type runs with interval bounds (SCD-2 shape).
+    "event_runs" -> ((s, dir) => Profile.eventRuns(
+        T(s, dir, "events"), unix_micros(col("ts")), col("user_id"),
+        col("event_type"), col("event_id"))
+      .filter(col("u") < 50)),
+
+    // Calendar densification: per-priority daily order counts with
+    // missing days as explicit zeros.
+    "gap_fill_daily" -> ((s, dir) => Profile.gapFillDaily(
+      T(s, dir, "orders"), col("o_orderpriority"),
+      to_date(col("o_orderdate")))),
+
+    // Market-basket pairs: frequent-item-pruned co-occurrence counts
+    // within orders, top-k with total tiebreak.
+    "item_pairs" -> ((s, dir) => Relations.itemPairs(
+      T(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
+      3L, 50)),
+
+    // Blocked fuzzy entity matching: Levenshtein ≤ 2 name pairs inside
+    // nation blocks only.
+    "fuzzy_match" -> ((s, dir) => Relations.fuzzyMatchBlocked(
+      T(s, dir, "customer"), col("c_nationkey"), col("c_custkey"),
+      col("c_name"), 2)),
+
+    // Count-exact per-group sample: 20 digest-ranked docs per language.
+    "per_group_sample" -> ((s, dir) => Sampling.perGroupSample(
+        T(s, dir, "documents"), col("lang"), col("doc_id"), 20)
+      .select("doc_id", "lang").orderBy("doc_id")),
 
     // CUBE: all four grouping combinations in one shuffle.
     "cube_daily" -> ((s, dir) => T(s, dir, "events")
@@ -1236,6 +1277,71 @@ object SparkEntry {
           |  CAST(SUM(CAST(cv AS DECIMAL(18,6))) AS DOUBLE) AS w_sum,
           |  CAST(SUM(CAST(cv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS w_avg,
           |  MIN(cv) AS w_min, MAX(cv) AS w_max FROM c""".stripMargin,
+      "profile_columns" ->
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+             |  CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+      "outlier_zscore" ->
+        """WITH st AS (
+          |  SELECT event_type AS g, COUNT(value) AS n,
+          |    SUM(CAST(value AS DECIMAL(18,6))) AS s,
+          |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS s2
+          |  FROM events GROUP BY 1),
+          |en AS (
+          |  SELECT g, n, CAST(s AS DOUBLE) / n AS mean_v,
+          |    SQRT((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS sd_v
+          |  FROM st)
+          |SELECT en.g AS g, en.n AS n, COUNT(*) AS n_outliers
+          |FROM events e JOIN en ON e.event_type = en.g
+          |WHERE ABS(e.value - en.mean_v) > 2.5 * en.sd_v
+          |GROUP BY 1, 2 ORDER BY g""".stripMargin,
+      "event_runs" ->
+        """WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu,
+          |                   event_id AS tb FROM events WHERE user_id < 50),
+          |c AS (SELECT *, CASE WHEN LAG(et) OVER w IS NULL
+          |                       OR LAG(et) OVER w <> et THEN 1 ELSE 0 END AS chg
+          |      FROM ev WINDOW w AS (PARTITION BY u ORDER BY tu, tb)),
+          |r AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY u ORDER BY tu, tb
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id FROM c)
+          |SELECT u, run_id, MIN(et) AS et, MIN(tu) AS valid_from,
+          |       MAX(tu) AS valid_to, COUNT(*) AS n_events
+          |FROM r GROUP BY u, run_id ORDER BY u, run_id""".stripMargin,
+      "gap_fill_daily" ->
+        """WITH b AS (SELECT CAST(MIN(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS lo,
+          |                  CAST(MAX(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS hi FROM orders),
+          |d AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+          |ks AS (SELECT DISTINCT o_orderpriority AS k FROM orders),
+          |c AS (SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+          |      FROM orders GROUP BY 1, 2)
+          |SELECT g.k AS k, strftime(g.d, '%Y-%m-%d') AS day, COALESCE(c.n, 0) AS n
+          |FROM (SELECT ks.k, d.d FROM ks, d) g
+          |LEFT JOIN c ON c.k = g.k AND c.d = g.d
+          |ORDER BY k, day""".stripMargin,
+      "item_pairs" ->
+        """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+          |freq AS (SELECT i FROM items GROUP BY i HAVING COUNT(*) >= 3),
+          |pruned AS (SELECT * FROM items WHERE i IN (SELECT i FROM freq))
+          |SELECT a.i AS i1, c.i AS i2, COUNT(*) AS n_baskets
+          |FROM pruned a JOIN pruned c ON a.b = c.b AND a.i < c.i
+          |GROUP BY 1, 2 ORDER BY n_baskets DESC, i1, i2 LIMIT 50""".stripMargin,
+      "fuzzy_match" ->
+        """SELECT c1.c_nationkey AS blk, c1.c_custkey AS id1, c2.c_custkey AS id2,
+          |       CAST(levenshtein(c1.c_name, c2.c_name) AS INTEGER) AS dist
+          |FROM customer c1 JOIN customer c2
+          |  ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
+          |WHERE levenshtein(c1.c_name, c2.c_name) <= 2
+          |ORDER BY blk, id1, id2""".stripMargin,
+      "per_group_sample" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang,
+          |         ROW_NUMBER() OVER (PARTITION BY lang
+          |           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents) t
+          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
       "cube_daily" ->
         s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n, $moneySum AS revenue FROM events GROUP BY CUBE(event_type, d) ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
       "grouping_sets" ->

@@ -37,6 +37,23 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Fixed-size per-group sample: the k rows of each group with the
+    * smallest key digests — the "give me 20 representative docs per
+    * language" shape. Same digest-rank machinery as
+    * [[stratifiedSample]] but COUNT-exact rather than fraction-exact,
+    * so the output size is k·|groups| regardless of skew: a group with
+    * a billion rows and a group with ten both emit ≤ k. One window
+    * shuffle on the group key; no global sort, no second pass (the
+    * stratum-size count is not needed).
+    */
+  def perGroupSample(df: DataFrame, group: Column, key: Column,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(keyDigest(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic train/validation/test assignment from the first hex
     * digit of the key digest: 0-b → train (12/16), c-d → validation
     * (2/16), e-f → test (2/16). A row's split never changes when the

@@ -155,6 +155,45 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange"), finalPlan)
   }
 
+  test("item_pairs never joins the fact table against itself") {
+    // The pair space is generated per basket row by array lambdas; the
+    // ONLY join allowed is the broadcast SEMI prune of the fact stream.
+    // A SortMerge/ShuffledHash join appearing here means the operator
+    // regressed to the self-join form (two extra fact shuffles), and a
+    // non-semi broadcast means the planner got to broadcast a fact-sized
+    // side — the shape that dies at 100 TB.
+    val p = plan("item_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("fuzzy_match spreads the pair explosion across explicit partitions") {
+    // The entity table is tiny pre-explosion; without the explicit-count
+    // repartition AQE coalesces the O(Σ|block|²) verify stage onto one
+    // task (measured 28 s → 1.7 s at sf0.1). REPARTITION_BY_NUM is the
+    // marker that the partition count is pinned, not advisory.
+    val p = plan("fuzzy_match")
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("gap_fill_daily joins aggregates, never raw facts") {
+    // Both join inputs must already be aggregated (the fact table is
+    // reduced to |keys|·|days| rows before any join), and the join
+    // itself broadcast — the grid is calendar-sized.
+    val p = plan("gap_fill_daily")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("outlier_zscore broadcasts the group moments back into the scan") {
+    val p = plan("outlier_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("mixture_sample and chunk_tokens stay scan-shaped") {
     // Pure per-row expansion: the only exchange either plans is the
     // final presentation ORDER BY — a join or aggregate appearing here

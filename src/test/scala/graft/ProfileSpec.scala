@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.Profile
+import graft.ext.{Relations, Sampling}
+
+/** Profiling / gap-fill / relationship-mining semantics pinned on tiny
+  * fixtures where the right answer is hand-computable, plus the pruning
+  * invariants the scale design relies on (apriori losslessness, blocked
+  * pair confinement).
+  */
+class ProfileSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profileColumns: counts, distincts and exact sums per column") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0))
+      .toDF("a", "b")
+    val rows = Profile.profileColumns(df, Seq("a", "b")).collect()
+    val a = rows.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 3 && a.getLong(2) == 3 && a.getLong(3) == 2)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 2.0 && a.getDouble(6) == 5.0)
+    val b = rows.find(_.getString(0) == "b").get
+    assert(b.getLong(1) == 3 && b.getLong(2) == 2 && b.getLong(3) == 2)
+    assert(b.getDouble(6) == 40.0)
+  }
+
+  test("outliersByGroup flags exactly the points beyond z sample deviations") {
+    // group g: nine 10s and one 100 — mean 19, sd² = (Σv²−(Σv)²/n)/9
+    val df = (Seq.fill(9)(10.0) :+ 100.0).map(("g", _)).toDF("k", "v")
+    val out = Profile.outliersByGroup(df, col("k"), col("v"), 2.0).collect()
+    // sd = sqrt((8100+900−36100/10)/9) = sqrt(598.888…) ≈ 24.47;
+    // |100−19| = 81 > 2·24.47 → the single outlier; |10−19| = 9 is not.
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "g" && out.head.getLong(1) == 10 &&
+      out.head.getLong(2) == 1)
+  }
+
+  test("outliersByGroup: uniform groups produce no outliers (and no row)") {
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("k", "v")
+    assert(Profile.outliersByGroup(df, col("k"), col("v"), 2.0).count() == 0)
+  }
+
+  test("eventRuns collapses consecutive equal types, ties broken by id") {
+    val ev = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "a", 2L), (1L, 30L, "b", 3L),
+      (1L, 40L, "a", 4L),                  // a again: NEW run, not merged
+      (1L, 30L, "a", 0L),                  // same ts as the b; id 0 < 3 → before it
+      (2L, 10L, "x", 5L))
+      .toDF("u", "tu", "et", "eid")
+    val out = Profile.eventRuns(ev, col("tu"), col("u"), col("et"), col("eid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", 10L, 30L, 3L),  // a@10, a@20, a@30(id0)
+      (1L, 2L, "b", 30L, 30L, 1L),
+      (1L, 3L, "a", 40L, 40L, 1L),
+      (2L, 1L, "x", 10L, 10L, 1L)))
+  }
+
+  test("gapFillDaily adds explicit zero rows for missing days, per key") {
+    val df = Seq(
+      ("p1", "2024-01-01"), ("p1", "2024-01-01"), ("p1", "2024-01-03"),
+      ("p2", "2024-01-02"))
+      .toDF("k", "ds").select(col("k"), to_date(col("ds")).as("d"))
+    val out = Profile.gapFillDaily(df, col("k"), col("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("p1", "2024-01-01", 2L), ("p1", "2024-01-02", 0L), ("p1", "2024-01-03", 1L),
+      ("p2", "2024-01-01", 0L), ("p2", "2024-01-02", 1L), ("p2", "2024-01-03", 0L)))
+  }
+
+  test("itemPairs counts co-occurrence once per basket; prune is lossless above support") {
+    val facts = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"), (1L, "z"),  // x listed twice: one pair
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "y"), (3L, "q"))             // q appears once overall
+      .toDF("b", "i")
+    val out = Relations.itemPairs(facts, col("b"), col("i"), 2L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // q (support 1) pruned → no (q,·) pairs; (x,y) in all 3 baskets.
+    assert(out.toSeq == Seq(("x", "y", 3L), ("x", "z", 2L), ("y", "z", 2L)))
+  }
+
+  test("fuzzyMatchBlocked pairs only inside a block, and only within maxDist") {
+    val df = Seq(
+      (1, 1L, "abcd"), (1, 2L, "abcf"), (1, 3L, "zzzz"),
+      (2, 4L, "abcd"))  // same name as id 1 but different block: no pair
+      .toDF("blk", "id", "nm")
+    val out = Relations.fuzzyMatchBlocked(df, col("blk"), col("id"),
+        col("nm"), 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq((1, 1L, 2L, 1)))
+  }
+
+  test("perGroupSample is count-exact per group and stable under union order") {
+    val df = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("g", "id")
+    val s1 = Sampling.perGroupSample(df, col("g"), col("id"), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1.count(_._1 == "a") == 7 && s1.count(_._1 == "b") == 7)
+    // Re-ordering the input must not change the selected ids.
+    val s2 = Sampling.perGroupSample(df.orderBy(col("id").desc),
+        col("g"), col("id"), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+  }
+}
