@@ -565,6 +565,42 @@ object SparkEntry {
         T(s, dir, "documents"), col("lang"), col("doc_id"), 20)
       .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Deterministic 5-fold cross-validation assignment (digest-interval
+    // folds; a row's fold never changes as the corpus grows).
+    "kfold_split" -> ((s, dir) => Sampling.kfoldAssign(
+        T(s, dir, "documents"), col("doc_id"), 5)
+      .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "fold")),
+
+    // SCD-1 MERGE shape: each user's latest event wins (version = ts,
+    // tiebreak = event_id).
+    "latest_state" -> ((s, dir) => warehouse.Warehouse.keepLatest(
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("tu"), col("event_id")),
+        Seq("user_id"), "tu", "event_id")
+      .select("user_id", "event_type", "value", "tu")
+      .orderBy("user_id")),
+
+    // Materialized-view refresh: merge a standing daily aggregate with a
+    // new delta's aggregate; must hash-match a from-scratch recompute
+    // (the algebraic-invariant exact twin).
+    "incremental_agg" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("value"), col("event_id"))
+      def dailyAgg(df: DataFrame) = df.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("s"))
+      val state = dailyAgg(ev.filter(col("event_id") < 8000))
+      val delta = dailyAgg(ev.filter(col("event_id") >= 8000))
+      warehouse.Warehouse.mergeAggState(state, delta,
+          Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("s").cast("double").as("revenue"))
+        .orderBy("event_type", "day")
+    }),
+
     // CUBE: all four grouping combinations in one shuffle.
     "cube_daily" -> ((s, dir) => T(s, dir, "events")
       .cube(col("event_type"), to_date(col("ts")).as("dd"))
@@ -1342,6 +1378,24 @@ object SparkEntry {
           |           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           |  FROM documents) t
           |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+      "kfold_split" -> {
+        val cases = (1 until 5).map { i =>
+          s"WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(i / 5.0)}' THEN ${i - 1}"
+        }.mkString(" ")
+        s"""SELECT lang, CASE $cases ELSE 4 END AS fold, COUNT(*) AS n_docs
+           |FROM documents GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin
+      },
+      "latest_state" ->
+        """SELECT user_id, event_type, value, tu FROM (
+          |  SELECT user_id, event_type, value, epoch_us(ts) AS tu,
+          |         ROW_NUMBER() OVER (PARTITION BY user_id
+          |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "incremental_agg" ->
+        """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
       "cube_daily" ->
         s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n, $moneySum AS revenue FROM events GROUP BY CUBE(event_type, d) ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
       "grouping_sets" ->

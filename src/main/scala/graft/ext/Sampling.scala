@@ -68,6 +68,25 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic k-fold assignment (cross-validation folds): fold i is
+    * the digest-prefix interval [hexThreshold(i/k), hexThreshold((i+1)/k))
+    * — equal 1/k fractions up to 16⁻⁸, stable as the corpus grows (a
+    * row's fold never changes — same property as [[datasetSplit]]).
+    * Plan-time hex-string thresholds, shared verbatim with the oracle
+    * SQL: both engines compare plain lowercase-hex strings.
+    */
+  def kfoldAssign(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val prefix = substring(keyDigest(key), 1, 8)
+    // when-chain built from the highest threshold down, so the ascending
+    // checks end up evaluated smallest-first (first match wins).
+    val assigned = (1 until k).reverse.foldLeft(lit(k - 1): Column) {
+      (acc, i) => when(prefix < hexThreshold(i.toDouble / k), i - 1)
+        .otherwise(acc)
+    }
+    df.withColumn("fold", assigned)
+  }
+
   /** 8-hex-digit digest prefix threshold for fractional probability `f`:
     * P(digest_prefix < threshold) = f exactly (up to 16^-8). Computed at
     * plan-build time, so both the Spark plan and the SQL oracle compare

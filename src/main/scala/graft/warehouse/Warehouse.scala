@@ -75,6 +75,46 @@ object Warehouse {
       .partitionBy(partitionCol)
       .parquet(dest)
 
+  /** MERGE/upsert keep-latest: collapse a union of standing state and
+    * new updates to one row per key — the newest by `version` (ties
+    * broken by `tieBreak`, which must make the order total or "latest"
+    * depends on partition order). One window shuffle keyed on the entity
+    * key; at warehouse scale this is the compact-state pass an SCD-1
+    * MERGE performs, expressed without a mutable table. Pair with
+    * [[appendTripsIdempotent]]'s batch partitions: replaying batches
+    * never changes the outcome because version order, not arrival
+    * order, decides the survivor.
+    */
+  def keepLatest(df: DataFrame, key: Seq[String], version: String,
+                 tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(version).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Incremental aggregate maintenance: merge a standing aggregate table
+    * with a NEW delta aggregate by summing every measure column — the
+    * materialized-view refresh that avoids re-scanning the history. The
+    * invariant that makes it exact is algebraic: counts and DECIMAL sums
+    * are associative and commutative, so merge(agg(A), agg(B)) ==
+    * agg(A ∪ B) bit-for-bit (the oracle twin recomputes from scratch
+    * and must hash-match). Averages/variances must be carried as
+    * (n, Σ, Σ²) and derived at read time — never merged as ratios.
+    * Cost: one shuffle of two ALREADY-AGGREGATED tables; the 100 TB
+    * history is never touched.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    val measures = state.columns.filterNot(keys.contains)
+    val u = state.unionByName(delta)
+    u.groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+  }
+
   /** Bucketed table write: co-locates rows by join key so repeated joins
     * on that key are exchange-free (both sides read pre-hashed buckets —
     * the warehouse analog of the reference's vendor_id index, but one

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Sampling
+import graft.warehouse.Warehouse
+
+/** Warehouse-maintenance semantics: MERGE keep-latest, incremental
+  * aggregate refresh (the algebraic invariant against a from-scratch
+  * recompute), and k-fold stability under corpus growth.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("keepLatest keeps the newest version per key, ties broken by id") {
+    val df = Seq(
+      (1L, 10L, 1L, "old"), (1L, 20L, 2L, "new"),
+      (2L, 10L, 3L, "a"), (2L, 10L, 4L, "b"),   // same version: id 4 wins
+      (3L, 5L, 5L, "only"))
+      .toDF("k", "ver", "id", "payload")
+    val out = Warehouse.keepLatest(df, Seq("k"), "ver", "id")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq == Seq((1L, "new"), (2L, "b"), (3L, "only")))
+  }
+
+  test("mergeAggState equals the from-scratch aggregate exactly") {
+    val rows = (1 to 100).map(i => (s"g${i % 3}", i.toLong, i * 1.5))
+      .toDF("g", "id", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,6)")).as("s"))
+    val merged = Warehouse.mergeAggState(
+      agg(rows.filter(col("id") <= 60)), agg(rows.filter(col("id") > 60)),
+      Seq("g"))
+    val full = agg(rows)
+    assert(merged.orderBy("g").collect().toSeq ==
+      full.orderBy("g").collect().toSeq)
+  }
+
+  test("kfold folds are near-equal and stable when the corpus grows") {
+    val small = (1 to 400).map(_.toLong).toDF("id")
+    val big = (1 to 800).map(_.toLong).toDF("id")
+    val fSmall = Sampling.kfoldAssign(small, col("id"), 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fBig = Sampling.kfoldAssign(big, col("id"), 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Stability: a row's fold never changes as the corpus grows.
+    assert(fSmall.forall { case (id, f) => fBig(id) == f })
+    // Balance: each of the 5 folds holds roughly 1/5 (digest-uniform).
+    val sizes = fBig.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(n => n > 100 && n < 220),
+      sizes.toMap.toString)
+  }
+}
