@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.agg.{Analytics, Behavior, Profile}
+import graft.agg.{Analytics, Behavior, Profile, Stats}
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality, Skew}
 import graft.ext.{Contamination, Dedup, Multimodal, Relations, Sampling, Similarity, TextAnalysis}
@@ -1076,7 +1076,66 @@ object SparkEntry {
     // ExtSpec). Rows-only like semantic_dedup; ≤2× pair space.
     "semantic_dedup_multi" -> ((s, dir) => Similarity.semanticDedup(
       T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2,
-      assignments = 2))
+      assignments = 2)),
+
+    // ----------------------------------------------------------------
+    // Statistical analytics (agg/Stats.scala): second-moment algebra
+    // from exact decimal power sums — the warehouse stats toolkit the
+    // reference's COUNT/AVG/SUM layer stops short of.
+    // ----------------------------------------------------------------
+
+    // Bivariate regression/correlation per return flag: corr, covar,
+    // OLS slope/intercept of price on quantity, all from one hash
+    // aggregate of five decimal power sums (built-in corr/covar_samp
+    // are fold-order-dependent doubles — contract-breaking).
+    "regression_stats" -> ((s, dir) => Stats.regressionStats(
+      T(s, dir, "lineitem"), col("l_returnflag"),
+      col("l_quantity"), col("l_extendedprice"))),
+
+    // Trailing 7-row moving stats per user (ROWS frame): decimal
+    // sliding sum so segment-tree vs re-scan window internals agree.
+    "rolling_stats" -> ((s, dir) => Stats.rollingStats(
+      T(s, dir, "events"), col("user_id"), col("event_id"), col("value"))),
+
+    // Time-weighted average value per user-day: piecewise-constant
+    // integral weighted by integer-ns forward intervals.
+    "time_weighted_avg" -> ((s, dir) => Stats.timeWeightedAvg(
+      T(s, dir, "events"), col("user_id"), col("ts"), col("ts_ns"),
+      col("value"))),
+
+    // Share-of-total revenue per order priority: the ratio_to_report
+    // window over the aggregated frame (one row per group shuffles).
+    "revenue_share" -> ((s, dir) => Stats.shareOfTotal(
+      T(s, dir, "orders"), col("o_orderpriority"), col("o_totalprice"))),
+
+    // Bigram LM fluency score per document (the KenLM-style perplexity
+    // filter's 2-gram core): ln P(w2|w1) under the corpus MLE model.
+    "bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(T(s, dir, "documents"))),
+
+    // Zipf rank-frequency slope over the top tokens: corpus-health
+    // regression on ln(rank) vs ln(count).
+    "zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(T(s, dir, "documents"), topK = 100)),
+
+    // Mergeable-sketch rollup: per-lang HLL vocabulary sketches + the
+    // ALL row as a sketch UNION (no corpus re-scan). Deterministic but
+    // not ANSI-expressible → rows-only; StatsSpec pins estimate error
+    // and union-equals-rescan.
+    "hll_vocab_rollup" -> ((s, dir) =>
+      TextAnalysis.vocabRollup(T(s, dir, "documents"))),
+
+    // Welch's t-test: click vs view event values — one conditional
+    // hash aggregate, six decimal sums, single-row answer.
+    "welch_ttest" -> ((s, dir) => Stats.welchTTest(
+      T(s, dir, "events"), col("event_type"), col("value"),
+      "click", "view")),
+
+    // Chi-square independence of event type vs user decile: cell
+    // counts in one aggregate, marginals via windows over the
+    // 50-cell frame, decimal-summed contributions.
+    "chi_square" -> ((s, dir) => Stats.chiSquare(
+      T(s, dir, "events"), col("event_type"), pmod(col("user_id"), lit(10))))
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]] (same parquet tables,
@@ -1613,7 +1672,121 @@ object SparkEntry {
           |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
           |      FROM s)
           |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, ROUND(score, 4) AS score
-          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+      "regression_stats" ->
+        """WITH s AS (
+          |  SELECT l_returnflag AS grp, COUNT(*) AS n,
+          |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+          |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+          |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy,
+          |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy
+          |  FROM lineitem GROUP BY 1),
+          |m AS (
+          |  SELECT grp, n,
+          |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cov,
+          |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS varx,
+          |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vary,
+          |    CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
+          |  FROM s)
+          |SELECT grp, n, ROUND(cov, 4) AS covar_xy,
+          |  ROUND(cov / SQRT(varx * vary), 4) AS corr_xy,
+          |  ROUND(cov / varx, 4) AS slope,
+          |  ROUND((dy - (cov / varx) * dx) / CAST(n AS DOUBLE), 4) AS intercept
+          |FROM m ORDER BY grp""".stripMargin,
+      "rolling_stats" ->
+        """SELECT event_id AS id, user_id AS part,
+          |  COUNT(*) OVER w AS win_n,
+          |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w), 4) AS win_avg,
+          |  ROUND(MIN(value) OVER w, 4) AS win_min,
+          |  ROUND(MAX(value) OVER w, 4) AS win_max
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+          |ORDER BY id""".stripMargin,
+      "time_weighted_avg" ->
+        """WITH e AS (
+          |  SELECT user_id AS k, CAST(ts AS DATE) AS day, value AS v,
+          |    LEAD(epoch_ns(ts), 1) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          |      ORDER BY epoch_ns(ts), event_id) - epoch_ns(ts) AS dur_ns
+          |  FROM events)
+          |SELECT k AS user_id, STRFTIME(day, '%Y-%m-%d') AS day, COUNT(*) AS n_intervals,
+          |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6)) * dur_ns) AS DOUBLE) / CAST(SUM(dur_ns) AS DOUBLE), 4) AS twap
+          |FROM e WHERE dur_ns IS NOT NULL AND dur_ns > 0
+          |GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+      "revenue_share" ->
+        """WITH g AS (SELECT o_orderpriority AS grp,
+          |  SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY 1)
+          |SELECT grp, ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+          |  ROUND(CAST(rev AS DOUBLE) * 100.0 / CAST(SUM(rev) OVER () AS DOUBLE), 4) AS pct_of_total
+          |FROM g ORDER BY grp""".stripMargin,
+      "bigram_logprob" ->
+        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+          |u AS (SELECT UNNEST(toks) AS w FROM d),
+          |c1 AS (SELECT w, COUNT(*) AS c1 FROM u GROUP BY 1),
+          |p AS (SELECT doc_id, toks, UNNEST(generate_series(1, LEN(toks) - 1)) AS i FROM d),
+          |b AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg FROM p),
+          |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1)
+          |SELECT doc_id, COUNT(*) AS n_bigrams,
+          |  ROUND(CAST(SUM(CAST(LN(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
+          |FROM b JOIN c2 USING (bg) JOIN c1 ON b.w1 = c1.w
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "zipf_slope" ->
+        """WITH c AS (
+          |  SELECT token, COUNT(*) AS cnt FROM (
+          |    SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+          |    FROM documents) t
+          |  GROUP BY token ORDER BY cnt DESC, token LIMIT 100),
+          |r AS (SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS DOUBLE)) AS lx,
+          |             LN(CAST(cnt AS DOUBLE)) AS ly FROM c),
+          |s AS (SELECT COUNT(*) AS n,
+          |        SUM(CAST(lx AS DECIMAL(27,12))) AS sx,
+          |        SUM(CAST(ly AS DECIMAL(27,12))) AS sy,
+          |        SUM(CAST(lx * lx AS DECIMAL(28,12))) AS sxx,
+          |        SUM(CAST(lx * ly AS DECIMAL(28,12))) AS sxy FROM r)
+          |SELECT n AS n_tokens,
+          |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope,
+          |  ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept
+          |FROM s""".stripMargin,
+      "welch_ttest" ->
+        """WITH s AS (
+          |  SELECT
+          |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+          |    SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS sa,
+          |    SUM(CASE WHEN event_type = 'click' THEN CAST(value * value AS DECIMAL(28,6)) END) AS qa,
+          |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS nb,
+          |    SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS sb,
+          |    SUM(CASE WHEN event_type = 'view' THEN CAST(value * value AS DECIMAL(28,6)) END) AS qb
+          |  FROM events),
+          |m AS (
+          |  SELECT na, nb,
+          |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+          |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+          |    ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE) AS sea,
+          |    ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE) AS seb
+          |  FROM s)
+          |SELECT 'click' AS group_a, 'view' AS group_b, na, nb,
+          |  ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+          |  ROUND((ma - mb) / SQRT(sea + seb), 4) AS t_stat,
+          |  ROUND((sea + seb) * (sea + seb) /
+          |    (sea * sea / (CAST(na AS DOUBLE) - 1.0) + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 4) AS welch_df
+          |FROM m""".stripMargin,
+      "chi_square" ->
+        """WITH cells AS (
+          |  SELECT event_type AS r, user_id % 10 AS c, COUNT(*) AS o
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT r, c, o,
+          |    CAST(SUM(o) OVER (PARTITION BY r) AS DOUBLE) AS rt,
+          |    CAST(SUM(o) OVER (PARTITION BY c) AS DOUBLE) AS ct,
+          |    CAST(SUM(o) OVER () AS DOUBLE) AS tot
+          |  FROM cells)
+          |SELECT
+          |  ROUND(CAST(SUM(CAST(
+          |    ((CAST(o AS DOUBLE) - rt * ct / tot) * (CAST(o AS DOUBLE) - rt * ct / tot)) / (rt * ct / tot)
+          |    AS DECIMAL(28,12))) AS DOUBLE), 4) AS chi2,
+          |  (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+          |  COUNT(*) AS n_cells
+          |FROM w""".stripMargin
     )
   }
 }

@@ -291,4 +291,110 @@ object TextAnalysis {
       xxhash64(concat_ws(" ", split(trim(lower(col("text"))), "\\s+")))
         .as("fingerprint"))
     .orderBy("doc_id")
+
+  /** Per-document mean bigram log-probability — the 2-gram upgrade of
+    * [[unigramLogProb]] and the standard fluency signal a KenLM-style
+    * perplexity filter computes over pretraining corpora: for each
+    * adjacent token pair, ln(count(w1 w2) / count(w1)) under the
+    * corpus's own maximum-likelihood model, averaged per document.
+    *
+    * Shape: the token stream is hashed once per n ([[Dedup
+    * .hashedShingles]] at n=1 and n=2 — compiled flatMaps, 8-byte rows);
+    * the bigram row at position p joins its PREFIX unigram by
+    * (doc_id, pos) — a corpus-sized but narrow (id, pos, hash) shuffle —
+    * then each side's frequency joins in hash-keyed, exactly like
+    * [[tfidfTopTerms]]'s tf/df plumbing. Strings never shuffle. The
+    * per-row ln is a count ratio (the class verified bit-identical
+    * JVM-vs-DuckDB for [[unigramLogProb]]); the per-doc mean sums
+    * 12-dp decimals, so fold order cannot move the 4-dp answer.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val uni = Dedup.hashedShingles(docs, 1)
+    val bi = Dedup.hashedShingles(docs, 2)
+    val c1 = uni.groupBy(col("h").as("h1")).agg(count(lit(1)).as("c1"))
+    val c2 = bi.groupBy(col("h").as("h2")).agg(count(lit(1)).as("c2"))
+    bi.select(col("doc_id"), col("pos"), col("h").as("h2"))
+      .join(uni.select(col("doc_id"), col("pos"), col("h").as("h1")),
+        Seq("doc_id", "pos"))
+      .join(c2, Seq("h2")).join(c1, Seq("h1"))
+      .select(col("doc_id"),
+        log(col("c2") / col("c1")).cast("decimal(27,12)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4)
+          .as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** Sketch rollup: per-language vocabulary sizes as mergeable HLL
+    * sketches (Spark's DataSketches-backed `hll_sketch_agg`), plus the
+    * all-languages union row computed by MERGING THE SKETCHES — not by
+    * re-scanning the corpus. This is the pre-aggregation pattern that
+    * pays for itself at 100 TB: per-shard/per-day sketches are a few KB
+    * each, persist alongside the data, and any cross-slice distinct
+    * count (all langs, a month of days, one source across shards) is a
+    * sketch union over the tiny rollup table — the token stream is
+    * scanned exactly once, ever. The exact twin is a vocabulary-sized
+    * shuffle per query slice.
+    *
+    * Estimates are deterministic (same data → same sketch → same
+    * estimate) but not ANSI-expressible → rows-only correctness;
+    * ScalaTest pins estimate-vs-exact error and union-equals-rescan.
+    */
+  def vocabRollup(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"),
+      explode(split(trim(col("text")), "\\s+")).as("token"))
+    val perLang = toks.groupBy("lang")
+      .agg(hll_sketch_agg(col("token"), lit(12)).as("sk"),
+        count(lit(1)).as("n_tokens"))
+    val union = perLang
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(lit("ALL").as("lang"), col("sk"), col("n_tokens"))
+    perLang.select(col("lang"), col("sk"), col("n_tokens"))
+      .unionByName(union)
+      .select(col("lang"),
+        hll_sketch_estimate(col("sk")).as("est_distinct_tokens"),
+        col("n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Zipf rank-frequency slope: OLS slope of ln(count) on ln(rank) over
+    * the `topK` most frequent tokens (count desc, token asc — the shared
+    * total order). A natural-corpus slope sits near −1; synthetic or
+    * template-generated text flattens it, so the single output row is a
+    * corpus-health check a curation pipeline runs per shard.
+    *
+    * Shape: token counts are one two-stage hash aggregate; the topK
+    * survivors collapse to a single partition (TakeOrdered-sized, topK
+    * rows) where rank + the five power sums compute — the regression
+    * itself runs on topK rows, never the corpus. ln values are cast to
+    * 12-dp decimals before the power sums (per-row double products,
+    * exact decimal accumulation), mirroring [[graft.agg.Stats
+    * .regressionStats]]'s determinism recipe.
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val counts = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    val ranked = counts.select(
+      log(row_number().over(w).cast("double")).as("lx"),
+      log(col("cnt").cast("double")).as("ly"))
+    val sums = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("lx").cast("decimal(27,12)")).as("sx"),
+      sum(col("ly").cast("decimal(27,12)")).as("sy"),
+      sum((col("lx") * col("lx")).cast("decimal(28,12)")).as("sxx"),
+      sum((col("lx") * col("ly")).cast("decimal(28,12)")).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val slope = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (n * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+    sums.select(col("n").as("n_tokens"),
+      round(slope, 4).as("zipf_slope"),
+      round((d(col("sy")) - slope * d(col("sx"))) / n, 4).as("intercept"))
+  }
 }

@@ -206,4 +206,45 @@ class PlanGuardSpec extends AnyFunSuite {
       assert(!p.contains("Join"), s"$name:\n$p")
     }
   }
+
+  test("regression_stats is one hash aggregate — no join, no window") {
+    // The five power sums must ride the same partial+final aggregate;
+    // a second scan or a join means the closed-form algebra broke.
+    val p = plan("regression_stats")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(aggExchanges == 1, s"$aggExchanges agg exchanges:\n$p")
+  }
+
+  test("rolling_stats plans exactly one window over one shuffle") {
+    val p = plan("rolling_stats")
+    assert("Window ".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("bigram_logprob shuffles hashes, never strings") {
+    // Every exchange row type must be (id/pos/hash/count) longs — the
+    // token/bigram TEXT never leaves the flatMap that hashed it.
+    val p = SparkEntry.queries("bigram_logprob")(spark, dir).queryExecution
+      .executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    exchanges.foreach { line =>
+      assert(!line.contains("string"), s"string column in shuffle: $line\n$p")
+    }
+  }
+
+  test("hll_vocab_rollup unions sketches, not a corpus re-scan") {
+    // The ALL row must come from merging the per-lang sketches. The
+    // static plan shows the explode+partial-sketch subtree twice (union
+    // branch + merge branch), but the exchanges are identical — at
+    // runtime AQE reuses one, so the token stream is scanned and
+    // sketched exactly once. Assert on the final adaptive plan.
+    val df = SparkEntry.queries("hll_vocab_rollup")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    assert("Generate explode".r.findAllIn(finalPlan).length == 1, finalPlan)
+  }
 }
