@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.agg.{Analytics, Behavior, Profile, Stats}
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality, Skew}
-import graft.ext.{Contamination, Dedup, Multimodal, Relations, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Multimodal, Relations, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.operators.Temporal
 import graft.sources.Tables
 
@@ -1135,7 +1135,68 @@ object SparkEntry {
     // counts in one aggregate, marginals via windows over the
     // 50-cell frame, decimal-summed contributions.
     "chi_square" -> ((s, dir) => Stats.chiSquare(
-      T(s, dir, "events"), col("event_type"), pmod(col("user_id"), lit(10))))
+      T(s, dir, "events"), col("event_type"), pmod(col("user_id"), lit(10)))),
+
+    // BM25 top-k retrieval (Lucene's idf form): the corpus token stream
+    // is broadcast-filtered to the query terms before any shuffle, so
+    // tf/df aggregate postings only — corpus-scan bound at 100 TB.
+    "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(
+      T(s, dir, "documents"), Seq("spark", "vector", "dup"), k = 10)),
+
+    // BM25 over the PERSISTED inverted index: postings scan pruned to
+    // the query terms' buckets (static partition filter), df derived
+    // from the pruned postings. Same scoring tree as bm25_topk — same
+    // rows, same oracle.
+    "bm25_indexed" -> ((s, dir) => {
+      val idx = Retrieval.bm25IndexPathFor(dir)
+      Retrieval.ensureBm25Index(s, T(s, dir, "documents"), idx)
+      Retrieval.bm25Indexed(s, idx, Seq("spark", "vector", "dup"), k = 10)
+    }),
+
+    // Hashing-trick linear classifier inference (fasttext-style): md5-
+    // derived deterministic weights, decimal per-doc mean, exact
+    // decision boundary on the unrounded score.
+    "quality_classifier" -> ((s, dir) =>
+      Retrieval.linearQualityScore(T(s, dir, "documents"))),
+
+    // Per-source KL divergence vs the corpus unigram distribution:
+    // the training-mixture drift monitor; hash-keyed vocab shuffles.
+    "domain_kl" -> ((s, dir) =>
+      Retrieval.domainDivergence(T(s, dir, "documents"))),
+
+    // Declarative data-quality audit: every same-table predicate fuses
+    // into one scan; FK edges are key-only anti-joins; the report is a
+    // union of 1-row frames.
+    "dq_audit" -> ((s, dir) => warehouse.DataQuality.audit(
+      T(s, dir, "orders"), T(s, dir, "lineitem"),
+      T(s, dir, "customer"), T(s, dir, "events"))),
+
+    // Bounded EWMA smoothing of purchase values per user: a fixed lag-
+    // chain expression over one window shuffle — the deterministic form
+    // of the non-associative EWMA recursion. ts is µs-truncated (the
+    // oracle's TIMESTAMP resolution); event_id tiebreaks within a µs.
+    "ewma_smooth" -> ((s, dir) => Stats.ewmaSmooth(
+        T(s, dir, "events").filter(col("event_type") === "purchase"),
+        col("user_id"), col("ts_ns") - pmod(col("ts_ns"), lit(1000L)),
+        col("event_id"), col("value"))
+      .select(col("k").as("user_id"), col("o").as("ts_ns"),
+        col("tb").as("event_id"), col("value"), col("ewma"))),
+
+    // Distribution-position window functions (percent_rank, cume_dist,
+    // first/nth value) over supplier balances within nation — completes
+    // the window-function inventory.
+    "window_funcs_extra" -> ((s, dir) => {
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      T(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          round(col("s_acctbal"), 2).as("acctbal"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"),
+          first(col("s_suppkey")).over(w).as("top_supp"),
+          nth_value(col("s_suppkey"), 2).over(w).as("second_supp"))
+        .orderBy(col("s_nationkey"), col("pct_rank"), col("s_suppkey"))
+    })
   )
 
   /** DuckDB-runnable ANSI SQL twins of [[queries]] (same parquet tables,
@@ -1149,7 +1210,7 @@ object SparkEntry {
     val noSpaceLen = "LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g'))"
     val normText =
       "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
-    Map(
+    val base = Map(
       "trip_stats" ->
         s"""SELECT COUNT(*) AS total_trips, $moneySum / COUNT(*) AS avg_fare, $moneySum AS total_revenue, MIN(value) AS min_fare, MAX(value) AS max_fare FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'""",
       "vendor_comparison" ->
@@ -1786,7 +1847,126 @@ object SparkEntry {
           |    AS DECIMAL(28,12))) AS DOUBLE), 4) AS chi2,
           |  (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
           |  COUNT(*) AS n_cells
-          |FROM w""".stripMargin
+          |FROM w""".stripMargin,
+      "bm25_topk" ->
+        """WITH w AS (
+          |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+          |  FROM documents),
+          |q AS (SELECT UNNEST(['spark', 'vector', 'dup']) AS term),
+          |h AS (SELECT w.doc_id, w.term FROM w JOIN q USING (term)),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM h GROUP BY 1, 2),
+          |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+          |dl AS (SELECT doc_id, LEN(string_split_regex(TRIM(text), '\s+')) AS dl FROM documents),
+          |st AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS DECIMAL(18,6))) AS sdl FROM dl),
+          |c AS (
+          |  SELECT tf.doc_id,
+          |    CAST(LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+          |      * (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+          |      AS DECIMAL(27,12)) AS c
+          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+          |SELECT doc_id, n_terms, score FROM (
+          |  SELECT doc_id, COUNT(*) AS n_terms,
+          |         ROUND(CAST(SUM(c) AS DOUBLE), 4) AS score
+          |  FROM c GROUP BY 1) t
+          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      "quality_classifier" ->
+        """WITH w AS (
+          |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, COUNT(*) AS n_tokens,
+          |    CAST(SUM(CAST(CAST(CAST(('0x' || SUBSTRING(MD5(term), 1, 6)) AS BIGINT) % 1001 - 500 AS DOUBLE) / 500.0 AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+          |  FROM w GROUP BY 1)
+          |SELECT doc_id, n_tokens, ROUND(m, 4) AS score,
+          |  CASE WHEN m > 0.02 THEN 'keep'
+          |       WHEN m < -0.02 THEN 'drop'
+          |       ELSE 'review' END AS verdict
+          |FROM s ORDER BY doc_id""".stripMargin,
+      "domain_kl" ->
+        """WITH w AS (
+          |  SELECT source, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+          |  FROM documents),
+          |bs AS (SELECT source, term, COUNT(*) AS cs FROM w GROUP BY 1, 2),
+          |st AS (SELECT source, SUM(cs) AS ts FROM bs GROUP BY 1),
+          |co AS (SELECT term, SUM(cs) AS c FROM bs GROUP BY 1),
+          |t AS (SELECT SUM(c) AS t FROM co)
+          |SELECT source, COUNT(*) AS n_distinct_tokens,
+          |  ROUND(CAST(SUM(CAST(
+          |    (CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE)) * LN((CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE)) / (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
+          |    AS DECIMAL(27,12))) AS DOUBLE), 6) AS kl
+          |FROM bs JOIN st USING (source) JOIN co USING (term) CROSS JOIN t
+          |GROUP BY source ORDER BY source""".stripMargin,
+      "dq_audit" ->
+        """SELECT *, violations = 0 AS pass FROM (
+          |  SELECT 'qty_in_range' AS "check", 'lineitem' AS tbl,
+          |    (SELECT COUNT(*) FROM lineitem) AS n_rows,
+          |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 50) AS violations
+          |  UNION ALL SELECT 'discount_in_unit', 'lineitem',
+          |    (SELECT COUNT(*) FROM lineitem),
+          |    (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+          |  UNION ALL SELECT 'price_positive', 'lineitem',
+          |    (SELECT COUNT(*) FROM lineitem),
+          |    (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+          |  UNION ALL SELECT 'total_positive', 'orders',
+          |    (SELECT COUNT(*) FROM orders),
+          |    (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+          |  UNION ALL SELECT 'status_known', 'orders',
+          |    (SELECT COUNT(*) FROM orders),
+          |    (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+          |  UNION ALL SELECT 'value_not_null', 'events',
+          |    (SELECT COUNT(*) FROM events),
+          |    (SELECT COUNT(*) FROM events WHERE value IS NULL)
+          |  UNION ALL SELECT 'value_not_nan', 'events',
+          |    (SELECT COUNT(*) FROM events),
+          |    (SELECT COUNT(*) FROM events WHERE ISNAN(value))
+          |  UNION ALL SELECT 'props_not_null', 'events',
+          |    (SELECT COUNT(*) FROM events),
+          |    (SELECT COUNT(*) FROM events WHERE props IS NULL)
+          |  UNION ALL SELECT 'pk_unique', 'orders',
+          |    (SELECT COUNT(*) FROM orders),
+          |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+          |  UNION ALL SELECT 'pk_unique', 'customer',
+          |    (SELECT COUNT(*) FROM customer),
+          |    (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+          |  UNION ALL SELECT 'fk_orders', 'lineitem',
+          |    (SELECT COUNT(*) FROM lineitem),
+          |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          |  UNION ALL SELECT 'fk_customer', 'orders',
+          |    (SELECT COUNT(*) FROM orders),
+          |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+          |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+          |) t ORDER BY tbl, "check"""".stripMargin,
+      "ewma_smooth" -> {
+        // Interpolate the SAME double weights the Spark plan bakes in
+        // (Double.toString round-trips exactly through DuckDB's parser).
+        val ws = Stats.ewmaWeights(0.3, 8)
+        val over = "OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)"
+        val num = ws.zipWithIndex.map { case (wt, j) =>
+          s"COALESCE(LAG(value, $j) $over, 0.0) * CAST($wt AS DOUBLE)"
+        }.mkString(" + ")
+        val den = ws.zipWithIndex.map { case (wt, j) =>
+          s"CASE WHEN LAG(value, $j) $over IS NOT NULL THEN CAST($wt AS DOUBLE) ELSE 0.0 END"
+        }.mkString(" + ")
+        s"""SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+           |  ROUND(value, 4) AS value,
+           |  ROUND(($num) / ($den), 4) AS ewma
+           |FROM events WHERE event_type = 'purchase'
+           |ORDER BY user_id, ts_ns, event_id""".stripMargin
+      },
+      "window_funcs_extra" ->
+        """SELECT s_suppkey, s_nationkey,
+          |  ROUND(s_acctbal, 2) AS acctbal,
+          |  ROUND(PERCENT_RANK() OVER wnd, 4) AS pct_rank,
+          |  ROUND(CUME_DIST() OVER wnd, 4) AS cume,
+          |  FIRST_VALUE(s_suppkey) OVER wnd AS top_supp,
+          |  NTH_VALUE(s_suppkey, 2) OVER wnd AS second_supp
+          |FROM supplier
+          |WINDOW wnd AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+          |ORDER BY s_nationkey, pct_rank, s_suppkey""".stripMargin
     )
+    // The indexed BM25 form returns exactly bm25_topk's rows (identical
+    // scoring tree over the persisted postings) — one oracle, two plans.
+    base + ("bm25_indexed" -> base("bm25_topk"))
   }
 }

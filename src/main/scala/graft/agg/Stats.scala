@@ -189,4 +189,43 @@ object Stats {
         round(d(col("rev")) * 100.0 / d(sum(col("rev")).over()), 4)
           .as("pct_of_total"))
       .orderBy("grp")
+
+  /** Per-observation EWMA weights for lag `j`: (1−α)^j, computed once
+    * on the driver so Spark and the oracle interpolate the IDENTICAL
+    * double literal (Double.toString round-trips exactly).
+    */
+  def ewmaWeights(alpha: Double, window: Int): IndexedSeq[Double] =
+    (0 until window).map(j => math.pow(1.0 - alpha, j))
+
+  /** Bounded exponentially-weighted moving average: for each row, the
+    * normalized (1−α)^j-weighted mean of the last `window` observations
+    * in the series — the streaming-friendly smoother (an unbounded EWMA
+    * is a non-associative recursion; bounding the support at `window`
+    * lags makes it a FIXED expression over a ROWS frame, deterministic
+    * and window-exchange-free beyond the one partition-by shuffle).
+    *
+    * The weighted sum folds left-to-right over a fixed lag chain — a
+    * single projection, no aggregation — so the double result is the
+    * same on every engine evaluating the same tree. Head-of-series rows
+    * renormalize over the lags that exist (den omits missing terms).
+    */
+  def ewmaSmooth(df: DataFrame, part: Column, order: Column,
+                 tieBreak: Column, value: Column,
+                 alpha: Double = 0.3, window: Int = 8): DataFrame = {
+    val ws = ewmaWeights(alpha, window)
+    val w = Window.partitionBy("k").orderBy("o", "tb")
+    val lags = (0 until window).map(j => lag(col("v"), j).over(w))
+    val num = lags.zip(ws).map { case (l, wt) =>
+      coalesce(l, lit(0.0)) * lit(wt)
+    }.reduce(_ + _)
+    val den = lags.zip(ws).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    df.select(part.as("k"), order.as("o"), tieBreak.as("tb"),
+        value.as("v"))
+      .withColumn("ewma", round(num / den, 4))
+      .select(col("k"), col("o"), col("tb"),
+        round(col("v"), 4).as("value"), col("ewma"))
+      .orderBy("k", "o", "tb")
+  }
 }

@@ -1,0 +1,244 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Retrieval and model-based scoring operators for a training-data /
+  * RAG pipeline: BM25 ranking, a hashing-trick linear quality
+  * classifier, and per-source distribution-divergence monitoring.
+  *
+  * Shared scale discipline (same as [[TextAnalysis]]): the corpus is
+  * scanned, never cross-joined; shuffles carry 8-byte hashes or
+  * query-term postings, never full text; every mean/sum that feeds a
+  * result aggregates through DECIMAL so the answer is independent of
+  * partition fold order; per-row double math is mirrored expression-
+  * for-expression in the DuckDB oracle (ln bit-identity over count
+  * ratios is established empirically by `unigram_logprob`).
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval: rank documents against a bag-of-words query.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  — the Robertson/
+    * Sparck-Jones form Lucene uses.
+    *
+    * Plan shape for 100 TB: the tokenized corpus stream is filtered by a
+    * BROADCAST join against the (tiny) query-term set before anything
+    * shuffles, so tf/df aggregate only matching postings — the job is a
+    * corpus scan plus query-sized shuffles. Document length (dl) comes
+    * from a second scan-only projection of the same parquet (cheaper
+    * than carrying every token through the filter just to count them).
+    * Per-term contributions are computed in double (deterministic per
+    * row), cast to DECIMAL(27,12) and summed per doc (order-free), and
+    * the final ranking orders on the ROUNDED score with doc_id as the
+    * tiebreak — a total order the oracle shares.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val qdf = broadcast(
+      spark.createDataset(terms)(Encoders.STRING).toDF("term"))
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val hits = words.join(qdf, Seq("term"))
+    val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = hits.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      sum(col("dl").cast("decimal(18,6)")).as("sdl"))
+
+    val nD = col("n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val avgdl = col("sdl").cast("double") / nD
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val norm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / avgdl))
+
+    tf.join(dfr, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * norm).cast("decimal(27,12)").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("c")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  /** Default bucket count for the persisted inverted index: enough to
+    * prune ~98% of postings per term lookup, few enough that 100 TB of
+    * postings still writes reasonable file counts per bucket.
+    */
+  val Bm25Buckets = 64
+
+  /** Where a scale-factor directory's BM25 index lives (tmp-scoped like
+    * the IVF index — a deployment would pin a warehouse path).
+    */
+  def bm25IndexPathFor(sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-bm25-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  /** Spark's `xxhash64` (seed 42) computed driver-side, so query-term
+    * hashes match the index's stored hashes bit-for-bit.
+    */
+  private def hashToken(t: String): Long = {
+    val bs = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bs, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bs.length, 42L)
+  }
+
+  /** Materialize the inverted index: one postings row per (term, doc)
+    * carrying (h, doc_id, tf, dl), PARTITIONED BY pmod(h, buckets), plus
+    * a 1-row corpus-stats table. Doc length is DENORMALIZED into the
+    * postings row so a query never joins back to a corpus-sized lengths
+    * table — the classic posting-list layout. Repeated queries then read
+    * only the query terms' buckets via static partition pruning instead
+    * of re-tokenizing the corpus per query ([[bm25TopK]]'s cost model —
+    * fine once, wrong repeated).
+    */
+  def buildBm25Index(docs: DataFrame, path: String,
+                     buckets: Int = Bm25Buckets): Unit = {
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val withDl = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+    words.select(col("doc_id"), xxhash64(col("term")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+      .join(withDl, Seq("doc_id"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    withDl.agg(count(lit(1)).as("n"),
+        sum(col("dl").cast("decimal(18,6)")).as("sdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Build the index only when absent (`_SUCCESS` marker) — steady
+    * state is "index exists, queries prune".
+    */
+  def ensureBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      docs: => DataFrame, path: String,
+                      buckets: Int = Bm25Buckets): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/postings", "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) buildBm25Index(docs, path, buckets)
+  }
+
+  /** BM25 top-k over the PERSISTED index: the postings scan carries a
+    * static `bucket IN (…)` partition filter — only the query terms'
+    * buckets' files are read (PlanGuardSpec asserts this) — and df is
+    * re-aggregated from the pruned postings themselves (a posting row
+    * per (term, doc) means `count(*)` per term IS the document
+    * frequency; no separate df table to keep consistent). The scoring
+    * tree is IDENTICAL to [[bm25TopK]]'s, so the two forms return the
+    * same rows and share one oracle.
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  terms: Seq[String], k: Int = 10, k1: Double = 1.2,
+                  b: Double = 0.75,
+                  buckets: Int = Bm25Buckets): DataFrame = {
+    val hs = terms.map(hashToken)
+    val bkts = hs.map(h => ((h % buckets) + buckets) % buckets).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(bkts: _*) && col("h").isin(hs: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    val dfr = post.groupBy("h").agg(count(lit(1)).as("df"))
+
+    val nD = col("n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val avgdl = col("sdl").cast("double") / nD
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val norm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / avgdl))
+
+    post.join(dfr, Seq("h")).crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * norm).cast("decimal(27,12)").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("c")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  /** Weight a token deterministically from its md5: the first 6 hex
+    * chars as an integer, folded into [−1, 1]. Stands in for a trained
+    * fasttext-style weight table; both engines derive the identical
+    * value (Spark `conv(…,16,10)` ≡ DuckDB `CAST('0x'||… AS BIGINT)`).
+    */
+  private[graft] def tokenWeight(term: Column): Column =
+    (conv(substring(md5(term), 1, 6), 16, 10).cast("bigint") % 1001
+      - lit(500)).cast("double") / 500.0
+
+  /** Hashing-trick linear quality classifier (fasttext-style inference):
+    * score(doc) = mean over tokens of w(token), verdict by threshold.
+    * This is the Spark-side shape of running a linear text classifier
+    * over a corpus — per-row feature hashing, a broadcast-free weight
+    * lookup (here a closed-form hash → weight map; a real model would
+    * broadcast its weight array), and an order-free per-doc mean.
+    *
+    * The verdict compares the UNROUNDED mean (decimal sum ÷ count, both
+    * engines evaluate the identical double expression) so the decision
+    * boundary is exact; the reported score is rounded for display.
+    * Scan → explode → per-doc hash aggregate: scan-bound at 100 TB.
+    */
+  def linearQualityScore(docs: DataFrame,
+                         keepAbove: Double = 0.02,
+                         dropBelow: Double = -0.02): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val scored = words
+      .select(col("doc_id"),
+        tokenWeight(col("term")).cast("decimal(27,12)").as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("w")).cast("double") / count(lit(1))).as("m"))
+    scored.select(col("doc_id"), col("n_tokens"),
+        round(col("m"), 4).as("score"),
+        when(col("m") > keepAbove, lit("keep"))
+          .when(col("m") < dropBelow, lit("drop"))
+          .otherwise(lit("review")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source KL divergence of the token distribution vs the corpus:
+    * KL(p_s ‖ q) = Σ_w p_s(w) · ln(p_s(w)/q(w)) — the mixture-drift
+    * monitor a training pipeline runs per ingest source (a source whose
+    * unigram distribution diverges from the corpus is over/under-
+    * sampled, or broken upstream).
+    *
+    * Every count aggregates on the token's xxhash64 (8-byte keys on the
+    * wire — [[graft.ext.Dedup.hashedShingles]] convention); p_s is never
+    * zero outside its own support, and q(w) ≥ p-support by construction
+    * (corpus counts include every source), so the log is always finite.
+    * Per-(source, token) contributions go through DECIMAL(27,12); the
+    * shuffles are vocab×sources sized, never corpus sized.
+    */
+  def domainDivergence(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("source"), xxhash64(col("term")).as("h"))
+    val bySrc = words.groupBy("source", "h").agg(count(lit(1)).as("cs"))
+    val srcTot = bySrc.groupBy("source").agg(sum("cs").as("ts"))
+    val corpus = bySrc.groupBy("h").agg(sum("cs").as("c"))
+    val tot = corpus.agg(sum("c").as("t"))
+
+    val p = col("cs").cast("double") / col("ts").cast("double")
+    val q = col("c").cast("double") / col("t").cast("double")
+    bySrc.join(srcTot, Seq("source")).join(corpus, Seq("h"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        (p * log(p / q)).cast("decimal(27,12)").as("kl_term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        round(sum(col("kl_term")).cast("double"), 6).as("kl"))
+      .orderBy("source")
+  }
+}

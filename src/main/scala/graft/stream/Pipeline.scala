@@ -51,6 +51,15 @@ case class VendorSession(vendor_id: Int, trips: Long, revenue: Double,
                          first_ts: java.sql.Timestamp,
                          last_ts: java.sql.Timestamp)
 
+/** Per-key Welford running moments for [[Pipeline.anomalyStream]]. */
+case class WelfordState(n: Long, mean: Double, m2: Double)
+
+/** An emitted anomaly: `z` is the value's score against the history
+  * BEFORE it; `n_seen` is how much history backed the score.
+  */
+case class AnomalyFlag(user_id: Long, event_id: Long, value: Double,
+                       z: Double, n_seen: Long)
+
 private case class SessionState(trips: Long, revenue: Double,
                                 firstMs: Long, lastMs: Long)
 
@@ -257,6 +266,51 @@ object Pipeline {
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("cos").cast("decimal(27,12)")) / count(lit(1)), 4)
           .cast("double").as("mean_cos"))
+  }
+
+  /** Streaming anomaly detection — the live twin of
+    * [[graft.agg.Profile.outliersByGroup]]: per-key Welford running
+    * moments (n, mean, M2 — three numbers of state per key, bounded by
+    * key cardinality, never by stream length) score each arriving value
+    * against the history BEFORE it, and |z| ≥ threshold rows are
+    * emitted as alerts. Within a micro-batch, a key's rows are applied
+    * in (ts, event_id) order — batch-boundary-invariant by
+    * construction, which the spec pins by replaying the same stream
+    * split 1-batch vs 2-batch.
+    */
+  def anomalyStream(events: DataFrame, zThreshold: Double = 3.0,
+                    minObs: Long = 5)
+      : org.apache.spark.sql.Dataset[AnomalyFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "event_id", "ts_ns", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[WelfordState]) =>
+          val ordered = batch.toIndexedSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val alerts = Vector.newBuilder[AnomalyFlag]
+          ordered.foreach { case (_, eid, _, x) =>
+            if (st.n >= minObs) {
+              val sd = math.sqrt(st.m2 / (st.n - 1).toDouble)
+              if (sd > 0.0) {
+                val z = (x - st.mean) / sd
+                if (math.abs(z) >= zThreshold)
+                  alerts += AnomalyFlag(user, eid, x,
+                    math.rint(z * 1e4) / 1e4, st.n)
+              }
+            }
+            val n1 = st.n + 1
+            val d = x - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (x - mean1))
+          }
+          state.update(st)
+          alerts.result().iterator
+      }
   }
 
   /** Sessionization with gap timeout — `flatMapGroupsWithState` +

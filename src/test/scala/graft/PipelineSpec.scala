@@ -192,4 +192,39 @@ class PipelineSpec extends AnyFunSuite {
     // cell 0: vecs 0 and 2 (mean of 0.9939 and 1.0); cell 1: vecs 1 and 3
     assert(out.toSeq == Seq((0, 2L, 0.997), (1, 2L, 0.997)))
   }
+
+  test("anomalyStream flags spikes and is batch-boundary invariant") {
+    import spark.implicits._
+    def run(batches: Seq[Seq[(Long, Long, Long, Double)]],
+            name: String) = {
+      val source = MemoryStream[(Long, Long, Long, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Double)]],
+        spark.sqlContext)
+      val ev = source.toDF().toDF("user_id", "event_id", "ts_ns", "value")
+      val q = Pipeline.anomalyStream(ev)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b =>
+        source.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+          r.getLong(4)))
+    }
+    // user 1: stable history then a spike; user 2: too little history.
+    val rows = Seq(
+      (1L, 1L, 1L, 10.0), (1L, 2L, 2L, 11.0), (1L, 3L, 3L, 9.0),
+      (1L, 4L, 4L, 10.0), (1L, 5L, 5L, 11.0), (1L, 6L, 6L, 9.0),
+      (1L, 7L, 7L, 1000.0), (2L, 8L, 1L, 500.0), (2L, 9L, 2L, 500.0))
+    val one = run(Seq(rows), "anom_one_sink")
+    val two = run(Seq(rows.take(4), rows.drop(4)), "anom_two_sink")
+    // same alerts whether the stream arrives in 1 batch or 2
+    assert(one.toSeq === two.toSeq)
+    // only the spike is flagged, scored against 6 prior observations
+    assert(one.map(t => (t._1, t._2, t._4)).toSeq === Seq((1L, 7L, 6L)))
+    // z matches the hand formula (history mean 10, sample sd sqrt(0.8))
+    // up to Welford-vs-closed-form float accumulation
+    val z = (1000.0 - 10.0) / math.sqrt(0.8)
+    assert(math.abs(one.head._3 - z) <= 1e-4)
+  }
 }

@@ -247,4 +247,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange"), finalPlan)
     assert("Generate explode".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
+
+  test("bm25_indexed prunes the postings scan to the query terms' buckets") {
+    val df = SparkEntry.queries("bm25_indexed")(spark, dir)
+    // Static partition filter on the bucket key — pruning decided at
+    // plan time, so only the query terms' buckets' files are read.
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined, p)
+    // Identical scoring tree over the postings ⇒ row-for-row equality
+    // with the corpus-scan form (they also share one oracle).
+    assert(df.collect().toSeq ==
+      SparkEntry.queries("bm25_topk")(spark, dir).collect().toSeq)
+  }
+
+  test("dq_audit fuses all same-table predicate checks into one scan each") {
+    // 12 checks over 4 tables plan exactly 9 scans: one fused
+    // conditional aggregate per checkTable group (3), one key-only scan
+    // per uniqueness check (2), and one child + one parent scan per FK
+    // edge (2×2) — the per-check naive form would be 12+.
+    val p = plan("dq_audit")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 9, s"expected fused scans, got $scans:\n$p")
+  }
 }

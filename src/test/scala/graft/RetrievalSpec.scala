@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Retrieval
+
+/** Retrieval operators on hand-computed fixtures: BM25 against the
+  * textbook formula, classifier determinism and thresholds, and KL
+  * divergence's gold-standard identities (zero iff identical, positive
+  * otherwise) — the DuckDB oracle then pins engine-vs-engine equality
+  * at sf0.01.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+
+  test("bm25TopK matches the hand-computed textbook score") {
+    // Corpus: 3 docs, query = ["cat"]. Only doc 1 and 2 contain it.
+    val d = docs((1L, "cat dog"), (2L, "cat cat cat dog"), (3L, "fish"))
+    val out = Retrieval.bm25TopK(d, Seq("cat"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+
+    // N=3, df=2 → idf = ln(1 + 1.5/2.5); avgdl = (2+4+1)/3 = 7/3.
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def s(tf: Double, dl: Double) = {
+      val raw = idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (7.0 / 3.0))))
+      math.rint(raw * 1e4) / 1e4
+    }
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === s(1.0, 2.0))
+    assert(out(2L) === s(3.0, 4.0))
+    // Higher tf wins despite the longer doc at these parameters.
+    assert(out(2L) > out(1L))
+  }
+
+  test("bm25TopK rare terms outrank common terms (idf ordering)") {
+    // "rare" appears in 1 of 4 docs, "common" in all 4, once each, and
+    // every doc has the same length — only idf differs.
+    val d = docs(
+      (1L, "rare common x"), (2L, "y common x"),
+      (3L, "z common x"), (4L, "w common x"))
+    val out = Retrieval.bm25TopK(d, Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // Doc 1 holds both terms → strictly top; the rest tie on doc_id order.
+    assert(out.head._1 === 1L)
+    assert(out.head._2 > out(1)._2)
+    assert(out.tail.map(_._1).toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("linearQualityScore is deterministic and thresholds exactly") {
+    val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+    val rows = Retrieval.linearQualityScore(d).collect()
+    // Identical text → identical score and verdict.
+    assert(rows(0).getDouble(2) === rows(1).getDouble(2))
+    assert(rows(0).getString(3) === rows(1).getString(3))
+    assert(Set("keep", "drop", "review").contains(rows(0).getString(3)))
+    assert(rows(0).getLong(1) === 3L)
+  }
+
+  test("tokenWeight spans [-1, 1] and matches a reference md5 fold") {
+    val d = Seq("alpha", "beta", "gamma", "delta").toDF("term")
+    val w = d.select(Retrieval.tokenWeight(col("term")).as("w"))
+      .collect().map(_.getDouble(0))
+    assert(w.forall(x => x >= -1.0 && x <= 1.0))
+    // Reference computation off-Spark for one token.
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (java.lang.Long.parseLong(md.take(6), 16) % 1001 - 500) / 500.0
+    assert(w(0) === expect)
+  }
+
+  test("domainDivergence: KL is zero iff the source matches the corpus") {
+    // Two sources with IDENTICAL token distributions → corpus equals
+    // each source → KL = 0 for both.
+    val same = Seq(
+        (1L, "a a b", "s1"), (2L, "a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl0 = Retrieval.domainDivergence(same)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(kl0("s1") === 0.0 && kl0("s2") === 0.0)
+
+    // Skewed source diverges: KL > 0, and the more distinct source is
+    // farther from the corpus mixture.
+    val skew = Seq(
+        (1L, "a a a a", "s1"), (2L, "b b b b", "s2"), (3L, "a b", "s3"))
+      .toDF("doc_id", "text", "source")
+    val kl = Retrieval.domainDivergence(skew)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(kl("s1") > 0.0 && kl("s2") > 0.0)
+    // s3 is the 50/50 mixture, closest to the corpus (6a, 6b → uniform).
+    assert(kl("s3") < kl("s1") && kl("s3") < kl("s2"))
+  }
+}
