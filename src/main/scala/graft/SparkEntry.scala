@@ -1182,6 +1182,43 @@ object SparkEntry {
       .select(col("k").as("user_id"), col("o").as("ts_ns"),
         col("tb").as("event_id"), col("value"), col("ewma"))),
 
+    // Deterministic fixed-size uniform sample: bottom-k by key digest.
+    // TakeOrdered plan — k rows per partition to the driver merge, no
+    // shuffle at any scale; reproducible across engines and runs.
+    "bottomk_sample" -> ((s, dir) => Sampling.bottomKSample(
+        T(s, dir, "documents").select("doc_id", "lang", "source"),
+        col("doc_id"), k = 100)),
+
+    // Point-in-time state reconstruction (the time-travel read over an
+    // event log): each user's latest event at the as-of instant via one
+    // window top-1 — the SCD-2 "state as of T" query.
+    "state_asof" -> ((s, dir) => {
+      val asofUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tu").desc, col("event_id").desc)
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), expr("ts_ns div 1000").as("tu"))
+        .filter(col("tu") <= asofUs)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          round(col("value"), 4).as("last_value"),
+          col("tu").as("ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // PageRank centrality over the embedding near-dup graph: the
+    // principled keep-choice inside duplicate clusters (most-connected
+    // copy wins, not min-id). Fixed iterations, decimal rank mass —
+    // rows-only (LSH bucketing upstream isn't ANSI-expressible);
+    // GraphSpec pins hand-computed ranks.
+    "doc_centrality" -> ((s, dir) => graft.ext.Graph.topCentralDocs(
+      Similarity.nearDupPairs(T(s, dir, "embeddings"), threshold = 0.25,
+        numPlanes = 4),
+      k = 20)),
+
     // Distribution-position window functions (percent_rank, cume_dist,
     // first/nth value) over supplier balances within nation — completes
     // the window-function inventory.
@@ -1954,6 +1991,19 @@ object SparkEntry {
            |FROM events WHERE event_type = 'purchase'
            |ORDER BY user_id, ts_ns, event_id""".stripMargin
       },
+      "bottomk_sample" ->
+        """SELECT doc_id, lang, source, MD5(CAST(doc_id AS VARCHAR)) AS digest
+          |FROM documents ORDER BY digest LIMIT 100""".stripMargin,
+      "state_asof" ->
+        """SELECT user_id, event_id AS last_event_id,
+          |  event_type AS last_event_type, ROUND(value, 4) AS last_value,
+          |  tu AS ts_us
+          |FROM (
+          |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tu,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          |  FROM events WHERE epoch_us(ts) <= 1705276800000000) t
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
       "window_funcs_extra" ->
         """SELECT s_suppkey, s_nationkey,
           |  ROUND(s_acctbal, 2) AS acctbal,

@@ -190,4 +190,19 @@ object Sampling {
         floor((col("__cum") - tokenCount) / maxTokens).cast("long"))
       .drop("__cum")
   }
+
+  /** Deterministic fixed-size uniform sample: the `k` rows whose key
+    * digests sort smallest — the digest-keyed form of reservoir
+    * sampling. Mergeable by construction (bottom-k of a union is the
+    * bottom-k of per-part bottom-ks), and Spark plans the ORDER
+    * BY+LIMIT as TakeOrdered: each partition ships only its own k
+    * candidate rows to the driver merge — no shuffle, no full sort, at
+    * any table size. Unlike `TABLESAMPLE`/`rand()`, the sample is
+    * REPRODUCIBLE across runs, engines, and partitionings, and `k` is
+    * exact, not expected.
+    */
+  def bottomKSample(df: DataFrame, key: Column, k: Int): DataFrame =
+    df.withColumn("digest", md5(key.cast("string")))
+      .orderBy("digest")
+      .limit(k)
 }
