@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Retrieval
+
+/** BM25 scale drill: builds the persisted inverted index over a
+  * synthetic corpus (default 2M docs — 4000× the sf0.01 documents
+  * table) and measures repeated-query cost of the two paths — the
+  * corpus-scan form (tokenize + filter per query) and the
+  * bucket-pruned persisted index (`runMain graft.tools.Bm25Drill
+  * [docs]`). The indexed path must return exactly the scan form's
+  * rows. Not part of the driver contract.
+  */
+object Bm25Drill {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 2000000L
+    val spark = ToolSession.local(32)
+    // Synthetic docs from a fixed vocabulary with a skewed (hash-mixed)
+    // term draw: volume and a realistic df spread, not linguistics.
+    val vocab = (0 until 1000).map(i => s"w$i")
+    val vlit = typedlit(vocab)
+    val docs = spark.range(rows).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(39)),
+          i => element_at(vlit,
+            (pmod(xxhash64(col("id") * 131 + i),
+              pmod(xxhash64(col("id") * 17 + i), lit(1000)) + 1) + 1)
+              .cast("int"))), " ").as("text"))
+      .localCheckpoint()
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val terms = Seq("w7", "w423", "w999")
+    val path = java.nio.file.Files.createTempDirectory("bm25-drill").toString
+    time("build inverted index (one-off)") {
+      Retrieval.buildBm25Index(docs, path)
+    }
+    val scan = time("BM25 top-10 (corpus scan)") {
+      Retrieval.bm25TopK(docs, terms, k = 10).collect()
+    }
+    val idx = time("BM25 top-10 (pruned postings)") {
+      Retrieval.bm25Indexed(spark, path, terms, k = 10).collect()
+    }
+    assert(idx.toSeq == scan.toSeq, "indexed must equal the scan form")
+    time("BM25 top-10 (repeat query, warm)") {
+      Retrieval.bm25Indexed(spark, path, terms, k = 10).collect()
+    }
+    time("BM25 corpus scan (repeat query, warm)") {
+      Retrieval.bm25TopK(docs, terms, k = 10).collect()
+    }
+    spark.stop()
+  }
+}
