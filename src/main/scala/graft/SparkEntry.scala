@@ -1219,6 +1219,34 @@ object SparkEntry {
         numPlanes = 4),
       k = 20)),
 
+    // CDC MERGE: keep-latest upserts + DELETE ops in one window pass;
+    // replay-safe (version order decides, not arrival order). Post-
+    // cutoff 'error' events act as deletes of that user's state row.
+    "cdc_merge" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"),
+        col("event_type"), col("value"),
+        unix_micros(col("ts")).as("tu"), col("event_id"))
+      val cut = 1705276800000000L // 2024-01-15 00:00:00 UTC
+      val state = warehouse.Warehouse.keepLatest(
+        ev.filter(col("tu") <= cut), Seq("user_id"), "tu", "event_id")
+      val changes = ev.filter(col("tu") > cut)
+        .withColumn("op", when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")))
+      warehouse.Warehouse.applyCdc(state, changes, Seq("user_id"),
+          "tu", "event_id")
+        .select("user_id", "event_type", "value", "tu")
+        .orderBy("user_id")
+    }),
+
+    // Deterministic negative sampling (contrastive training): per
+    // anchor, the k broadcast-pool members with the smallest pair
+    // digest — reproducible negatives, |anchors|×|pool| pair frame.
+    "negative_samples" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Sampling.negativeSamples(docs, col("doc_id"),
+        docs.filter(col("doc_id") % 50 === 0), col("doc_id"), k = 3)
+    }),
+
     // Distribution-position window functions (percent_rank, cume_dist,
     // first/nth value) over supplier balances within nation — completes
     // the window-function inventory.
@@ -2004,6 +2032,26 @@ object SparkEntry {
           |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
           |  FROM events WHERE epoch_us(ts) <= 1705276800000000) t
           |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "cdc_merge" ->
+        """SELECT user_id, event_type, value, tu FROM (
+          |  SELECT user_id, event_type, value, epoch_us(ts) AS tu,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1
+          |  AND NOT (tu > 1705276800000000 AND event_type = 'error')
+          |ORDER BY user_id""".stripMargin,
+      "negative_samples" ->
+        """WITH p AS (SELECT doc_id AS neg_id FROM documents WHERE doc_id % 50 = 0),
+          |x AS (
+          |  SELECT d.doc_id AS anchor_id, neg_id,
+          |    MD5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)) AS digest
+          |  FROM documents d CROSS JOIN p WHERE d.doc_id <> neg_id),
+          |r AS (SELECT anchor_id, neg_id,
+          |        ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY digest) AS rank
+          |      FROM x)
+          |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, neg_id
+          |FROM r WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
       "window_funcs_extra" ->
         """SELECT s_suppkey, s_nationkey,
           |  ROUND(s_acctbal, 2) AS acctbal,

@@ -205,4 +205,30 @@ object Sampling {
     df.withColumn("digest", md5(key.cast("string")))
       .orderBy("digest")
       .limit(k)
+
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor draws the `k` pool members whose PAIR digest sorts smallest
+    * — uniform pseudo-random negatives that are reproducible across
+    * runs/engines (the property in-batch `rand()` negatives lack, and
+    * the one that makes training jobs resumable). The pool BROADCASTS
+    * (contrastive negatives come from a bounded candidate set — a
+    * shard, an in-batch pool, a curated hard-negative table), so the
+    * pair frame is |anchors|×|pool| rows of ids+digest flowing through
+    * one per-anchor top-k window — never corpus × corpus.
+    */
+  def negativeSamples(anchors: DataFrame, anchorKey: Column,
+                      pool: DataFrame, poolKey: Column,
+                      k: Int): DataFrame = {
+    val a = anchors.select(anchorKey.as("anchor_id"))
+    val p = broadcast(pool.select(poolKey.as("neg_id")))
+    val w = Window.partitionBy("anchor_id").orderBy("digest")
+    a.crossJoin(p)
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .withColumn("digest",
+        md5(concat_ws(":", col("anchor_id"), col("neg_id"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"))
+      .orderBy("anchor_id", "rank")
+  }
 }

@@ -95,6 +95,25 @@ object Warehouse {
       .drop("__rn")
   }
 
+  /** CDC apply: [[keepLatest]] extended with DELETE semantics — the full
+    * MERGE a change-data-capture feed needs. `changes` carries an `op`
+    * column (`I`/`U`/`D`); state rows union in as implicit upserts, the
+    * newest version per key wins exactly as in keepLatest, and a key
+    * whose SURVIVOR is a delete leaves the table. Replay-safe for the
+    * same reason keepLatest is: version order, not arrival order,
+    * decides — re-applying a batch cannot change the outcome. One
+    * window shuffle on the entity key; the history is never re-scanned.
+    */
+  def applyCdc(state: DataFrame, changes: DataFrame, key: Seq[String],
+               version: String, tieBreak: String,
+               op: String = "op"): DataFrame = {
+    val unioned = state.withColumn(op, lit("I"))
+      .unionByName(changes)
+    keepLatest(unioned, key, version, tieBreak)
+      .filter(col(op) =!= "D")
+      .drop(op)
+  }
+
   /** Incremental aggregate maintenance: merge a standing aggregate table
     * with a NEW delta aggregate by summing every measure column — the
     * materialized-view refresh that avoids re-scanning the history. The

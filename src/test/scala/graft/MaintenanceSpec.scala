@@ -52,4 +52,33 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(sizes.size == 5 && sizes.values.forall(n => n > 100 && n < 220),
       sizes.toMap.toString)
   }
+
+  test("applyCdc upserts, inserts, deletes — and replays idempotently") {
+    val state = Seq((1L, "a", 1L, 10L), (2L, "b", 1L, 11L))
+      .toDF("k", "v", "ver", "tb")
+    val changes = Seq(
+        (2L, "b2", 2L, 12L, "U"),   // update user 2
+        (1L, "a", 2L, 13L, "D"),    // delete user 1
+        (3L, "c", 1L, 14L, "I"))    // insert user 3
+      .toDF("k", "v", "ver", "tb", "op")
+    val out = Warehouse.applyCdc(state, changes, Seq("k"), "ver", "tb")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((2L, "b2"), (3L, "c")))
+
+    // Replaying the same change batch onto the merged state is a no-op:
+    // version order decides, so at-least-once delivery is safe.
+    val replay = Warehouse.applyCdc(
+        Warehouse.applyCdc(state, changes, Seq("k"), "ver", "tb"),
+        changes, Seq("k"), "ver", "tb")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(replay.toSeq === out.toSeq)
+
+    // An out-of-order STALE delete (older version) must not win.
+    val stale = Seq((2L, "b", 1L, 9L, "D")).toDF("k", "v", "ver", "tb", "op")
+    val kept = Warehouse.applyCdc(
+        Warehouse.applyCdc(state, changes, Seq("k"), "ver", "tb"),
+        stale, Seq("k"), "ver", "tb")
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(2L, 3L))
+  }
 }

@@ -67,4 +67,23 @@ class SamplingSpec extends AnyFunSuite {
     // cumsum-before: 0,1000,2000,2100,4100 → seq 0,0,0,1,2
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
+
+  test("negativeSamples draws k distinct pool negatives, never the anchor") {
+    val docs = (1L to 20L).toDF("doc_id")
+    val pool = Seq(1L, 5L, 10L, 15L, 20L).toDF("doc_id")
+    val out = Sampling.negativeSamples(docs, col("doc_id"),
+        pool, col("doc_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every anchor gets exactly k rows, ranks 1..k
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.size === 20)
+    assert(byAnchor.values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    // the anchor never samples itself
+    assert(out.forall { case (a, _, n) => a != n })
+    // deterministic: a second run returns the identical assignment
+    val again = Sampling.negativeSamples(docs, col("doc_id"),
+        pool, col("doc_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
 }
