@@ -1164,6 +1164,13 @@ object SparkEntry {
     "domain_kl" -> ((s, dir) =>
       Retrieval.domainDivergence(T(s, dir, "documents"))),
 
+    // Intra-doc repeated-span removal (Gopher/C4-style scrub): greedy
+    // one-pass skip of n-grams already seen in the same document.
+    // Compiled mapPartitions, zero shuffle; sequential semantics are
+    // not ANSI-expressible → rows-only (ExtSpec pins hand fixtures).
+    "span_dedup" -> ((s, dir) =>
+      TextAnalysis.dropRepeatedSpans(T(s, dir, "documents"))),
+
     // Declarative data-quality audit: every same-table predicate fuses
     // into one scan; FK edges are key-only anti-joins; the report is a
     // union of 1-row frames.

@@ -138,6 +138,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repeated-span REMOVAL — the cleanup counterpart to
+    * [[repetitionStats]] (which only measures): walk each document's
+    * tokens; when the `n`-gram starting at the cursor has already
+    * occurred earlier in the SAME document, skip those `n` tokens (one
+    * repeated span) and continue; otherwise emit the token. One pass,
+    * greedy, deterministic — the Gopher/C4-style "drop duplicated
+    * blocks" scrub for boilerplate loops and copy-paste stutter.
+    *
+    * Shape: a compiled per-row flatMap-free projection (mapPartitions
+    * over typed rows, like [[Sampling.chunkByTokens]]) — per-document
+    * state only (a hash set of this doc's grams), so the operator is
+    * scan-bound and embarrassingly parallel at any corpus size; no
+    * shuffle at all. Gram identity uses the same XXH64 token hashing as
+    * the shingle pass. Not ANSI-expressible (sequential skip-`n`
+    * semantics) → rows-only + hand-fixture ScalaTests.
+    */
+  def dropRepeatedSpans(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        if (toks.length < n) (id, text.trim, 0L)
+        else {
+          val hs = toks.map { t =>
+            val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, 42L)
+          }
+          def gramAt(i: Int): Long = {
+            var h = 42L
+            var j = i + n - 1
+            while (j >= i) { h = h * 31 + hs(j); j -= 1 }
+            h
+          }
+          val seen = new java.util.HashSet[Long]()
+          val out = new StringBuilder
+          var dropped = 0L
+          var i = 0
+          while (i < toks.length) {
+            if (i + n <= toks.length) {
+              val g = gramAt(i)
+              if (seen.contains(g)) { dropped += 1; i += n }
+              else {
+                seen.add(g)
+                if (out.nonEmpty) out.append(' ')
+                out.append(toks(i)); i += 1
+              }
+            } else {
+              if (out.nonEmpty) out.append(' ')
+              out.append(toks(i)); i += 1
+            }
+          }
+          (id, out.toString, dropped)
+        }
+      })
+      .toDF("doc_id", "clean_text", "spans_dropped")
+      .orderBy("doc_id")
+  }
+
   /** Corpus-boilerplate detector: word n-grams whose DOCUMENT frequency
     * reaches `minDf` (templates, navigation chrome, memes — the
     * C4/RefinedWeb-style list a stripping pass consumes). Two-scan,

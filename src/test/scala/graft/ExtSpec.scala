@@ -553,4 +553,34 @@ class ExtSpec extends AnyFunSuite {
       dim = 8).collect()
     assert(a.sameElements(b))
   }
+
+  test("dropRepeatedSpans removes a re-occurring 3-gram block greedily") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+        (1L, "a b c a b c"),          // exact phrase repeat
+        (2L, "x y z w x y z"),        // repeat not block-aligned
+        (3L, "p q"),                  // shorter than the gram
+        (4L, "t t t t t t t"))        // degenerate all-same token
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dropRepeatedSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ("a b c", 1L))
+    // doc 2: grams seen at cursors 0..3; cursor 4 restarts "x y z" → skip
+    assert(out(2L) === ("x y z w", 1L))
+    // too short to hold one gram: unchanged, nothing dropped
+    assert(out(3L) === ("p q", 0L))
+    // all-same tokens: cursor 0 records (t,t,t) and emits one t; every
+    // later cursor sees that gram and skips 3 — 7 tokens collapse to 1
+    val (t4, d4) = out(4L)
+    assert(d4 === 2L && t4 === "t")
+  }
+
+  test("dropRepeatedSpans leaves repeat-free text untouched") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "the quick brown fox jumps over lazy dog"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.dropRepeatedSpans(docs, n = 3).collect().head
+    assert(r.getString(1) === "the quick brown fox jumps over lazy dog")
+    assert(r.getLong(2) === 0L)
+  }
 }

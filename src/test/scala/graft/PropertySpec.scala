@@ -219,4 +219,88 @@ class PropertySpec extends AnyFunSuite {
     assert(parsed.isNullAt(parsed.fieldIndex("fare_amount")))
     assert(parsed.getAs[Double]("trip_distance") == 2.5)
   }
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+  private def docBatch(seed: Long, nDocs: Int): Seq[(Long, String)] =
+    (0 until nDocs).map { i =>
+      val words = Gen.listOfN(30, wordGen)
+        .pureApply(Gen.Parameters.default, Seed(seed * 1000 + i))
+      (i.toLong, words.mkString(" "))
+    }
+
+  test("property: domain KL divergence is non-negative on random corpora") {
+    import graft.ext.Retrieval
+    (1L to 3L).foreach { seed =>
+      val docs = docBatch(seed, 30).toDF("doc_id", "text")
+        .withColumn("source", (col("doc_id") % 3).cast("string"))
+      val kl = Retrieval.domainDivergence(docs).collect()
+        .map(_.getDouble(2))
+      // Gibbs' inequality (up to the 6-dp output rounding)
+      assert(kl.forall(_ >= -1e-6), kl.toSeq.toString)
+    }
+  }
+
+  test("property: BM25 score increases with term frequency, all else fixed") {
+    import graft.ext.Retrieval
+    // Same length, same df: doc 2 holds the query term twice.
+    val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta alpha delta epsilon zeta"),
+        (3L, "theta eta zeta delta epsilon beta"))
+      .toDF("doc_id", "text")
+    val s = Retrieval.bm25TopK(docs, Seq("alpha"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(2L) > s(1L))
+    assert(!s.contains(3L))
+  }
+
+  test("property: dropRepeatedSpans shrinks monotonically to a fixpoint") {
+    // NOT idempotent by design: removing a span makes new tokens
+    // adjacent, which can form a fresh repeat (single-pass greedy, the
+    // C4-style trade). The honest properties: text never grows, and
+    // iterating converges to a repeat-free fixpoint in a few passes
+    // (each dropping pass strictly shrinks some doc, so it terminates).
+    import graft.ext.TextAnalysis
+    (1L to 3L).foreach { seed =>
+      val docs = docBatch(seed, 25).toDF("doc_id", "text")
+      val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      var cur = docs
+      var pass = 0
+      var dropped = 1L
+      while (dropped > 0 && pass < 10) {
+        val out = TextAnalysis.dropRepeatedSpans(cur, n = 3)
+        val rows = out.collect()
+        rows.foreach { r =>
+          assert(r.getString(1).length <= orig(r.getLong(0)).length)
+        }
+        dropped = rows.map(_.getLong(2)).sum
+        cur = out.select(col("doc_id"), col("clean_text").as("text"))
+        pass += 1
+      }
+      assert(dropped === 0L, s"no fixpoint after $pass passes")
+    }
+  }
+
+  test("property: dq audit violations never exceed row counts") {
+    import graft.warehouse.DataQuality
+    import graft.warehouse.DataQuality.RuleCheck
+    (1L to 3L).foreach { seed =>
+      val vals = Gen.listOfN(60, Gen.choose(-100.0, 100.0))
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val out = DataQuality.checkTable(df, "t", Seq(
+          RuleCheck("neg", col("v") < 0),
+          RuleCheck("big", col("v") > 50),
+          RuleCheck("nonzero", col("v") =!= 0.0)))
+        .collect()
+      out.foreach { r =>
+        assert(r.getLong(3) >= 0L && r.getLong(3) <= r.getLong(2))
+      }
+      // conditional sums must agree with direct filter counts
+      val neg = df.filter(col("v") < 0).count()
+      assert(out.find(_.getString(0) == "neg").get.getLong(3) === neg)
+    }
+  }
 }
