@@ -261,6 +261,31 @@ class PlanGuardSpec extends AnyFunSuite {
       SparkEntry.queries("bm25_topk")(spark, dir).collect().toSeq)
   }
 
+  test("ewma_smooth is one window over one shuffle — no join, no agg") {
+    val p = plan("ewma_smooth")
+    assert("Window".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("quality_classifier stays scan-shaped: one aggregate, no join") {
+    val p = plan("quality_classifier")
+    assert(!p.contains("Join"), p)
+    // explode → partial agg → exchange → final agg, nothing else
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("negative_samples broadcasts the pool and takes top-k map-side") {
+    val p = plan("negative_samples")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // WindowGroupLimit Partial BEFORE the exchange: each partition
+    // ships only its own k candidates per anchor, not the full
+    // |anchors|×|pool| pair frame.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("WindowGroupLimit [^\n]*Partial".r.findFirstIn(p).isDefined, p)
+  }
+
   test("dq_audit fuses all same-table predicate checks into one scan each") {
     // 12 checks over 4 tables plan exactly 9 scans: one fused
     // conditional aggregate per checkTable group (3), one key-only scan
