@@ -1164,6 +1164,18 @@ object SparkEntry {
     "domain_kl" -> ((s, dir) =>
       Retrieval.domainDivergence(T(s, dir, "documents"))),
 
+    // Exact trailing-7-day distinct actives (DAU/WAU): sliding distinct
+    // doesn't decompose — replicate each DISTINCT (day,user) pair to
+    // its 7 target days, one count-distinct shuffle keyed by day.
+    "rolling_distinct_users" -> ((s, dir) => Behavior.rollingDistinctUsers(
+      T(s, dir, "events"), col("ts"), col("user_id"))),
+
+    // The sketch path: per-day HLL sketches unioned over a trailing
+    // ROWS frame — estimate (rows-only; BehaviorSpec pins <5% error
+    // vs the exact form), re-scan-free at any window length.
+    "rolling_distinct_hll" -> ((s, dir) => Behavior.rollingDistinctUsersHll(
+      T(s, dir, "events"), col("ts"), col("user_id"))),
+
     // Intra-doc repeated-span removal (Gopher/C4-style scrub): greedy
     // one-pass skip of n-grams already seen in the same document.
     // Compiled mapPartitions, zero shuffle; sequential semantics are
@@ -2039,6 +2051,15 @@ object SparkEntry {
           |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
           |  FROM events WHERE epoch_us(ts) <= 1705276800000000) t
           |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "rolling_distinct_users" ->
+        """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+          |x AS (SELECT day + CAST(o AS INTEGER) AS day2, user_id
+          |      FROM du, UNNEST(generate_series(0, 6)) AS t(o)),
+          |hi AS (SELECT MAX(day) AS hi FROM du)
+          |SELECT STRFTIME(day2, '%Y-%m-%d') AS day,
+          |       COUNT(DISTINCT user_id) AS users_7d
+          |FROM x CROSS JOIN hi WHERE day2 <= hi
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "cdc_merge" ->
         """SELECT user_id, event_type, value, tu FROM (
           |  SELECT user_id, event_type, value, epoch_us(ts) AS tu,

@@ -124,4 +124,53 @@ object Behavior {
       min("cv").as("w_min"),
       max("cv").as("w_max"))
   }
+
+  /** EXACT trailing-`window`-day distinct actives per day (the DAU/WAU
+    * engagement metric). Sliding distinct does not decompose, so the
+    * scalable exact form replicates each DISTINCT (day, user) pair to
+    * the `window` target days it supports — one explode of a
+    * `sequence()` literal (×window rows of two columns) and one
+    * count-distinct shuffle keyed by day. The fact table itself is
+    * touched once; days past the data's horizon are clipped via a
+    * broadcast 1-row max. At 100 TB the ×7 blowup applies to the
+    * (day, user) DISTINCT frame — orders of magnitude smaller than the
+    * event stream — not to the facts.
+    */
+  def rollingDistinctUsers(events: DataFrame, ts: Column, user: Column,
+                           window: Int = 7): DataFrame = {
+    val du = events.select(to_date(ts).as("day"), user.as("u")).distinct()
+    val hi = du.agg(max(col("day")).as("hi"))
+    du.select(explode(sequence(lit(0), lit(window - 1))).as("off"),
+        col("day"), col("u"))
+      .select(date_add(col("day"), col("off")).as("day"), col("u"))
+      .crossJoin(broadcast(hi))
+      .filter(col("day") <= col("hi"))
+      .groupBy("day")
+      .agg(countDistinct(col("u")).as(s"users_${window}d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col(s"users_${window}d"))
+      .orderBy("day")
+  }
+
+  /** The sketch path for [[rollingDistinctUsers]] at scale: ONE HLL
+    * sketch per day (a few KB), then `hll_union_agg` over a trailing
+    * ROWS frame — the per-day sketch table is the only thing that
+    * persists or shuffles, and any window length re-queries it without
+    * touching the events again. Estimate, not exact (ScalaTest pins
+    * <5 % error against the exact form); mergeability is what buys the
+    * re-scan-free property, same trade as `hll_vocab_rollup`.
+    */
+  def rollingDistinctUsersHll(events: DataFrame, ts: Column, user: Column,
+                              window: Int = 7): DataFrame = {
+    val daily = events.select(to_date(ts).as("day"), user.as("u"))
+      .groupBy("day").agg(hll_sketch_agg(col("u"), lit(12)).as("sk"))
+    val w = Window.orderBy("day").rowsBetween(-(window - 1), 0)
+    daily
+      .select(col("day"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w))
+          .as(s"est_users_${window}d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col(s"est_users_${window}d"))
+      .orderBy("day")
+  }
 }
