@@ -485,17 +485,19 @@ object Dedup {
     * truncate lineage (plain loops replan the whole history every
     * convergence check); the checkpoint blocks are unreferenced on the
     * next iteration and reclaimed by Spark's ContextCleaner — nothing
-    * registers in the cache manager. On a cluster, swap for
-    * reliable `checkpoint()` to also survive executor loss.
+    * registers in the cache manager. On a cluster, pass
+    * `reliable = true` so iteration state survives executor loss
+    * (durable `checkpoint()` — see [[Checkpoints.truncate]]).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
+    val ckpt = (df: DataFrame) => Checkpoints.truncate(df, reliable)
     // Checkpoint the symmetrized edge list once: it is consumed by every
     // iteration's join (plus the vertex derivation), and a lazy `edges`
     // plan — e.g. the whole MinHash+LSH pipeline — would otherwise be
     // recomputed from the source per iteration.
-    val symRaw = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val symRaw = ckpt(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
     // Right-size the loop to the GRAPH, not the corpus: the near-dup
     // graph is usually orders of magnitude smaller than its corpus, and
     // running each iteration at the corpus' partition count schedules
@@ -503,27 +505,25 @@ object Dedup {
     // few tasks while a billion-edge graph still fans out fully.
     val parts = math.max(1L, math.min(
       symRaw.rdd.getNumPartitions.toLong, symRaw.count() / 50000L + 1L)).toInt
-    val sym = symRaw.repartition(parts).localCheckpoint()
+    val sym = ckpt(symRaw.repartition(parts))
     // Seed with iteration 1 computed DIRECTLY off the edge list: with
     // labels initialized to ids, the first propagation's label-join is
     // vacuous (comp == id), so min(self, min neighbor id) per vertex is
     // one groupBy — this replaces both the vertex derivation and a full
     // join iteration. Every vertex of the symmetrized graph appears as
     // `dst`, so no vertex is lost.
-    var labels = sym.groupBy(col("dst").as("id"))
-      .agg(least(col("dst"), min(col("src"))).as("comp"))
-      .localCheckpoint()
+    var labels = ckpt(sym.groupBy(col("dst").as("id"))
+      .agg(least(col("dst"), min(col("src"))).as("comp")))
     var changed = 1L
     var i = 1
     while (changed > 0 && i < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
         .groupBy("id").agg(min(col("comp")).as("msg"))
-      val next = labels.withColumnRenamed("comp", "old")
+      val next = ckpt(labels.withColumnRenamed("comp", "old")
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("msg"), col("old"))).as("comp"))
-        .localCheckpoint()
+          least(col("old"), coalesce(col("msg"), col("old"))).as("comp")))
       // Min-label propagation is monotone, so labels unchanged across any
       // full iteration are final — the convergence count is a pure probe,
       // not a correctness step. Probing every 2nd iteration halves the

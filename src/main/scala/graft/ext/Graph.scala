@@ -33,18 +33,21 @@ object Graph {
     *
     * Driver state: nothing but the loop counter; ranks stay
     * distributed, checkpointed per iteration to truncate lineage.
+    * `reliable = true` switches the truncations to durable
+    * `checkpoint()` so iteration state survives executor loss on a real
+    * cluster — see [[Checkpoints.truncate]] for the exact semantics.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-               damping: Double = 0.85): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+               damping: Double = 0.85,
+               reliable: Boolean = false): DataFrame = {
+    val ckpt = (df: DataFrame) => Checkpoints.truncate(df, reliable)
+    val sym = ckpt(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
     val n = deg.count()
-    val out = sym.join(deg, sym("src") === deg("id"))
-      .select(col("src"), col("dst"), col("degree"))
-      .localCheckpoint()
+    val out = ckpt(sym.join(deg, sym("src") === deg("id"))
+      .select(col("src"), col("dst"), col("degree")))
     var ranks = deg.select(col("id"), lit(1.0 / n).as("rank"))
     var i = 0
     while (i < iters) {
@@ -59,8 +62,8 @@ object Graph {
             .as("rank"))
       // Lineage grows linearly with the (fixed, small) iteration count;
       // truncate only on long runs so short fits stay one lazy plan —
-      // each eager localCheckpoint is an extra Spark job.
-      if (i % 5 == 4) ranks = ranks.localCheckpoint()
+      // each eager checkpoint is an extra Spark job.
+      if (i % 5 == 4) ranks = ckpt(ranks)
       i += 1
     }
     ranks.select(col("id"), round(col("rank"), 8).as("rank"))

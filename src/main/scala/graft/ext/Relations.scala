@@ -37,7 +37,8 @@ object Relations {
     * two passes apriori fundamentally needs: support, then baskets).
     */
   def itemPairs(facts: DataFrame, basket: Column, item: Column,
-                minSupport: Long, topK: Int): DataFrame = {
+                minSupport: Long, topK: Int,
+                maxBasketSize: Int = Int.MaxValue): DataFrame = {
     val raw = facts.select(basket.as("b"), item.as("i"))
     // Distinct within basket: a basket listing an item twice is still
     // ONE co-occurrence (collect_set dedupes; the support count uses an
@@ -47,8 +48,21 @@ object Relations {
       .filter(col("support") >= minSupport)
     val prunedFacts = raw.join(broadcast(frequent.select("i")),
       Seq("i"), "left_semi")
+    // Basket-size clamp: the (max basket)² row-local term is bounded by
+    // construction ONLY if baskets are. One pathological mega-basket (a
+    // bot session with 10⁵ items) is 10¹⁰ structs inside a single task —
+    // so oversized baskets are DROPPED, and the drop is observable: the
+    // `item_pairs_clamp` metric (Dataset.observe → CollectMetrics, read
+    // via queryExecution.observedMetrics or a QueryExecutionListener)
+    // reports how many baskets were dropped and the largest size seen,
+    // so a silent-truncation audit can see exactly what the clamp cost.
     val pruned = prunedFacts.groupBy("b")
       .agg(sort_array(collect_set(col("i"))).as("arr"))
+      .observe("item_pairs_clamp",
+        sum(when(size(col("arr")) > maxBasketSize, 1L).otherwise(0L))
+          .as("dropped_baskets"),
+        coalesce(max(size(col("arr"))), lit(0)).as("max_basket_size"))
+      .filter(size(col("arr")) <= maxBasketSize)
     val pairs = pruned.select(explode(expr(
       """flatten(transform(arr, (x, ix) ->
         |  transform(slice(arr, ix + 2, size(arr)), y ->
@@ -70,26 +84,59 @@ object Relations {
     * caller's blocking key is the scale lever, exactly as LSH bands are
     * for [[Dedup]]. Levenshtein itself is Spark's codegen'd built-in
     * (same contract as the oracle's `levenshtein`).
+    *
+    * Join strategy — the 100-TB decision: the default plan is a
+    * co-partitioned SORT-MERGE self-join keyed on `blk`. Both sides are
+    * the entity table, shuffled once each on the block key (narrow rows,
+    * cheap at any size); the O(|block|²) pair explosion + DP verify then
+    * runs inside the join, parallel across blocks. Nothing broadcasts,
+    * so the operator survives entity tables of any size — the previous
+    * form broadcast the WHOLE unblocked table, which dies at the
+    * driver/executor broadcast limit (tens of millions of rows) no
+    * matter how good the blocking key is. The shuffles are pinned to an
+    * explicit partition count (REPARTITION_BY_NUM) because the entity
+    * table is small relative to the pair work it fans out into — AQE
+    * would coalesce the tiny shuffle onto one task and serialize the
+    * whole Σ|block|² stage (measured 28 s vs 1.7 s at sf0.1).
+    *
+    * Two caveats, both documented levers: (1) parallelism of the merge
+    * path is bounded by block-key cardinality — a coarse key (5 regions)
+    * caps the stage at 5 tasks and one hot block skews it; pick keys
+    * with ≥ cluster-core cardinality (zip prefix, name trigram), exactly
+    * the same advice as choosing LSH band width. (2) `smallDim = true`
+    * opts into the broadcast form: one shuffle FEWER and parallelism
+    * decoupled from block cardinality (rows spread by id, each probes
+    * the broadcast map), correct ONLY when the caller can prove the
+    * entity table fits the broadcast limit — it is a promise, not a
+    * hint, so it is off by default.
     */
   def fuzzyMatchBlocked(df: DataFrame, blockKey: Column, id: Column,
-                        name: Column, maxDist: Int): DataFrame = {
+                        name: Column, maxDist: Int,
+                        smallDim: Boolean = false): DataFrame = {
     val e = df.select(blockKey.as("blk"), id.as("id"), name.as("nm"))
-    // The block table broadcasts (it's the same small entity table), so
-    // the join needs NO co-partitioning — which means the left side's
-    // layout decides the parallelism of the pair explosion + DP verify.
-    // A single-file scan would run the whole O(Σ|block|²) stage on one
-    // core: spread rows by id first (a narrow-row shuffle of the ENTITY
-    // table, not the pair space — cheap at any size). The partition
-    // count is EXPLICIT: the entity table is tiny pre-explosion, and an
-    // advisory repartition would be AQE-coalesced back to one task —
-    // sized for the input rather than the O(|block|²) work each input
-    // row fans out into.
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val l = e.repartition(parts, col("id"))
-      .select(col("blk"), col("id").as("id1"), col("nm").as("nm1"))
     val r = e.select(col("blk").as("blk2"), col("id").as("id2"),
       col("nm").as("nm2"))
-    l.join(broadcast(r), col("blk") === col("blk2") && col("id1") < col("id2"))
+    val joined =
+      if (smallDim) {
+        // Caller-asserted small table: spread the left side by id (so
+        // the explosion parallelism is row-count-, not block-, bound)
+        // and hash-probe the broadcast right side.
+        val l = e.repartition(parts, col("id"))
+          .select(col("blk"), col("id").as("id1"), col("nm").as("nm1"))
+        l.join(broadcast(r),
+          col("blk") === col("blk2") && col("id1") < col("id2"))
+      } else {
+        // Default: co-partitioned sort-merge on the block key. The merge
+        // hint keeps the planner (and AQE re-planning) from flipping a
+        // test-scale-small side back to broadcast — the exact shape this
+        // form exists to avoid.
+        val l = e.repartition(parts, col("blk"))
+          .select(col("blk"), col("id").as("id1"), col("nm").as("nm1"))
+        l.hint("merge").join(r.repartition(parts, col("blk2")),
+          col("blk") === col("blk2") && col("id1") < col("id2"))
+      }
+    joined
       .withColumn("dist", F.levenshtein(col("nm1"), col("nm2")))
       .filter(col("dist") <= maxDist)
       .select(col("blk"), col("id1"), col("id2"), col("dist"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Contamination, CorpusPrep, Dedup, Sampling}
+import graft.ext.{Contamination, CorpusPrep, Dedup, Relations, Sampling}
 import graft.operators.Temporal
 
 /** Empty/degenerate-input behavior: every operator must return an empty
@@ -31,6 +31,23 @@ class EdgeCaseSpec extends AnyFunSuite {
   test("contamination with an empty side") {
     assert(Contamination.ngramOverlap(emptyDocs, someDocs).isEmpty)
     assert(Contamination.ngramOverlap(someDocs, emptyDocs).isEmpty)
+  }
+
+  test("itemPairs drops pathological mega-baskets, observably") {
+    // One 500-item bot basket above the clamp: it must contribute ZERO
+    // pairs (500² structs would be row-local work inside one task at a
+    // real bot-session size), the small baskets must be untouched, and
+    // the drop must be visible in the item_pairs_clamp observed metric.
+    val facts = ((1 to 500).map(i => (1L, f"item_$i%03d")) ++
+      Seq((2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"))).toDF("b", "i")
+    val out = Relations.itemPairs(facts, col("b"), col("i"),
+      minSupport = 1L, topK = 1000, maxBasketSize = 10)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", "b", 2L)))
+    val m = out.queryExecution.observedMetrics("item_pairs_clamp")
+    assert(m.getAs[Long]("dropped_baskets") == 1L)
+    assert(m.getAs[Int]("max_basket_size") == 500)
   }
 
   test("corpus prep with an empty eval set keeps clean docs") {

@@ -48,6 +48,41 @@ class GraphSpec extends AnyFunSuite {
       ranked7.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("pageRank and connectedComponents: reliable checkpointing matches local") {
+    // `reliable = true` swaps localCheckpoint (executor-memory blocks,
+    // lost with an executor) for durable checkpoint() (survives executor
+    // loss on a cluster). Results must be bit-identical either way —
+    // the flag changes fault-tolerance, never semantics — and the
+    // reliable mode must fail fast without a configured checkpoint dir.
+    import graft.ext.Dedup
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L))
+      .toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, reliable = true)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // iters = 6 so the per-5-iteration rank truncation path runs too
+      val local = Graph.pageRank(edges, iters = 6).collect().toSeq
+      val durable = Graph.pageRank(edges, iters = 6, reliable = true)
+        .collect().toSeq
+      assert(local === durable)
+      val ccLocal = Dedup.connectedComponents(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val ccDurable = Dedup.connectedComponents(edges, reliable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(ccLocal === ccDurable)
+      assert(ccLocal === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+    } finally {
+      // Shared session: later suites must not silently inherit the dir.
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("bottomKSample is exact-k, reproducible, and partition-invariant") {
     import graft.ext.Sampling
     val df = (1L to 1000L).toDF("id")

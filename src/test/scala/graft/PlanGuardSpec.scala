@@ -168,14 +168,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("fuzzy_match spreads the pair explosion across explicit partitions") {
-    // The entity table is tiny pre-explosion; without the explicit-count
-    // repartition AQE coalesces the O(Σ|block|²) verify stage onto one
-    // task (measured 28 s → 1.7 s at sf0.1). REPARTITION_BY_NUM is the
-    // marker that the partition count is pinned, not advisory.
+  test("fuzzy_match co-partitions the self-join on the block key") {
+    // The default ER plan must be a sort-merge join keyed on blk: no
+    // side broadcasts (the old form shipped the WHOLE entity table to
+    // every executor — dead past the broadcast limit), and the shuffles
+    // are pinned to an explicit count (REPARTITION_BY_NUM) so AQE can't
+    // coalesce the tiny entity shuffle onto one task and serialize the
+    // O(Σ|block|²) verify stage (measured 28 s → 1.7 s at sf0.1).
     val p = plan("fuzzy_match")
     assert(p.contains("REPARTITION_BY_NUM"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 

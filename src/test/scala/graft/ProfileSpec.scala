@@ -96,6 +96,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 1L, 2L, 1)))
   }
 
+  test("fuzzyMatchBlocked smallDim broadcast path equals the merge-join default") {
+    // Same pairs either way: smallDim only changes the JOIN STRATEGY
+    // (caller-asserted broadcast vs co-partitioned sort-merge), never
+    // the match semantics.
+    val df = (1L to 60L).map(i =>
+        (i % 5, i, s"name_${"abcdefghij".charAt((i % 10).toInt)}${i % 3}"))
+      .toDF("blk", "id", "nm")
+    val merge = Relations.fuzzyMatchBlocked(df, col("blk"), col("id"),
+      col("nm"), 2).collect().toSeq
+    val bcast = Relations.fuzzyMatchBlocked(df, col("blk"), col("id"),
+      col("nm"), 2, smallDim = true).collect().toSeq
+    assert(merge.nonEmpty && merge == bcast)
+  }
+
   test("perGroupSample is count-exact per group and stable under union order") {
     val df = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
       .toDF("g", "id")
