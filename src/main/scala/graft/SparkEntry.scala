@@ -552,7 +552,7 @@ object SparkEntry {
     // within orders, top-k with total tiebreak.
     "item_pairs" -> ((s, dir) => Relations.itemPairs(
       T(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
-      3L, 50)),
+      3L, 50, maxBasketSize = 10000)),
 
     // Blocked fuzzy entity matching: Levenshtein ≤ 2 name pairs inside
     // nation blocks only.
@@ -1020,7 +1020,8 @@ object SparkEntry {
     // reused by every subsequent query.
     "ann_topk_indexed" -> ((s, dir) => {
       val idx = Similarity.ivfIndexPathFor(dir)
-      Similarity.ensureIvfIndex(s, T(s, dir, "embeddings"), idx)
+      Similarity.ensureIvfIndex(s, T(s, dir, "embeddings"), idx,
+        sourcePath = Some(s"$dir/embeddings.parquet"))
       val (qVec, qNorm) = Similarity.lookupVec(s, idx, 0L)
       Similarity.annTopKIndexed(s, idx, qVec, qNorm, k = 10)
     }),
@@ -1149,7 +1150,8 @@ object SparkEntry {
     // rows, same oracle.
     "bm25_indexed" -> ((s, dir) => {
       val idx = Retrieval.bm25IndexPathFor(dir)
-      Retrieval.ensureBm25Index(s, T(s, dir, "documents"), idx)
+      Retrieval.ensureBm25Index(s, T(s, dir, "documents"), idx,
+        sourcePath = Some(s"$dir/documents.parquet"))
       Retrieval.bm25Indexed(s, idx, Seq("spark", "vector", "dup"), k = 10)
     }),
 

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Source fingerprinting for persisted derived indexes (the BM25
+  * postings index, the IVF vector index): "the index exists" is not
+  * "the index is FRESH" — if the source table is regenerated at the
+  * same path, an ensure keyed only on a `_SUCCESS` marker silently
+  * serves results computed from the OLD data. The stamp ties an index
+  * directory to the exact file state of its source: the sorted
+  * (name, size, mtime) listing of every data file, hashed. Listing a
+  * source directory is a metadata-only operation (no data read), so an
+  * ensure-with-stamp costs one namenode/object-store listing per query
+  * session — nothing at data scale.
+  */
+object IndexStamp {
+
+  /** Fingerprint of a source file/directory: md5 over the recursive
+    * (file name, length, mtime) listing, order-fixed by name. Any
+    * rewrite of the source — new files, resized files, touched files —
+    * changes the stamp.
+    */
+  def fingerprint(spark: SparkSession, sourcePath: String): String = {
+    val root = new Path(sourcePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path): Unit = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach(s => walk(s.getPath))
+      else entries +=
+        s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+    walk(root)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def stampPath(indexPath: String) =
+    new Path(indexPath, "_source_stamp")
+
+  /** The stamp recorded when the index was built, if any. */
+  def read(spark: SparkSession, indexPath: String): Option[String] = {
+    val p = stampPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Record the source stamp next to a freshly built index. */
+  def write(spark: SparkSession, indexPath: String, stamp: String): Unit = {
+    val p = stampPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((stamp + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Drop the stamp — used after an incremental append, when the index
+    * no longer derives from any single source directory state; a
+    * subsequent source-stamped ensure will rebuild from scratch.
+    */
+  def invalidate(spark: SparkSession, indexPath: String): Unit = {
+    val p = stampPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+}

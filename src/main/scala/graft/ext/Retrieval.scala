@@ -101,8 +101,11 @@ object Retrieval {
     * of re-tokenizing the corpus per query ([[bm25TopK]]'s cost model —
     * fine once, wrong repeated).
     */
-  def buildBm25Index(docs: DataFrame, path: String,
-                     buckets: Int = Bm25Buckets): Unit = {
+  /** Postings rows for a document batch: (doc_id, h, tf, dl, bucket) —
+    * shared by the full build and the incremental append so both paths
+    * produce byte-identical posting semantics.
+    */
+  private def postingsFor(docs: DataFrame, buckets: Int): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("term"))
     val withDl = docs.select(col("doc_id"),
@@ -111,22 +114,87 @@ object Retrieval {
       .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
       .join(withDl, Seq("doc_id"))
       .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    withDl.agg(count(lit(1)).as("n"),
-        sum(col("dl").cast("decimal(18,6)")).as("sdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Build the index only when absent (`_SUCCESS` marker) — steady
-    * state is "index exists, queries prune".
+  /** 1-row mergeable corpus stats for a document batch: doc count and
+    * decimal total length (exact, order-free — the two sums the BM25
+    * score needs for avgdl).
+    */
+  private def statsFor(docs: DataFrame): DataFrame =
+    docs.select(TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl").cast("decimal(18,6)")),
+          lit(0).cast("decimal(28,6)")).as("sdl"))
+
+  def buildBm25Index(docs: DataFrame, path: String,
+                     buckets: Int = Bm25Buckets): Unit = {
+    postingsFor(docs, buckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    statsFor(docs).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Incremental index maintenance: fold a batch of NEW documents into
+    * the persisted index without touching the existing postings. The
+    * batch's postings APPEND into the bucketed layout (new files inside
+    * existing `bucket=` directories — the partition-pruned read is
+    * unchanged), and the 1-row stats table merges by plain sum — the
+    * same mergeable-aggregate-state pattern as
+    * [[graft.warehouse.Warehouse.mergeAggState]]. Query-time df is
+    * re-aggregated from the postings themselves, so it needs no
+    * maintenance at all; avgdl/idf shift to the enlarged corpus exactly
+    * as a from-scratch rebuild would (RetrievalSpec proves equality).
+    *
+    * Contract: `docs` must be NEW doc_ids — re-appending an already
+    * indexed document would double its postings (upstream dedup is
+    * [[Dedup.dedupAgainstSeen]]'s job, same as any warehouse append).
+    * An absent index is built instead (self-initializing, so a stream
+    * can start cold). Appending drops any `_source_stamp`: the index no
+    * longer derives from one source directory state.
+    */
+  def appendBm25Index(docs: DataFrame, path: String,
+                      buckets: Int = Bm25Buckets): Unit = {
+    val spark = docs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$path/postings", "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) { buildBm25Index(docs, path, buckets); return }
+    postingsFor(docs, buckets)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    // Merge the 1-row stats: read-then-overwrite is safe because the row
+    // is materialized driver-side before the write starts.
+    val batch = statsFor(docs).head()
+    val old = spark.read.parquet(s"$path/stats").head()
+    val n = old.getAs[Long]("n") + batch.getAs[Long]("n")
+    val sdl = old.getAs[java.math.BigDecimal]("sdl")
+      .add(batch.getAs[java.math.BigDecimal]("sdl"))
+    import spark.implicits._
+    Seq((n, sdl.toPlainString)).toDF("n", "sdl_s")
+      .select(col("n"), col("sdl_s").cast("decimal(28,6)").as("sdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    IndexStamp.invalidate(spark, path)
+  }
+
+  /** Build the index only when absent (`_SUCCESS` marker) or STALE:
+    * when `sourcePath` is given, the index stores a fingerprint of the
+    * source's file listing ([[IndexStamp]]) and rebuilds on mismatch —
+    * a regenerated source table at the same path must never be served
+    * stale postings. Steady state is "index exists and matches, queries
+    * prune" at the cost of one metadata listing.
     */
   def ensureBm25Index(spark: org.apache.spark.sql.SparkSession,
                       docs: => DataFrame, path: String,
-                      buckets: Int = Bm25Buckets): Unit = {
+                      buckets: Int = Bm25Buckets,
+                      sourcePath: Option[String] = None): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/postings", "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) buildBm25Index(docs, path, buckets)
+    val want = sourcePath.map(IndexStamp.fingerprint(spark, _))
+    val fresh = fs.exists(marker) &&
+      (want.isEmpty || IndexStamp.read(spark, path) == want)
+    if (!fresh) {
+      buildBm25Index(docs, path, buckets)
+      want.foreach(IndexStamp.write(spark, path, _))
+    }
   }
 
   /** BM25 top-k over the PERSISTED index: the postings scan carries a

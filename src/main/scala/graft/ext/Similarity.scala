@@ -199,15 +199,26 @@ object Similarity {
         ivfCell(col("embedding"), nlist, dim).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
-  /** Build the index only when absent (`_SUCCESS` marker) — the steady
-    * state is "index exists, queries prune", not "rebuild per query".
+  /** Build the index only when absent (`_SUCCESS` marker) or STALE —
+    * when `sourcePath` is given, the index stores an [[IndexStamp]]
+    * fingerprint of the source listing and rebuilds on mismatch, so a
+    * regenerated embeddings table at the same path never serves stale
+    * cells. Steady state is "index exists and matches, queries prune",
+    * not "rebuild per query".
     */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      emb: => DataFrame, path: String, nlist: Int = 16,
-                     dim: Int = 64): Unit = {
+                     dim: Int = 64,
+                     sourcePath: Option[String] = None): Unit = {
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) buildIvfIndex(emb, path, nlist, dim)
+    val want = sourcePath.map(IndexStamp.fingerprint(spark, _))
+    val fresh = fs.exists(marker) &&
+      (want.isEmpty || IndexStamp.read(spark, path) == want)
+    if (!fresh) {
+      buildIvfIndex(emb, path, nlist, dim)
+      want.foreach(IndexStamp.write(spark, path, _))
+    }
   }
 
   /** Driver-side single-vector lookup from the index (the "I hold a query

@@ -228,6 +228,45 @@ object Pipeline {
   def dedupAgainstCorpus(docStream: DataFrame, corpus: DataFrame): DataFrame =
     graft.ext.Dedup.dedupAgainstSeen(docStream, corpus)
 
+  /** Streaming retrieval — the streaming twin of
+    * [[graft.ext.Retrieval.bm25Indexed]], the same batch/stream symmetry
+    * the engine shows for dedup and k-means applied to the inverted
+    * index: each micro-batch of documents is folded into the PERSISTED
+    * index ([[graft.ext.Retrieval.appendBm25Index]] — postings append
+    * into the bucketed layout, the 1-row stats merge by sum), then the
+    * standing query re-ranks against the now-current index and the
+    * top-k snapshot lands in `rankDir` (overwrite: it is a VIEW of the
+    * index, not a log). After any prefix of the stream, the snapshot is
+    * EXACTLY what the batch ranker returns over the documents ingested
+    * so far — PipelineSpec pins that over a two-batch replay.
+    *
+    * Scale: per trigger, work is (batch postings shuffle) + (query-
+    * bucket-pruned rank) — never a corpus re-scan; the index carries all
+    * cross-batch state, so streaming state is zero and the checkpoint
+    * holds offsets only. Same new-doc_ids contract as the append.
+    */
+  def bm25IndexStream(docs: DataFrame, indexPath: String,
+                      terms: Seq[String], k: Int, rankDir: String,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val once = batch.persist()
+          try {
+            graft.ext.Retrieval.appendBm25Index(once, indexPath)
+            graft.ext.Retrieval.bm25Indexed(once.sparkSession, indexPath,
+                terms, k)
+              .write.mode("overwrite").parquet(rankDir)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Streaming k-means scoring — the streaming twin of
     * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
     * assigned to their nearest FITTED centroid (the same opaque
@@ -274,9 +313,14 @@ object Pipeline {
     * key cardinality, never by stream length) score each arriving value
     * against the history BEFORE it, and |z| ≥ threshold rows are
     * emitted as alerts. Within a micro-batch, a key's rows are applied
-    * in (ts, event_id) order — batch-boundary-invariant by
-    * construction, which the spec pins by replaying the same stream
-    * split 1-batch vs 2-batch.
+    * in (ts, event_id) order, so batch boundaries don't matter AS LONG
+    * AS arrival order respects (ts, event_id) per key: the spec pins
+    * that by replaying the same in-order stream split 1-batch vs
+    * 2-batch. A LATE event (earlier ts arriving in a later batch) is
+    * scored against state that already folded in newer events, and
+    * already-emitted alerts are never retracted — per-key out-of-order
+    * arrival shifts scores. Feed from a source with per-key ordering
+    * (or watermark-sort upstream) when that matters.
     */
   def anomalyStream(events: DataFrame, zThreshold: Double = 3.0,
                     minObs: Long = 5)

@@ -227,4 +227,40 @@ class PipelineSpec extends AnyFunSuite {
     val z = (1000.0 - 10.0) / math.sqrt(0.8)
     assert(math.abs(one.head._3 - z) <= 1e-4)
   }
+
+  test("streaming BM25 ingest+rank matches the batch ranker after each batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("bm25-stream").toString
+    val (idx, rankDir, ckpt) = (s"$tmp/idx", s"$tmp/rank", s"$tmp/ckpt")
+    val terms = Seq("cat", "fish")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.bm25IndexStream(docs, idx, terms, k = 10,
+      rankDir = rankDir, checkpointDir = ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    def ranked(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.Retrieval.bm25TopK(d, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def snapshot() = spark.read.parquet(rankDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (-t._3, t._1)).toSeq
+    val b1 = Seq((1L, "cat dog"), (2L, "cat cat cat dog"))
+    val b2 = Seq((3L, "fish cat"), (4L, "dog fish fish"))
+    try {
+      // batch 1 self-initializes the index; the snapshot equals the
+      // batch ranker over exactly the docs ingested so far
+      source.addData(b1: _*)
+      query.processAllAvailable()
+      assert(snapshot() === ranked(b1.toDF("doc_id", "text")))
+      // batch 2 appends into the index; idf/avgdl shift to the enlarged
+      // corpus and the snapshot re-ranks to the full-corpus answer
+      source.addData(b2: _*)
+      query.processAllAvailable()
+      assert(snapshot() === ranked((b1 ++ b2).toDF("doc_id", "text")))
+    } finally query.stop()
+  }
 }

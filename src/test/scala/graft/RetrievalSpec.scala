@@ -73,6 +73,58 @@ class RetrievalSpec extends AnyFunSuite {
     assert(w(0) === expect)
   }
 
+  test("appendBm25Index equals a from-scratch rebuild") {
+    // Index half the corpus, append the other half: postings, merged
+    // stats, and the ranked answer must all be EXACTLY what a full
+    // rebuild produces (idf/avgdl shift to the enlarged corpus), which
+    // in turn equals the index-free scan ranker.
+    val all = docs(
+      (1L, "cat dog"), (2L, "cat cat cat dog"), (3L, "fish cat"),
+      (4L, "dog fish"), (5L, "cat fish fish fish"))
+    val incDir = java.nio.file.Files
+      .createTempDirectory("bm25-inc").toString
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("bm25-full").toString
+    Retrieval.buildBm25Index(all.filter(col("doc_id") <= 2), incDir)
+    Retrieval.appendBm25Index(all.filter(col("doc_id") > 2), incDir)
+    Retrieval.buildBm25Index(all, fullDir)
+    val q = Seq("cat", "fish")
+    def rows(d: String) = Retrieval.bm25Indexed(spark, d, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inc = rows(incDir)
+    assert(inc === rows(fullDir))
+    assert(inc === Retrieval.bm25TopK(all, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    val si = spark.read.parquet(s"$incDir/stats").head()
+    val sf = spark.read.parquet(s"$fullDir/stats").head()
+    assert(si.getLong(0) === sf.getLong(0))
+    assert(si.getDecimal(1) === sf.getDecimal(1))
+  }
+
+  test("ensureBm25Index rebuilds when the source data changes") {
+    // A marker-only ensure serves stale postings after the source table
+    // is regenerated in place; the source-stamped ensure detects the
+    // new file listing and rebuilds.
+    val src = java.nio.file.Files
+      .createTempDirectory("bm25-src").toString + "/documents"
+    val idx = java.nio.file.Files
+      .createTempDirectory("bm25-stale").toString
+    docs((1L, "cat")).write.mode("overwrite").parquet(src)
+    Retrieval.ensureBm25Index(spark, spark.read.parquet(src), idx,
+      sourcePath = Some(src))
+    assert(Retrieval.bm25Indexed(spark, idx, Seq("cat"), k = 10).count() === 1)
+    // regenerate the source at the same path with different content
+    docs((1L, "cat"), (2L, "cat cat"), (3L, "dog")).write
+      .mode("overwrite").parquet(src)
+    // marker-only ensure: does NOT notice (documents the failure mode)
+    Retrieval.ensureBm25Index(spark, spark.read.parquet(src), idx)
+    assert(Retrieval.bm25Indexed(spark, idx, Seq("cat"), k = 10).count() === 1)
+    // stamped ensure: rebuilds and serves the regenerated corpus
+    Retrieval.ensureBm25Index(spark, spark.read.parquet(src), idx,
+      sourcePath = Some(src))
+    assert(Retrieval.bm25Indexed(spark, idx, Seq("cat"), k = 10).count() === 2)
+  }
+
   test("domainDivergence: KL is zero iff the source matches the corpus") {
     // Two sources with IDENTICAL token distributions → corpus equals
     // each source → KL = 0 for both.
