@@ -63,7 +63,12 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision in the stdout JSON: the driver captures only
+    // a bounded TAIL of the log, and at ~140 queries the full-precision
+    // doubles pushed the single line past that window — the r5 bench
+    // lost ~76 per-query timings to front-truncation. 1 ms resolution
+    // keeps the whole map in ~3.5 kB (run-to-run variance is >> 1 ms).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -85,7 +90,16 @@ object Bench {
         }
     }.sum
     val warmFailedJson = warmFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"warm_failed":$warmFailedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"warm_failed":$warmFailedJson,"sf":"$sfDir"}"""
+    // Belt and braces: the same line also lands in BENCH_LAST.json next
+    // to the sources, immune to any log-tail truncation. Best-effort —
+    // an unwritable CWD must not fail the bench after all queries ran.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LAST.json not written: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -154,17 +154,25 @@ object Behavior {
 
   /** The sketch path for [[rollingDistinctUsers]] at scale: ONE HLL
     * sketch per day (a few KB), then `hll_union_agg` over a trailing
-    * ROWS frame — the per-day sketch table is the only thing that
-    * persists or shuffles, and any window length re-queries it without
-    * touching the events again. Estimate, not exact (ScalaTest pins
-    * <5 % error against the exact form); mergeability is what buys the
-    * re-scan-free property, same trade as `hll_vocab_rollup`.
+    * RANGE frame on the day NUMBER — calendar-correct even when days
+    * are missing from the data (a trailing ROWS frame would silently
+    * widen the "7-day" window across the gap). Estimate, not exact
+    * (ScalaTest pins <5 % error against the exact form); mergeability
+    * is what buys the re-scan-free property, same trade as
+    * `hll_vocab_rollup`.
+    *
+    * Row-set caveat vs the exact twin: this form emits one row per day
+    * PRESENT in the data, while [[rollingDistinctUsers]] also emits
+    * trailing gap days still supported by earlier events. Union a day
+    * scaffold (as `gapFillDaily` does) before the window if the
+    * downstream needs the dense calendar.
     */
   def rollingDistinctUsersHll(events: DataFrame, ts: Column, user: Column,
                               window: Int = 7): DataFrame = {
     val daily = events.select(to_date(ts).as("day"), user.as("u"))
       .groupBy("day").agg(hll_sketch_agg(col("u"), lit(12)).as("sk"))
-    val w = Window.orderBy("day").rowsBetween(-(window - 1), 0)
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy("dn").rangeBetween(-(window - 1), 0)
     daily
       .select(col("day"),
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w))

@@ -24,8 +24,11 @@ object DataQuality {
     * — map+explode keeps the static plan at exactly one scan).
     */
   def checkTable(df: DataFrame, tbl: String, checks: Seq[RuleCheck]): DataFrame = {
+    // coalesce: SUM over zero rows is NULL — an EMPTY table must audit
+    // as 0 violations / pass, not as a NULL report row.
     val aggs = count(lit(1)).as("n_rows") +:
-      checks.map(c => sum(when(c.pred, 1L).otherwise(0L)).as(c.name))
+      checks.map(c =>
+        coalesce(sum(when(c.pred, 1L).otherwise(0L)), lit(0L)).as(c.name))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val kv = checks.flatMap(c => Seq(lit(c.name), col(c.name)))
     one.select(col("n_rows"),
@@ -40,8 +43,8 @@ object DataQuality {
   def checkUnique(df: DataFrame, tbl: String, key: Column,
                   name: String): DataFrame =
     df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
-      .agg(sum("c").as("n_rows"),
-        sum(col("c") - lit(1L)).as("violations"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n_rows"),
+        coalesce(sum(col("c") - lit(1L)), lit(0L)).as("violations"))
       .select(lit(name).as("check"), lit(tbl).as("tbl"),
         col("n_rows"), col("violations"))
 
@@ -59,7 +62,8 @@ object DataQuality {
       .withColumn("present", lit(1))
     c.join(p, Seq("k"), "left")
       .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("present").isNull, 1L).otherwise(0L)).as("violations"))
+        coalesce(sum(when(col("present").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("violations"))
       .select(lit(name).as("check"), lit(tbl).as("tbl"),
         col("n_rows"), col("violations"))
   }

@@ -107,14 +107,31 @@ class BehaviorSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     val est = Behavior.rollingDistinctUsersHll(ev, col("ts"), col("user_id"))
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    // NOTE: the HLL path's ROWS frame assumes contiguous days (true of
-    // this dataset); the exact form is gap-correct by construction, so
-    // compare only on days both report.
+    // The exact form also emits trailing gap days the sketch form never
+    // does (documented), so compare only on days both report.
     val common = exact.keySet.intersect(est.keySet)
     assert(common.nonEmpty)
     common.foreach { d =>
       assert(math.abs(est(d) - exact(d)) / exact(d) < 0.05,
         s"$d: est ${est(d)} vs exact ${exact(d)}")
     }
+  }
+
+  test("HLL rolling distinct window is calendar-ranged, not row-counted") {
+    // 3-day window over data with a 10-day gap: day 20's window must
+    // contain ONLY day 20 (days 1-2 are 18 days away) — a ROWS frame
+    // would silently fold them in across the gap. Cardinalities this
+    // small are exact in the HLL sketch, so assert equality.
+    val ev = Seq(
+      ("2024-01-01 00:00:00", 1L), ("2024-01-01 01:00:00", 2L),
+      ("2024-01-02 00:00:00", 3L),
+      ("2024-01-20 00:00:00", 9L))
+      .toDF("s", "user_id")
+      .select(to_timestamp(col("s")).as("ts"), col("user_id"))
+    val got = Behavior.rollingDistinctUsersHll(ev, col("ts"), col("user_id"),
+        window = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "2024-01-01" -> 2L, "2024-01-02" -> 3L, "2024-01-20" -> 1L))
   }
 }

@@ -38,6 +38,21 @@ class DataQualitySpec extends AnyFunSuite {
     assert(r.getLong(3) === 3L)  // (3-1) + (2-1) extra instances
   }
 
+  test("empty tables audit as 0 violations / pass, never NULL") {
+    // SUM over zero rows is NULL; an empty table (post-filter, new day,
+    // fresh deployment) must report 0 violations and pass = true, not a
+    // NULL report row the downstream pass-check trips over.
+    val et = Seq.empty[(Long, Double)].toDF("id", "qty")
+    val ct = DataQuality.checkTable(et, "t",
+      Seq(RuleCheck("neg", col("qty") < 0))).collect().head
+    assert(ct.getLong(2) === 0L && !ct.isNullAt(3) && ct.getLong(3) === 0L)
+    val cu = DataQuality.checkUnique(et, "t", col("id"), "pk").collect().head
+    assert(cu.getLong(2) === 0L && !cu.isNullAt(3) && cu.getLong(3) === 0L)
+    val cf = DataQuality.checkFk(et, "t", col("id"),
+      Seq(1L).toDF("pk"), col("pk"), "fk").collect().head
+    assert(cf.getLong(2) === 0L && !cf.isNullAt(3) && cf.getLong(3) === 0L)
+  }
+
   test("checkFk counts orphans via key-only anti-join") {
     val child = Seq(10L, 11L, 12L, 12L).toDF("fk")
     val parent = Seq(10L, 11L).toDF("pk")
