@@ -1071,10 +1071,12 @@ object SparkEntry {
     "semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(
       T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2)),
 
-    // Multi-assignment SemDeDup: each vector lands in its top-2 cells,
-    // recovering near-dup pairs that straddle a cell boundary (single
-    // assignment's documented recall gap; boundary-geometry ScalaTest in
-    // ExtSpec). Rows-only like semantic_dedup; ≤2× pair space.
+    // Multi-assignment SemDeDup: vectors within eps of a cell boundary
+    // also land in their 2nd-best cell, recovering near-dup pairs that
+    // straddle it (single assignment's documented recall gap; boundary-
+    // geometry ScalaTest in ExtSpec). The conditionality keeps the pair
+    // space at (1+beta)^2 of single assignment (beta = boundary
+    // fraction) — unconditional top-2 measures 4.0x (SemDedupDrill).
     "semantic_dedup_multi" -> ((s, dir) => Similarity.semanticDedup(
       T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2,
       assignments = 2)),

@@ -356,19 +356,60 @@ object Similarity {
     *
     * `assignments` controls the known SemDeDup recall trade: at 1 a
     * near-dup pair split across a cell boundary is never compared; at
-    * m > 1 every vector lands in its m best cells, so a boundary pair
-    * shares a cell whenever either side's m-th-best cell reaches across
-    * (asserted on a constructed geometry in ExtSpec). Cost is bounded:
-    * the explode multiplies candidate rows by m, so the pair space grows
-    * ≤ m×, and duplicate pairs from sharing several cells collapse in
-    * one distinct before the CC sees the edge list.
+    * m > 1 a vector ALSO lands in its 2nd..m-th best cells — but only
+    * when that cell's cosine is within `boundaryEps` of its best
+    * (boundary-conditional multi-assignment). The conditionality is the
+    * cost model: assigning EVERY vector to m cells multiplies each
+    * cell's membership by m and therefore the pair space by m²
+    * (SemDedupDrill measured exactly 4.0× at m = 2 over 1M vectors —
+    * not the m× a row-count argument suggests), while exploding only
+    * the boundary fraction β costs (1 + (m−1)β)² ≈ 1 + 2β. Recall
+    * guarantee: a pair with cos ≥ t whose cells differ scores both
+    * cells within 2·√(2(1−t)) of each side's best, so any boundaryEps
+    * ≥ that bound dual-assigns both sides into a shared cell (provided
+    * the other cell is in the top-m by score — the constructed-geometry
+    * ExtSpec asserts the capture, SemDedupDrill measures it at volume).
+    * Duplicate pairs from sharing several cells collapse in one
+    * distinct before the CC sees the edge list; `boundaryEps = 2.0`
+    * (the cosine range) recovers the unconditional form for A/B runs.
     */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.95, k: Int = 8,
                     iters: Int = 3, dim: Int = 64,
-                    assignments: Int = 1): DataFrame = {
+                    assignments: Int = 1,
+                    boundaryEps: Double = 0.1): DataFrame = {
     val cs = kmeansFit(emb, k, iters, dim)
-    semanticDedupAssigned(emb, cs, threshold, assignments)
+    semanticDedupAssigned(emb, cs, threshold, assignments, boundaryEps)
   }
+
+  /** Cell assignment for [[semanticDedupAssigned]]: one row per
+    * (vector, assigned cell) with the embedding and its norm. m = 1 is
+    * the plain best-cell projection; m > 1 adds the 2nd..m-th best
+    * cells for vectors whose cosine to them is within `boundaryEps` of
+    * their best — the dual-assignment stays proportional to the
+    * boundary population, not the corpus. Shared with SemDedupDrill so
+    * the drill measures the operator's real assignment, not a replica.
+    */
+  private[graft] def assignedCells(emb: DataFrame, cs: Seq[Seq[Float]],
+                                   assignments: Int,
+                                   boundaryEps: Double): DataFrame =
+    if (assignments <= 1)
+      emb.select(col("vec_id"), col("embedding"),
+        cellFor(col("embedding"), cs).as("cell"),
+        vec_norm(col("embedding")).as("nrm"))
+    else {
+      val centLit = typedLit(cs)
+      // cos of this row's embedding to cell c's centroid (centroids are
+      // unit-norm: seeded normalized, and the fit renormalizes)
+      def cosTo(c: Column) =
+        vec_dot(col("embedding"), element_at(centLit, c + 1)) / col("nrm")
+      emb.select(col("vec_id"), col("embedding"),
+          cellsFor(col("embedding"), cs, assignments).as("cells"),
+          vec_norm(col("embedding")).as("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(filter(col("cells"), (c, i) => i === 0 ||
+            cosTo(c) >= cosTo(element_at(col("cells"), 1)) -
+              lit(boundaryEps))).as("cell"))
+    }
 
   /** [[semanticDedup]] after the fit — takes EXPLICIT centroids so the
     * boundary-recall behavior is testable against a constructed geometry
@@ -376,16 +417,9 @@ object Similarity {
     */
   def semanticDedupAssigned(emb: DataFrame, cs: Seq[Seq[Float]],
                             threshold: Double = 0.95,
-                            assignments: Int = 1): DataFrame = {
-    val celled =
-      if (assignments <= 1)
-        emb.select(col("vec_id"), col("embedding"),
-          cellFor(col("embedding"), cs).as("cell"),
-          vec_norm(col("embedding")).as("nrm"))
-      else
-        emb.select(col("vec_id"), col("embedding"),
-          explode(cellsFor(col("embedding"), cs, assignments)).as("cell"),
-          vec_norm(col("embedding")).as("nrm"))
+                            assignments: Int = 1,
+                            boundaryEps: Double = 0.1): DataFrame = {
+    val celled = assignedCells(emb, cs, assignments, boundaryEps)
     // merge hint → exchange reuse: cell assignment + norms run once,
     // not once per self-join side (the nearDupPairs rationale).
     val a = celled.as("a").hint("merge")

@@ -527,6 +527,14 @@ class ExtSpec extends AnyFunSuite {
     val multi = Similarity.semanticDedupAssigned(emb, cs, threshold = 0.95,
         assignments = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(multi.toMap == Map(0L -> 0L, 1L -> 0L, 10L -> 10L, 11L -> 11L))
+    // the multi-assignment is boundary-CONDITIONAL at the default eps:
+    // the straddling pair is dual-assigned (cos gap ~0.039 < 0.1), the
+    // anchors are not (gap 1.0) — the pair-space cost tracks the
+    // boundary population, not the corpus
+    val assigned = Similarity.assignedCells(emb, cs, 2, 0.1)
+      .groupBy("vec_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(assigned === Map(0L -> 2L, 1L -> 2L, 10L -> 1L, 11L -> 1L))
   }
 
   test("spherical k-means separates clusters and improves the objective") {
