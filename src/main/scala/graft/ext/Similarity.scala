@@ -192,12 +192,41 @@ object Similarity {
     * per query ([[annTopKIvf]]'s cost model, fine once, wrong repeated).
     * One corpus scan to build, amortized over every query after it.
     */
+  /** Index rows for a vector batch — shared by the full build and the
+    * incremental append: the cell assignment is a pure function of the
+    * embedding and the SEEDED centroids, so appended vectors land in
+    * exactly the cells a full rebuild would put them in.
+    */
+  private def ivfRowsFor(emb: DataFrame, nlist: Int, dim: Int): DataFrame =
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"),
+      ivfCell(col("embedding"), nlist, dim).as("cell"))
+
   def buildIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
                     dim: Int = 64): Unit =
-    emb.select(col("vec_id"), col("label"), col("embedding"),
-        vec_norm(col("embedding")).as("nrm"),
-        ivfCell(col("embedding"), nlist, dim).as("cell"))
+    ivfRowsFor(emb, nlist, dim)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Incremental IVF maintenance: fold a batch of NEW vectors into the
+    * persisted index. Every index row is independent (vector, norm,
+    * quantizer cell — no corpus-level state at all), so the append is
+    * just more files inside the existing `cell=` partitions and the
+    * partition-pruned read is unchanged; a query over the appended
+    * index equals one over a from-scratch rebuild EXACTLY (ExtSpec).
+    * Same new-vec_ids contract as [[Retrieval.appendBm25Index]]; an
+    * absent index is built instead (self-initializing for streams);
+    * appending drops any `_source_stamp`.
+    */
+  def appendIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
+                     dim: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) { buildIvfIndex(emb, path, nlist, dim); return }
+    ivfRowsFor(emb, nlist, dim)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    IndexStamp.invalidate(spark, path)
+  }
 
   /** Build the index only when absent (`_SUCCESS` marker) or STALE —
     * when `sourcePath` is given, the index stores an [[IndexStamp]]

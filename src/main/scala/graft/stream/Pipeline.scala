@@ -267,6 +267,39 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming ANN ingest — [[bm25IndexStream]]'s twin for the vector
+    * index: each micro-batch of embeddings is folded into the persisted
+    * IVF index ([[graft.ext.Similarity.appendIvfIndex]] — index rows
+    * are independent, so the append is pure partitioned file adds) and
+    * the standing query vector re-ranks against the now-current index
+    * into `rankDir`. After any stream prefix the snapshot equals
+    * `annTopKIndexed` over a from-scratch index of the vectors ingested
+    * so far (PipelineSpec). Zero streaming state; the index is the
+    * state.
+    */
+  def annIndexStream(emb: DataFrame, indexPath: String,
+                     qVec: Array[Float], qNorm: Double, k: Int,
+                     rankDir: String, checkpointDir: String,
+                     nlist: Int = 16, dim: Int = 64, nprobe: Int = 2,
+                     trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val once = batch.persist()
+          try {
+            graft.ext.Similarity.appendIvfIndex(once, indexPath, nlist, dim)
+            graft.ext.Similarity.annTopKIndexed(once.sparkSession,
+                indexPath, qVec, qNorm, k, nlist, dim, nprobe)
+              .write.mode("overwrite").parquet(rankDir)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Streaming k-means scoring — the streaming twin of
     * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
     * assigned to their nearest FITTED centroid (the same opaque

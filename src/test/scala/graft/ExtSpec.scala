@@ -537,6 +537,37 @@ class ExtSpec extends AnyFunSuite {
     assert(assigned === Map(0L -> 2L, 1L -> 2L, 10L -> 1L, 11L -> 1L))
   }
 
+  test("appendIvfIndex equals a from-scratch rebuild") {
+    // Index rows are independent (vector, norm, seeded-quantizer cell),
+    // so appending new vectors into the cell= partitions must be
+    // indistinguishable from rebuilding over the union.
+    val emb = (0L until 40L).map(i => (i, (i % 3).toInt,
+        Seq.tabulate(4)(j => math.sin(i.toDouble * 7 + j).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val incDir = java.nio.file.Files
+      .createTempDirectory("ivf-inc").toString + "/idx"
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("ivf-full").toString + "/idx"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 20), incDir,
+      nlist = 4, dim = 4)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 20), incDir,
+      nlist = 4, dim = 4)
+    Similarity.buildIvfIndex(emb, fullDir, nlist = 4, dim = 4)
+    val (qv, qn) = Similarity.lookupVec(spark, incDir, 0L)
+    val inc = Similarity.annTopKIndexed(spark, incDir, qv, qn, k = 10,
+      nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+    val full = Similarity.annTopKIndexed(spark, fullDir, qv, qn, k = 10,
+      nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+    assert(inc.nonEmpty && inc === full)
+    // self-initializing: append into an absent index builds it
+    val coldDir = java.nio.file.Files
+      .createTempDirectory("ivf-cold").toString + "/idx"
+    Similarity.appendIvfIndex(emb, coldDir, nlist = 4, dim = 4)
+    val cold = Similarity.annTopKIndexed(spark, coldDir, qv, qn, k = 10,
+      nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+    assert(cold === full)
+  }
+
   test("spherical k-means separates clusters and improves the objective") {
     val rng = new scala.util.Random(3)
     val emb = (0 until 200).map { i =>

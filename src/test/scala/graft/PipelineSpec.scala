@@ -263,4 +263,41 @@ class PipelineSpec extends AnyFunSuite {
       assert(snapshot() === ranked((b1 ++ b2).toDF("doc_id", "text")))
     } finally query.stop()
   }
+
+  test("streaming ANN ingest+rank matches a from-scratch index after each batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext.Similarity
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ann-stream").toString
+    val (idx, rankDir, ckpt) = (s"$tmp/idx", s"$tmp/rank", s"$tmp/ckpt")
+    val qVec = Array(1f, 0f, 0f, 0f)
+    val source = MemoryStream[(Long, Int, Seq[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Int, Seq[Float])]],
+      spark.sqlContext)
+    val emb = source.toDF().toDF("vec_id", "label", "embedding")
+    val query = Pipeline.annIndexStream(emb, idx, qVec, qNorm = 1.0,
+      k = 5, rankDir = rankDir, checkpointDir = ckpt, nlist = 4, dim = 4,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    def vec(i: Long) = Seq.tabulate(4)(j => math.sin(i.toDouble * 7 + j).toFloat)
+    val b1 = (0L until 10L).map(i => (i, (i % 3).toInt, vec(i)))
+    val b2 = (10L until 20L).map(i => (i, (i % 3).toInt, vec(i)))
+    def fresh(rows: Seq[(Long, Int, Seq[Float])], tag: String) = {
+      val d = s"$tmp/fresh-$tag"
+      Similarity.buildIvfIndex(rows.toDF("vec_id", "label", "embedding"),
+        d, nlist = 4, dim = 4)
+      Similarity.annTopKIndexed(spark, d, qVec, 1.0, k = 5,
+        nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+    }
+    def snapshot() = spark.read.parquet(rankDir).collect().toSeq
+      .sortBy(_.toString)
+    try {
+      source.addData(b1: _*)
+      query.processAllAvailable()
+      assert(snapshot() === fresh(b1, "b1").sortBy(_.toString))
+      source.addData(b2: _*)
+      query.processAllAvailable()
+      assert(snapshot() === fresh(b1 ++ b2, "b12").sortBy(_.toString))
+    } finally query.stop()
+  }
 }
