@@ -99,24 +99,30 @@ object Relations {
     * would coalesce the tiny shuffle onto one task and serialize the
     * whole Σ|block|² stage (measured 28 s vs 1.7 s at sf0.1).
     *
-    * Two caveats, both documented levers: (1) parallelism of the merge
-    * path is bounded by block-key cardinality — a coarse key (5 regions)
-    * caps the stage at 5 tasks and one hot block skews it; pick keys
-    * with ≥ cluster-core cardinality (zip prefix, name trigram), exactly
-    * the same advice as choosing LSH band width. (2) `smallDim = true`
+    * Two caveats, both with levers: (1) parallelism of the merge path
+    * is bounded by block-key cardinality — a coarse key (5 regions)
+    * caps the stage at 5 tasks and one hot block skews it. First
+    * preference: pick keys with ≥ cluster-core cardinality (zip prefix,
+    * name trigram), the same advice as choosing LSH band width. When
+    * the key is fixed and coarse/hot, `subSplits = s` fragments every
+    * block into s sub-joins ([[graft.etl.Skew.saltedJoin]]'s shape:
+    * left side salted by id, right side replicated s×), multiplying
+    * stage parallelism by s for s× more narrow-entity-row shuffle —
+    * the pair space itself is unchanged and every pair still meets
+    * exactly once, at the left member's salt. (2) `smallDim = true`
     * opts into the broadcast form: one shuffle FEWER and parallelism
     * decoupled from block cardinality (rows spread by id, each probes
     * the broadcast map), correct ONLY when the caller can prove the
     * entity table fits the broadcast limit — it is a promise, not a
-    * hint, so it is off by default.
+    * hint, so it is off by default (subSplits is then moot and
+    * ignored).
     */
   def fuzzyMatchBlocked(df: DataFrame, blockKey: Column, id: Column,
                         name: Column, maxDist: Int,
-                        smallDim: Boolean = false): DataFrame = {
+                        smallDim: Boolean = false,
+                        subSplits: Int = 1): DataFrame = {
     val e = df.select(blockKey.as("blk"), id.as("id"), name.as("nm"))
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val r = e.select(col("blk").as("blk2"), col("id").as("id2"),
-      col("nm").as("nm2"))
     val joined =
       if (smallDim) {
         // Caller-asserted small table: spread the left side by id (so
@@ -124,17 +130,27 @@ object Relations {
         // and hash-probe the broadcast right side.
         val l = e.repartition(parts, col("id"))
           .select(col("blk"), col("id").as("id1"), col("nm").as("nm1"))
+        val r = e.select(col("blk").as("blk2"), col("id").as("id2"),
+          col("nm").as("nm2"))
         l.join(broadcast(r),
           col("blk") === col("blk2") && col("id1") < col("id2"))
       } else {
-        // Default: co-partitioned sort-merge on the block key. The merge
-        // hint keeps the planner (and AQE re-planning) from flipping a
-        // test-scale-small side back to broadcast — the exact shape this
-        // form exists to avoid.
-        val l = e.repartition(parts, col("blk"))
-          .select(col("blk"), col("id").as("id1"), col("nm").as("nm1"))
-        l.hint("merge").join(r.repartition(parts, col("blk2")),
-          col("blk") === col("blk2") && col("id1") < col("id2"))
+        // Default: co-partitioned sort-merge on (block key, sub-split).
+        // The merge hint keeps the planner (and AQE re-planning) from
+        // flipping a test-scale-small side back to broadcast — the
+        // exact shape this form exists to avoid.
+        val s = math.max(1, subSplits)
+        val l = e.select(col("blk"), col("id").as("id1"),
+            col("nm").as("nm1"),
+            graft.etl.Skew.salt(s, col("id")).as("__sub"))
+          .repartition(parts, col("blk"), col("__sub"))
+        val r = e.select(col("blk").as("blk2"), col("id").as("id2"),
+            col("nm").as("nm2"),
+            explode(sequence(lit(0), lit(s - 1))).as("__sub2"))
+          .repartition(parts, col("blk2"), col("__sub2"))
+        l.hint("merge").join(r,
+          col("blk") === col("blk2") && col("__sub") === col("__sub2") &&
+            col("id1") < col("id2"))
       }
     joined
       .withColumn("dist", F.levenshtein(col("nm1"), col("nm2")))

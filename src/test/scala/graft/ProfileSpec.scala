@@ -110,6 +110,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(merge.nonEmpty && merge == bcast)
   }
 
+  test("fuzzyMatchBlocked sub-splitting changes parallelism, never the pairs") {
+    // subSplits fragments each block's pair space across s sub-joins
+    // (left salted by id, right replicated s×) — every pair must still
+    // appear exactly once, so the result is identical to the unsplit
+    // merge path.
+    val df = (1L to 80L).map(i =>
+        (i % 3, i, s"name_${"abcdefghij".charAt((i % 10).toInt)}${i % 4}"))
+      .toDF("blk", "id", "nm")
+    val plain = Relations.fuzzyMatchBlocked(df, col("blk"), col("id"),
+      col("nm"), 2).collect().toSeq
+    val split = Relations.fuzzyMatchBlocked(df, col("blk"), col("id"),
+      col("nm"), 2, subSplits = 4).collect().toSeq
+    assert(plain.nonEmpty && plain === split)
+  }
+
   test("perGroupSample is count-exact per group and stable under union order") {
     val df = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
       .toDF("g", "id")
