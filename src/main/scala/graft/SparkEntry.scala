@@ -1081,6 +1081,22 @@ object SparkEntry {
       T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2,
       assignments = 2)),
 
+    // Incremental SemDeDup: odd-id vectors screened against a persisted
+    // index of the even-id corpus — cell-pruned probe join, novel iff
+    // no stored vector reaches the threshold. Rows-only (seeded
+    // quantizer cells have no ANSI twin); ExtSpec pins the verdict
+    // semantics on constructed geometry, PipelineSpec the streaming
+    // admit-and-fold composition.
+    "semantic_novel" -> ((s, dir) => {
+      val idx = Similarity.ivfIndexPathFor(dir) + "-even"
+      Similarity.ensureIvfIndex(s,
+        T(s, dir, "embeddings").filter(col("vec_id") % 2 === 0), idx,
+        sourcePath = Some(s"$dir/embeddings.parquet"))
+      Similarity.semanticNovelAgainstIndex(
+        T(s, dir, "embeddings").filter(col("vec_id") % 2 === 1), idx,
+        threshold = 0.25)
+    }),
+
     // ----------------------------------------------------------------
     // Statistical analytics (agg/Stats.scala): second-moment algebra
     // from exact decimal power sums — the warehouse stats toolkit the

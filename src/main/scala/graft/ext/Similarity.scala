@@ -304,6 +304,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental semantic dedup — SemDeDup's production form: screen a
+    * BATCH of incoming vectors against the standing corpus held in the
+    * persisted IVF index, without touching the corpus itself. Each
+    * incoming vector multiprobes its `nprobe` best quantizer cells
+    * (same seeded centroids the index was partitioned by), compares
+    * only against the index rows IN those cells, and is novel iff no
+    * stored vector reaches `threshold` cosine. Returns one row per
+    * incoming vector: (vec_id, is_novel, best_cos, match_id) — the
+    * audit view; `filter(is_novel)` is the admission filter, and
+    * admitted vectors then fold into the index via [[appendIvfIndex]]
+    * (that composition is [[graft.stream.Pipeline.semanticDedupStream]]).
+    *
+    * The semantic-level twin of [[Dedup.dedupAgainstSeen]] (exact
+    * digests → standing corpus anti-join); here the "digest" is the
+    * quantizer cell and the verify is a real cosine. Scale shape: the
+    * index side is partition-pruned to the batch's probed cells, the
+    * join is cell-keyed (batch-row × cell-occupancy work, never
+    * batch × corpus), and best-match selection is one aggregate over
+    * the matches. Recall has the IVF caveat: a true dup whose stored
+    * twin sits outside the probed cells is missed — raise `nprobe`
+    * exactly as for [[annTopKIndexed]].
+    */
+  def semanticNovelAgainstIndex(emb: DataFrame, indexPath: String,
+                                threshold: Double = 0.95,
+                                nlist: Int = 16, dim: Int = 64,
+                                nprobe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val cs = centroids(nlist, dim, 7L)
+    val probing = emb.select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"),
+      explode(cellsFor(col("embedding"), cs, nprobe)).as("cell"))
+    val idx = spark.read.parquet(indexPath)
+      .select(col("vec_id").as("idx_id"), col("embedding").as("idx_emb"),
+        col("nrm").as("idx_nrm"), col("cell"))
+    val matches = probing.join(idx, Seq("cell"))
+      .select(col("vec_id"),
+        (vec_dot(col("embedding"), col("idx_emb")) /
+          (col("nrm") * col("idx_nrm"))).as("cos"),
+        col("idx_id"))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(struct(round(col("cos"), 4).as("c"), col("idx_id"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("best_cos"),
+        col("m.idx_id").as("match_id"))
+    emb.select(col("vec_id"))
+      .join(matches, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("best_cos").isNull.as("is_novel"),
+        col("best_cos"), col("match_id"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket — the
     * embedding analog of [[Dedup.minhashNearDupPairs]]: pairs form only
     * within buckets (a shuffle keyed on the bucket), never across the

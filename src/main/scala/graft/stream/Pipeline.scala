@@ -300,6 +300,67 @@ object Pipeline {
       }
       .start()
 
+  /** Incremental semantic dedup over a vector stream — the semantic
+    * twin of [[dedupStream]]/[[dedupAgainstCorpus]], and SemDeDup's
+    * production deployment shape: per micro-batch, screen incoming
+    * vectors against the standing corpus in the persisted IVF index
+    * ([[graft.ext.Similarity.semanticNovelAgainstIndex]] — cell-pruned,
+    * never batch × corpus), land the per-vector verdicts in
+    * `verdictDir/batch_id=N` (dynamic per-batch dir, overwritten on
+    * replay), and fold ONLY the novel vectors into the index so later
+    * batches dedup against them. The index is the entire cross-batch
+    * state. Ordering is durable, not cached: verdicts are WRITTEN
+    * before the index mutates, then the novel set is read back from
+    * what was written — a recomputation can never observe the
+    * post-append index. A failure replay re-screens against an index
+    * that already holds the batch's novel members, finds them as their
+    * own matches, and appends nothing — the index converges (the
+    * replayed batch's verdict rows then record the self-match, which is
+    * the honest audit of the replay). Within-batch duplicates are both
+    * admitted — intra-batch dedup is the batch operator's job upstream
+    * ([[graft.ext.Similarity.semanticDedup]]), same contract as the
+    * exact-digest stream.
+    */
+  def semanticDedupStream(embStream: DataFrame, indexPath: String,
+                          verdictDir: String, checkpointDir: String,
+                          threshold: Double = 0.95, nlist: Int = 16,
+                          dim: Int = 64, nprobe: Int = 2,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    embStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val spark = batch.sparkSession
+          val once = batch.persist()
+          try {
+            val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
+            val fs = marker.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val verdicts =
+              if (fs.exists(marker))
+                graft.ext.Similarity.semanticNovelAgainstIndex(once,
+                  indexPath, threshold, nlist, dim, nprobe)
+              else
+                // cold start: no corpus yet, the whole batch is novel
+                once.select(col("vec_id"), lit(true).as("is_novel"),
+                  lit(null).cast("double").as("best_cos"),
+                  lit(null).cast("long").as("match_id"))
+            val outDir = s"$verdictDir/batch_id=$batchId"
+            verdicts.write.mode("overwrite").parquet(outDir)
+            val novel = spark.read.parquet(outDir)
+              .filter(col("is_novel")).select("vec_id")
+            graft.ext.Similarity.appendIvfIndex(
+              once.join(novel, Seq("vec_id"), "left_semi"),
+              indexPath, nlist, dim)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Streaming k-means scoring — the streaming twin of
     * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
     * assigned to their nearest FITTED centroid (the same opaque

@@ -54,6 +54,33 @@ object Bm25Drill {
     time("BM25 corpus scan (repeat query, warm)") {
       Retrieval.bm25TopK(docs, terms, k = 10).collect()
     }
+
+    // Incremental maintenance: fold in a 1% batch of new docs and
+    // compare against rebuilding over the enlarged corpus — the cost a
+    // daily-ingest deployment pays per batch vs per rebuild.
+    val batch = spark.range(rows, rows + rows / 100).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(39)),
+          i => element_at(vlit,
+            (pmod(xxhash64(col("id") * 131 + i),
+              pmod(xxhash64(col("id") * 17 + i), lit(1000)) + 1) + 1)
+              .cast("int"))), " ").as("text"))
+      .localCheckpoint()
+    time(s"append 1% batch (${rows / 100} docs)") {
+      Retrieval.appendBm25Index(batch, path)
+    }
+    val appended = time("BM25 top-10 (after append)") {
+      Retrieval.bm25Indexed(spark, path, terms, k = 10).collect()
+    }
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("bm25-drill-full").toString
+    time("full rebuild over 101% corpus") {
+      Retrieval.buildBm25Index(docs.unionByName(batch), fullPath)
+    }
+    val rebuilt = Retrieval.bm25Indexed(spark, fullPath, terms, k = 10)
+      .collect()
+    assert(appended.toSeq == rebuilt.toSeq,
+      "appended index must equal the rebuilt index")
     spark.stop()
   }
 }

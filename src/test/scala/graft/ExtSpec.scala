@@ -568,6 +568,26 @@ class ExtSpec extends AnyFunSuite {
     assert(cold === full)
   }
 
+  test("semanticNovelAgainstIndex screens a batch against the standing corpus") {
+    // Index holds two axis vectors; the batch brings a near-copy of the
+    // first and a genuinely new direction. nprobe = nlist so the test
+    // exercises the verdict logic, not IVF recall.
+    val corpus = Seq((0L, 0, Seq(1f, 0f, 0f, 0f)), (1L, 0, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("sem-novel").toString + "/idx"
+    Similarity.buildIvfIndex(corpus, idx, nlist = 4, dim = 4)
+    val batch = Seq((10L, 0, Seq(0.99f, 0.05f, 0f, 0f)),
+        (11L, 0, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.semanticNovelAgainstIndex(batch, idx,
+        threshold = 0.95, nlist = 4, dim = 4, nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq((10L, false, Some(0L)), (11L, true, None)))
+  }
+
   test("spherical k-means separates clusters and improves the objective") {
     val rng = new scala.util.Random(3)
     val emb = (0 until 200).map { i =>

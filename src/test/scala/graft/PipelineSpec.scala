@@ -300,4 +300,39 @@ class PipelineSpec extends AnyFunSuite {
       assert(snapshot() === fresh(b1 ++ b2, "b12").sortBy(_.toString))
     } finally query.stop()
   }
+
+  test("streaming semantic dedup admits novel vectors and flags cross-batch dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("semdedup-stream").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, Int, Seq[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Int, Seq[Float])]],
+      spark.sqlContext)
+    val emb = source.toDF().toDF("vec_id", "label", "embedding")
+    val query = Pipeline.semanticDedupStream(emb, idx, verdicts, ckpt,
+      threshold = 0.95, nlist = 4, dim = 4, nprobe = 4,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      // cold start: both directions are novel and seed the index
+      source.addData((0L, 0, Seq(1f, 0f, 0f, 0f)),
+        (1L, 0, Seq(0f, 1f, 0f, 0f)))
+      query.processAllAvailable()
+      // batch 2: a near-copy of vec 0 (dup) and a new direction (novel)
+      source.addData((10L, 0, Seq(0.99f, 0.05f, 0f, 0f)),
+        (11L, 0, Seq(0f, 0f, 1f, 0f)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("vec_id", "is_novel", "match_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+    assert(v.toSeq === Seq((0L, true, None), (1L, true, None),
+      (10L, false, Some(0L)), (11L, true, None)))
+    // the index holds exactly the admitted (novel) vectors
+    val indexed = spark.read.parquet(idx).select("vec_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 1L, 11L))
+  }
 }
