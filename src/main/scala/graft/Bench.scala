@@ -68,7 +68,10 @@ object Bench {
     // doubles pushed the single line past that window — the r5 bench
     // lost ~76 per-query timings to front-truncation. 1 ms resolution
     // keeps the whole map in ~3.5 kB (run-to-run variance is >> 1 ms).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale (de_DE…) would turn the line into broken JSON.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

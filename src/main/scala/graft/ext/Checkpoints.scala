@@ -18,6 +18,13 @@ import org.apache.spark.sql.DataFrame
   *    DFS round-trip per truncation. The right choice for long
   *    iterative jobs on a real cluster, where losing an executor over
   *    a 20-iteration run is the expected case, not the exception.
+  *    Reclamation caveat: Spark deletes reliable checkpoint data only
+  *    when `spark.cleaner.referenceTracking.cleanCheckpoints = true`
+  *    (default false) — without it, each iteration's materialized
+  *    frame stays on the DFS for the application's lifetime. Set that
+  *    conf (or point the checkpoint dir at a TTL'd/scratch path) for
+  *    long-running applications; only the localCheckpoint flavor is
+  *    reclaimed automatically by the ContextCleaner.
   *
   * Both flavors are EAGER (they run a job at the call site) and both
   * leave the returned frame's lineage flat, so iteration plans never

@@ -483,11 +483,13 @@ object Dedup {
     * component diameter, which for near-dup clusters is tiny (dup groups
     * are dense). Per-iteration results are `localCheckpoint`ed to
     * truncate lineage (plain loops replan the whole history every
-    * convergence check); the checkpoint blocks are unreferenced on the
-    * next iteration and reclaimed by Spark's ContextCleaner — nothing
-    * registers in the cache manager. On a cluster, pass
-    * `reliable = true` so iteration state survives executor loss
-    * (durable `checkpoint()` — see [[Checkpoints.truncate]]).
+    * convergence check); in the local flavor the checkpoint blocks are
+    * unreferenced on the next iteration and reclaimed by Spark's
+    * ContextCleaner — nothing registers in the cache manager. On a
+    * cluster, pass `reliable = true` so iteration state survives
+    * executor loss (durable `checkpoint()`; reclamation needs
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` — see
+    * [[Checkpoints.truncate]]).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {

@@ -17,26 +17,51 @@ import org.apache.spark.sql.SparkSession
 object IndexStamp {
 
   /** Fingerprint of a source file/directory: md5 over the recursive
-    * (file name, length, mtime) listing, order-fixed by name. Any
-    * rewrite of the source — new files, resized files, touched files —
-    * changes the stamp.
+    * (ROOT-RELATIVE file path, length, mtime) listing, order-fixed by
+    * name. The relative path — not just the file name — is hashed, so
+    * renaming or swapping partition directories (`region=EU/` ↔
+    * `region=US/`, which preserves every file's name/size/mtime but
+    * changes row semantics) changes the stamp. Any rewrite of the
+    * source — new files, resized files, touched files — changes it too.
     */
   def fingerprint(spark: SparkSession, sourcePath: String): String = {
     val root = new Path(sourcePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(p: Path): Unit = {
+    def walk(p: Path, rel: String): Unit = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory)
-        fs.listStatus(p).sortBy(_.getPath.getName).foreach(s => walk(s.getPath))
-      else entries +=
-        s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach { s =>
+          val name = s.getPath.getName
+          walk(s.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        }
+      else entries += s"$rel:${st.getLen}:${st.getModificationTime}"
     }
-    walk(root)
+    walk(root, "")
     java.security.MessageDigest.getInstance("MD5")
       .digest(entries.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+  }
+
+  /** The shared ensure protocol for stamped indexes: fresh = the marker
+    * exists AND (no source given, or the stored stamp equals the
+    * source's current fingerprint); otherwise `build` runs and the new
+    * stamp is recorded — AFTER the build, so a failed build leaves no
+    * stamp claiming freshness.
+    */
+  def ensureFresh(spark: SparkSession, markerPath: String,
+                  indexPath: String, sourcePath: Option[String])
+                 (build: => Unit): Unit = {
+    val marker = new Path(markerPath)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = sourcePath.map(fingerprint(spark, _))
+    val fresh = fs.exists(marker) &&
+      (want.isEmpty || read(spark, indexPath) == want)
+    if (!fresh) {
+      build
+      want.foreach(write(spark, indexPath, _))
+    }
   }
 
   private def stampPath(indexPath: String) =

@@ -38,7 +38,8 @@ object Relations {
     */
   def itemPairs(facts: DataFrame, basket: Column, item: Column,
                 minSupport: Long, topK: Int,
-                maxBasketSize: Int = Int.MaxValue): DataFrame = {
+                maxBasketSize: Int = Int.MaxValue,
+                observeName: String = "item_pairs_clamp"): DataFrame = {
     val raw = facts.select(basket.as("b"), item.as("i"))
     // Distinct within basket: a basket listing an item twice is still
     // ONE co-occurrence (collect_set dedupes; the support count uses an
@@ -56,9 +57,12 @@ object Relations {
     // via queryExecution.observedMetrics or a QueryExecutionListener)
     // reports how many baskets were dropped and the largest size seen,
     // so a silent-truncation audit can see exactly what the clamp cost.
+    // `observeName` must be unique per query — a plan composing two
+    // itemPairs results passes distinct names to avoid the analysis-
+    // time metric-name collision.
     val pruned = prunedFacts.groupBy("b")
       .agg(sort_array(collect_set(col("i"))).as("arr"))
-      .observe("item_pairs_clamp",
+      .observe(observeName,
         sum(when(size(col("arr")) > maxBasketSize, 1L).otherwise(0L))
           .as("dropped_baskets"),
         coalesce(max(size(col("arr"))), lit(0)).as("max_basket_size"))

@@ -80,8 +80,10 @@ object Retrieval {
     * the IVF index — a deployment would pin a warehouse path).
     */
   def bm25IndexPathFor(sfDir: String): String =
+    // v2: the ingest-partitioned layout (round 6) — a new directory
+    // family so pre-existing v1 indexes can't be served to v2 readers.
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-bm25-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      "graft-bm25v2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
   /** Spark's `xxhash64` (seed 42) computed driver-side, so query-term
     * hashes match the index's stored hashes bit-for-bit.
@@ -126,53 +128,76 @@ object Retrieval {
         coalesce(sum(col("dl").cast("decimal(18,6)")),
           lit(0).cast("decimal(28,6)")).as("sdl"))
 
+  /** Index layout: both tables are partitioned by an INGEST id first —
+    * the full build is ingest 0, each incremental batch its own id —
+    * so an append is a dynamic overwrite of exactly its own ingest
+    * partition: replaying the same batch id replaces its partition
+    * byte-for-byte instead of duplicating rows, which is what makes the
+    * streaming ingest twins exactly-once under foreachBatch's
+    * at-least-once replays (the `Warehouse.appendTripsIdempotent`
+    * pattern applied to the index). Queries aggregate stats over the
+    * per-ingest rows (mergeable sums) and prune postings on `bucket`
+    * regardless of the ingest level above it.
+    */
   def buildBm25Index(docs: DataFrame, path: String,
                      buckets: Int = Bm25Buckets): Unit = {
-    postingsFor(docs, buckets)
-      .write.mode("overwrite").partitionBy("bucket")
+    postingsFor(docs, buckets).withColumn("ingest", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest", "bucket")
       .parquet(s"$path/postings")
-    statsFor(docs).write.mode("overwrite").parquet(s"$path/stats")
+    statsFor(docs).withColumn("ingest", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest")
+      .parquet(s"$path/stats")
   }
+
+  /** Next unused ingest id = max existing + 1 (a metadata listing). */
+  private def nextIngestId(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Long =
+    fs.listStatus(dir).flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("ingest=")) Some(n.stripPrefix("ingest=").toLong)
+      else None
+    }.foldLeft(-1L)(math.max) + 1L
 
   /** Incremental index maintenance: fold a batch of NEW documents into
     * the persisted index without touching the existing postings. The
-    * batch's postings APPEND into the bucketed layout (new files inside
-    * existing `bucket=` directories — the partition-pruned read is
-    * unchanged), and the 1-row stats table merges by plain sum — the
-    * same mergeable-aggregate-state pattern as
-    * [[graft.warehouse.Warehouse.mergeAggState]]. Query-time df is
-    * re-aggregated from the postings themselves, so it needs no
-    * maintenance at all; avgdl/idf shift to the enlarged corpus exactly
-    * as a from-scratch rebuild would (RetrievalSpec proves equality).
+    * batch lands as its own `ingest=` partition (postings + one stats
+    * row), dynamically overwritten — so the append is IDEMPOTENT per
+    * `ingestId`: a replay of the same id replaces its own partition and
+    * nothing else. Query-time df is re-aggregated from the postings and
+    * the stats aggregate over the per-ingest rows, so avgdl/idf shift
+    * to the enlarged corpus exactly as a from-scratch rebuild would
+    * (RetrievalSpec proves equality).
     *
-    * Contract: `docs` must be NEW doc_ids — re-appending an already
-    * indexed document would double its postings (upstream dedup is
-    * [[Dedup.dedupAgainstSeen]]'s job, same as any warehouse append).
-    * An absent index is built instead (self-initializing, so a stream
-    * can start cold). Appending drops any `_source_stamp`: the index no
-    * longer derives from one source directory state.
+    * Contract: `docs` must be NEW doc_ids across ingests — re-appending
+    * an already indexed document under a DIFFERENT ingest id would
+    * double its postings (upstream dedup is [[Dedup.dedupAgainstSeen]]'s
+    * job, same as any warehouse append). `ingestId` < 0 auto-assigns
+    * max+1 (batch callers); streams pass their micro-batch id. An
+    * absent index is built instead (self-initializing, so a stream can
+    * start cold). The `_source_stamp` is dropped BEFORE the first
+    * mutation — a crash mid-append must never leave a mutated index
+    * that still claims source freshness.
     */
   def appendBm25Index(docs: DataFrame, path: String,
-                      buckets: Int = Bm25Buckets): Unit = {
+                      buckets: Int = Bm25Buckets,
+                      ingestId: Long = -1L): Unit = {
     val spark = docs.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$path/postings", "_SUCCESS")
+    val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val marker = new org.apache.hadoop.fs.Path(postingsDir, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) { buildBm25Index(docs, path, buckets); return }
-    postingsFor(docs, buckets)
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    // Merge the 1-row stats: read-then-overwrite is safe because the row
-    // is materialized driver-side before the write starts.
-    val batch = statsFor(docs).head()
-    val old = spark.read.parquet(s"$path/stats").head()
-    val n = old.getAs[Long]("n") + batch.getAs[Long]("n")
-    val sdl = old.getAs[java.math.BigDecimal]("sdl")
-      .add(batch.getAs[java.math.BigDecimal]("sdl"))
-    import spark.implicits._
-    Seq((n, sdl.toPlainString)).toDF("n", "sdl_s")
-      .select(col("n"), col("sdl_s").cast("decimal(28,6)").as("sdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
     IndexStamp.invalidate(spark, path)
+    val id = if (ingestId >= 0) ingestId else nextIngestId(fs, postingsDir)
+    postingsFor(docs, buckets).withColumn("ingest", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "bucket")
+      .parquet(s"$path/postings")
+    statsFor(docs).withColumn("ingest", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest")
+      .parquet(s"$path/stats")
   }
 
   /** Build the index only when absent (`_SUCCESS` marker) or STALE:
@@ -185,17 +210,9 @@ object Retrieval {
   def ensureBm25Index(spark: org.apache.spark.sql.SparkSession,
                       docs: => DataFrame, path: String,
                       buckets: Int = Bm25Buckets,
-                      sourcePath: Option[String] = None): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/postings", "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val want = sourcePath.map(IndexStamp.fingerprint(spark, _))
-    val fresh = fs.exists(marker) &&
-      (want.isEmpty || IndexStamp.read(spark, path) == want)
-    if (!fresh) {
-      buildBm25Index(docs, path, buckets)
-      want.foreach(IndexStamp.write(spark, path, _))
-    }
-  }
+                      sourcePath: Option[String] = None): Unit =
+    IndexStamp.ensureFresh(spark, s"$path/postings/_SUCCESS", path,
+      sourcePath) { buildBm25Index(docs, path, buckets) }
 
   /** BM25 top-k over the PERSISTED index: the postings scan carries a
     * static `bucket IN (…)` partition filter — only the query terms'
@@ -214,7 +231,10 @@ object Retrieval {
     val bkts = hs.map(h => ((h % buckets) + buckets) % buckets).distinct
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(bkts: _*) && col("h").isin(hs: _*))
+    // corpus stats = sum of the per-ingest mergeable rows (one per
+    // build/append — a handful of rows, aggregated at plan time)
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum("n").as("n"), sum("sdl").as("sdl"))
     val dfr = post.groupBy("h").agg(count(lit(1)).as("df"))
 
     val nD = col("n").cast("double")

@@ -180,10 +180,13 @@ object Similarity {
   // partition key at scale" layout the operators above describe.
   // ---------------------------------------------------------------------
 
-  /** Deterministic index directory for a testdata dir (tmpdir-scoped). */
+  /** Deterministic index directory for a testdata dir (tmpdir-scoped).
+    * v2: the ingest-partitioned layout (round 6) — a new directory
+    * family so pre-existing v1 indexes can't be served to v2 readers.
+    */
   def ivfIndexPathFor(sfDir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-ivf-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      "graft-ivf2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
   /** Materialize the IVF index: every vector with its coarse cell and
     * precomputed norm, written PARTITIONED BY cell. Repeated queries then
@@ -202,30 +205,53 @@ object Similarity {
       vec_norm(col("embedding")).as("nrm"),
       ivfCell(col("embedding"), nlist, dim).as("cell"))
 
+  /** Layout mirrors the BM25 index: partitioned by INGEST id above the
+    * cell (base build = ingest 0, each batch its own id), so appends
+    * are dynamic overwrites of their own partition — idempotent per
+    * ingest id, which makes the streaming twin exactly-once under
+    * foreachBatch replays. Cell pruning is unaffected by the ingest
+    * level above it.
+    */
   def buildIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
                     dim: Int = 64): Unit =
-    ivfRowsFor(emb, nlist, dim)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    ivfRowsFor(emb, nlist, dim).withColumn("ingest", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest", "cell").parquet(path)
+
+  private def nextIngestId(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Long =
+    fs.listStatus(dir).flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("ingest=")) Some(n.stripPrefix("ingest=").toLong)
+      else None
+    }.foldLeft(-1L)(math.max) + 1L
 
   /** Incremental IVF maintenance: fold a batch of NEW vectors into the
     * persisted index. Every index row is independent (vector, norm,
-    * quantizer cell — no corpus-level state at all), so the append is
-    * just more files inside the existing `cell=` partitions and the
-    * partition-pruned read is unchanged; a query over the appended
-    * index equals one over a from-scratch rebuild EXACTLY (ExtSpec).
-    * Same new-vec_ids contract as [[Retrieval.appendBm25Index]]; an
-    * absent index is built instead (self-initializing for streams);
-    * appending drops any `_source_stamp`.
+    * quantizer cell — no corpus-level state at all), and the batch
+    * lands as its own dynamically-overwritten `ingest=` partition, so
+    * the append is IDEMPOTENT per `ingestId` (a replay replaces its own
+    * partition, nothing else) and a query over the appended index
+    * equals one over a from-scratch rebuild EXACTLY (ExtSpec).
+    * `ingestId` < 0 auto-assigns max+1; streams pass their micro-batch
+    * id. Same new-vec_ids-across-ingests contract as
+    * [[Retrieval.appendBm25Index]]; an absent index is built instead
+    * (self-initializing); the `_source_stamp` is dropped BEFORE the
+    * mutation so a crash mid-append never leaves a mutated index that
+    * still claims source freshness.
     */
   def appendIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
-                     dim: Int = 64): Unit = {
+                     dim: Int = 64, ingestId: Long = -1L): Unit = {
     val spark = emb.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) { buildIvfIndex(emb, path, nlist, dim); return }
-    ivfRowsFor(emb, nlist, dim)
-      .write.mode("append").partitionBy("cell").parquet(path)
     IndexStamp.invalidate(spark, path)
+    val id = if (ingestId >= 0) ingestId else nextIngestId(fs, dir)
+    ivfRowsFor(emb, nlist, dim).withColumn("ingest", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "cell").parquet(path)
   }
 
   /** Build the index only when absent (`_SUCCESS` marker) or STALE —
@@ -238,17 +264,10 @@ object Similarity {
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      emb: => DataFrame, path: String, nlist: Int = 16,
                      dim: Int = 64,
-                     sourcePath: Option[String] = None): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val want = sourcePath.map(IndexStamp.fingerprint(spark, _))
-    val fresh = fs.exists(marker) &&
-      (want.isEmpty || IndexStamp.read(spark, path) == want)
-    if (!fresh) {
+                     sourcePath: Option[String] = None): Unit =
+    IndexStamp.ensureFresh(spark, s"$path/_SUCCESS", path, sourcePath) {
       buildIvfIndex(emb, path, nlist, dim)
-      want.foreach(IndexStamp.write(spark, path, _))
     }
-  }
 
   /** Driver-side single-vector lookup from the index (the "I hold a query
     * id, not a vector" entry; a real service holds the vector already).

@@ -240,6 +240,17 @@ object Pipeline {
     * EXACTLY what the batch ranker returns over the documents ingested
     * so far — PipelineSpec pins that over a two-batch replay.
     *
+    * Replay safety: each micro-batch appends under ingest id
+    * `batchId + 1` (0 is reserved for a base corpus), and the append is
+    * a dynamic overwrite of that partition — foreachBatch's
+    * at-least-once replay rewrites the same partition instead of
+    * duplicating postings, so the index is exactly-once per checkpoint
+    * lineage. On cold start an EMPTY base index is initialized first so
+    * the first real batch also lands in its own replayable partition.
+    * One streaming writer per index per checkpoint lineage (Spark's
+    * standard batchId-idempotence contract): a fresh checkpoint restarts
+    * batch ids at 0 and would overwrite an earlier stream's partitions.
+    *
     * Scale: per trigger, work is (batch postings shuffle) + (query-
     * bucket-pruned rank) — never a corpus re-scan; the index carries all
     * cross-batch state, so streaming state is zero and the checkpoint
@@ -254,13 +265,20 @@ object Pipeline {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val once = batch.persist()
           try {
-            graft.ext.Retrieval.appendBm25Index(once, indexPath)
-            graft.ext.Retrieval.bm25Indexed(once.sparkSession, indexPath,
-                terms, k)
+            val spark = once.sparkSession
+            val marker = new org.apache.hadoop.fs.Path(
+              s"$indexPath/postings", "_SUCCESS")
+            val fs = marker.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(marker))
+              graft.ext.Retrieval.buildBm25Index(once.limit(0), indexPath)
+            graft.ext.Retrieval.appendBm25Index(once, indexPath,
+              ingestId = batchId + 1)
+            graft.ext.Retrieval.bm25Indexed(spark, indexPath, terms, k)
               .write.mode("overwrite").parquet(rankDir)
           } finally { once.unpersist(); () }
         }
@@ -275,7 +293,10 @@ object Pipeline {
     * into `rankDir`. After any stream prefix the snapshot equals
     * `annTopKIndexed` over a from-scratch index of the vectors ingested
     * so far (PipelineSpec). Zero streaming state; the index is the
-    * state.
+    * state. Replay safety is [[bm25IndexStream]]'s: per-batch ingest
+    * partitions (`batchId + 1`, 0 reserved for a base corpus)
+    * dynamically overwritten, an empty base initialized on cold start,
+    * one streaming writer per checkpoint lineage.
     */
   def annIndexStream(emb: DataFrame, indexPath: String,
                      qVec: Array[Float], qNorm: Double, k: Int,
@@ -287,13 +308,21 @@ object Pipeline {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val once = batch.persist()
           try {
-            graft.ext.Similarity.appendIvfIndex(once, indexPath, nlist, dim)
-            graft.ext.Similarity.annTopKIndexed(once.sparkSession,
-                indexPath, qVec, qNorm, k, nlist, dim, nprobe)
+            val spark = once.sparkSession
+            val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
+            val fs = marker.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(marker))
+              graft.ext.Similarity.buildIvfIndex(once.limit(0), indexPath,
+                nlist, dim)
+            graft.ext.Similarity.appendIvfIndex(once, indexPath, nlist,
+              dim, ingestId = batchId + 1)
+            graft.ext.Similarity.annTopKIndexed(spark, indexPath, qVec,
+                qNorm, k, nlist, dim, nprobe)
               .write.mode("overwrite").parquet(rankDir)
           } finally { once.unpersist(); () }
         }
@@ -344,18 +373,23 @@ object Pipeline {
               if (fs.exists(marker))
                 graft.ext.Similarity.semanticNovelAgainstIndex(once,
                   indexPath, threshold, nlist, dim, nprobe)
-              else
-                // cold start: no corpus yet, the whole batch is novel
+              else {
+                // cold start: initialize an empty base index (ingest 0)
+                // so this batch's admissions land in their own
+                // replayable ingest partition; no corpus yet → all novel
+                graft.ext.Similarity.buildIvfIndex(once.limit(0),
+                  indexPath, nlist, dim)
                 once.select(col("vec_id"), lit(true).as("is_novel"),
                   lit(null).cast("double").as("best_cos"),
                   lit(null).cast("long").as("match_id"))
+              }
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val novel = spark.read.parquet(outDir)
               .filter(col("is_novel")).select("vec_id")
             graft.ext.Similarity.appendIvfIndex(
               once.join(novel, Seq("vec_id"), "left_semi"),
-              indexPath, nlist, dim)
+              indexPath, nlist, dim, ingestId = batchId + 1)
           } finally { once.unpersist(); () }
         }
       }

@@ -20,7 +20,9 @@ object Bm25Drill {
     // term draw: volume and a realistic df spread, not linguistics.
     val vocab = (0 until 1000).map(i => s"w$i")
     val vlit = typedlit(vocab)
-    val docs = spark.range(rows).select(
+    // One generator for corpus and append batch: the append-vs-rebuild
+    // equality below compares distributions, so they must never diverge.
+    def gen(lo: Long, hi: Long) = spark.range(lo, hi).select(
         col("id").as("doc_id"),
         array_join(transform(sequence(lit(0), lit(39)),
           i => element_at(vlit,
@@ -28,6 +30,7 @@ object Bm25Drill {
               pmod(xxhash64(col("id") * 17 + i), lit(1000)) + 1) + 1)
               .cast("int"))), " ").as("text"))
       .localCheckpoint()
+    val docs = gen(0L, rows)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -58,14 +61,7 @@ object Bm25Drill {
     // Incremental maintenance: fold in a 1% batch of new docs and
     // compare against rebuilding over the enlarged corpus — the cost a
     // daily-ingest deployment pays per batch vs per rebuild.
-    val batch = spark.range(rows, rows + rows / 100).select(
-        col("id").as("doc_id"),
-        array_join(transform(sequence(lit(0), lit(39)),
-          i => element_at(vlit,
-            (pmod(xxhash64(col("id") * 131 + i),
-              pmod(xxhash64(col("id") * 17 + i), lit(1000)) + 1) + 1)
-              .cast("int"))), " ").as("text"))
-      .localCheckpoint()
+    val batch = gen(rows, rows + rows / 100)
     time(s"append 1% batch (${rows / 100} docs)") {
       Retrieval.appendBm25Index(batch, path)
     }

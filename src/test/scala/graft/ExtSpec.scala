@@ -566,6 +566,15 @@ class ExtSpec extends AnyFunSuite {
     val cold = Similarity.annTopKIndexed(spark, coldDir, qv, qn, k = 10,
       nlist = 4, dim = 4, nprobe = 2).collect().toSeq
     assert(cold === full)
+    // replay idempotence: the same batch re-appended under the SAME
+    // ingest id overwrites its own partition — no duplicate vectors
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 20), incDir,
+      nlist = 4, dim = 4, ingestId = 1L)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 20), incDir,
+      nlist = 4, dim = 4, ingestId = 1L)
+    assert(Similarity.annTopKIndexed(spark, incDir, qv, qn, k = 10,
+      nlist = 4, dim = 4, nprobe = 2).collect().toSeq === full)
+    assert(spark.read.parquet(incDir).count() === 40L)
   }
 
   test("semanticNovelAgainstIndex screens a batch against the standing corpus") {

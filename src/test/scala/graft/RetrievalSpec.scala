@@ -95,10 +95,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(inc === rows(fullDir))
     assert(inc === Retrieval.bm25TopK(all, q, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
-    val si = spark.read.parquet(s"$incDir/stats").head()
-    val sf = spark.read.parquet(s"$fullDir/stats").head()
-    assert(si.getLong(0) === sf.getLong(0))
-    assert(si.getDecimal(1) === sf.getDecimal(1))
+    // per-ingest mergeable stats rows sum to the rebuilt corpus stats
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .agg(sum("n"), sum("sdl").cast("decimal(28,6)")).head()
+    assert(stats(incDir).getLong(0) === stats(fullDir).getLong(0))
+    assert(stats(incDir).getDecimal(1) === stats(fullDir).getDecimal(1))
+    // replay idempotence: re-appending the same batch under the SAME
+    // ingest id dynamically overwrites its own partition — postings,
+    // stats, and the ranked answer are all unchanged (the exactly-once
+    // property the streaming twin relies on under foreachBatch replay)
+    Retrieval.appendBm25Index(all.filter(col("doc_id") > 2), incDir,
+      ingestId = 1L)
+    Retrieval.appendBm25Index(all.filter(col("doc_id") > 2), incDir,
+      ingestId = 1L)
+    assert(rows(incDir) === inc)
+    assert(stats(incDir).getLong(0) === stats(fullDir).getLong(0))
   }
 
   test("ensureBm25Index rebuilds when the source data changes") {
