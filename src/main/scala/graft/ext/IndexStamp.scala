@@ -64,6 +64,30 @@ object IndexStamp {
     }
   }
 
+  /** Next unused ingest id for the partitioned index layout: max
+    * existing `ingest=` id + 1 (one metadata listing; non-numeric
+    * suffixes like `__HIVE_DEFAULT_PARTITION__` are ignored). Shared by
+    * both index families so id-assignment policy lives in one place.
+    */
+  private[graft] def nextIngestId(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: Path): Long =
+    fs.listStatus(dir).flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("ingest=")) n.stripPrefix("ingest=").toLongOption
+      else None
+    }.foldLeft(-1L)(math.max) + 1L
+
+  /** Whether a partitioned index directory holds any DATA partition —
+    * a committed empty base (cold-start initialization) has a
+    * `_SUCCESS` marker but zero `ingest=` directories, and reading it
+    * as parquet would fail schema inference. Readers gate on this, not
+    * on the marker.
+    */
+  private[graft] def hasIngestData(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: Path): Boolean =
+    fs.exists(dir) &&
+      Option(fs.globStatus(new Path(dir, "ingest=*"))).exists(_.nonEmpty)
+
   private def stampPath(indexPath: String) =
     new Path(indexPath, "_source_stamp")
 

@@ -141,22 +141,21 @@ object Retrieval {
     */
   def buildBm25Index(docs: DataFrame, path: String,
                      buckets: Int = Bm25Buckets): Unit = {
+    // partitionOverwriteMode pinned STATIC: a rebuild must replace the
+    // WHOLE index. Under a session-wide dynamic default, overwrite
+    // would replace only ingest=0 and leave stale appended partitions
+    // behind a freshly-written source stamp — silently wrong scores.
     postingsFor(docs, buckets).withColumn("ingest", lit(0L))
-      .write.mode("overwrite").partitionBy("ingest", "bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest", "bucket")
       .parquet(s"$path/postings")
     statsFor(docs).withColumn("ingest", lit(0L))
-      .write.mode("overwrite").partitionBy("ingest")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest")
       .parquet(s"$path/stats")
   }
-
-  /** Next unused ingest id = max existing + 1 (a metadata listing). */
-  private def nextIngestId(fs: org.apache.hadoop.fs.FileSystem,
-                           dir: org.apache.hadoop.fs.Path): Long =
-    fs.listStatus(dir).flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("ingest=")) Some(n.stripPrefix("ingest=").toLong)
-      else None
-    }.foldLeft(-1L)(math.max) + 1L
 
   /** Incremental index maintenance: fold a batch of NEW documents into
     * the persisted index without touching the existing postings. The
@@ -172,11 +171,17 @@ object Retrieval {
     * an already indexed document under a DIFFERENT ingest id would
     * double its postings (upstream dedup is [[Dedup.dedupAgainstSeen]]'s
     * job, same as any warehouse append). `ingestId` < 0 auto-assigns
-    * max+1 (batch callers); streams pass their micro-batch id. An
-    * absent index is built instead (self-initializing, so a stream can
-    * start cold). The `_source_stamp` is dropped BEFORE the first
-    * mutation — a crash mid-append must never leave a mutated index
-    * that still claims source freshness.
+    * max+1 (batch callers); streams pass their micro-batch id + 1.
+    * ONE WRITER AT A TIME: auto-assigned ids and a live stream's
+    * `batchId + 1` namespace share the same counter, so a concurrent
+    * batch append into a stream-fed index can collide with the
+    * stream's next partition — serialize writers (the standard
+    * single-writer sink contract). An absent index self-initializes:
+    * with an explicit `ingestId` an EMPTY base (ingest 0) is created
+    * and the batch lands in its own replayable partition; with
+    * auto-id the batch itself becomes the base. The `_source_stamp`
+    * is dropped BEFORE the first mutation — a crash mid-append must
+    * never leave a mutated index that still claims source freshness.
     */
   def appendBm25Index(docs: DataFrame, path: String,
                       buckets: Int = Bm25Buckets,
@@ -185,9 +190,13 @@ object Retrieval {
     val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
     val marker = new org.apache.hadoop.fs.Path(postingsDir, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) { buildBm25Index(docs, path, buckets); return }
+    if (!fs.exists(marker)) {
+      if (ingestId < 0) { buildBm25Index(docs, path, buckets); return }
+      buildBm25Index(docs.limit(0), path, buckets)
+    }
     IndexStamp.invalidate(spark, path)
-    val id = if (ingestId >= 0) ingestId else nextIngestId(fs, postingsDir)
+    val id = if (ingestId >= 0) ingestId
+      else IndexStamp.nextIngestId(fs, postingsDir)
     postingsFor(docs, buckets).withColumn("ingest", lit(id))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -214,16 +214,12 @@ object Similarity {
     */
   def buildIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
                     dim: Int = 64): Unit =
+    // static overwrite pinned for the same reason as buildBm25Index: a
+    // rebuild must replace EVERY ingest partition, not just ingest=0.
     ivfRowsFor(emb, nlist, dim).withColumn("ingest", lit(0L))
-      .write.mode("overwrite").partitionBy("ingest", "cell").parquet(path)
-
-  private def nextIngestId(fs: org.apache.hadoop.fs.FileSystem,
-                           dir: org.apache.hadoop.fs.Path): Long =
-    fs.listStatus(dir).flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("ingest=")) Some(n.stripPrefix("ingest=").toLong)
-      else None
-    }.foldLeft(-1L)(math.max) + 1L
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest", "cell").parquet(path)
 
   /** Incremental IVF maintenance: fold a batch of NEW vectors into the
     * persisted index. Every index row is independent (vector, norm,
@@ -233,11 +229,13 @@ object Similarity {
     * partition, nothing else) and a query over the appended index
     * equals one over a from-scratch rebuild EXACTLY (ExtSpec).
     * `ingestId` < 0 auto-assigns max+1; streams pass their micro-batch
-    * id. Same new-vec_ids-across-ingests contract as
-    * [[Retrieval.appendBm25Index]]; an absent index is built instead
-    * (self-initializing); the `_source_stamp` is dropped BEFORE the
-    * mutation so a crash mid-append never leaves a mutated index that
-    * still claims source freshness.
+    * id + 1. Same new-vec_ids-across-ingests, one-writer-at-a-time,
+    * and self-initialization contract as [[Retrieval.appendBm25Index]]
+    * (explicit-id cold start creates an EMPTY ingest-0 base so the
+    * batch lands in its own replayable partition); the
+    * `_source_stamp` is dropped BEFORE the mutation so a crash
+    * mid-append never leaves a mutated index that still claims source
+    * freshness.
     */
   def appendIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
                      dim: Int = 64, ingestId: Long = -1L): Unit = {
@@ -245,9 +243,12 @@ object Similarity {
     val dir = new org.apache.hadoop.fs.Path(path)
     val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) { buildIvfIndex(emb, path, nlist, dim); return }
+    if (!fs.exists(marker)) {
+      if (ingestId < 0) { buildIvfIndex(emb, path, nlist, dim); return }
+      buildIvfIndex(emb.limit(0), path, nlist, dim)
+    }
     IndexStamp.invalidate(spark, path)
-    val id = if (ingestId >= 0) ingestId else nextIngestId(fs, dir)
+    val id = if (ingestId >= 0) ingestId else IndexStamp.nextIngestId(fs, dir)
     ivfRowsFor(emb, nlist, dim).withColumn("ingest", lit(id))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

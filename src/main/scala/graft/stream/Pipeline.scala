@@ -269,16 +269,12 @@ object Pipeline {
         if (!batch.isEmpty) {
           val once = batch.persist()
           try {
-            val spark = once.sparkSession
-            val marker = new org.apache.hadoop.fs.Path(
-              s"$indexPath/postings", "_SUCCESS")
-            val fs = marker.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            if (!fs.exists(marker))
-              graft.ext.Retrieval.buildBm25Index(once.limit(0), indexPath)
+            // explicit ingestId ⇒ the append self-initializes an empty
+            // base on cold start; the batch lands in its own partition
             graft.ext.Retrieval.appendBm25Index(once, indexPath,
               ingestId = batchId + 1)
-            graft.ext.Retrieval.bm25Indexed(spark, indexPath, terms, k)
+            graft.ext.Retrieval.bm25Indexed(once.sparkSession, indexPath,
+                terms, k)
               .write.mode("overwrite").parquet(rankDir)
           } finally { once.unpersist(); () }
         }
@@ -312,17 +308,12 @@ object Pipeline {
         if (!batch.isEmpty) {
           val once = batch.persist()
           try {
-            val spark = once.sparkSession
-            val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
-            val fs = marker.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            if (!fs.exists(marker))
-              graft.ext.Similarity.buildIvfIndex(once.limit(0), indexPath,
-                nlist, dim)
+            // explicit ingestId ⇒ the append self-initializes an empty
+            // base on cold start; the batch lands in its own partition
             graft.ext.Similarity.appendIvfIndex(once, indexPath, nlist,
               dim, ingestId = batchId + 1)
-            graft.ext.Similarity.annTopKIndexed(spark, indexPath, qVec,
-                qNorm, k, nlist, dim, nprobe)
+            graft.ext.Similarity.annTopKIndexed(once.sparkSession,
+                indexPath, qVec, qNorm, k, nlist, dim, nprobe)
               .write.mode("overwrite").parquet(rankDir)
           } finally { once.unpersist(); () }
         }
@@ -366,23 +357,23 @@ object Pipeline {
           val spark = batch.sparkSession
           val once = batch.persist()
           try {
-            val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
-            val fs = marker.getFileSystem(
+            val dir = new org.apache.hadoop.fs.Path(indexPath)
+            val fs = dir.getFileSystem(
               spark.sparkContext.hadoopConfiguration)
+            // Gate the screen on DATA, not the _SUCCESS marker: a crash
+            // between the cold-start empty-base commit and the first
+            // append leaves a marker with zero parquet files, and a
+            // marker-gated replay would wedge forever on schema
+            // inference. No data → no corpus → the whole batch is
+            // novel; the append below self-initializes the base.
             val verdicts =
-              if (fs.exists(marker))
+              if (graft.ext.IndexStamp.hasIngestData(fs, dir))
                 graft.ext.Similarity.semanticNovelAgainstIndex(once,
                   indexPath, threshold, nlist, dim, nprobe)
-              else {
-                // cold start: initialize an empty base index (ingest 0)
-                // so this batch's admissions land in their own
-                // replayable ingest partition; no corpus yet → all novel
-                graft.ext.Similarity.buildIvfIndex(once.limit(0),
-                  indexPath, nlist, dim)
+              else
                 once.select(col("vec_id"), lit(true).as("is_novel"),
                   lit(null).cast("double").as("best_cos"),
                   lit(null).cast("long").as("match_id"))
-              }
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val novel = spark.read.parquet(outDir)
