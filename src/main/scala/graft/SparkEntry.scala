@@ -1979,11 +1979,12 @@ object SparkEntry {
           |  FROM documents),
           |s AS (
           |  SELECT doc_id, COUNT(*) AS n_tokens,
-          |    CAST(SUM(CAST(CAST(CAST(('0x' || SUBSTRING(MD5(term), 1, 6)) AS BIGINT) % 1001 - 500 AS DOUBLE) / 500.0 AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+          |    SUM(CAST(('0x' || SUBSTRING(MD5(term), 1, 6)) AS BIGINT) % 1001 - 500) AS s
           |  FROM w GROUP BY 1)
-          |SELECT doc_id, n_tokens, ROUND(m, 4) AS score,
-          |  CASE WHEN m > 0.02 THEN 'keep'
-          |       WHEN m < -0.02 THEN 'drop'
+          |SELECT doc_id, n_tokens,
+          |  SIGN(s) * ((ABS(s) * 20000 + 500 * n_tokens) // (1000 * n_tokens)) / 10000.0 AS score,
+          |  CASE WHEN CAST(s AS DOUBLE) / (500.0 * n_tokens) > 0.02 THEN 'keep'
+          |       WHEN CAST(s AS DOUBLE) / (500.0 * n_tokens) < -0.02 THEN 'drop'
           |       ELSE 'review' END AS verdict
           |FROM s ORDER BY doc_id""".stripMargin,
       "domain_kl" ->

@@ -281,9 +281,17 @@ object Retrieval {
     * lookup (here a closed-form hash → weight map; a real model would
     * broadcast its weight array), and an order-free per-doc mean.
     *
-    * The verdict compares the UNROUNDED mean (decimal sum ÷ count, both
-    * engines evaluate the identical double expression) so the decision
-    * boundary is exact; the reported score is rounded for display.
+    * The verdict compares the UNROUNDED mean (both engines evaluate the
+    * identical double expression) so the decision boundary is exact.
+    * The reported score is rounded in INTEGER arithmetic, not on the
+    * double: every weight is an exact multiple of 1/500, so the mean
+    * is the rational S/(500·n) and regularly lands EXACTLY on the
+    * half-way point of the 4th decimal (e.g. n = 200 makes every mean
+    * a multiple of 1e-5) — where Spark's and DuckDB's double `round`
+    * legitimately disagree on which side the nearest double falls
+    * (caught by the sf0.1 oracle sweep; smaller SFs never hit a tie).
+    * Half-away-from-zero on integers — sign·((|S|·20000 + 500n) div
+    * (1000n)) / 10⁴ — is engine-independent by construction.
     * Scan → explode → per-doc hash aggregate: scan-bound at 100 TB.
     */
   def linearQualityScore(docs: DataFrame,
@@ -291,16 +299,20 @@ object Retrieval {
                          dropBelow: Double = -0.02): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("term"))
+    // integer weight k ∈ [-500, 500]; tokenWeight ≡ k / 500.0
+    val k = conv(substring(md5(col("term")), 1, 6), 16, 10)
+      .cast("bigint") % 1001 - 500
     val scored = words
-      .select(col("doc_id"),
-        tokenWeight(col("term")).cast("decimal(27,12)").as("w"))
+      .select(col("doc_id"), k.as("k"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        (sum(col("w")).cast("double") / count(lit(1))).as("m"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("k")).as("s"))
+    val m = col("s").cast("double") / (lit(500.0) * col("n_tokens"))
     scored.select(col("doc_id"), col("n_tokens"),
-        round(col("m"), 4).as("score"),
-        when(col("m") > keepAbove, lit("keep"))
-          .when(col("m") < dropBelow, lit("drop"))
+        (signum(col("s")) *
+          expr("(abs(s) * 20000 + 500 * n_tokens) div (1000 * n_tokens)")
+          / 10000.0).as("score"),
+        when(m > keepAbove, lit("keep"))
+          .when(m < dropBelow, lit("drop"))
           .otherwise(lit("review")).as("verdict"))
       .orderBy("doc_id")
   }
