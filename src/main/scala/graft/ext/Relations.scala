@@ -121,6 +121,38 @@ object Relations {
     * hint, so it is off by default (subSplits is then moot and
     * ignored).
     */
+  /** Size-adaptive entry point: picks [[fuzzyMatchBlocked]]'s broadcast
+    * or sort-merge plan from Catalyst's OWN size estimate for the
+    * 3-column entity projection — the same `sizeInBytes` statistic the
+    * planner compares against `spark.sql.autoBroadcastJoinThreshold`
+    * when it chooses join strategies, so "small enough to broadcast"
+    * means exactly what it means everywhere else in the session.
+    *
+    * The estimate is read from the optimized logical plan BEFORE any
+    * job runs (file-size based for file sources — no extra scan, no
+    * `count()`), and it errs LARGE: an unknown source falls back to
+    * `defaultSizeInBytes` (= conf'd huge), and column pruning makes a
+    * wide table's projection look bigger than it ships. Both failure
+    * directions therefore degrade to the always-safe merge plan — the
+    * adaptive mode can only ever decline a broadcast that would have
+    * been fine, never attempt one that kills the driver. A threshold
+    * of -1 (broadcast disabled session-wide) forces the merge plan,
+    * matching the planner's own contract for that sentinel.
+    *
+    * `smallDim = true` remains the caller-promise override for the
+    * case the caller knows the true size and the estimate doesn't
+    * (e.g. a filtered frame whose selectivity stats can't see).
+    */
+  def fuzzyMatchAdaptive(df: DataFrame, blockKey: Column, id: Column,
+                         name: Column, maxDist: Int,
+                         subSplits: Int = 1): DataFrame = {
+    val est = df.select(blockKey.as("blk"), id.as("id"), name.as("nm"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    fuzzyMatchBlocked(df, blockKey, id, name, maxDist,
+      smallDim = thr > 0 && est <= BigInt(thr), subSplits = subSplits)
+  }
+
   def fuzzyMatchBlocked(df: DataFrame, blockKey: Column, id: Column,
                         name: Column, maxDist: Int,
                         smallDim: Boolean = false,

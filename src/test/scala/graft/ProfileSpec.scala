@@ -110,6 +110,32 @@ class ProfileSpec extends AnyFunSuite {
     assert(merge.nonEmpty && merge == bcast)
   }
 
+  test("fuzzyMatchAdaptive picks the plan from the size estimate, rows invariant") {
+    // Under a generous broadcast threshold the tiny frame's Catalyst
+    // size estimate selects the broadcast plan; with broadcast disabled
+    // session-wide (threshold -1, the planner's own sentinel) it must
+    // fall back to the sort-merge plan. Same rows either way.
+    val df = (1L to 60L).map(i =>
+        (i % 5, i, s"name_${"abcdefghij".charAt((i % 10).toInt)}${i % 3}"))
+      .toDF("blk", "id", "nm")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10MB")
+      val small = Relations.fuzzyMatchAdaptive(df, col("blk"), col("id"),
+        col("nm"), 2)
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      spark.conf.set(key, "-1")
+      val big = Relations.fuzzyMatchAdaptive(df, col("blk"), col("id"),
+        col("nm"), 2)
+      assert(big.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"))
+      assert(small.collect().toSeq.nonEmpty &&
+        small.collect().toSeq == big.collect().toSeq)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("fuzzyMatchBlocked sub-splitting changes parallelism, never the pairs") {
     // subSplits fragments each block's pair space across s sub-joins
     // (left salted by id, right replicated s×) — every pair must still
