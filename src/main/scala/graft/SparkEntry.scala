@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.agg.{Analytics, Behavior, Profile, Stats}
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality, Skew}
-import graft.ext.{Contamination, Dedup, Multimodal, Relations, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Multimodal, Relations, Retrieval, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.operators.Temporal
 import graft.sources.Tables
 
@@ -768,6 +768,15 @@ object SparkEntry {
         docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50))
     }),
 
+    // The decision the screen feeds: the training corpus with every
+    // flagged doc REMOVED (same split + thresholds as `contamination`).
+    "decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Contamination.decontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // Edit-distance verify (the character-level near-dup metric):
     // adjacent-id pairs over 200-char prefixes — pairwise DP cost is
     // bounded by pair count × prefix², exactly how a candidate-pair
@@ -1206,6 +1215,23 @@ object SparkEntry {
     // not ANSI-expressible → rows-only (ExtSpec pins hand fixtures).
     "span_dedup" -> ((s, dir) =>
       TextAnalysis.dropRepeatedSpans(T(s, dir, "documents"))),
+
+    // BPE merge learning on the word histogram (one corpus scan; 16
+    // vocabulary-frame iterations, 1 argmax row each to the driver).
+    // Iterative argmax has no ANSI twin → rows-only; VocabSpec pins
+    // the merges against an independent reference implementation.
+    "bpe_merges" -> ((s, dir) =>
+      Vocab.learnBpeMerges(T(s, dir, "documents"), 16)),
+
+    // Token accounting under the learned merges: segmentation runs per
+    // DISTINCT word, documents join back on the word key. Rows-only
+    // (VocabSpec pins zero-merge = chars, bounds, and a reference
+    // segmentation).
+    "bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Vocab.bpeTokenCounts(docs,
+        Vocab.learnedMerges(Vocab.learnBpeMerges(docs, 16)))
+    }),
 
     // Declarative data-quality audit: every same-table predicate fuses
     // into one scan; FK edges are key-only anti-joins; the report is a
@@ -1676,6 +1702,19 @@ object SparkEntry {
           |FROM ev JOIN tr USING (sh) JOIN rare USING (sh)
           |GROUP BY eval_id, train_id HAVING COUNT(*) >= 5
           |ORDER BY eval_id, train_id""".stripMargin,
+      "decontaminate" ->
+        """WITH g AS (
+          |  SELECT doc_id, UNNEST([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+          |  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents)),
+          |ev AS (SELECT DISTINCT doc_id AS eval_id, sh FROM g WHERE doc_id < 50),
+          |tr AS (SELECT DISTINCT doc_id AS train_id, sh FROM g WHERE doc_id >= 50),
+          |rare AS (SELECT sh FROM tr GROUP BY sh HAVING COUNT(*) <= 20),
+          |flagged AS (
+          |  SELECT train_id FROM ev JOIN tr USING (sh) JOIN rare USING (sh)
+          |  GROUP BY eval_id, train_id HAVING COUNT(*) >= 5)
+          |SELECT doc_id, lang FROM documents
+          |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT DISTINCT train_id FROM flagged)
+          |ORDER BY doc_id""".stripMargin,
       "stratified_sample" ->
         """SELECT doc_id, lang FROM (
           |  SELECT doc_id, lang,

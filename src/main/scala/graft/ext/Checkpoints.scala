@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 
 /** Lineage truncation for iterative operators ([[Graph.pageRank]],
   * [[Dedup.connectedComponents]]) — one shared switch between the two
@@ -37,7 +37,7 @@ object Checkpoints {
     * Fails fast (not at first executor loss) when the reliable mode is
     * requested without a configured checkpoint directory.
     */
-  def truncate(df: DataFrame, reliable: Boolean): DataFrame =
+  def truncate[T](df: Dataset[T], reliable: Boolean): Dataset[T] =
     if (reliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable = true requires SparkContext.setCheckpointDir " +

@@ -66,4 +66,25 @@ object Contamination {
       .filter(col("shared_ngrams") >= minShared)
       .orderBy("eval_id", "train_id")
   }
+
+  /** The per-document DECISION the overlap screen exists to feed: the
+    * training corpus with every document flagged against ANY eval doc
+    * removed — what a pre-training pipeline actually materializes
+    * (the screened corpus), not just the pair report.
+    *
+    * `train` must carry a `doc_id` column (it is the join identity the
+    * flag list anchors to). Shape at 100 TB: [[ngramOverlap]]'s
+    * inverted-index join produces the flag list — tiny relative to the
+    * corpus (it is bounded by the eval set's gram postings) — then ONE
+    * doc_id-keyed anti-join removes the flagged docs; the corpus
+    * shuffles at most once and the flag side is broadcast-sized by
+    * construction, so the screen costs one corpus scan more than the
+    * report it derives from.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
+                    minShared: Int = 5, dfCap: Int = 20): DataFrame = {
+    val flagged = ngramOverlap(eval, train, n, minShared, dfCap)
+      .select(col("train_id").as("doc_id")).distinct()
+    train.join(flagged, Seq("doc_id"), "left_anti")
+  }
 }

@@ -95,6 +95,23 @@ class ExtSpec extends AnyFunSuite {
     assert(out2.isEmpty) // df=31 > cap for the only shared gram
   }
 
+  test("decontaminate removes exactly the flagged training docs") {
+    val eval = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // flagged
+      (101L, "alpha beta gamma something else entirely here now"), // 2 < 5 shared
+      (102L, "unrelated training text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val kept = Contamination.decontaminate(train, eval, minShared = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(101L, 102L))
+    // Columns pass through untouched — the screen is corpus-preserving
+    // for the survivors.
+    assert(Contamination.decontaminate(train, eval, minShared = 5)
+      .columns.toSeq == train.columns.toSeq)
+  }
+
   test("corpus prep composes the filters and audits each verdict") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again"),
