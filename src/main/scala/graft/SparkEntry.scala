@@ -871,6 +871,12 @@ object SparkEntry {
     "boilerplate_grams" -> ((s, dir) =>
       TextAnalysis.frequentNgrams(T(s, dir, "documents"), n = 2, minDf = 100)),
 
+    // Cross-doc repeated-span scrubbing: drop every token covered by a
+    // 3-gram occurring in ≥3 distinct docs, rebuild the text (the
+    // corpus-wide removal step frequentNgrams only lists).
+    "cross_span_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubCommonSpans(T(s, dir, "documents"), n = 3, minDf = 3)),
+
     // Unigram log-probability fluency score (the KenLM-perplexity proxy):
     // corpus word frequencies → per-doc mean log-probability.
     "unigram_logprob" -> ((s, dir) =>
@@ -1851,6 +1857,26 @@ object SparkEntry {
           |      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
           |SELECT gram, df FROM (SELECT gram, COUNT(*) AS df FROM b GROUP BY 1) t
           |WHERE df >= 100 ORDER BY df DESC, gram""".stripMargin,
+      "cross_span_scrub" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+          |gg AS (SELECT doc_id,
+          |         UNNEST(range(1, len(toks) - 1)) AS st,
+          |         UNNEST([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS gram
+          |       FROM t),
+          |common AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM gg) d
+          |           GROUP BY gram HAVING COUNT(*) >= 3),
+          |rm AS (SELECT DISTINCT doc_id, UNNEST(range(st, st + 3)) AS p
+          |       FROM gg JOIN common USING (gram)),
+          |tt AS (SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS p, UNNEST(toks) AS w FROM t),
+          |kept AS (SELECT tt.doc_id, tt.p, tt.w
+          |         FROM tt LEFT JOIN rm ON tt.doc_id = rm.doc_id AND tt.p = rm.p
+          |         WHERE rm.doc_id IS NULL),
+          |agg AS (SELECT doc_id, STRING_AGG(w, ' ' ORDER BY p) AS clean_text,
+          |               COUNT(*) AS n_kept
+          |        FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+          |       CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_removed
+          |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
       "unigram_logprob" ->
         """WITH w AS (
           |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS w

@@ -199,6 +199,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-document repeated-span SCRUBBING — the removal counterpart to
+    * [[frequentNgrams]] (which only lists the boilerplate): every token
+    * position covered by an `n`-gram window occurring in at least
+    * `minDf` DISTINCT documents is dropped, and each document's text is
+    * rebuilt from the survivors (C4/RefinedWeb-style template and
+    * navigation-chrome stripping, applied corpus-wide rather than
+    * within one document like [[dropRepeatedSpans]]).
+    *
+    * Shape at 100 TB: gram (start, hash) pairs generate IN PLACE per
+    * row (array lambdas over the token array — the gram stream never
+    * leaves its row before aggregation); document frequency is one
+    * hash-keyed aggregate over 8-byte gram hashes; the survivor set is
+    * small by construction (df ≥ minDf over a heavy-tailed gram
+    * distribution) and broadcast back, so hit detection is a hash probe
+    * inside the scan stage; per-doc removal positions collapse in one
+    * doc-keyed shuffle (bounded by the doc's own window count); and the
+    * rebuild is a row-local array filter — overlapping windows union
+    * naturally because coverage is tested per POSITION, not per window.
+    * Gram identity uses xxhash64 like the shingle family; counts (and
+    * with astronomically small probability, output text) differ from
+    * the string-gram oracle only under 64-bit collisions.
+    */
+  def scrubCommonSpans(docs: DataFrame, n: Int = 3, minDf: Int = 3): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val grams = base.select(col("doc_id"), explode(expr(
+        s"""transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)),
+           |  (x, ix) -> struct(ix AS st,
+           |    xxhash64(array_join(slice(toks, ix + 1, $n), ' ')) AS h))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.st").as("st"), col("g.h").as("h"))
+    val common = grams.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    val starts = grams.join(broadcast(common), Seq("h"))
+      .groupBy("doc_id").agg(collect_set(col("st")).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        s"""filter(toks, (x, i) ->
+           |  NOT exists(coalesce(starts, array()),
+           |    s -> i >= s AND i < s + $n))""".stripMargin))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("bigint")
+          .as("tokens_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-boilerplate detector: word n-grams whose DOCUMENT frequency
     * reaches `minDf` (templates, navigation chrome, memes — the
     * C4/RefinedWeb-style list a stripping pass consumes). Two-scan,

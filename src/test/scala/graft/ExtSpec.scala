@@ -95,6 +95,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out2.isEmpty) // df=31 > cap for the only shared gram
   }
 
+  test("scrubCommonSpans drops only corpus-common windows, unions overlaps") {
+    val corpus = Seq(
+      (1L, "please visit our site today"),
+      (2L, "visit our site"),
+      (3L, "we say visit our site and more"),
+      (4L, "totally unrelated words here"),
+      (5L, "visit our site visit our site"))
+      .toDF("doc_id", "text")
+    // "visit our site" occurs in docs 1,2,3,5 (df=4 ≥ 3); every other
+    // 3-gram is df ≤ 2 and survives.
+    val out = TextAnalysis.scrubCommonSpans(corpus, n = 3, minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "please today", 3L),
+      (2L, "", 3L),                 // fully scrubbed doc still emits a row
+      (3L, "we say and more", 3L),
+      (4L, "totally unrelated words here", 0L), // untouched
+      (5L, "", 6L)))                // two windows in one doc both removed
+  }
+
   test("decontaminate removes exactly the flagged training docs") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
