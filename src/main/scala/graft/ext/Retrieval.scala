@@ -265,14 +265,23 @@ object Retrieval {
       .select(col("doc_id"), col("n_terms"), col("score"))
   }
 
-  /** Weight a token deterministically from its md5: the first 6 hex
-    * chars as an integer, folded into [−1, 1]. Stands in for a trained
-    * fasttext-style weight table; both engines derive the identical
-    * value (Spark `conv(…,16,10)` ≡ DuckDB `CAST('0x'||… AS BIGINT)`).
+  /** Integer token weight k ∈ [−500, 500], derived deterministically
+    * from the token's md5 (first 6 hex chars as an integer, folded).
+    * The single source of truth for the classifier's weight map —
+    * [[tokenWeight]] is defined AS k/500 so the tested helper and the
+    * shipped classifier cannot silently diverge. Both engines derive
+    * the identical value (Spark `conv(…,16,10)` ≡ DuckDB
+    * `CAST('0x'||… AS BIGINT)`).
+    */
+  private[graft] def tokenWeightInt(term: Column): Column =
+    (conv(substring(md5(term), 1, 6), 16, 10).cast("bigint") % 1001) -
+      lit(500)
+
+  /** The folded [−1, 1] weight: [[tokenWeightInt]] / 500. Stands in
+    * for a trained fasttext-style weight table.
     */
   private[graft] def tokenWeight(term: Column): Column =
-    (conv(substring(md5(term), 1, 6), 16, 10).cast("bigint") % 1001
-      - lit(500)).cast("double") / 500.0
+    tokenWeightInt(term).cast("double") / 500.0
 
   /** Hashing-trick linear quality classifier (fasttext-style inference):
     * score(doc) = mean over tokens of w(token), verdict by threshold.
@@ -291,7 +300,10 @@ object Retrieval {
     * legitimately disagree on which side the nearest double falls
     * (caught by the sf0.1 oracle sweep; smaller SFs never hit a tie).
     * Half-away-from-zero on integers — sign·((|S|·20000 + 500n) div
-    * (1000n)) / 10⁴ — is engine-independent by construction.
+    * (1000n)) / 10⁴ — is engine-independent by construction. The sign
+    * stays in the INTEGER domain until the final /10⁴ (signum on
+    * doubles would emit −0.0 for small negative sums where DuckDB's
+    * integer SIGN yields 0.0 — two sf0.1 docs hit exactly that).
     * Scan → explode → per-doc hash aggregate: scan-bound at 100 TB.
     */
   def linearQualityScore(docs: DataFrame,
@@ -299,17 +311,14 @@ object Retrieval {
                          dropBelow: Double = -0.02): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("term"))
-    // integer weight k ∈ [-500, 500]; tokenWeight ≡ k / 500.0
-    val k = conv(substring(md5(col("term")), 1, 6), 16, 10)
-      .cast("bigint") % 1001 - 500
     val scored = words
-      .select(col("doc_id"), k.as("k"))
+      .select(col("doc_id"), tokenWeightInt(col("term")).as("k"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("k")).as("s"))
     val m = col("s").cast("double") / (lit(500.0) * col("n_tokens"))
     scored.select(col("doc_id"), col("n_tokens"),
-        (signum(col("s")) *
-          expr("(abs(s) * 20000 + 500 * n_tokens) div (1000 * n_tokens)")
+        ((signum(col("s")).cast("long") *
+          expr("(abs(s) * 20000 + 500 * n_tokens) div (1000 * n_tokens)"))
           / 10000.0).as("score"),
         when(m > keepAbove, lit("keep"))
           .when(m < dropBelow, lit("drop"))

@@ -209,14 +209,17 @@ object TextAnalysis {
     *
     * Shape at 100 TB: gram (start, hash) pairs generate IN PLACE per
     * row (array lambdas over the token array — the gram stream never
-    * leaves its row before aggregation); document frequency is one
-    * hash-keyed aggregate over 8-byte gram hashes; the survivor set is
-    * small by construction (df ≥ minDf over a heavy-tailed gram
-    * distribution) and broadcast back, so hit detection is a hash probe
-    * inside the scan stage; per-doc removal positions collapse in one
-    * doc-keyed shuffle (bounded by the doc's own window count); and the
-    * rebuild is a row-local array filter — overlapping windows union
-    * naturally because coverage is tested per POSITION, not per window.
+    * leaves its row before aggregation); the per-(gram, doc) start
+    * lists and the per-gram document frequency come out of ONE gram
+    * pass (a (h, doc)-keyed aggregate, then a count window over the
+    * same frame — the [[Contamination]] single-pipeline pattern, so
+    * the corpus is never re-scanned to re-derive grams); per-doc
+    * removal positions then collapse in one doc-keyed shuffle (bounded
+    * by the doc's own window count); and the rebuild is a row-local
+    * array filter — overlapping windows union naturally because
+    * coverage is tested per POSITION, not per window. Only 8-byte
+    * hashes and int positions shuffle, never gram strings. Total cost:
+    * the gram scan, the rebuild scan, and three narrow keyed shuffles.
     * Gram identity uses xxhash64 like the shingle family; counts (and
     * with astronomically small probability, output text) differ from
     * the string-gram oracle only under 64-bit collisions.
@@ -230,11 +233,14 @@ object TextAnalysis {
            |    xxhash64(array_join(slice(toks, ix + 1, $n), ' ')) AS h))"""
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.st").as("st"), col("g.h").as("h"))
-    val common = grams.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select("h")
-    val starts = grams.join(broadcast(common), Seq("h"))
-      .groupBy("doc_id").agg(collect_set(col("st")).as("starts"))
+    val starts = grams
+      .groupBy(col("h"), col("doc_id"))
+      .agg(collect_list(col("st")).as("sts"))
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") >= minDf)
+      .groupBy("doc_id")
+      .agg(flatten(collect_list(col("sts"))).as("starts"))
     base.join(starts, Seq("doc_id"), "left")
       .withColumn("kept", expr(
         s"""filter(toks, (x, i) ->

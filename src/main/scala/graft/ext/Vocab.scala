@@ -89,6 +89,11 @@ object Vocab {
       .select(split(col("w"), "").as("toks"), col("cnt"))
       .as[(Seq[String], Long)].cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // The previous round's frame is freed only AFTER the argmax action
+    // has materialized the current one (an eager unpersist would drop
+    // the cache the lazy successor still reads from, and every round
+    // would recompute its whole lineage back to the corpus scan).
+    var toFree: Option[Dataset[(Seq[String], Long)]] = None
     var stop = false
     while (merges.length < k && !stop) {
       val top = words.toDF("toks", "cnt")
@@ -99,20 +104,27 @@ object Vocab {
         .groupBy("p.l", "p.r").agg(sum("cnt").as("pair_count"))
         .orderBy(col("pair_count").desc, col("l"), col("r"))
         .limit(1).collect()
+      toFree.foreach(_.unpersist(false))
+      toFree = None
       if (top.isEmpty || top(0).getLong(2) < minPairCount) stop = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((merges.length + 1, l, r, c))
         val prev = words
-        words = prev.map { case (toks, cnt) =>
+        val mapped = prev.map { case (toks, cnt) =>
           (mergeOnce(toks.toIndexedSeq, l, r): Seq[String], cnt)
-        }.cache()
-        if (merges.length % 6 == 0)
-          words = Checkpoints.truncate(words, reliable)
-        prev.unpersist(false)
+        }
+        // A checkpoint IS the materialization (eager, own storage) —
+        // caching the frame it replaces would leave a cacheManager
+        // entry nothing ever unpersists.
+        words =
+          if ((merges.length % 6) == 0) Checkpoints.truncate(mapped, reliable)
+          else mapped.cache()
+        toFree = Some(prev)
       }
     }
+    toFree.foreach(_.unpersist(false))
     words.unpersist(false)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
@@ -150,11 +162,17 @@ object Vocab {
       .map { w =>
         (w, applyMerges(w.split("").toIndexedSeq, bc.value).length.toLong)
       }.toDF("w", "toks_per_word")
-    docWords.join(wordLen, "w")
+    val counted = docWords.join(wordLen, "w")
       .groupBy("doc_id")
       .agg(sum("n_w").cast("bigint").as("n_words"),
         sum(col("n_w") * col("toks_per_word")).cast("bigint")
           .as("n_bpe_tokens"))
+    // Empty / whitespace-only docs have no words but must still emit a
+    // row (0, 0) — every per-doc operator here is total over its input.
+    docs.select("doc_id").join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 }

@@ -68,6 +68,14 @@ class VocabSpec extends AnyFunSuite {
     assert(got.forall(_._4 >= 5L))
   }
 
+  test("bpeTokenCounts is total: empty and whitespace-only docs emit (0, 0)") {
+    val docs = Seq((1L, "low lower"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Vocab.bpeTokenCounts(docs, Nil).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 8L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
+
   test("bpeTokenCounts: zero merges = chars, full merges compress, bounds hold") {
     val merges = Vocab.learnedMerges(Vocab.learnBpeMerges(corpus, 8))
     assert(merges.length == 8)
