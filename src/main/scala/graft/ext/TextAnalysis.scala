@@ -209,17 +209,22 @@ object TextAnalysis {
     *
     * Shape at 100 TB: gram (start, hash) pairs generate IN PLACE per
     * row (array lambdas over the token array — the gram stream never
-    * leaves its row before aggregation); the per-(gram, doc) start
-    * lists and the per-gram document frequency come out of ONE gram
-    * pass (a (h, doc)-keyed aggregate, then a count window over the
-    * same frame — the [[Contamination]] single-pipeline pattern, so
-    * the corpus is never re-scanned to re-derive grams); per-doc
-    * removal positions then collapse in one doc-keyed shuffle (bounded
-    * by the doc's own window count); and the rebuild is a row-local
-    * array filter — overlapping windows union naturally because
-    * coverage is tested per POSITION, not per window. Only 8-byte
-    * hashes and int positions shuffle, never gram strings. Total cost:
-    * the gram scan, the rebuild scan, and three narrow keyed shuffles.
+    * leaves its row before aggregation), then collapse once into a
+    * per-(gram, doc) start-list frame whose (h, doc)-keyed exchange
+    * BOTH consumers share (ReusedExchange — the [[unigramLogProb]] /
+    * BM25 word-pass pattern, asserted in `PlanGuardSpec`): document
+    * frequency is a partial-agg `groupBy(h).count` over it (skew-free
+    * — a hot template gram contributes one count per partition, never
+    * all its rows to one task), and the df ≥ minDf survivor set (small
+    * by construction over a heavy-tailed gram distribution, like
+    * [[frequentNgrams]]'s broadcast) probes the same frame back as a
+    * broadcast hash join inside its stage. Per-doc removal positions
+    * then collapse in one doc-keyed shuffle (bounded by the doc's own
+    * window count); the rebuild is a row-local array filter —
+    * overlapping windows union naturally because coverage is tested
+    * per POSITION, not per window. Only 8-byte hashes and int
+    * positions shuffle, never gram strings; the corpus is scanned
+    * twice (gram pass + rebuild pass), nothing else is corpus-sized.
     * Gram identity uses xxhash64 like the shingle family; counts (and
     * with astronomically small probability, output text) differ from
     * the string-gram oracle only under 64-bit collisions.
@@ -227,18 +232,32 @@ object TextAnalysis {
   def scrubCommonSpans(docs: DataFrame, n: Int = 3, minDf: Int = 3): DataFrame = {
     val base = docs.select(col("doc_id"),
       split(trim(col("text")), "\\s+").as("toks"))
-    val grams = base.select(col("doc_id"), explode(expr(
+    // The explicit isnotnull mirrors what the final left join infers on
+    // the probe branch ANYWAY (null doc_ids can't match) — stating it
+    // here puts the same filter in BOTH consumers' subtrees, which the
+    // exchange-reuse equality below needs.
+    val grams = base.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(expr(
         s"""transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)),
            |  (x, ix) -> struct(ix AS st,
            |    xxhash64(array_join(slice(toks, ix + 1, $n), ' ')) AS h))"""
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.st").as("st"), col("g.h").as("h"))
-    val starts = grams
+    val byDoc = grams
       .groupBy(col("h"), col("doc_id"))
       .agg(collect_list(col("st")).as("sts"))
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("df") >= minDf)
+    // The count's when-guard (vacuously true: sizes are non-negative)
+    // is deliberate plan steering: it keeps `sts` referenced in a form
+    // the optimizer can neither rewrite to count(1) (the when is
+    // nullable) nor constant-fold, so the column pruner cannot
+    // specialize this branch's copy of the (h, doc) aggregate into a
+    // slim distinct. With both consumers' subtrees identical, AQE
+    // reuses ONE gram exchange instead of scanning + exploding the
+    // corpus twice (guarded in PlanGuardSpec).
+    val common = byDoc.groupBy("h")
+      .agg(count(when(size(col("sts")) >= 0, true)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    val starts = byDoc.join(broadcast(common), Seq("h"))
       .groupBy("doc_id")
       .agg(flatten(collect_list(col("sts"))).as("starts"))
     base.join(starts, Seq("doc_id"), "left")

@@ -115,12 +115,19 @@ object Vocab {
         val mapped = prev.map { case (toks, cnt) =>
           (mergeOnce(toks.toIndexedSeq, l, r): Seq[String], cnt)
         }
-        // A checkpoint IS the materialization (eager, own storage) —
-        // caching the frame it replaces would leave a cacheManager
-        // entry nothing ever unpersists.
+        // Checkpoint rounds: cache the frame FOR the checkpoint (a
+        // reliable checkpoint() runs an eager count AND a write job —
+        // uncached, the merge map would execute twice), then drop that
+        // cache immediately — the returned Dataset reads checkpoint
+        // storage, and holding the entry would leak one vocab-frame
+        // copy per checkpoint.
         words =
-          if ((merges.length % 6) == 0) Checkpoints.truncate(mapped, reliable)
-          else mapped.cache()
+          if ((merges.length % 6) == 0) {
+            val c = mapped.cache()
+            val t = Checkpoints.truncate(c, reliable)
+            c.unpersist(false)
+            t
+          } else mapped.cache()
         toFree = Some(prev)
       }
     }

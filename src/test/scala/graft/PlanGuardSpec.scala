@@ -111,6 +111,21 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("MapPartitions".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
 
+  test("cross_span_scrub runs the gram pass once (reused exchange, broadcast survivors)") {
+    // Both consumers of the per-(gram, doc) frame — the skew-free df
+    // aggregate and the survivor probe — must share one (h, doc)
+    // exchange at runtime, so the gram explode executes exactly once;
+    // the df ≥ minDf survivor set must come back as a broadcast, never
+    // a shuffled join of the gram volume.
+    val df = SparkEntry.queries("cross_span_scrub")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert("Generate explode".r.findAllIn(finalPlan).length == 1, finalPlan)
+  }
+
   test("sessionize_batch plans exactly one pre-output exchange") {
     val p = plan("sessionize_batch")
     // One Exchange for the key windows + aggregate, one for the final
