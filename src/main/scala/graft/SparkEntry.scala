@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.agg.{Analytics, Behavior, Profile, Stats}
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality, Skew}
-import graft.ext.{Contamination, Dedup, Multimodal, Relations, Retrieval, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.ext.{Contamination, Dedup, Multimodal, Quantization, Relations, Retrieval, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.operators.Temporal
 import graft.sources.Tables
 
@@ -1031,6 +1031,19 @@ object SparkEntry {
     // IVF variant: coarse quantizer + 2 probed inverted lists.
     "ann_topk_ivf" -> ((s, dir) => Similarity.annTopKIvf(
       T(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    // Product-quantization ADC ranking: train 4×16 L2 codebooks (3
+    // Lloyd rounds), encode the corpus to 4 codes/vector, rank by
+    // asymmetric codebook lookups — the memory side of the ANN stack.
+    // Rows-only (iterative training + approximate ranking have no ANSI
+    // twin); QuantizationSpec pins codec exactness, ADC arithmetic,
+    // convergence, determinism, and cluster recall.
+    "pq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Quantization.pqTopK(emb,
+        Quantization.pqTrain(emb, m = 4, k = 16, iters = 3), queryId = 0L,
+        k = 10)
+    }),
 
     // IVF over the PERSISTED index (cell = partition key): the scan reads
     // ONLY the probed cells' files (static partition pruning — the
