@@ -1045,6 +1045,16 @@ object SparkEntry {
         k = 10)
     }),
 
+    // IVF × PQ: probe 2 coarse cells, ADC-score only their members —
+    // the memory-and-pruning composition a 100 TB vector index runs
+    // (cells partition-prune the scan, codes replace raw vectors).
+    "pq_topk_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Quantization.pqTopKIvf(emb,
+        Quantization.pqTrain(emb, m = 4, k = 16, iters = 3), queryId = 0L,
+        k = 10)
+    }),
+
     // IVF over the PERSISTED index (cell = partition key): the scan reads
     // ONLY the probed cells' files (static partition pruning — the
     // repeated-query cost model at 100 TB), and returns exactly

@@ -127,4 +127,42 @@ object Quantization {
       .orderBy(col("adc_ip").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** The production pairing: the IVF coarse quantizer prunes WHICH
+    * vectors are scored (only the query's `nprobe` nearest cells — at
+    * scale, partition-pruned files, as in the persisted IVF index) and
+    * PQ shrinks WHAT is scored (m codes per vector instead of raw
+    * floats). Same contract as [[Similarity.annTopKIvf]], with the
+    * scoring side swapped from raw-vector dots to ADC lookups — the
+    * scored candidate set never touches a raw corpus vector.
+    */
+  def pqTopKIvf(emb: DataFrame, books: Seq[Seq[Seq[Float]]], queryId: Long,
+                k: Int, dim: Int = 64, nlist: Int = 16,
+                nprobe: Int = 2): DataFrame = {
+    val m = books.length
+    val dsub = dim / m
+    val cs = Similarity.centroids(nlist, dim, 7L)
+    val listed = emb.select(col("vec_id"), col("label"),
+      Similarity.cellFor(col("embedding"), cs).as("cell"),
+      array((0 until m).map(s =>
+        codeFor(subvec(col("embedding"), s, dsub), books(s))): _*).as("codes"))
+    val qScores = array(cs.map(c =>
+      vec_dot(col("embedding"), typedLit(c))): _*)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select((0 until m).map(s =>
+          subvec(col("embedding"), s, dsub).as(s"q$s")) :+
+        slice(reverse(array_sort(zip_with(qScores,
+          sequence(lit(0), lit(nlist - 1)),
+          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe)
+          .getField("i").as("probe_cells"): _*)
+    listed.join(broadcast(q),
+        array_contains(col("probe_cells"), col("cell")))
+      .select(col("vec_id"), col("label"),
+        round((0 until m).map(s =>
+            vec_dot(col(s"q$s"),
+              element_at(typedLit(books(s)), col("codes").getItem(s) + 1)))
+          .reduce(_ + _), 4).as("adc_ip"))
+      .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -105,6 +105,23 @@ class QuantizationSpec extends AnyFunSuite {
       s"ADC returned out-of-cluster ids: ${adc.filterNot(_ % 4 == 0).toSeq}")
   }
 
+  test("pqTopKIvf prunes to probed cells without losing the query's cluster") {
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
+      dim = 8, seed = 11L)
+    val hits = Quantization.pqTopKIvf(clustered, trained, queryId = 0L,
+        k = 10, dim = 8, nlist = 8, nprobe = 3)
+      .collect().map(_.getLong(0))
+    assert(hits.length == 10, s"got ${hits.length} rows")
+    assert(hits.forall(_ % 4 == 0),
+      s"out-of-cluster ids: ${hits.filterNot(_ % 4 == 0).toSeq}")
+    // Consistency with the unpruned ADC ranker: the IVF-probed result
+    // must be drawn from the full ADC ranking's candidate order (the
+    // probe can only REMOVE candidates, never invent scores).
+    val full = Quantization.pqTopK(clustered, trained, queryId = 0L,
+        k = 50, dim = 8).collect().map(_.getLong(0)).toSet
+    assert(hits.forall(full.contains))
+  }
+
   test("pqTrain is deterministic") {
     val a = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 2,
       dim = 8, seed = 11L)
