@@ -34,15 +34,50 @@ object Quantization {
   private def subvec(embedding: Column, s: Int, dsub: Int): Column =
     slice(embedding, s * dsub + 1, dsub)
 
+  /** Every PQ entry point shares this guard: a non-dividing m would
+    * silently slice past-the-end dims out of every code and score.
+    */
+  private def dsubFor(m: Int, dim: Int): Int = {
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim=$dim must split into m=$m equal subspaces")
+    dsub
+  }
+
   private def extendBook(book: Seq[Seq[Float]]): Seq[Seq[Float]] =
     book.map(c => c :+ (-0.5 * c.map(x => x.toDouble * x).sum).toFloat)
 
   /** Nearest codeword by L2 distance, via the shared dot-argmax kernel
     * and the extended-coordinate reduction (first-best tie-break, like
-    * every quantizer here).
+    * every quantizer here). One precision caveat: the −‖c‖²/2 term is
+    * stored as a FLOAT alongside the codeword, so two codewords whose
+    * squared distances differ by less than a float ulp (~6e-8 near
+    * unit norm — e.g. a collapsed cluster split across two codes) can
+    * assign to either; deterministic, but "nearest" is exact only up
+    * to that rounding.
     */
   private[ext] def codeFor(v: Column, book: Seq[Seq[Float]]): Column =
     Similarity.cellFor(concat(v, array(lit(1.0f))), extendBook(book))
+
+  /** The m-code array for an embedding — shared by [[pqEncode]] and
+    * the IVF×PQ composition so the codec has one definition.
+    */
+  private def codesCol(books: Seq[Seq[Seq[Float]]], dim: Int): Column = {
+    val dsub = dsubFor(books.length, dim)
+    array(books.indices.map(s =>
+      codeFor(subvec(col("embedding"), s, dsub), books(s))): _*)
+  }
+
+  /** The query-side subvector projections (q0..q{m-1}) and the ADC
+    * score that consumes them — one definition for both rankers.
+    */
+  private def querySubs(m: Int, dsub: Int): Seq[Column] =
+    (0 until m).map(s => subvec(col("embedding"), s, dsub).as(s"q$s"))
+
+  private def adcScore(books: Seq[Seq[Seq[Float]]]): Column =
+    round(books.indices.map(s =>
+        vec_dot(col(s"q$s"),
+          element_at(typedLit(books(s)), col("codes").getItem(s) + 1)))
+      .reduce(_ + _), 4)
 
   /** Train per-subspace L2 codebooks (m × k × dim/m), Lloyd iterations
     * with deterministic seeded init and keep-old-on-empty like
@@ -51,8 +86,7 @@ object Quantization {
     */
   def pqTrain(emb: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 4,
               dim: Int = 64, seed: Long = 11L): Seq[Seq[Seq[Float]]] = {
-    val dsub = dim / m
-    require(m * dsub == dim, s"dim=$dim must split into m=$m subspaces")
+    val dsub = dsubFor(m, dim)
     var books: Seq[Seq[Seq[Float]]] =
       (0 until m).map(s => Similarity.centroids(k, dsub, seed + s))
     for (_ <- 0 until iters) {
@@ -86,13 +120,9 @@ object Quantization {
     * PQ index stores (row-local; the codebook rides in the expression).
     */
   def pqEncode(emb: DataFrame, books: Seq[Seq[Seq[Float]]],
-               dim: Int = 64): DataFrame = {
-    val m = books.length
-    val dsub = dim / m
+               dim: Int = 64): DataFrame =
     emb.select(col("vec_id"), col("label"),
-      array((0 until m).map(s =>
-        codeFor(subvec(col("embedding"), s, dsub), books(s))): _*).as("codes"))
-  }
+      codesCol(books, dim).as("codes"))
 
   /** The PQ reconstruction x̂ (concatenated codewords) — the decode side
     * of the codec, used by the MSE convergence spec and recall drills.
@@ -108,22 +138,18 @@ object Quantization {
     * against broadcast literals — no raw corpus vectors are read past
     * the (pre-computable) encode step. Output is the approximate
     * inner-product ranking; recall vs the exact ranker is pinned in
-    * QuantizationSpec and measured at scale in the drill.
+    * QuantizationSpec. Like [[Similarity.annTopKIndexed]] (and unlike
+    * [[Similarity.cosineTopK]]), a stored vector querying for itself
+    * appears in its own results — filter `vec_id` if self-hits are
+    * unwanted.
     */
   def pqTopK(emb: DataFrame, books: Seq[Seq[Seq[Float]]], queryId: Long,
              k: Int, dim: Int = 64): DataFrame = {
-    val m = books.length
-    val dsub = dim / m
-    val codes = pqEncode(emb, books, dim)
+    val dsub = dsubFor(books.length, dim)
     val q = emb.filter(col("vec_id") === queryId)
-      .select((0 until m).map(s =>
-        subvec(col("embedding"), s, dsub).as(s"q$s")): _*)
-    codes.crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        round((0 until m).map(s =>
-            vec_dot(col(s"q$s"),
-              element_at(typedLit(books(s)), col("codes").getItem(s) + 1)))
-          .reduce(_ + _), 4).as("adc_ip"))
+      .select(querySubs(books.length, dsub): _*)
+    pqEncode(emb, books, dim).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), adcScore(books).as("adc_ip"))
       .orderBy(col("adc_ip").desc, col("vec_id"))
       .limit(k)
   }
@@ -132,36 +158,26 @@ object Quantization {
     * vectors are scored (only the query's `nprobe` nearest cells — at
     * scale, partition-pruned files, as in the persisted IVF index) and
     * PQ shrinks WHAT is scored (m codes per vector instead of raw
-    * floats). Same contract as [[Similarity.annTopKIvf]], with the
-    * scoring side swapped from raw-vector dots to ADC lookups — the
-    * scored candidate set never touches a raw corpus vector.
+    * floats). Same contract as [[Similarity.annTopKIvf]] (probe
+    * selection is the SHARED [[Similarity.probeCellsExpr]], so the two
+    * rankers cannot drift), with the scoring side swapped from
+    * raw-vector dots to ADC lookups — the scored candidate set never
+    * touches a raw corpus vector. Self-hit contract as [[pqTopK]].
     */
   def pqTopKIvf(emb: DataFrame, books: Seq[Seq[Seq[Float]]], queryId: Long,
                 k: Int, dim: Int = 64, nlist: Int = 16,
                 nprobe: Int = 2): DataFrame = {
-    val m = books.length
-    val dsub = dim / m
+    val dsub = dsubFor(books.length, dim)
     val cs = Similarity.centroids(nlist, dim, 7L)
     val listed = emb.select(col("vec_id"), col("label"),
       Similarity.cellFor(col("embedding"), cs).as("cell"),
-      array((0 until m).map(s =>
-        codeFor(subvec(col("embedding"), s, dsub), books(s))): _*).as("codes"))
-    val qScores = array(cs.map(c =>
-      vec_dot(col("embedding"), typedLit(c))): _*)
+      codesCol(books, dim).as("codes"))
     val q = emb.filter(col("vec_id") === queryId)
-      .select((0 until m).map(s =>
-          subvec(col("embedding"), s, dsub).as(s"q$s")) :+
-        slice(reverse(array_sort(zip_with(qScores,
-          sequence(lit(0), lit(nlist - 1)),
-          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe)
-          .getField("i").as("probe_cells"): _*)
+      .select(querySubs(books.length, dsub) :+
+        Similarity.probeCellsExpr(cs, nprobe).as("probe_cells"): _*)
     listed.join(broadcast(q),
         array_contains(col("probe_cells"), col("cell")))
-      .select(col("vec_id"), col("label"),
-        round((0 until m).map(s =>
-            vec_dot(col(s"q$s"),
-              element_at(typedLit(books(s)), col("codes").getItem(s) + 1)))
-          .reduce(_ + _), 4).as("adc_ip"))
+      .select(col("vec_id"), col("label"), adcScore(books).as("adc_ip"))
       .orderBy(col("adc_ip").desc, col("vec_id"))
       .limit(k)
   }

@@ -152,6 +152,22 @@ object Similarity {
     * recall/latency trade — lists follow the data distribution where LSH
     * cuts blindly. At scale the cell id is the partition/bucket key.
     */
+  /** In-frame probe-cell expression over an `embedding` column: the
+    * `nprobe` best-scoring cells, score desc with ties toward the
+    * LOWEST index — the same tie order as [[cellFor]]'s first-max
+    * assignment, so a query tying across many cells still probes the
+    * cell it (and its exact duplicates) were ASSIGNED to. Shared by
+    * [[annTopKIvf]] and the IVF×PQ composition; [[probeCells]] is its
+    * driver-side twin and must keep the identical order.
+    */
+  private[ext] def probeCellsExpr(cs: Seq[Seq[Float]], nprobe: Int): Column = {
+    val qScores = array(cs.map(c => vec_dot(col("embedding"), typedLit(c))): _*)
+    slice(reverse(array_sort(zip_with(qScores,
+      sequence(lit(0), lit(cs.length - 1)),
+      (s, i) => struct(s.as("s"), (i * lit(-1)).as("ni"), i.as("i"))))),
+      1, nprobe).getField("i")
+  }
+
   def annTopKIvf(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
                  dim: Int = 64, nprobe: Int = 2): DataFrame = {
     val cs = centroids(nlist, dim, 7L)
@@ -159,14 +175,10 @@ object Similarity {
       ivfCell(col("embedding"), nlist, dim).as("cell"),
       vec_norm(col("embedding")).as("nrm"))
     // The query's nprobe best cells, as a broadcast single-row frame.
-    val qScores = array(cs.map(c => vec_dot(col("embedding"), typedLit(c))): _*)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"),
         vec_norm(col("embedding")).as("q_norm"),
-        slice(reverse(array_sort(zip_with(qScores,
-          sequence(lit(0), lit(nlist - 1)),
-          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe)
-          .getField("i").as("probe_cells"))
+        probeCellsExpr(cs, nprobe).as("probe_cells"))
     listed.join(broadcast(q), array_contains(col("probe_cells"), col("cell")))
       .select(col("vec_id"), col("label"),
         round(vec_dot(col("embedding"), col("q_embedding")) /
@@ -286,8 +298,10 @@ object Similarity {
   /** The query's `nprobe` best cells, computed driver-side against the
     * same centroids with the same double fold order as
     * [[graft.functions.FloatVecDot]] (left-to-right, per-term toDouble),
-    * and [[annTopKIvf]]'s tie order (score desc, then cell index desc) —
-    * identical scores, identical probe set.
+    * and [[probeCellsExpr]]'s tie order (score desc, ties toward the
+    * LOWEST cell index — [[cellFor]]'s assignment order, so a tied
+    * query always probes its own cell) — identical scores, identical
+    * probe set.
     */
   def probeCells(queryVec: Array[Float], nlist: Int = 16, dim: Int = 64,
                  nprobe: Int = 2): Seq[Int] =
@@ -297,7 +311,8 @@ object Similarity {
       var j = 0
       while (j < n) { s += queryVec(j).toDouble * c(j).toDouble; j += 1 }
       (s, i)
-    }.sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+    }.sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+        Ordering.Int.reverse))
       .reverse.take(nprobe).map(_._2)
 
   /** ANN top-k over the PERSISTED index: the scan carries a static
