@@ -1055,6 +1055,20 @@ object SparkEntry {
         k = 10)
     }),
 
+    // The PERSISTED form: codes at rest partitioned by cell (no raw
+    // embeddings in the index), driver-side ADC lookup tables, static
+    // cell pruning. Builds once per corpus dir (source-stamped), reused
+    // by every later query; rows == pq_topk_ivf's by construction.
+    "pq_topk_indexed" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = Quantization.pqIndexPathFor(dir)
+      Quantization.ensurePqIndex(s, emb, idx,
+        sourcePath = Some(s"$dir/embeddings.parquet"))
+      val qVec = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      Quantization.pqTopKIndexed(s, idx, qVec, k = 10)
+    }),
+
     // IVF over the PERSISTED index (cell = partition key): the scan reads
     // ONLY the probed cells' files (static partition pruning — the
     // repeated-query cost model at 100 TB), and returns exactly

@@ -181,4 +181,111 @@ object Quantization {
       .orderBy(col("adc_ip").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted PQ index — codes at rest instead of raw vectors: the
+  // repeated-query form of [[pqTopKIvf]], and the full 100-TB story:
+  // cell partitions prune WHICH files are read, and those files hold m
+  // small ints per vector instead of dim floats (16× less at rest for
+  // m=4 × 64 float dims before bit-packing).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic index directory for a testdata dir (tmpdir-scoped),
+    * its own `graft-pq1-` family like the BM25/IVF indexes.
+    */
+  def pqIndexPathFor(sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-pq1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  /** Materialize the PQ index: (vec_id, label, codes) PARTITIONED BY
+    * the IVF cell — no raw embeddings at rest. The codebook rides in an
+    * underscore-prefixed `_books` side table (invisible to the parquet
+    * reader of the rows, like `_SUCCESS`/`_source_stamp`) and is
+    * written LAST: its `_SUCCESS` is the index's freshness marker, so a
+    * crash between the rows write and the books write leaves no marker
+    * and the next ensure re-runs the build. Lifecycle scope: build +
+    * stale detection. Appends would follow [[Similarity.appendIvfIndex]]'s
+    * ingest-partition pattern verbatim (code rows are independent given
+    * a FROZEN codebook); retraining the codebook is a rebuild by
+    * definition — codes are meaningless across codebooks.
+    */
+  def buildPqIndex(emb: DataFrame, path: String,
+                   books: Seq[Seq[Seq[Float]]], dim: Int = 64,
+                   nlist: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cs = Similarity.centroids(nlist, dim, 7L)
+    emb.select(col("vec_id"), col("label"),
+        codesCol(books, dim).as("codes"),
+        Similarity.cellFor(col("embedding"), cs).as("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(path)
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, code) => (s, code, c) }
+    }.toDF("sub", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path + "/_books")
+  }
+
+  /** Read the codebook back in (sub, code) order — the k·dim floats a
+    * query needs on the driver to build its ADC tables.
+    */
+  def loadBooks(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[Seq[Seq[Float]]] = {
+    val rows = spark.read.parquet(path + "/_books").collect()
+    val byS = rows.groupBy(_.getInt(0))
+    (0 until byS.size).map { s =>
+      byS(s).sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
+    }
+  }
+
+  /** Build the index only when absent or source-STALE — the
+    * [[graft.ext.IndexStamp]] contract the BM25/IVF ensures share.
+    */
+  def ensurePqIndex(spark: org.apache.spark.sql.SparkSession,
+                    emb: => DataFrame, path: String, m: Int = 4,
+                    k: Int = 16, iters: Int = 3, dim: Int = 64,
+                    nlist: Int = 16,
+                    sourcePath: Option[String] = None): Unit =
+    IndexStamp.ensureFresh(spark, s"$path/_books/_SUCCESS", path,
+      sourcePath) {
+      buildPqIndex(emb, path, pqTrain(emb, m, k, iters, dim), dim, nlist)
+    }
+
+  /** ADC top-k over the PERSISTED index: the scan carries a static
+    * `cell IN (probed…)` partition filter (only the probed cells' files
+    * are read — PlanGuardSpec asserts it) and the per-subspace lookup
+    * tables qᵀ·book are precomputed ON THE DRIVER (m·k doubles), so the
+    * executors do nothing but table lookups and a sum per candidate —
+    * textbook ADC. The driver dot uses [[graft.functions.FloatVecDot]]'s
+    * left-to-right double fold, so scores — and therefore rows — are
+    * EXACTLY [[pqTopKIvf]]'s (QuantizationSpec pins the equality).
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, queryVec: Array[Float], k: Int,
+                    dim: Int = 64, nlist: Int = 16,
+                    nprobe: Int = 2): DataFrame = {
+    val books = loadBooks(spark, indexPath)
+    val dsub = dsubFor(books.length, dim)
+    val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
+      book.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          acc += queryVec(s * dsub + i).toDouble * c(i).toDouble
+          i += 1
+        }
+        acc
+      }.toSeq
+    }
+    val cells = Similarity.probeCells(queryVec, nlist, dim, nprobe)
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("label"),
+        round(tables.zipWithIndex.map { case (t, s) =>
+            element_at(typedLit(t), col("codes").getItem(s) + 1) }
+          .reduce(_ + _), 4).as("adc_ip"))
+      .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -122,6 +122,30 @@ class QuantizationSpec extends AnyFunSuite {
     assert(hits.forall(full.contains))
   }
 
+  test("persisted PQ index: pruned driver-table ADC equals the in-frame ranker") {
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
+      dim = 8, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec")
+      .toString + "/idx"
+    Quantization.buildPqIndex(clustered, dir, trained, dim = 8, nlist = 8)
+    // The codebook round-trips the side table exactly.
+    assert(Quantization.loadBooks(spark, dir) == trained)
+    val qVec = clustered.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val indexed = Quantization.pqTopKIndexed(spark, dir, qVec, k = 10,
+      dim = 8, nlist = 8, nprobe = 3)
+    val inframe = Quantization.pqTopKIvf(clustered, trained, queryId = 0L,
+      k = 10, dim = 8, nlist = 8, nprobe = 3)
+    assert(indexed.collect().toSeq.nonEmpty &&
+      indexed.collect().toSeq == inframe.collect().toSeq)
+    // Static cell pruning, and NO raw embedding column anywhere in the
+    // indexed plan — the index stores codes only.
+    val p = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("embedding"), p)
+  }
+
   test("pqTrain is deterministic") {
     val a = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 2,
       dim = 8, seed = 11L)
