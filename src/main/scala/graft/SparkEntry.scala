@@ -1058,11 +1058,13 @@ object SparkEntry {
     // The PERSISTED form: codes at rest partitioned by cell (no raw
     // embeddings in the index), driver-side ADC lookup tables, static
     // cell pruning. Builds once per corpus dir (source-stamped), reused
-    // by every later query; rows == pq_topk_ivf's by construction.
+    // by every later query. Training params are the SAME literals as
+    // pq_topk_ivf's, and QuantizationSpec pins the two registered
+    // queries row-equal — the equality is tested, not assumed.
     "pq_topk_indexed" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val idx = Quantization.pqIndexPathFor(dir)
-      Quantization.ensurePqIndex(s, emb, idx,
+      Quantization.ensurePqIndex(s, emb, idx, m = 4, k = 16, iters = 3,
         sourcePath = Some(s"$dir/embeddings.parquet"))
       val qVec = emb.filter(col("vec_id") === 0L)
         .select("embedding").head.getSeq[Float](0).toArray

@@ -191,11 +191,14 @@ object Quantization {
   // ---------------------------------------------------------------------
 
   /** Deterministic index directory for a testdata dir (tmpdir-scoped),
-    * its own `graft-pq1-` family like the BM25/IVF indexes.
+    * its own family like the BM25/IVF indexes. pq2: `_books` carries
+    * the (dim, nlist) build parameters — a new directory family so a
+    * pq1-layout books table can't be served to a reader expecting the
+    * meta columns (the same versioning discipline as `graft-ivf2-`).
     */
   def pqIndexPathFor(sfDir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-pq1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      "graft-pq2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
   /** Materialize the PQ index: (vec_id, label, codes) PARTITIONED BY
     * the IVF cell — no raw embeddings at rest. The codebook rides in an
@@ -221,9 +224,13 @@ object Quantization {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(path)
+    // The build parameters ride WITH the codebook (constant columns) so
+    // queries derive dim/nlist from the index instead of trusting the
+    // caller to repeat the build's arguments — a dim or nlist mismatch
+    // would silently truncate ADC tables / probe alien cell ids.
     books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (c, code) => (s, code, c) }
-    }.toDF("sub", "code", "centroid").coalesce(1)
+      book.zipWithIndex.map { case (c, code) => (s, code, c, dim, nlist) }
+    }.toDF("sub", "code", "centroid", "dim", "nlist").coalesce(1)
       .write.mode("overwrite").parquet(path + "/_books")
   }
 
@@ -231,12 +238,18 @@ object Quantization {
     * query needs on the driver to build its ADC tables.
     */
   def loadBooks(spark: org.apache.spark.sql.SparkSession,
-                path: String): Seq[Seq[Seq[Float]]] = {
+                path: String): Seq[Seq[Seq[Float]]] =
+    loadBooksMeta(spark, path)._1
+
+  /** The codebook plus the (dim, nlist) the index was BUILT with. */
+  def loadBooksMeta(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Seq[Seq[Seq[Float]]], Int, Int) = {
     val rows = spark.read.parquet(path + "/_books").collect()
     val byS = rows.groupBy(_.getInt(0))
-    (0 until byS.size).map { s =>
+    val books = (0 until byS.size).map { s =>
       byS(s).sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
     }
+    (books, rows.head.getInt(3), rows.head.getInt(4))
   }
 
   /** Build the index only when absent or source-STALE — the
@@ -254,29 +267,26 @@ object Quantization {
 
   /** ADC top-k over the PERSISTED index: the scan carries a static
     * `cell IN (probed…)` partition filter (only the probed cells' files
-    * are read — PlanGuardSpec asserts it) and the per-subspace lookup
-    * tables qᵀ·book are precomputed ON THE DRIVER (m·k doubles), so the
-    * executors do nothing but table lookups and a sum per candidate —
-    * textbook ADC. The driver dot uses [[graft.functions.FloatVecDot]]'s
-    * left-to-right double fold, so scores — and therefore rows — are
-    * EXACTLY [[pqTopKIvf]]'s (QuantizationSpec pins the equality).
+    * are read — QuantizationSpec asserts it on the formatted plan) and
+    * the per-subspace lookup tables qᵀ·book are precomputed ON THE
+    * DRIVER (m·k doubles), so the executors do nothing but table
+    * lookups and a sum per candidate — textbook ADC. The driver dot is
+    * the shared [[Similarity.driverDot]] fold (bit-identical to
+    * [[graft.functions.FloatVecDot]]), so scores — and therefore
+    * rows — are EXACTLY [[pqTopKIvf]]'s (QuantizationSpec pins the
+    * equality). `dim` and `nlist` come FROM the index (stored with the
+    * codebook at build time), never from the caller — a repeated-wrong
+    * argument cannot silently truncate tables or probe alien cells.
     */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, queryVec: Array[Float], k: Int,
-                    dim: Int = 64, nlist: Int = 16,
                     nprobe: Int = 2): DataFrame = {
-    val books = loadBooks(spark, indexPath)
+    val (books, dim, nlist) = loadBooksMeta(spark, indexPath)
+    require(queryVec.length == dim,
+      s"query has ${queryVec.length} dims, index built with $dim")
     val dsub = dsubFor(books.length, dim)
     val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
-      book.map { c =>
-        var acc = 0.0
-        var i = 0
-        while (i < dsub) {
-          acc += queryVec(s * dsub + i).toDouble * c(i).toDouble
-          i += 1
-        }
-        acc
-      }.toSeq
+      book.map(c => Similarity.driverDot(queryVec, c, s * dsub)).toSeq
     }
     val cells = Similarity.probeCells(queryVec, nlist, dim, nprobe)
     spark.read.parquet(indexPath)

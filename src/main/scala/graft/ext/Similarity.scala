@@ -306,14 +306,25 @@ object Similarity {
   def probeCells(queryVec: Array[Float], nlist: Int = 16, dim: Int = 64,
                  nprobe: Int = 2): Seq[Int] =
     centroids(nlist, dim, 7L).zipWithIndex.map { case (c, i) =>
-      val n = math.min(c.length, queryVec.length)
-      var s = 0.0
-      var j = 0
-      while (j < n) { s += queryVec(j).toDouble * c(j).toDouble; j += 1 }
-      (s, i)
+      (driverDot(queryVec, c, 0), i)
     }.sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering,
         Ordering.Int.reverse))
       .reverse.take(nprobe).map(_._2)
+
+  /** The ONE driver-side float dot: left-to-right, per-term toDouble —
+    * [[graft.functions.FloatVecDot]]'s exact fold, which every
+    * driver-computed score (probe cells, PQ ADC tables) must reproduce
+    * bit-for-bit for the "driver twin == in-frame expression" equality
+    * contracts to hold. `offset` slices the query side (PQ subspaces).
+    */
+  private[ext] def driverDot(q: Array[Float], c: Seq[Float],
+                             offset: Int): Double = {
+    val n = math.min(c.length, q.length - offset)
+    var s = 0.0
+    var j = 0
+    while (j < n) { s += q(offset + j).toDouble * c(j).toDouble; j += 1 }
+    s
+  }
 
   /** ANN top-k over the PERSISTED index: the scan carries a static
     * `cell IN (probed…)` partition filter — only the probed cells' files

@@ -133,17 +133,27 @@ class QuantizationSpec extends AnyFunSuite {
     val qVec = clustered.filter(col("vec_id") === 0L)
       .select("embedding").head.getSeq[Float](0).toArray
     val indexed = Quantization.pqTopKIndexed(spark, dir, qVec, k = 10,
-      dim = 8, nlist = 8, nprobe = 3)
+      nprobe = 3)
     val inframe = Quantization.pqTopKIvf(clustered, trained, queryId = 0L,
       k = 10, dim = 8, nlist = 8, nprobe = 3)
-    assert(indexed.collect().toSeq.nonEmpty &&
-      indexed.collect().toSeq == inframe.collect().toSeq)
+    val rows = indexed.collect().toSeq
+    assert(rows.nonEmpty && rows == inframe.collect().toSeq)
     // Static cell pruning, and NO raw embedding column anywhere in the
     // indexed plan — the index stores codes only.
     val p = indexed.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("embedding"), p)
+  }
+
+  test("the registered pq_topk_indexed and pq_topk_ivf queries stay row-equal") {
+    // Guards the SparkEntry pairing itself (same training literals in
+    // two entries): a drift in either entry's params breaks this, not
+    // just a comment's claim.
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("pq_topk_ivf")(spark, dir).collect().toSeq
+    val b = SparkEntry.queries("pq_topk_indexed")(spark, dir).collect().toSeq
+    assert(a.nonEmpty && a == b)
   }
 
   test("pqTrain is deterministic") {
