@@ -191,14 +191,15 @@ object Quantization {
   // ---------------------------------------------------------------------
 
   /** Deterministic index directory for a testdata dir (tmpdir-scoped),
-    * its own family like the BM25/IVF indexes. pq2: `_books` carries
-    * the (dim, nlist) build parameters — a new directory family so a
-    * pq1-layout books table can't be served to a reader expecting the
-    * meta columns (the same versioning discipline as `graft-ivf2-`).
+    * its own family like the BM25/IVF indexes. Version history (the
+    * `graft-ivf2-` discipline — every layout change is a new directory
+    * family so an old layout can't be served to a new reader): pq2
+    * added (dim, nlist) meta columns to `_books`; pq3 added the
+    * `ingest` partition level above `cell` for idempotent appends.
     */
   def pqIndexPathFor(sfDir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-pq2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      "graft-pq3-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
   /** Materialize the PQ index: (vec_id, label, codes) PARTITIONED BY
     * the IVF cell — no raw embeddings at rest. The codebook rides in an
@@ -207,9 +208,10 @@ object Quantization {
     * written LAST: its `_SUCCESS` is the index's freshness marker, so a
     * crash between the rows write and the books write leaves no marker
     * and the next ensure re-runs the build. Lifecycle scope: build +
-    * stale detection. Appends would follow [[Similarity.appendIvfIndex]]'s
-    * ingest-partition pattern verbatim (code rows are independent given
-    * a FROZEN codebook); retraining the codebook is a rebuild by
+    * stale detection + incremental append + streaming twin, like the
+    * BM25/IVF indexes. Code rows are independent given a FROZEN
+    * codebook, so appends follow [[Similarity.appendIvfIndex]]'s
+    * ingest-partition pattern; RETRAINING the codebook is a rebuild by
     * definition — codes are meaningless across codebooks.
     */
   def buildPqIndex(emb: DataFrame, path: String,
@@ -217,13 +219,10 @@ object Quantization {
                    nlist: Int = 16): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cs = Similarity.centroids(nlist, dim, 7L)
-    emb.select(col("vec_id"), col("label"),
-        codesCol(books, dim).as("codes"),
-        Similarity.cellFor(col("embedding"), cs).as("cell"))
+    pqRowsFor(emb, books, dim, nlist).withColumn("ingest", lit(0L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(path)
+      .partitionBy("ingest", "cell").parquet(path)
     // The build parameters ride WITH the codebook (constant columns) so
     // queries derive dim/nlist from the index instead of trusting the
     // caller to repeat the build's arguments — a dim or nlist mismatch
@@ -232,6 +231,51 @@ object Quantization {
       book.zipWithIndex.map { case (c, code) => (s, code, c, dim, nlist) }
     }.toDF("sub", "code", "centroid", "dim", "nlist").coalesce(1)
       .write.mode("overwrite").parquet(path + "/_books")
+  }
+
+  /** Index rows for a vector batch — shared by the full build and the
+    * incremental append: codes and cell are pure functions of the
+    * embedding, the FROZEN codebook, and the seeded coarse centroids,
+    * so appended vectors get exactly the rows a rebuild (with the same
+    * codebook) would give them.
+    */
+  private def pqRowsFor(emb: DataFrame, books: Seq[Seq[Seq[Float]]],
+                        dim: Int, nlist: Int): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      codesCol(books, dim).as("codes"),
+      Similarity.cellFor(col("embedding"),
+        Similarity.centroids(nlist, dim, 7L)).as("cell"))
+
+  /** Incremental PQ maintenance: encode a batch of NEW vectors with the
+    * index's STORED codebook and land it as its own dynamically-
+    * overwritten `ingest=` partition — idempotent per `ingestId`, same
+    * replay/cold-start/single-writer contract as
+    * [[Similarity.appendIvfIndex]]. On a cold start the codebook is
+    * trained on the FIRST batch and frozen (`m`/`k`/`iters` apply only
+    * then); every later append encodes with the stored books, so an
+    * appended index equals a rebuild OVER THE SAME CODEBOOK exactly
+    * (QuantizationSpec). Retraining on the grown corpus is
+    * [[buildPqIndex]] — a rebuild, never an append.
+    */
+  def appendPqIndex(emb: DataFrame, path: String, m: Int = 4,
+                    k: Int = 16, iters: Int = 3, dim: Int = 64,
+                    nlist: Int = 16, ingestId: Long = -1L): Unit = {
+    val spark = emb.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_books/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val books = pqTrain(emb, m, k, iters, dim)
+      if (ingestId < 0) { buildPqIndex(emb, path, books, dim, nlist); return }
+      buildPqIndex(emb.limit(0), path, books, dim, nlist)
+    }
+    IndexStamp.invalidate(spark, path)
+    val (books, idxDim, idxNlist) = loadBooksMeta(spark, path)
+    val id = if (ingestId >= 0) ingestId else IndexStamp.nextIngestId(fs, dir)
+    pqRowsFor(emb, books, idxDim, idxNlist).withColumn("ingest", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest", "cell").parquet(path)
   }
 
   /** Read the codebook back in (sub, code) order — the k·dim floats a

@@ -320,6 +320,44 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming PQ ingest — [[annIndexStream]]'s twin for the CODES
+    * index: each micro-batch of embeddings is encoded with the index's
+    * frozen codebook and folded into the persisted PQ index
+    * ([[graft.ext.Quantization.appendPqIndex]]); the standing query
+    * re-ranks by driver-table ADC against the now-current index into
+    * `rankDir`. Cold-start semantics are the operator's: the codebook
+    * trains on the FIRST batch and freezes — after any stream prefix
+    * the snapshot equals `pqTopKIndexed` over a from-scratch index of
+    * the vectors so far built WITH THAT codebook (PipelineSpec).
+    * Replay safety as [[annIndexStream]] (per-batch ingest partitions,
+    * `batchId + 1`, dynamic overwrite, one writer per checkpoint
+    * lineage).
+    */
+  def pqIndexStream(emb: DataFrame, indexPath: String,
+                    qVec: Array[Float], k: Int,
+                    rankDir: String, checkpointDir: String,
+                    m: Int = 4, codebookK: Int = 16, iters: Int = 3,
+                    dim: Int = 64, nlist: Int = 16, nprobe: Int = 2,
+                    trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val once = batch.persist()
+          try {
+            graft.ext.Quantization.appendPqIndex(once, indexPath, m,
+              codebookK, iters, dim, nlist, ingestId = batchId + 1)
+            graft.ext.Quantization.pqTopKIndexed(once.sparkSession,
+                indexPath, qVec, k, nprobe)
+              .write.mode("overwrite").parquet(rankDir)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Incremental semantic dedup over a vector stream — the semantic
     * twin of [[dedupStream]]/[[dedupAgainstCorpus]], and SemDeDup's
     * production deployment shape: per micro-batch, screen incoming

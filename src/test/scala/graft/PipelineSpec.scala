@@ -301,6 +301,49 @@ class PipelineSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming PQ ingest+rank matches a frozen-codebook rebuild after each batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext.Quantization
+    val tmp = java.nio.file.Files
+      .createTempDirectory("pq-stream").toString
+    val (idx, rankDir, ckpt) = (s"$tmp/idx", s"$tmp/rank", s"$tmp/ckpt")
+    val qVec = Array(1f, 0f, 0f, 0f)
+    val source = MemoryStream[(Long, Int, Seq[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Int, Seq[Float])]],
+      spark.sqlContext)
+    val emb = source.toDF().toDF("vec_id", "label", "embedding")
+    val query = Pipeline.pqIndexStream(emb, idx, qVec, k = 5,
+      rankDir = rankDir, checkpointDir = ckpt, m = 2, codebookK = 4,
+      iters = 2, dim = 4, nlist = 4,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    def vec(i: Long) = Seq.tabulate(4)(j => math.sin(i.toDouble * 7 + j).toFloat)
+    val b1 = (0L until 10L).map(i => (i, (i % 3).toInt, vec(i)))
+    val b2 = (10L until 20L).map(i => (i, (i % 3).toInt, vec(i)))
+    // The stream's codebook trains on batch 1 and FREEZES — the
+    // comparator must rebuild with that codebook, not retrain.
+    lazy val frozen = Quantization.pqTrain(
+      b1.toDF("vec_id", "label", "embedding"), m = 2, k = 4, iters = 2,
+      dim = 4)
+    def fresh(rows: Seq[(Long, Int, Seq[Float])], tag: String) = {
+      val d = s"$tmp/fresh-$tag"
+      Quantization.buildPqIndex(rows.toDF("vec_id", "label", "embedding"),
+        d, frozen, dim = 4, nlist = 4)
+      Quantization.pqTopKIndexed(spark, d, qVec, k = 5, nprobe = 2)
+        .collect().toSeq
+    }
+    def snapshot() = spark.read.parquet(rankDir).collect().toSeq
+      .sortBy(_.toString)
+    try {
+      source.addData(b1: _*)
+      query.processAllAvailable()
+      assert(snapshot() === fresh(b1, "b1").sortBy(_.toString))
+      source.addData(b2: _*)
+      query.processAllAvailable()
+      assert(snapshot() === fresh(b1 ++ b2, "b12").sortBy(_.toString))
+    } finally query.stop()
+  }
+
   test("streaming semantic dedup admits novel vectors and flags cross-batch dups") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

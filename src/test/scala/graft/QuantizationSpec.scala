@@ -146,6 +146,28 @@ class QuantizationSpec extends AnyFunSuite {
     assert(!p.contains("embedding"), p)
   }
 
+  test("appendPqIndex equals a same-codebook rebuild, and replays change nothing") {
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
+      dim = 8, seed = 11L)
+    val half = clustered.filter(col("vec_id") < 100L)
+    val rest = clustered.filter(col("vec_id") >= 100L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-append")
+    val (full, inc) = (s"$tmp/full", s"$tmp/inc")
+    Quantization.buildPqIndex(clustered, full, trained, dim = 8, nlist = 8)
+    Quantization.buildPqIndex(half, inc, trained, dim = 8, nlist = 8)
+    Quantization.appendPqIndex(rest, inc)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "label", "codes", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(inc) == rows(full) && rows(full).nonEmpty)
+    // Same-id replay (at-least-once delivery) must be a no-op.
+    Quantization.appendPqIndex(rest, inc, ingestId = 1L)
+    Quantization.appendPqIndex(rest, inc, ingestId = 1L)
+    assert(rows(inc) == rows(full))
+    // Appends must not retrain: the stored codebook is untouched.
+    assert(Quantization.loadBooks(spark, inc) == trained)
+  }
+
   test("the registered pq_topk_indexed and pq_topk_ivf queries stay row-equal") {
     // Guards the SparkEntry pairing itself (same training literals in
     // two entries): a drift in either entry's params breaks this, not
