@@ -88,6 +88,36 @@ object IndexStamp {
     fs.exists(dir) &&
       Option(fs.globStatus(new Path(dir, "ingest=*"))).exists(_.nonEmpty)
 
+  /** Shared append skeleton for the partitioned index families (BM25 /
+    * IVF / PQ) — the cold-start probe, stamp invalidation, and
+    * ingest-id policy live in ONE place so a lifecycle fix cannot
+    * silently miss an index family (three hand-rolled copies predated
+    * this). Semantics: when `markerPath` is absent and the id is auto
+    * (batch callers), run `fullBuild` and STOP; when absent and the id
+    * is explicit (stream callers), run `coldInit` (the empty-base
+    * self-initialization that makes the batch land in its own
+    * replayable partition); then always drop the `_source_stamp` under
+    * `stampRoot` BEFORE `writeBatch(id)` mutates partitions (a crash
+    * mid-append must never leave a mutated index that still claims
+    * source freshness). `ingestDir` is the directory whose `ingest=`
+    * children define the id namespace for auto-assignment.
+    */
+  private[graft] def appendLifecycle(spark: SparkSession, stampRoot: String,
+      markerPath: String, ingestDir: String, ingestId: Long)
+      (fullBuild: => Unit)(coldInit: => Unit)
+      (writeBatch: Long => Unit): Unit = {
+    val marker = new Path(markerPath)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      if (ingestId < 0) { fullBuild; return }
+      coldInit
+    }
+    invalidate(spark, stampRoot)
+    val id = if (ingestId >= 0) ingestId
+      else nextIngestId(fs, new Path(ingestDir))
+    writeBatch(id)
+  }
+
   private def stampPath(indexPath: String) =
     new Path(indexPath, "_source_stamp")
 

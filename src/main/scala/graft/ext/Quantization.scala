@@ -240,11 +240,23 @@ object Quantization {
     * codebook) would give them.
     */
   private def pqRowsFor(emb: DataFrame, books: Seq[Seq[Seq[Float]]],
-                        dim: Int, nlist: Int): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-      codesCol(books, dim).as("codes"),
-      Similarity.cellFor(col("embedding"),
-        Similarity.centroids(nlist, dim, 7L)).as("cell"))
+                        dim: Int, nlist: Int): DataFrame = {
+    // Executor-side fail-fast on a dimension mismatch: slicing and the
+    // dot kernels silently operate on the common prefix, so a batch
+    // from a different embedding model would otherwise get garbage
+    // codes/cells with no error (the index's dim wins over any caller
+    // argument — this guard is what makes that safe).
+    val checked = when(size(col("embedding")) === dim, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"PQ index expects $dim-dim embeddings, got "),
+        size(col("embedding")).cast("string"),
+        lit(" (vec_id "), col("vec_id").cast("string"), lit(")"))))
+    emb.select(col("vec_id"), col("label"), checked.as("embedding"))
+      .select(col("vec_id"), col("label"),
+        codesCol(books, dim).as("codes"),
+        Similarity.cellFor(col("embedding"),
+          Similarity.centroids(nlist, dim, 7L)).as("cell"))
+  }
 
   /** Incremental PQ maintenance: encode a batch of NEW vectors with the
     * index's STORED codebook and land it as its own dynamically-
@@ -261,21 +273,34 @@ object Quantization {
                     k: Int = 16, iters: Int = 3, dim: Int = 64,
                     nlist: Int = 16, ingestId: Long = -1L): Unit = {
     val spark = emb.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val marker = new org.apache.hadoop.fs.Path(dir, "_books/_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      val books = pqTrain(emb, m, k, iters, dim)
-      if (ingestId < 0) { buildPqIndex(emb, path, books, dim, nlist); return }
-      buildPqIndex(emb.limit(0), path, books, dim, nlist)
+    // Set only by the cold branch, so the warm path reads the STORED
+    // codebook and the cold path doesn't re-read what it just wrote.
+    var justBuilt: Option[(Seq[Seq[Seq[Float]]], Int, Int)] = None
+    def trainCold(): Seq[Seq[Seq[Float]]] = {
+      // An empty cold-start batch would FREEZE a pure seeded-noise
+      // codebook (pqTrain's keep-old-on-empty) and silently wreck
+      // every later append's codes — fail loudly instead.
+      require(!emb.isEmpty,
+        "cold-start appendPqIndex on an empty batch would freeze an " +
+          "untrained (seeded-noise) codebook; append a non-empty first " +
+          "batch or buildPqIndex with an explicit codebook")
+      pqTrain(emb, m, k, iters, dim)
     }
-    IndexStamp.invalidate(spark, path)
-    val (books, idxDim, idxNlist) = loadBooksMeta(spark, path)
-    val id = if (ingestId >= 0) ingestId else IndexStamp.nextIngestId(fs, dir)
-    pqRowsFor(emb, books, idxDim, idxNlist).withColumn("ingest", lit(id))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest", "cell").parquet(path)
+    IndexStamp.appendLifecycle(spark, path, s"$path/_books/_SUCCESS",
+        path, ingestId) {
+      buildPqIndex(emb, path, trainCold(), dim, nlist)
+    } {
+      val books = trainCold()
+      buildPqIndex(emb.limit(0), path, books, dim, nlist)
+      justBuilt = Some((books, dim, nlist))
+    } { id =>
+      val (books, idxDim, idxNlist) =
+        justBuilt.getOrElse(loadBooksMeta(spark, path))
+      pqRowsFor(emb, books, idxDim, idxNlist).withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest", "cell").parquet(path)
+    }
   }
 
   /** Read the codebook back in (sub, code) order — the k·dim floats a
@@ -325,6 +350,15 @@ object Quantization {
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, queryVec: Array[Float], k: Int,
                     nprobe: Int = 2): DataFrame = {
+    // A committed empty base (cold-start crash window) has the _books
+    // marker but zero ingest= partitions — reading it as parquet fails
+    // schema inference. Gate on DATA, like the other index readers:
+    // no data means no corpus means an empty ranking.
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexStamp.hasIngestData(fs, dir))
+      return spark.range(0).select(col("id").as("vec_id"),
+        lit(0).as("label"), lit(0.0).as("adc_ip"))
     val (books, dim, nlist) = loadBooksMeta(spark, indexPath)
     require(queryVec.length == dim,
       s"query has ${queryVec.length} dims, index built with $dim")

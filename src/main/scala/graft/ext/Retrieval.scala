@@ -187,26 +187,23 @@ object Retrieval {
                       buckets: Int = Bm25Buckets,
                       ingestId: Long = -1L): Unit = {
     val spark = docs.sparkSession
-    val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val marker = new org.apache.hadoop.fs.Path(postingsDir, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      if (ingestId < 0) { buildBm25Index(docs, path, buckets); return }
+    IndexStamp.appendLifecycle(spark, path, s"$path/postings/_SUCCESS",
+        s"$path/postings", ingestId) {
+      buildBm25Index(docs, path, buckets)
+    } {
       buildBm25Index(docs.limit(0), path, buckets)
+    } { id =>
+      postingsFor(docs, buckets).withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest", "bucket")
+        .parquet(s"$path/postings")
+      statsFor(docs).withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest")
+        .parquet(s"$path/stats")
     }
-    IndexStamp.invalidate(spark, path)
-    val id = if (ingestId >= 0) ingestId
-      else IndexStamp.nextIngestId(fs, postingsDir)
-    postingsFor(docs, buckets).withColumn("ingest", lit(id))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest", "bucket")
-      .parquet(s"$path/postings")
-    statsFor(docs).withColumn("ingest", lit(id))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest")
-      .parquet(s"$path/stats")
   }
 
   /** Build the index only when absent (`_SUCCESS` marker) or STALE:
@@ -236,6 +233,14 @@ object Retrieval {
                   terms: Seq[String], k: Int = 10, k1: Double = 1.2,
                   b: Double = 0.75,
                   buckets: Int = Bm25Buckets): DataFrame = {
+    // Committed empty base with no appended data yet (cold-start crash
+    // window): gate on DATA like every index reader — empty corpus,
+    // empty ranking (reading zero-partition parquet fails inference).
+    val pDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = pDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexStamp.hasIngestData(fs, pDir))
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0L).as("n_terms"), lit(0.0).as("score"))
     val hs = terms.map(hashToken)
     val bkts = hs.map(h => ((h % buckets) + buckets) % buckets).distinct
     val post = spark.read.parquet(s"$path/postings")

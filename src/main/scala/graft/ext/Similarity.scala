@@ -250,22 +250,18 @@ object Similarity {
     * freshness.
     */
   def appendIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
-                     dim: Int = 64, ingestId: Long = -1L): Unit = {
-    val spark = emb.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      if (ingestId < 0) { buildIvfIndex(emb, path, nlist, dim); return }
+                     dim: Int = 64, ingestId: Long = -1L): Unit =
+    IndexStamp.appendLifecycle(emb.sparkSession, path, s"$path/_SUCCESS",
+        path, ingestId) {
+      buildIvfIndex(emb, path, nlist, dim)
+    } {
       buildIvfIndex(emb.limit(0), path, nlist, dim)
+    } { id =>
+      ivfRowsFor(emb, nlist, dim).withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest", "cell").parquet(path)
     }
-    IndexStamp.invalidate(spark, path)
-    val id = if (ingestId >= 0) ingestId else IndexStamp.nextIngestId(fs, dir)
-    ivfRowsFor(emb, nlist, dim).withColumn("ingest", lit(id))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest", "cell").parquet(path)
-  }
 
   /** Build the index only when absent (`_SUCCESS` marker) or STALE —
     * when `sourcePath` is given, the index stores an [[IndexStamp]]
@@ -340,6 +336,14 @@ object Similarity {
                      queryNorm: Double, k: Int,
                      nlist: Int = 16, dim: Int = 64,
                      nprobe: Int = 2): DataFrame = {
+    // Committed empty base with no appended data yet (cold-start crash
+    // window): gate on DATA like every index reader — empty corpus,
+    // empty ranking (reading zero-partition parquet fails inference).
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexStamp.hasIngestData(fs, dir))
+      return spark.range(0).select(col("id").as("vec_id"),
+        lit(0).as("label"), lit(0.0).as("cosine"))
     val cells = probeCells(queryVec, nlist, dim, nprobe)
     spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*))

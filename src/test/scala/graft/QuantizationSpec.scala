@@ -168,6 +168,37 @@ class QuantizationSpec extends AnyFunSuite {
     assert(Quantization.loadBooks(spark, inc) == trained)
   }
 
+  test("lifecycle guards: empty cold start refused, dim mismatch loud, empty base reads empty") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-guards")
+    // 1. A cold-start append on an empty batch must refuse rather than
+    //    freeze a seeded-noise codebook forever.
+    val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      .select(col("vec_id"), lit(0).as("label"), col("embedding"))
+    intercept[IllegalArgumentException] {
+      Quantization.appendPqIndex(none, s"$tmp/cold", ingestId = 1L)
+    }
+    // 2. The cold-start crash window (marker committed, zero ingest
+    //    data) reads as an EMPTY ranking, not a schema-inference crash.
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 2,
+      dim = 8, seed = 11L)
+    Quantization.buildPqIndex(
+      clustered.filter(col("vec_id") < 0L), s"$tmp/base", trained,
+      dim = 8, nlist = 8)
+    assert(Quantization.pqTopKIndexed(spark, s"$tmp/base",
+      Array.fill(8)(0f), k = 5).isEmpty)
+    // 3. A warm append from a different embedding model (wrong dim)
+    //    fails loudly instead of writing prefix-truncated codes.
+    Quantization.buildPqIndex(clustered, s"$tmp/warm", trained,
+      dim = 8, nlist = 8)
+    val bad = vecs((999L, Seq(1f, 2f)))
+    val thrown = intercept[Throwable] {
+      Quantization.appendPqIndex(bad, s"$tmp/warm", ingestId = 9L)
+    }
+    val msgs = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("PQ index expects 8-dim"), msgs)
+  }
+
   test("the registered pq_topk_indexed and pq_topk_ivf queries stay row-equal") {
     // Guards the SparkEntry pairing itself (same training literals in
     // two entries): a drift in either entry's params breaks this, not
