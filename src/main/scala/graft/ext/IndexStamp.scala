@@ -109,13 +109,41 @@ object IndexStamp {
     val marker = new Path(markerPath)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      if (ingestId < 0) { fullBuild; return }
+      if (ingestId < 0) {
+        // Invalidate BEFORE the full build too: a family whose build
+        // overwrites only subdirectories (BM25's postings/stats) would
+        // otherwise leave a pre-crash stamp claiming source freshness
+        // for an index now built from this batch alone.
+        invalidate(spark, stampRoot)
+        fullBuild
+        return
+      }
       coldInit
     }
     invalidate(spark, stampRoot)
     val id = if (ingestId >= 0) ingestId
       else nextIngestId(fs, new Path(ingestDir))
     writeBatch(id)
+  }
+
+  /** Reader-side gate for the top-k index readers. A MISSING index (no
+    * marker) fails loudly — a typo'd path or never-built index must
+    * never serve an empty ranking as if it were a real answer — while
+    * a committed empty base (marker present, zero `ingest=`
+    * partitions: the cold-start crash window) returns true so the
+    * reader yields its typed empty frame instead of failing parquet
+    * schema inference. (The semantic-dedup screen deliberately does
+    * NOT use this: for an incremental dedup, "no corpus yet" is a
+    * legitimate state whose answer is all-novel, marker or not.)
+    */
+  private[graft] def emptyCommittedIndex(spark: SparkSession,
+      markerPath: String, ingestDir: String): Boolean = {
+    val marker = new Path(markerPath)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"no index at $ingestDir ($markerPath missing) — build or ensure " +
+        "it first")
+    !hasIngestData(fs, new Path(ingestDir))
   }
 
   private def stampPath(indexPath: String) =

@@ -350,18 +350,19 @@ object Quantization {
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, queryVec: Array[Float], k: Int,
                     nprobe: Int = 2): DataFrame = {
-    // A committed empty base (cold-start crash window) has the _books
-    // marker but zero ingest= partitions — reading it as parquet fails
-    // schema inference. Gate on DATA, like the other index readers:
-    // no data means no corpus means an empty ranking.
-    val dir = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!IndexStamp.hasIngestData(fs, dir))
-      return spark.range(0).select(col("id").as("vec_id"),
-        lit(0).as("label"), lit(0.0).as("adc_ip"))
+    // A MISSING index fails loudly inside the gate; a committed empty
+    // base (cold-start crash window: _books marker, zero ingest=
+    // partitions) yields an empty ranking — but only AFTER the query
+    // vector is validated against the stored dim, so a wrong-model
+    // client fails immediately, not once the first batch lands.
+    val empty = IndexStamp.emptyCommittedIndex(spark,
+      s"$indexPath/_books/_SUCCESS", indexPath)
     val (books, dim, nlist) = loadBooksMeta(spark, indexPath)
     require(queryVec.length == dim,
       s"query has ${queryVec.length} dims, index built with $dim")
+    if (empty)
+      return spark.range(0).select(col("id").as("vec_id"),
+        lit(0).as("label"), lit(0.0).as("adc_ip"))
     val dsub = dsubFor(books.length, dim)
     val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
       book.map(c => Similarity.driverDot(queryVec, c, s * dsub)).toSeq

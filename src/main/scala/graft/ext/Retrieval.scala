@@ -233,12 +233,10 @@ object Retrieval {
                   terms: Seq[String], k: Int = 10, k1: Double = 1.2,
                   b: Double = 0.75,
                   buckets: Int = Bm25Buckets): DataFrame = {
-    // Committed empty base with no appended data yet (cold-start crash
-    // window): gate on DATA like every index reader — empty corpus,
-    // empty ranking (reading zero-partition parquet fails inference).
-    val pDir = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = pDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!IndexStamp.hasIngestData(fs, pDir))
+    // Committed empty base (cold-start crash window): empty corpus,
+    // empty ranking. A MISSING index fails loudly inside the gate.
+    if (IndexStamp.emptyCommittedIndex(spark, s"$path/postings/_SUCCESS",
+        s"$path/postings"))
       return spark.range(0).select(col("id").as("doc_id"),
         lit(0L).as("n_terms"), lit(0.0).as("score"))
     val hs = terms.map(hashToken)

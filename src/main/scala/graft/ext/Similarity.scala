@@ -336,12 +336,10 @@ object Similarity {
                      queryNorm: Double, k: Int,
                      nlist: Int = 16, dim: Int = 64,
                      nprobe: Int = 2): DataFrame = {
-    // Committed empty base with no appended data yet (cold-start crash
-    // window): gate on DATA like every index reader — empty corpus,
-    // empty ranking (reading zero-partition parquet fails inference).
-    val dir = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!IndexStamp.hasIngestData(fs, dir))
+    // Committed empty base (cold-start crash window): empty corpus,
+    // empty ranking. A MISSING index fails loudly inside the gate.
+    if (IndexStamp.emptyCommittedIndex(spark, s"$indexPath/_SUCCESS",
+        indexPath))
       return spark.range(0).select(col("id").as("vec_id"),
         lit(0).as("label"), lit(0.0).as("cosine"))
     val cells = probeCells(queryVec, nlist, dim, nprobe)
@@ -381,6 +379,20 @@ object Similarity {
                                 nlist: Int = 16, dim: Int = 64,
                                 nprobe: Int = 2): DataFrame = {
     val spark = emb.sparkSession
+    // No corpus data — including no index at all — means every vector
+    // is novel: unlike the top-k readers (where a missing index is a
+    // misconfiguration), an incremental dedup screen legitimately
+    // starts before any corpus exists (the stream's first batch), and
+    // a committed-but-empty base (cold-start crash window) must not
+    // wedge on parquet schema inference. Gate on DATA, here in the
+    // operator, so every caller — batch or stream — shares it.
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexStamp.hasIngestData(fs, dir))
+      return emb.select(col("vec_id"), lit(true).as("is_novel"),
+        lit(null).cast("double").as("best_cos"),
+        lit(null).cast("long").as("match_id"))
+        .orderBy("vec_id")
     val cs = centroids(nlist, dim, 7L)
     val probing = emb.select(col("vec_id"), col("embedding"),
       vec_norm(col("embedding")).as("nrm"),

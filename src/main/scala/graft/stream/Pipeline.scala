@@ -395,23 +395,12 @@ object Pipeline {
           val spark = batch.sparkSession
           val once = batch.persist()
           try {
-            val dir = new org.apache.hadoop.fs.Path(indexPath)
-            val fs = dir.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            // Gate the screen on DATA, not the _SUCCESS marker: a crash
-            // between the cold-start empty-base commit and the first
-            // append leaves a marker with zero parquet files, and a
-            // marker-gated replay would wedge forever on schema
-            // inference. No data → no corpus → the whole batch is
-            // novel; the append below self-initializes the base.
-            val verdicts =
-              if (graft.ext.IndexStamp.hasIngestData(fs, dir))
-                graft.ext.Similarity.semanticNovelAgainstIndex(once,
-                  indexPath, threshold, nlist, dim, nprobe)
-              else
-                once.select(col("vec_id"), lit(true).as("is_novel"),
-                  lit(null).cast("double").as("best_cos"),
-                  lit(null).cast("long").as("match_id"))
+            // The no-corpus-yet gate (cold start, and the crash window
+            // between the empty-base commit and the first append) lives
+            // INSIDE the operator — no data → the whole batch is novel;
+            // the append below self-initializes the base.
+            val verdicts = graft.ext.Similarity.semanticNovelAgainstIndex(
+              once, indexPath, threshold, nlist, dim, nprobe)
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val novel = spark.read.parquet(outDir)

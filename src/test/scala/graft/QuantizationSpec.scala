@@ -186,6 +186,19 @@ class QuantizationSpec extends AnyFunSuite {
       dim = 8, nlist = 8)
     assert(Quantization.pqTopKIndexed(spark, s"$tmp/base",
       Array.fill(8)(0f), k = 5).isEmpty)
+    // 2b. A MISSING index (typo'd path) fails loudly — it must never
+    //     serve an empty ranking as if it were a real answer.
+    intercept[IllegalArgumentException] {
+      Quantization.pqTopKIndexed(spark, s"$tmp/nowhere",
+        Array.fill(8)(0f), k = 5)
+    }
+    // 2c. A wrong-dimension QUERY is caught even while the index holds
+    //     no data yet (the misconfiguration surfaces immediately, not
+    //     once the first batch lands).
+    intercept[IllegalArgumentException] {
+      Quantization.pqTopKIndexed(spark, s"$tmp/base",
+        Array.fill(4)(0f), k = 5)
+    }
     // 3. A warm append from a different embedding model (wrong dim)
     //    fails loudly instead of writing prefix-truncated codes.
     Quantization.buildPqIndex(clustered, s"$tmp/warm", trained,

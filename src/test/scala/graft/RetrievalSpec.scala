@@ -136,6 +136,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.bm25Indexed(spark, idx, Seq("cat"), k = 10).count() === 2)
   }
 
+  test("a batch-only full rebuild clears a surviving source stamp") {
+    // Crash scenario: a source-stamped index loses its postings marker
+    // mid-rewrite but keeps $path/_source_stamp (BM25's build rewrites
+    // only the postings/stats subdirs, so the root-level stamp
+    // survives). An auto-id append then takes the FULL-BUILD branch and
+    // builds from the batch alone — the old stamp must not survive to
+    // convince a later stamped ensure that the batch-only index is
+    // source-fresh.
+    val src = java.nio.file.Files
+      .createTempDirectory("bm25-stamp-src").toString + "/documents"
+    val idx = java.nio.file.Files
+      .createTempDirectory("bm25-stamp").toString
+    docs((1L, "cat"), (2L, "dog")).write.mode("overwrite").parquet(src)
+    Retrieval.ensureBm25Index(spark, spark.read.parquet(src), idx,
+      sourcePath = Some(src))
+    assert(graft.ext.IndexStamp.read(spark, idx).isDefined)
+    // simulate the crash: marker gone, stamp intact
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/postings/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    Retrieval.appendBm25Index(docs((9L, "bird")), idx) // auto id → full build
+    assert(graft.ext.IndexStamp.read(spark, idx).isEmpty,
+      "batch-only rebuild must invalidate the old source stamp")
+    // the stamped ensure now rebuilds from the true source again
+    Retrieval.ensureBm25Index(spark, spark.read.parquet(src), idx,
+      sourcePath = Some(src))
+    assert(Retrieval.bm25Indexed(spark, idx, Seq("cat"), k = 10).count() === 1)
+  }
+
   test("domainDivergence: KL is zero iff the source matches the corpus") {
     // Two sources with IDENTICAL token distributions → corpus equals
     // each source → KL = 0 for both.
