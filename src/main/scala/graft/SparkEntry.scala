@@ -1106,6 +1106,26 @@ object SparkEntry {
           .agg((count(lit(1)) / 10.0).as("recall_ivf")))
     }),
 
+    // PQ recall self-measurement vs the exact scan (ann_recall's twin
+    // for the codes path): full-corpus ADC, and ADC restricted to the
+    // probed IVF cells. On this neighborless noise corpus ADC recall
+    // reflects quantization distortion alone; a clustered corpus
+    // scores far higher (QuantizationSpec's clustered fixture does).
+    "pq_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val books = Quantization.pqTrain(emb, m = 4, k = 16, iters = 3)
+      val exact = Similarity.cosineTopK(emb, queryId = 0L, k = 10)
+        .select("vec_id")
+      val adc = Quantization.pqTopK(emb, books, queryId = 0L, k = 10)
+        .select("vec_id")
+      val adcIvf = Quantization.pqTopKIvf(emb, books, queryId = 0L, k = 10)
+        .select("vec_id")
+      exact.join(adc, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 10.0).as("recall_adc"))
+        .crossJoin(exact.join(adcIvf, Seq("vec_id"), "left_semi")
+          .agg((count(lit(1)) / 10.0).as("recall_adc_ivf")))
+    }),
+
     "doc_winnow" -> ((s, dir) =>
       Dedup.winnowedFingerprints(T(s, dir, "documents"))),
 

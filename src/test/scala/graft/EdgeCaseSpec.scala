@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Contamination, CorpusPrep, Dedup, Relations, Sampling}
+import graft.ext.{Contamination, CorpusPrep, Dedup, Relations, Sampling, TextAnalysis, Vocab}
 import graft.operators.Temporal
 
 /** Empty/degenerate-input behavior: every operator must return an empty
@@ -31,6 +31,25 @@ class EdgeCaseSpec extends AnyFunSuite {
   test("contamination with an empty side") {
     assert(Contamination.ngramOverlap(emptyDocs, someDocs).isEmpty)
     assert(Contamination.ngramOverlap(someDocs, emptyDocs).isEmpty)
+    // Decontamination: an empty eval set flags nothing (the corpus
+    // passes through whole); an empty train side yields nothing.
+    assert(Contamination.decontaminate(someDocs, emptyDocs).count() == 1)
+    assert(Contamination.decontaminate(emptyDocs, someDocs).isEmpty)
+  }
+
+  test("cross-doc scrub and BPE on empty/degenerate corpora") {
+    assert(TextAnalysis.scrubCommonSpans(emptyDocs).isEmpty)
+    // A single doc can never meet minDf ≥ 2 — text passes through.
+    val one = TextAnalysis.scrubCommonSpans(someDocs, n = 3, minDf = 2)
+      .head()
+    assert(one.getString(1) == "one two three four five six seven" &&
+      one.getLong(2) == 0L)
+    // BPE on an empty corpus: no pairs, no merges — and no exception.
+    assert(Vocab.learnBpeMerges(emptyDocs, 5).isEmpty)
+    assert(Vocab.bpeTokenCounts(emptyDocs, Nil).isEmpty)
+    // Single-character words have no adjacent pairs: still no merges.
+    val chars = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(Vocab.learnBpeMerges(chars, 5).isEmpty)
   }
 
   test("itemPairs drops pathological mega-baskets, observably") {
