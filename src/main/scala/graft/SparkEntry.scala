@@ -556,13 +556,14 @@ object SparkEntry {
 
     // Blocked fuzzy entity matching: Levenshtein ≤ 2 name pairs inside
     // nation blocks only.
-    // subSplits = 2: 25 nation blocks cap the merge path at 25 tasks —
-    // one sub-split doubling lifts the Σ|block|² verify stage to 50
-    // tasks (> the 32 local cores), pair space unchanged (QBench'd:
-    // 2.7 → 1.8 s warm at sf0.1, control query flat).
+    // subSplits = 4: 25 nation blocks cap the merge path at 25 tasks —
+    // 4 sub-splits lift the Σ|block|² verify stage to 100 tasks, which
+    // both exceeds the 32 local cores and load-balances the skewed
+    // block sizes; pair space unchanged (QBench'd warm at sf0.1:
+    // 2.7 s unsplit → 1.8 s at s=2 → 1.5 s at s=4, control flat).
     "fuzzy_match" -> ((s, dir) => Relations.fuzzyMatchBlocked(
       T(s, dir, "customer"), col("c_nationkey"), col("c_custkey"),
-      col("c_name"), 2, subSplits = 2)),
+      col("c_name"), 2, subSplits = 4)),
 
     // Count-exact per-group sample: 20 digest-ranked docs per language.
     "per_group_sample" -> ((s, dir) => Sampling.perGroupSample(
@@ -857,6 +858,14 @@ object SparkEntry {
     "mixture_sample" -> ((s, dir) => Sampling.mixtureSample(
         T(s, dir, "documents"), col("lang"), col("doc_id"),
         Map("en" -> 2.3, "zh" -> 0.4))
+      .select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")),
+
+    // Temperature (T=2) mixture with weights DERIVED from per-language
+    // counts: √(n_max/n_s) — the largest language keeps every row once,
+    // rarer ones upsample by the square root of their deficit. The
+    // oracle re-derives the identical IEEE-exact weights in SQL.
+    "temperature_mixture" -> ((s, dir) => Sampling.temperatureMixture(
+        T(s, dir, "documents"), col("lang"), col("doc_id"))
       .select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")),
 
     // Context-window chunking: 32-token windows at stride 24, the tail
@@ -1897,6 +1906,23 @@ object SparkEntry {
           |    FROM documents) t) u
           |ORDER BY doc_id, epoch""".stripMargin
       },
+      "temperature_mixture" ->
+        // Weights derived in SQL exactly as the operator derives them:
+        // sqrt and division are IEEE-exact on exact integer counts, and
+        // the threshold formatting mirrors Sampling.hexThreshold
+        // (round-half-up of frac*2^32 printed %08x).
+        """WITH n AS (SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY 1),
+          |w AS (SELECT s, SQRT(CAST((SELECT MAX(n) FROM n) AS DOUBLE) / n) AS w FROM n),
+          |c AS (SELECT d.doc_id, d.lang,
+          |        CAST(FLOOR(w.w) AS INTEGER) +
+          |        CASE WHEN SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          |               printf('%08x', LEAST(GREATEST(CAST(ROUND((w.w - FLOOR(w.w)) * 4294967296.0) AS BIGINT), 0), 4294967295))
+          |             THEN 1 ELSE 0 END AS copies
+          |      FROM documents d JOIN w ON d.lang = w.s)
+          |SELECT doc_id, lang, epoch FROM (
+          |  SELECT doc_id, lang, CAST(UNNEST(generate_series(1, copies)) AS INTEGER) AS epoch
+          |  FROM c WHERE copies > 0) t
+          |ORDER BY doc_id, epoch""".stripMargin,
       "chunk_tokens" ->
         """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
           |e AS (SELECT doc_id, toks, UNNEST(generate_series(0,

@@ -126,6 +126,35 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1), copies, lit(1))))
   }
 
+  /** Temperature-flattened mixture with weights derived FROM the corpus
+    * (the multilingual/multi-source rebalancing step of LLM training):
+    * each stratum's weight is √(n_max / n_s) — T = 2 temperature
+    * flattening relative to the LARGEST stratum, which keeps weight
+    * exactly 1.0 (every row once) while rarer strata upsample by the
+    * square-root of their size deficit. The copies machinery is
+    * [[mixtureSample]]'s digest coin, so the selection is a pure
+    * function of the key.
+    *
+    * The driver holds one (stratum, count) row per stratum — the same
+    * bounded contract as k-means' centroid matrix. T is FIXED at 2
+    * deliberately: √ and ÷ are IEEE-754-exact on exact integer counts,
+    * so the weights (and the thresholds baked into the plan) are
+    * bit-identical to an oracle deriving them in SQL — a general
+    * temperature would go through `pow`, whose libm values are not
+    * guaranteed identical across engines.
+    */
+  def temperatureMixture(df: DataFrame, stratum: Column,
+                         key: Column): DataFrame = {
+    val counts = df.groupBy(stratum.as("s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.withColumn("epoch", lit(1)).limit(0)
+    val nMax = counts.values.max
+    val weights = counts.map { case (s, n) =>
+      s -> math.sqrt(nMax.toDouble / n)
+    }
+    mixtureSample(df, stratum, key, weights)
+  }
+
   /** Greedy contiguous sequence packing: docs ordered by `key`
     * accumulate token counts, and each doc's sequence id is
     * `floor(preceding_cumsum / maxTokens)` — the standard approximate

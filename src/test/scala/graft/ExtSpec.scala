@@ -487,6 +487,30 @@ class ExtSpec extends AnyFunSuite {
       out.orderBy("doc_id", "epoch").collect()))
   }
 
+  test("temperature mixture: max stratum once, rare strata upsample by sqrt") {
+    // 90/10 split: the big stratum's weight is exactly 1.0 (every row
+    // once), the small one's is sqrt(90/10) = 3.0 exactly — integer, so
+    // the digest coin never fires and the multiplicity is exact.
+    val corpus = ((1L to 90L).map(i => (i, "big")) ++
+      (91L to 100L).map(i => (i, "small"))).toDF("doc_id", "stratum")
+    val out = Sampling.temperatureMixture(corpus, col("stratum"),
+      col("doc_id"))
+    val byS = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS == Map("big" -> 90L, "small" -> 30L))
+    // Fractional weight stays within its floor/ceil epoch bounds and is
+    // a pure function of the key (layout-invariant).
+    val skew = ((1L to 50L).map(i => (i, "big")) ++
+      (51L to 58L).map(i => (i, "small"))).toDF("doc_id", "stratum")
+    val s1 = Sampling.temperatureMixture(skew, col("stratum"),
+      col("doc_id")).orderBy("doc_id", "epoch").collect()
+    val small = s1.count(_.getString(1) == "small")
+    assert(small >= 16 && small <= 24) // w = sqrt(50/8) = 2.5
+    val s2 = Sampling.temperatureMixture(skew.repartition(7),
+      col("stratum"), col("doc_id")).orderBy("doc_id", "epoch").collect()
+    assert(s1.sameElements(s2))
+  }
+
   test("token chunking covers every token once per window, tail exactly once") {
     val doc = Seq((1L, (0 until 10).map("t" + _).mkString(" ")))
       .toDF("doc_id", "text")
