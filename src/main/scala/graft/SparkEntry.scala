@@ -27,6 +27,15 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Recall@k of an approximate id set against the exact one — one
+    * definition for every *_recall self-measurement (the divisor IS
+    * the k the rankers were asked for).
+    */
+  private def recallOf(exact: DataFrame, approx: DataFrame, k: Int,
+                       as: String): DataFrame =
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)) / k.toDouble).as(as))
+
   private val kSchema = StructType(Seq(StructField("k", IntegerType)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1109,30 +1118,31 @@ object SparkEntry {
         .select("vec_id")
       val ivf = Similarity.annTopKIvf(emb, queryId = 0L, k = 10)
         .select("vec_id")
-      exact.join(lsh, Seq("vec_id"), "left_semi")
-        .agg((count(lit(1)) / 10.0).as("recall_lsh"))
-        .crossJoin(exact.join(ivf, Seq("vec_id"), "left_semi")
-          .agg((count(lit(1)) / 10.0).as("recall_ivf")))
+      recallOf(exact, lsh, 10, "recall_lsh")
+        .crossJoin(recallOf(exact, ivf, 10, "recall_ivf"))
     }),
 
     // PQ recall self-measurement vs the exact scan (ann_recall's twin
     // for the codes path): full-corpus ADC, and ADC restricted to the
-    // probed IVF cells. On this neighborless noise corpus ADC recall
-    // reflects quantization distortion alone; a clustered corpus
-    // scores far higher (QuantizationSpec's clustered fixture does).
+    // probed IVF cells, both under the codebook STORED in the ensured
+    // persisted index (no retraining — recall measures the index that
+    // actually serves queries). On this neighborless noise corpus ADC
+    // recall reflects quantization distortion alone; a clustered
+    // corpus scores far higher (QuantizationSpec's clustered fixture).
     "pq_recall" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val books = Quantization.pqTrain(emb, m = 4, k = 16, iters = 3)
+      val idx = Quantization.pqIndexPathFor(dir)
+      Quantization.ensurePqIndex(s, emb, idx, m = 4, k = 16, iters = 3,
+        sourcePath = Some(s"$dir/embeddings.parquet"))
+      val books = Quantization.loadBooks(s, idx)
       val exact = Similarity.cosineTopK(emb, queryId = 0L, k = 10)
         .select("vec_id")
       val adc = Quantization.pqTopK(emb, books, queryId = 0L, k = 10)
         .select("vec_id")
       val adcIvf = Quantization.pqTopKIvf(emb, books, queryId = 0L, k = 10)
         .select("vec_id")
-      exact.join(adc, Seq("vec_id"), "left_semi")
-        .agg((count(lit(1)) / 10.0).as("recall_adc"))
-        .crossJoin(exact.join(adcIvf, Seq("vec_id"), "left_semi")
-          .agg((count(lit(1)) / 10.0).as("recall_adc_ivf")))
+      recallOf(exact, adc, 10, "recall_adc")
+        .crossJoin(recallOf(exact, adcIvf, 10, "recall_adc_ivf"))
     }),
 
     "doc_winnow" -> ((s, dir) =>
@@ -1908,15 +1918,16 @@ object SparkEntry {
       },
       "temperature_mixture" ->
         // Weights derived in SQL exactly as the operator derives them:
-        // sqrt and division are IEEE-exact on exact integer counts, and
-        // the threshold formatting mirrors Sampling.hexThreshold
-        // (round-half-up of frac*2^32 printed %08x).
+        // sqrt and division are IEEE-exact on exact integer counts,
+        // frac·2^32 is an exact power-of-two scaling, and the digest
+        // integer compares against it directly — no rounding, no hex
+        // formatting, nothing libm on either engine.
         """WITH n AS (SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY 1),
           |w AS (SELECT s, SQRT(CAST((SELECT MAX(n) FROM n) AS DOUBLE) / n) AS w FROM n),
           |c AS (SELECT d.doc_id, d.lang,
           |        CAST(FLOOR(w.w) AS INTEGER) +
-          |        CASE WHEN SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
-          |               printf('%08x', LEAST(GREATEST(CAST(ROUND((w.w - FLOOR(w.w)) * 4294967296.0) AS BIGINT), 0), 4294967295))
+          |        CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |               < (w.w - FLOOR(w.w)) * 4294967296.0
           |             THEN 1 ELSE 0 END AS copies
           |      FROM documents d JOIN w ON d.lang = w.s)
           |SELECT doc_id, lang, epoch FROM (

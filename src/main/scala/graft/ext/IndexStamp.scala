@@ -88,6 +88,18 @@ object IndexStamp {
     fs.exists(dir) &&
       Option(fs.globStatus(new Path(dir, "ingest=*"))).exists(_.nonEmpty)
 
+  /** The ingest ids present under a partitioned index directory — the
+    * multi-table consistency probe (BM25's postings and stats must
+    * carry the SAME id set; a mismatch means a crash landed between
+    * the two writes of one append).
+    */
+  private[graft] def ingestIds(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: Path): Set[Long] =
+    if (!fs.exists(dir)) Set.empty
+    else Option(fs.globStatus(new Path(dir, "ingest=*"))).toSeq.flatten
+      .flatMap(_.getPath.getName.stripPrefix("ingest=").toLongOption)
+      .toSet
+
   /** Shared append skeleton for the partitioned index families (BM25 /
     * IVF / PQ) — the cold-start probe, stamp invalidation, and
     * ingest-id policy live in ONE place so a lifecycle fix cannot

@@ -118,15 +118,24 @@ object Retrieval {
       .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
   }
 
-  /** 1-row mergeable corpus stats for a document batch: doc count and
-    * decimal total length (exact, order-free — the two sums the BM25
-    * score needs for avgdl).
+  /** 1-row mergeable corpus stats for a NON-EMPTY document batch: doc
+    * count and decimal total length (exact, order-free — the two sums
+    * the BM25 score needs for avgdl). An EMPTY batch emits ZERO rows,
+    * not an n=0 row: the grouped aggregate (over a constant) yields no
+    * groups on no input, so the cold-start empty base writes no stats
+    * partition — keeping the postings/stats ingest-id sets structurally
+    * identical, which is the invariant the reader's partial-append
+    * probe checks (an n=0 row would contribute nothing to the merged
+    * sums anyway).
     */
   private def statsFor(docs: DataFrame): DataFrame =
-    docs.select(TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+    docs.select(TextAnalysis.tokenCount(col("text")).cast("long").as("dl"),
+        lit(1).as("one"))
+      .groupBy("one")
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl").cast("decimal(18,6)")),
           lit(0).cast("decimal(28,6)")).as("sdl"))
+      .drop("one")
 
   /** Index layout: both tables are partitioned by an INGEST id first —
     * the full build is ingest 0, each incremental batch its own id —
@@ -145,16 +154,20 @@ object Retrieval {
     // WHOLE index. Under a session-wide dynamic default, overwrite
     // would replace only ingest=0 and leave stale appended partitions
     // behind a freshly-written source stamp — silently wrong scores.
-    postingsFor(docs, buckets).withColumn("ingest", lit(0L))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("ingest", "bucket")
-      .parquet(s"$path/postings")
+    // Stats are written FIRST, postings (whose _SUCCESS is the index's
+    // freshness marker) LAST — a crash between the two writes leaves
+    // no marker, so the next ensure/append rebuilds instead of serving
+    // postings against stale corpus stats (the PQ `_books`-last rule).
     statsFor(docs).withColumn("ingest", lit(0L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("ingest")
       .parquet(s"$path/stats")
+    postingsFor(docs, buckets).withColumn("ingest", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest", "bucket")
+      .parquet(s"$path/postings")
   }
 
   /** Incremental index maintenance: fold a batch of NEW documents into
@@ -193,16 +206,22 @@ object Retrieval {
     } {
       buildBm25Index(docs.limit(0), path, buckets)
     } { id =>
-      postingsFor(docs, buckets).withColumn("ingest", lit(id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest", "bucket")
-        .parquet(s"$path/postings")
+      // Stats first here too: a crash between the two dynamic writes
+      // leaves stats carrying ingest=id with postings lacking it — a
+      // skew the READER detects (ingest-id sets must agree) and a
+      // replay of the same id heals (both writes are idempotent per
+      // id). Postings-first would commit scorable postings against
+      // stale N/avgdl with nothing to notice.
       statsFor(docs).withColumn("ingest", lit(id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest")
         .parquet(s"$path/stats")
+      postingsFor(docs, buckets).withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest", "bucket")
+        .parquet(s"$path/postings")
     }
   }
 
@@ -239,6 +258,20 @@ object Retrieval {
         s"$path/postings"))
       return spark.range(0).select(col("id").as("doc_id"),
         lit(0L).as("n_terms"), lit(0.0).as("score"))
+    // Two-table consistency: a crash between an append's stats and
+    // postings writes leaves the ingest-id sets diverged — scoring
+    // would silently use N/avgdl from a corpus the postings don't
+    // hold. Metadata-only probe; a replay of the same id heals it.
+    locally {
+      val pDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+      val fs = pDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pIds = IndexStamp.ingestIds(fs, pDir)
+      val sIds = IndexStamp.ingestIds(fs,
+        new org.apache.hadoop.fs.Path(s"$path/stats"))
+      require(pIds == sIds,
+        s"BM25 index at $path is partially appended: postings ingests " +
+          s"$pIds != stats ingests $sIds — replay the append or rebuild")
+    }
     val hs = terms.map(hashToken)
     val bkts = hs.map(h => ((h % buckets) + buckets) % buckets).distinct
     val post = spark.read.parquet(s"$path/postings")

@@ -131,28 +131,41 @@ object Sampling {
     * each stratum's weight is √(n_max / n_s) — T = 2 temperature
     * flattening relative to the LARGEST stratum, which keeps weight
     * exactly 1.0 (every row once) while rarer strata upsample by the
-    * square-root of their size deficit. The copies machinery is
-    * [[mixtureSample]]'s digest coin, so the selection is a pure
-    * function of the key.
+    * square-root of their size deficit. Like [[mixtureSample]], the
+    * digit coin makes the selection a pure function of the key; a NULL
+    * stratum matches no weight row and falls to weight 1.0 (the
+    * `default` convention).
     *
-    * The driver holds one (stratum, count) row per stratum — the same
-    * bounded contract as k-means' centroid matrix. T is FIXED at 2
-    * deliberately: √ and ÷ are IEEE-754-exact on exact integer counts,
-    * so the weights (and the thresholds baked into the plan) are
-    * bit-identical to an oracle deriving them in SQL — a general
-    * temperature would go through `pow`, whose libm values are not
-    * guaranteed identical across engines.
+    * Fully in-frame — unlike [[mixtureSample]]'s caller-supplied Map
+    * (a bounded when-chain), the data-dependent weights live in a
+    * strata-cardinality frame equi-joined back (AQE broadcasts it when
+    * small), so a high-cardinality stratum (domain, url host) neither
+    * collects to the driver nor blows up the expression tree. Every
+    * number is IEEE-754-exact and engine-independent by construction:
+    * √ and ÷ on exact integer counts, frac·2³² (scaling by a power of
+    * two is exact), and an integer digest compared against it — no
+    * rounding, no hex formatting, nothing libm. T is FIXED at 2 for
+    * the same reason: a general temperature would go through `pow`,
+    * whose values are not guaranteed identical across engines.
     */
   def temperatureMixture(df: DataFrame, stratum: Column,
                          key: Column): DataFrame = {
-    val counts = df.groupBy(stratum.as("s")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) return df.withColumn("epoch", lit(1)).limit(0)
-    val nMax = counts.values.max
-    val weights = counts.map { case (s, n) =>
-      s -> math.sqrt(nMax.toDouble / n)
-    }
-    mixtureSample(df, stratum, key, weights)
+    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+    val nmax = counts.agg(max(col("__n")).as("__nmax"))
+    val weights = counts.crossJoin(broadcast(nmax))
+      .select(col("__s"),
+        sqrt(col("__nmax").cast("double") / col("__n")).as("__w"))
+    val digit = conv(substring(keyDigest(key), 1, 8), 16, 10)
+      .cast("bigint").cast("double")
+    val copies = coalesce(
+      floor(col("__w")).cast("int") +
+        when(digit < (col("__w") - floor(col("__w"))) * lit(4294967296.0), 1)
+          .otherwise(0),
+      lit(1))
+    df.join(weights, stratum === col("__s"), "left")
+      .filter(copies > 0)
+      .withColumn("epoch", explode(sequence(lit(1), copies, lit(1))))
+      .drop("__s", "__w")
   }
 
   /** Greedy contiguous sequence packing: docs ordered by `key`

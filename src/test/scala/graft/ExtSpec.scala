@@ -509,6 +509,14 @@ class ExtSpec extends AnyFunSuite {
     val s2 = Sampling.temperatureMixture(skew.repartition(7),
       col("stratum"), col("doc_id")).orderBy("doc_id", "epoch").collect()
     assert(s1.sameElements(s2))
+    // NULL stratum matches no weight row → default weight 1.0, exactly
+    // one copy (the mixtureSample `default` convention).
+    val withNull = corpus.union(
+      Seq((200L, null.asInstanceOf[String])).toDF("doc_id", "stratum"))
+    val nulls = Sampling.temperatureMixture(withNull, col("stratum"),
+        col("doc_id"))
+      .filter(col("stratum").isNull).collect()
+    assert(nulls.length == 1 && nulls(0).getInt(2) == 1)
   }
 
   test("token chunking covers every token once per window, tail exactly once") {
