@@ -1925,11 +1925,11 @@ object SparkEntry {
         """WITH n AS (SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY 1),
           |w AS (SELECT s, SQRT(CAST((SELECT MAX(n) FROM n) AS DOUBLE) / n) AS w FROM n),
           |c AS (SELECT d.doc_id, d.lang,
-          |        CAST(FLOOR(w.w) AS INTEGER) +
+          |        COALESCE(CAST(FLOOR(w.w) AS INTEGER) +
           |        CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           |               < (w.w - FLOOR(w.w)) * 4294967296.0
-          |             THEN 1 ELSE 0 END AS copies
-          |      FROM documents d JOIN w ON d.lang = w.s)
+          |             THEN 1 ELSE 0 END, 1) AS copies
+          |      FROM documents d LEFT JOIN w ON d.lang = w.s)
           |SELECT doc_id, lang, epoch FROM (
           |  SELECT doc_id, lang, CAST(UNNEST(generate_series(1, copies)) AS INTEGER) AS epoch
           |  FROM c WHERE copies > 0) t

@@ -71,11 +71,7 @@ object IndexStamp {
     */
   private[graft] def nextIngestId(fs: org.apache.hadoop.fs.FileSystem,
                                   dir: Path): Long =
-    fs.listStatus(dir).flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("ingest=")) n.stripPrefix("ingest=").toLongOption
-      else None
-    }.foldLeft(-1L)(math.max) + 1L
+    ingestIds(fs, dir).foldLeft(-1L)(math.max) + 1L
 
   /** Whether a partitioned index directory holds any DATA partition —
     * a committed empty base (cold-start initialization) has a

@@ -154,6 +154,15 @@ object Retrieval {
     // WHOLE index. Under a session-wide dynamic default, overwrite
     // would replace only ingest=0 and leave stale appended partitions
     // behind a freshly-written source stamp — silently wrong scores.
+    // The OLD marker is dropped before anything mutates: unlike the
+    // IVF/PQ builds (whose single overwrite wipes the index root and
+    // its marker first), this build rewrites two SIBLING directories,
+    // so a rebuild crash after the stats overwrite would otherwise
+    // leave corpus-A postings marker-valid under corpus-B stats.
+    val marker = new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")
+    val mfs = marker.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (mfs.exists(marker)) mfs.delete(marker, false)
     // Stats are written FIRST, postings (whose _SUCCESS is the index's
     // freshness marker) LAST — a crash between the two writes leaves
     // no marker, so the next ensure/append rebuilds instead of serving
@@ -252,16 +261,12 @@ object Retrieval {
                   terms: Seq[String], k: Int = 10, k1: Double = 1.2,
                   b: Double = 0.75,
                   buckets: Int = Bm25Buckets): DataFrame = {
-    // Committed empty base (cold-start crash window): empty corpus,
-    // empty ranking. A MISSING index fails loudly inside the gate.
-    if (IndexStamp.emptyCommittedIndex(spark, s"$path/postings/_SUCCESS",
-        s"$path/postings"))
-      return spark.range(0).select(col("id").as("doc_id"),
-        lit(0L).as("n_terms"), lit(0.0).as("score"))
-    // Two-table consistency: a crash between an append's stats and
-    // postings writes leaves the ingest-id sets diverged — scoring
-    // would silently use N/avgdl from a corpus the postings don't
-    // hold. Metadata-only probe; a replay of the same id heals it.
+    // Two-table consistency FIRST (it must see the postings-empty,
+    // stats-nonempty skew a crashed cold-start append leaves): a crash
+    // between an append's stats and postings writes diverges the
+    // ingest-id sets, and scoring would silently use N/avgdl from a
+    // corpus the postings don't hold. Metadata-only probe; a replay of
+    // the same id heals it.
     locally {
       val pDir = new org.apache.hadoop.fs.Path(s"$path/postings")
       val fs = pDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -272,6 +277,12 @@ object Retrieval {
         s"BM25 index at $path is partially appended: postings ingests " +
           s"$pIds != stats ingests $sIds — replay the append or rebuild")
     }
+    // Committed empty base (cold-start crash window): empty corpus,
+    // empty ranking. A MISSING index fails loudly inside the gate.
+    if (IndexStamp.emptyCommittedIndex(spark, s"$path/postings/_SUCCESS",
+        s"$path/postings"))
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0L).as("n_terms"), lit(0.0).as("score"))
     val hs = terms.map(hashToken)
     val bkts = hs.map(h => ((h % buckets) + buckets) % buckets).distinct
     val post = spark.read.parquet(s"$path/postings")

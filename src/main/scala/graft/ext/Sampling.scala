@@ -150,9 +150,14 @@ object Sampling {
     */
   def temperatureMixture(df: DataFrame, stratum: Column,
                          key: Column): DataFrame = {
+    // nmax rides a global window over the STRATA-cardinality counts
+    // frame (one partition of one row per stratum — bounded, like the
+    // gap-fill grid), so the corpus aggregates exactly once instead of
+    // feeding two plan branches.
     val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
-    val nmax = counts.agg(max(col("__n")).as("__nmax"))
-    val weights = counts.crossJoin(broadcast(nmax))
+    val weights = counts
+      .withColumn("__nmax", max(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .select(col("__s"),
         sqrt(col("__nmax").cast("double") / col("__n")).as("__w"))
     val digit = conv(substring(keyDigest(key), 1, 8), 16, 10)
@@ -162,8 +167,10 @@ object Sampling {
         when(digit < (col("__w") - floor(col("__w"))) * lit(4294967296.0), 1)
           .otherwise(0),
       lit(1))
+    // No zero-copy guard needed (unlike mixtureSample's caller-supplied
+    // weights): every matched weight is √(n_max/n) ≥ 1 and unmatched
+    // rows coalesce to 1, so copies ≥ 1 by construction.
     df.join(weights, stratum === col("__s"), "left")
-      .filter(copies > 0)
       .withColumn("epoch", explode(sequence(lit(1), copies, lit(1))))
       .drop("__s", "__w")
   }

@@ -165,6 +165,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.bm25Indexed(spark, idx, Seq("cat"), k = 10).count() === 1)
   }
 
+  test("a partially appended index fails loudly, even with zero postings") {
+    // Crash between a cold-start append's stats and postings writes:
+    // stats carry ingest=1, postings carry nothing (just the empty-base
+    // marker). The reader's consistency probe must fire BEFORE the
+    // committed-empty-base early return would silently serve an empty
+    // ranking over the skewed state.
+    val idx = java.nio.file.Files
+      .createTempDirectory("bm25-partial").toString
+    Retrieval.appendBm25Index(docs((1L, "cat dog")), idx, ingestId = 1L)
+    val p = new org.apache.hadoop.fs.Path(s"$idx/postings/ingest=1")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25Indexed(spark, idx, Seq("cat"), k = 10)
+    }
+    assert(e.getMessage.contains("partially appended"))
+  }
+
   test("domainDivergence: KL is zero iff the source matches the corpus") {
     // Two sources with IDENTICAL token distributions → corpus equals
     // each source → KL = 0 for both.
