@@ -1922,7 +1922,7 @@ object SparkEntry {
         // frac·2^32 is an exact power-of-two scaling, and the digest
         // integer compares against it directly — no rounding, no hex
         // formatting, nothing libm on either engine.
-        """WITH n AS (SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY 1),
+        """WITH n AS (SELECT lang AS s, COUNT(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1),
           |w AS (SELECT s, SQRT(CAST((SELECT MAX(n) FROM n) AS DOUBLE) / n) AS w FROM n),
           |c AS (SELECT d.doc_id, d.lang,
           |        COALESCE(CAST(FLOOR(w.w) AS INTEGER) +

@@ -134,6 +134,19 @@ object IndexStamp {
     writeBatch(id)
   }
 
+  /** Drop a commit marker ahead of a multi-directory rebuild — the
+    * sibling-layout counterpart of wiping the index root: a build that
+    * rewrites several directories must first ensure no stale marker
+    * can survive a mid-build crash and vouch for a mixed-corpora
+    * index.
+    */
+  private[graft] def dropMarker(spark: SparkSession,
+                                markerPath: String): Unit = {
+    val p = new Path(markerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Reader-side gate for the top-k index readers. A MISSING index (no
     * marker) fails loudly — a typo'd path or never-built index must
     * never serve an empty ranking as if it were a real answer — while

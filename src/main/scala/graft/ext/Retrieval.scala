@@ -159,10 +159,7 @@ object Retrieval {
     // its marker first), this build rewrites two SIBLING directories,
     // so a rebuild crash after the stats overwrite would otherwise
     // leave corpus-A postings marker-valid under corpus-B stats.
-    val marker = new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")
-    val mfs = marker.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (mfs.exists(marker)) mfs.delete(marker, false)
+    IndexStamp.dropMarker(docs.sparkSession, s"$path/postings/_SUCCESS")
     // Stats are written FIRST, postings (whose _SUCCESS is the index's
     // freshness marker) LAST — a crash between the two writes leaves
     // no marker, so the next ensure/append rebuilds instead of serving
@@ -261,12 +258,16 @@ object Retrieval {
                   terms: Seq[String], k: Int = 10, k1: Double = 1.2,
                   b: Double = 0.75,
                   buckets: Int = Bm25Buckets): DataFrame = {
-    // Two-table consistency FIRST (it must see the postings-empty,
-    // stats-nonempty skew a crashed cold-start append leaves): a crash
-    // between an append's stats and postings writes diverges the
-    // ingest-id sets, and scoring would silently use N/avgdl from a
-    // corpus the postings don't hold. Metadata-only probe; a replay of
-    // the same id heals it.
+    // One metadata pass over both partition listings, three verdicts:
+    // (a) ingest-id sets diverged — a crash between an append's stats
+    //     and postings writes; scoring would silently use N/avgdl from
+    //     a corpus the postings don't hold. Loud; a same-id replay
+    //     heals it. Checked FIRST so the postings-empty/stats-nonempty
+    //     cold-start-append skew is seen as this, not as (c).
+    // (b) marker absent — no index at all (typo'd path): loud, never
+    //     an empty ranking posing as a real answer.
+    // (c) marker present, zero ingest data — the committed-empty-base
+    //     crash window: empty corpus, empty ranking.
     locally {
       val pDir = new org.apache.hadoop.fs.Path(s"$path/postings")
       val fs = pDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -276,13 +277,13 @@ object Retrieval {
       require(pIds == sIds,
         s"BM25 index at $path is partially appended: postings ingests " +
           s"$pIds != stats ingests $sIds — replay the append or rebuild")
+      require(fs.exists(new org.apache.hadoop.fs.Path(pDir, "_SUCCESS")),
+        s"no index at $path (postings/_SUCCESS missing) — build or " +
+          "ensure it first")
+      if (pIds.isEmpty)
+        return spark.range(0).select(col("id").as("doc_id"),
+          lit(0L).as("n_terms"), lit(0.0).as("score"))
     }
-    // Committed empty base (cold-start crash window): empty corpus,
-    // empty ranking. A MISSING index fails loudly inside the gate.
-    if (IndexStamp.emptyCommittedIndex(spark, s"$path/postings/_SUCCESS",
-        s"$path/postings"))
-      return spark.range(0).select(col("id").as("doc_id"),
-        lit(0L).as("n_terms"), lit(0.0).as("score"))
     val hs = terms.map(hashToken)
     val bkts = hs.map(h => ((h % buckets) + buckets) % buckets).distinct
     val post = spark.read.parquet(s"$path/postings")

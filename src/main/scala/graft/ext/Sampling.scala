@@ -150,14 +150,20 @@ object Sampling {
     */
   def temperatureMixture(df: DataFrame, stratum: Column,
                          key: Column): DataFrame = {
-    // nmax rides a global window over the STRATA-cardinality counts
-    // frame (one partition of one row per stratum — bounded, like the
-    // gap-fill grid), so the corpus aggregates exactly once instead of
-    // feeding two plan branches.
-    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
-    val weights = counts
-      .withColumn("__nmax", max(col("__n")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+    // NULL strata are excluded from the count frame entirely: they
+    // match no weight row (default 1.0) and must not participate in
+    // the n_max derivation either — a large missing-stratum group
+    // would otherwise deny EVERY real stratum the documented
+    // weight-1.0 anchor. Both consumers of `counts` (the 1-row global
+    // max and the weights projection) share its corpus shuffle at
+    // runtime (ReusedExchange — identical exchange subtrees; guarded
+    // in PlanGuardSpec), and the max reduces in parallel — no
+    // single-task window over a possibly high-cardinality strata
+    // frame.
+    val counts = df.filter(stratum.isNotNull)
+      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+    val nmax = counts.agg(max(col("__n")).as("__nmax"))
+    val weights = counts.crossJoin(broadcast(nmax))
       .select(col("__s"),
         sqrt(col("__nmax").cast("double") / col("__n")).as("__w"))
     val digit = conv(substring(keyDigest(key), 1, 8), 16, 10)

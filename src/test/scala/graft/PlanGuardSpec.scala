@@ -126,6 +126,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Generate explode".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
 
+  test("temperature_mixture aggregates the corpus once (reused exchange, parallel max)") {
+    // Both consumers of the strata-counts frame — the 1-row global max
+    // and the weights projection — must share one corpus exchange at
+    // runtime (no second scan+shuffle), and the max must be a parallel
+    // aggregate, never a single-task global window over the strata.
+    val df = SparkEntry.queries("temperature_mixture")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    assert(!finalPlan.contains("Window"), finalPlan)
+  }
+
   test("sessionize_batch plans exactly one pre-output exchange") {
     val p = plan("sessionize_batch")
     // One Exchange for the key windows + aggregate, one for the final
