@@ -100,15 +100,19 @@ object IndexStamp {
     * IVF / PQ) — the cold-start probe, stamp invalidation, and
     * ingest-id policy live in ONE place so a lifecycle fix cannot
     * silently miss an index family (three hand-rolled copies predated
-    * this). Semantics: when `markerPath` is absent and the id is auto
-    * (batch callers), run `fullBuild` and STOP; when absent and the id
-    * is explicit (stream callers), run `coldInit` (the empty-base
-    * self-initialization that makes the batch land in its own
-    * replayable partition); then always drop the `_source_stamp` under
-    * `stampRoot` BEFORE `writeBatch(id)` mutates partitions (a crash
-    * mid-append must never leave a mutated index that still claims
-    * source freshness). `ingestDir` is the directory whose `ingest=`
-    * children define the id namespace for auto-assignment.
+    * this). Semantics: a replayed `ingestId` that a past compaction
+    * already folded into the base is a NO-OP (its rows live in ingest 0
+    * now — re-landing its partition would duplicate them); when
+    * `markerPath` is absent and the id is auto (batch callers), run
+    * `fullBuild` and STOP; when absent and the id is explicit (stream
+    * callers), run `coldInit` (the empty-base self-initialization that
+    * makes the batch land in its own replayable partition); then always
+    * drop the `_source_stamp` under `stampRoot` BEFORE `writeBatch(id)`
+    * mutates partitions (a crash mid-append must never leave a mutated
+    * index that still claims source freshness). `ingestDir` is the
+    * directory whose `ingest=` children define the id namespace for
+    * auto-assignment — auto ids also skip past compaction-folded ids,
+    * so a fold never frees an id a live stream might still replay.
     */
   private[graft] def appendLifecycle(spark: SparkSession, stampRoot: String,
       markerPath: String, ingestDir: String, ingestId: Long)
@@ -116,6 +120,11 @@ object IndexStamp {
       (writeBatch: Long => Unit): Unit = {
     val marker = new Path(markerPath)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = compactedIds(fs, new Path(stampRoot))
+    // Checked before the marker probe on purpose: a replay of a folded
+    // batch arriving in a crashed compaction's marker-less window must
+    // no-op, not cold-init an empty base over the index.
+    if (ingestId >= 0 && folded.contains(ingestId)) return
     if (!fs.exists(marker)) {
       if (ingestId < 0) {
         // Invalidate BEFORE the full build too: a family whose build
@@ -130,8 +139,157 @@ object IndexStamp {
     }
     invalidate(spark, stampRoot)
     val id = if (ingestId >= 0) ingestId
-      else nextIngestId(fs, new Path(ingestDir))
+      else (ingestIds(fs, new Path(ingestDir)) ++ folded)
+        .foldLeft(-1L)(math.max) + 1L
     writeBatch(id)
+  }
+
+  // ---------------------------------------------------------------------
+  // Compaction — the third lifecycle verb (build / append / compact):
+  // fold every `ingest=` partition into the base (ingest 0) so a
+  // long-lived stream's per-trigger partitions (8,640/day at a 10 s
+  // trigger) stop turning every bucket/cell scan into thousands-of-
+  // small-files metadata work. Corpus-invariant by construction: the
+  // folded rows are the index's own rows re-laid-out, so a query over
+  // the compacted index equals one over the appended (and the rebuilt)
+  // index exactly. The `_source_stamp` is deliberately NOT touched —
+  // compaction changes files, not corpus, so a still-fresh stamp stays
+  // fresh (in practice a foldable index is already unstamped, because
+  // the appends that created its partitions dropped the stamp).
+  // ---------------------------------------------------------------------
+
+  /** Ingest ids folded into the base by past compactions — the set
+    * [[appendLifecycle]] consults to turn a replayed already-folded
+    * batch into a no-op. Stored as an append-only directory of small
+    * files (`_compacted_ids/fold-<maxFoldedId>`, one id per line): each
+    * compaction writes ONE new immutable file, never rewriting prior
+    * records, so there is no read-modify-write window in which a crash
+    * can lose an earlier fold's ids.
+    */
+  private[graft] def compactedIds(fs: org.apache.hadoop.fs.FileSystem,
+                                  indexRoot: Path): Set[Long] = {
+    val dir = new Path(indexRoot, "_compacted_ids")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).filter(_.isFile).flatMap { st =>
+      val in = fs.open(st.getPath)
+      try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").flatMap(_.trim.toLongOption)
+      finally in.close()
+    }.toSet
+  }
+
+  /** Delete the compaction fold record — full rebuilds reset the
+    * ingest-id namespace, so they must reset the fold record too (a
+    * stale one would no-op a new batch that reuses a folded id).
+    * Root-wiping builds (IVF/PQ static overwrite) get this implicitly;
+    * subdir-rewriting builds (BM25) call it explicitly.
+    */
+  private[graft] def dropCompactionRecord(spark: SparkSession,
+                                          indexRoot: String): Unit = {
+    val p = new Path(indexRoot, "_compacted_ids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def writeIdsFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                           ids: Set[Long]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(ids.toSeq.sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readIdsFile(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Set[Long] = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").flatMap(_.trim.toLongOption).toSet
+    finally in.close()
+  }
+
+  /** Shared compaction skeleton. `targetDirs` are the directories whose
+    * `ingest=` children get folded (BM25: postings and stats; IVF/PQ:
+    * the index root); `writeStaging(paths)` must write each target's
+    * compacted data — everything as `ingest=0` — to the corresponding
+    * staging path (all staging lives under `indexRoot/_compact`, an
+    * underscore dir parquet discovery ignores, so readers and the
+    * staging writes can coexist with the live index).
+    *
+    * Crash discipline, in write order:
+    *  1. staging data, then the `_fold_ids` manifest (staging-complete
+    *     marker) — all while the index marker still vouches for the
+    *     live index; a crash here leaves the index untouched and the
+    *     next compact rewrites staging from live data.
+    *  2. drop the index marker — readers now fail LOUDLY ("no index")
+    *     for the duration of the swap; appends of folded ids still
+    *     no-op ([[appendLifecycle]] checks `_compacted_ids` first) but
+    *     any other concurrent writer is excluded by the single-writer
+    *     contract every index family already carries.
+    *  3. per target: delete the old `ingest=` dirs, move staging's
+    *     `ingest=0` into place. Idempotent under crash-resume: a
+    *     target whose staging child is GONE was already swapped, so
+    *     its `ingest=0` is the new base and is preserved.
+    *  4. record the folded ids (immutable `fold-<max>` file), restore
+    *     the marker, delete staging LAST — so any crash before the
+    *     marker restore leaves the resume gate (staging manifest
+    *     present, marker absent) intact.
+    *
+    * A call on a marker-less index WITHOUT a completed staging fails
+    * loudly — there is nothing safe to fold. Returns false (no-op) when
+    * the index holds ≤ 1 ingest partition. The `_source_stamp` is never
+    * touched (see the section comment).
+    */
+  private[graft] def compactLifecycle(spark: SparkSession, indexRoot: String,
+      markerPath: String, targetDirs: Seq[String])
+      (writeStaging: Seq[String] => Unit): Boolean = {
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(markerPath)
+    val stagingRoot = new Path(root, "_compact")
+    val foldFile = new Path(stagingRoot, "_fold_ids")
+    val stagingPaths = targetDirs.indices.map(i => new Path(stagingRoot, s"t$i"))
+    if (fs.exists(marker)) {
+      val ids = targetDirs.map(d => ingestIds(fs, new Path(d)))
+        .reduce(_ ++ _)
+      // Stale staging (a crash before the marker drop) is superseded by
+      // the live index — rewrite it from scratch.
+      if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+      if (ids.size <= 1) return false
+      writeStaging(stagingPaths.map(_.toString))
+      writeIdsFile(fs, foldFile, ids)
+      dropMarker(spark, markerPath)
+    } else {
+      require(fs.exists(foldFile),
+        s"compact at $indexRoot: no index marker ($markerPath) and no " +
+          "completed staging — nothing safe to fold; build the index, " +
+          "or re-run the operation that crashed here")
+    }
+    val foldIds = readIdsFile(fs, foldFile)
+    targetDirs.zip(stagingPaths).foreach { case (finS, stg) =>
+      val fin = new Path(finS)
+      val stgChild = new Path(stg, "ingest=0")
+      val hasStg = fs.exists(stgChild)
+      Option(fs.globStatus(new Path(fin, "ingest=*"))).toSeq.flatten
+        .foreach { st =>
+          // A missing staging child means this target already swapped —
+          // its ingest=0 is the NEW base, not fold fodder.
+          if (hasStg || st.getPath.getName != "ingest=0")
+            fs.delete(st.getPath, true)
+        }
+      if (hasStg) {
+        if (!fs.exists(fin)) fs.mkdirs(fin)
+        fs.rename(stgChild, new Path(fin, "ingest=0"))
+      }
+    }
+    val recDir = new Path(root, "_compacted_ids")
+    if (!fs.exists(recDir)) fs.mkdirs(recDir)
+    writeIdsFile(fs, new Path(recDir, s"fold-${foldIds.max}"), foldIds)
+    val out = fs.create(marker, true)
+    out.close()
+    fs.delete(stagingRoot, true)
+    true
   }
 
   /** Drop a commit marker ahead of a multi-directory rebuild — the

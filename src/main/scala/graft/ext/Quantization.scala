@@ -303,6 +303,31 @@ object Quantization {
     }
   }
 
+  /** Compact the PQ index: fold every `ingest=` partition of code rows
+    * into the base (ingest 0), one file per cell — the
+    * [[Similarity.compactIvfIndex]] re-layout for the codes index. The
+    * `_books` side table (codebook + build params) is NOT touched:
+    * codes stay valid because the codebook they were encoded with is
+    * unchanged — which is also why the fold is corpus-invariant and
+    * `pqTopKIndexed` over the compacted index equals the appended and
+    * rebuilt index exactly (QuantizationSpec). Folded-id replays no-op;
+    * `_source_stamp` untouched; crash-safe/resumable per
+    * [[IndexStamp.compactLifecycle]]. Returns false on ≤ 1 ingest.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean =
+    IndexStamp.compactLifecycle(spark, path, s"$path/_books/_SUCCESS",
+        Seq(path)) { case Seq(stg) =>
+      spark.read.parquet(path)
+        .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+        .withColumn("ingest", lit(0L))
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("ingest", "cell")
+        .parquet(stg)
+    }
+
   /** Read the codebook back in (sub, code) order — the k·dim floats a
     * query needs on the driver to build its ADC tables.
     */

@@ -160,6 +160,12 @@ object Retrieval {
     // so a rebuild crash after the stats overwrite would otherwise
     // leave corpus-A postings marker-valid under corpus-B stats.
     IndexStamp.dropMarker(docs.sparkSession, s"$path/postings/_SUCCESS")
+    // A rebuild resets the ingest-id namespace, so the compaction fold
+    // record resets with it — a stale record would silently no-op a
+    // genuinely NEW batch that reuses a folded id. (The IVF/PQ builds
+    // get this for free: their single static overwrite wipes the index
+    // root, fold record included; BM25 rewrites only the two subdirs.)
+    IndexStamp.dropCompactionRecord(docs.sparkSession, path)
     // Stats are written FIRST, postings (whose _SUCCESS is the index's
     // freshness marker) LAST — a crash between the two writes leaves
     // no marker, so the next ensure/append rebuilds instead of serving
@@ -230,6 +236,57 @@ object Retrieval {
         .parquet(s"$path/postings")
     }
   }
+
+  /** Compact the index: fold every `ingest=` partition of postings and
+    * stats back into the base (ingest 0) — the lifecycle's third verb,
+    * and what keeps a stream-fed index (one partition per trigger,
+    * 8,640/day at 10 s) from drowning bucket scans in small-file
+    * metadata work. The folded postings are the index's own rows
+    * re-laid-out one file per bucket (`repartition(bucket)`); the stats
+    * fold is the same mergeable sum a query would compute, written as
+    * the single base row — so `bm25Indexed` over the compacted index
+    * equals the appended and the rebuilt index EXACTLY (RetrievalSpec).
+    * Replays of folded ingest ids become no-ops (their rows are in the
+    * base now — [[IndexStamp.appendLifecycle]] consults the fold
+    * record), and the `_source_stamp` is untouched: compaction changes
+    * files, not corpus. Crash-safe and resumable per
+    * [[IndexStamp.compactLifecycle]] (staging + marker-gated swap); a
+    * reader landing inside the swap window fails loudly rather than
+    * scoring a half-folded index. Single-writer, like every index
+    * mutation here. Returns false (no-op) on an index with ≤ 1 ingest.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean =
+    IndexStamp.compactLifecycle(spark, path, s"$path/postings/_SUCCESS",
+        Seq(s"$path/postings", s"$path/stats")) {
+      case Seq(stgPost, stgStats) =>
+        // Stats first, postings last — mirrors the build/append order
+        // (inside staging the order is cosmetic; keep one convention).
+        spark.read.parquet(s"$path/stats")
+          .agg(sum("n").cast("bigint").as("n"),
+            sum("sdl").cast("decimal(28,6)").as("sdl"))
+          .withColumn("ingest", lit(0L))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ingest")
+          .parquet(stgStats)
+        // One shuffle keyed on the bucket → one file per (ingest=0,
+        // bucket) dir: the small-files win the compaction exists for.
+        // (A pathologically hot bucket serializes into one task here —
+        // the usual compaction skew caveat; buckets are hash-of-term so
+        // skew needs a near-single-term corpus.)
+        spark.read.parquet(s"$path/postings")
+          .select(col("doc_id"), col("h"), col("tf"), col("dl"),
+            col("bucket"))
+          .withColumn("ingest", lit(0L))
+          .repartition(col("bucket"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ingest", "bucket")
+          .parquet(stgPost)
+      case other => sys.error(s"unexpected staging layout: $other")
+    }
 
   /** Build the index only when absent (`_SUCCESS` marker) or STALE:
     * when `sourcePath` is given, the index stores a fingerprint of the

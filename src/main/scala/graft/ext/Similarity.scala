@@ -169,10 +169,17 @@ object Similarity {
   }
 
   def annTopKIvf(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
-                 dim: Int = 64, nprobe: Int = 2): DataFrame = {
-    val cs = centroids(nlist, dim, 7L)
+                 dim: Int = 64, nprobe: Int = 2): DataFrame =
+    annTopKIvfWith(emb, queryId, k, centroids(nlist, dim, 7L), nprobe)
+
+  /** [[annTopKIvf]] against an EXPLICIT quantizer — the form the specs
+    * pin against the persisted index (whose centroids are TRAINED at
+    * build time, not seeded), and the shared core of both.
+    */
+  def annTopKIvfWith(emb: DataFrame, queryId: Long, k: Int,
+                     cs: Seq[Seq[Float]], nprobe: Int = 2): DataFrame = {
     val listed = emb.select(col("vec_id"), col("label"), col("embedding"),
-      ivfCell(col("embedding"), nlist, dim).as("cell"),
+      cellFor(col("embedding"), cs).as("cell"),
       vec_norm(col("embedding")).as("nrm"))
     // The query's nprobe best cells, as a broadcast single-row frame.
     val q = emb.filter(col("vec_id") === queryId)
@@ -193,74 +200,174 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   /** Deterministic index directory for a testdata dir (tmpdir-scoped).
-    * v2: the ingest-partitioned layout (round 6) — a new directory
-    * family so pre-existing v1 indexes can't be served to v2 readers.
+    * v3: trained (k-means) coarse centroids stored IN the index, marker
+    * moved to `_centroids/_SUCCESS` — a new directory family per the
+    * layout-change discipline, so pre-existing v2 indexes (seeded
+    * centroids, root marker) can't be served to v3 readers.
     */
   def ivfIndexPathFor(sfDir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-ivf2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      "graft-ivf3-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
-  /** Materialize the IVF index: every vector with its coarse cell and
-    * precomputed norm, written PARTITIONED BY cell. Repeated queries then
-    * read ONLY the probed cells' files via static partition pruning —
-    * instead of re-deriving every vector's cell with a full corpus scan
-    * per query ([[annTopKIvf]]'s cost model, fine once, wrong repeated).
-    * One corpus scan to build, amortized over every query after it.
+  /** The index's freshness marker: the `_centroids` side table is
+    * written LAST (the PQ `_books` rule), so its `_SUCCESS` committing
+    * is what makes the whole index servable — a crash between the rows
+    * write and the centroids write leaves no marker and the next
+    * ensure/append rebuilds.
     */
+  private def ivfMarker(path: String) = s"$path/_centroids/_SUCCESS"
+
+  /** Write the quantizer side table: one row per (cell, centroid) plus
+    * the embedding dimension the index was built with — queries derive
+    * the quantizer FROM the index (the `_books` discipline: a caller
+    * repeating nlist/dim wrong cannot probe alien cells or truncate
+    * dots). Underscore-prefixed → invisible to the rows reader.
+    */
+  private[ext] def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, cs: Seq[Seq[Float]]): Unit = {
+    import spark.implicits._
+    cs.zipWithIndex.map { case (c, i) => (i, c, c.length) }
+      .toDF("cell", "centroid", "dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** The stored quantizer and the dim it was built with. */
+  def loadCentroidsMeta(spark: org.apache.spark.sql.SparkSession,
+                        path: String): (Seq[Seq[Float]], Int) = {
+    val rows = spark.read.parquet(s"$path/_centroids").collect()
+    (rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1)).toIndexedSeq,
+      rows.head.getInt(2))
+  }
+
   /** Index rows for a vector batch — shared by the full build and the
     * incremental append: the cell assignment is a pure function of the
-    * embedding and the SEEDED centroids, so appended vectors land in
-    * exactly the cells a full rebuild would put them in.
+    * embedding and the index's FROZEN centroids, so appended vectors
+    * land in exactly the cells a same-quantizer rebuild would put them
+    * in. The dim guard fails an alien-model batch loudly on the
+    * executor — slicing/dot kernels would otherwise operate silently
+    * on the common prefix (the PQ `pqRowsFor` rule).
     */
-  private def ivfRowsFor(emb: DataFrame, nlist: Int, dim: Int): DataFrame =
-    emb.select(col("vec_id"), col("label"), col("embedding"),
-      vec_norm(col("embedding")).as("nrm"),
-      ivfCell(col("embedding"), nlist, dim).as("cell"))
+  private def ivfRowsFor(emb: DataFrame, cs: Seq[Seq[Float]]): DataFrame = {
+    val dim = cs.head.length
+    val checked = when(size(col("embedding")) === dim, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"IVF index expects $dim-dim embeddings, got "),
+        size(col("embedding")).cast("string"),
+        lit(" (vec_id "), col("vec_id").cast("string"), lit(")"))))
+    emb.select(col("vec_id"), col("label"), checked.as("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"),
+        cellFor(col("embedding"), cs).as("cell"))
+  }
 
-  /** Layout mirrors the BM25 index: partitioned by INGEST id above the
-    * cell (base build = ingest 0, each batch its own id), so appends
-    * are dynamic overwrites of their own partition — idempotent per
-    * ingest id, which makes the streaming twin exactly-once under
-    * foreachBatch replays. Cell pruning is unaffected by the ingest
-    * level above it.
+  /** Materialize the IVF index: every vector with its coarse cell and
+    * precomputed norm, written PARTITIONED BY cell; the quantizer
+    * itself rides in the `_centroids` side table (written last — the
+    * freshness marker). Repeated queries then read ONLY the probed
+    * cells' files via static partition pruning — instead of re-deriving
+    * every vector's cell with a full corpus scan per query
+    * ([[annTopKIvf]]'s cost model, fine once, wrong repeated). Layout
+    * mirrors the BM25 index: partitioned by INGEST id above the cell
+    * (base build = ingest 0, each batch its own id), so appends are
+    * dynamic overwrites of their own partition. This form takes an
+    * EXPLICIT quantizer (what spec equalities and A/B sweeps need);
+    * [[buildIvfIndex]] trains one ([[kmeansFit]]) and delegates —
+    * trained cells follow the data distribution, which is both the
+    * recall-at-fixed-nprobe win and what keeps cell partition sizes
+    * balanced for the pruning story (seeded-noise centroids give
+    * lopsided populations on clustered real-world embeddings).
     */
-  def buildIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
-                    dim: Int = 64): Unit =
+  def buildIvfIndexWith(emb: DataFrame, path: String,
+                        cs: Seq[Seq[Float]]): Unit = {
+    require(cs.nonEmpty, "IVF index needs at least one centroid")
+    val spark = emb.sparkSession
     // static overwrite pinned for the same reason as buildBm25Index: a
     // rebuild must replace EVERY ingest partition, not just ingest=0.
-    ivfRowsFor(emb, nlist, dim).withColumn("ingest", lit(0L))
+    // The root wipe also clears the old _centroids (and any stale
+    // compaction record/staging) — the marker is gone until the new
+    // centroids commit below.
+    ivfRowsFor(emb, cs).withColumn("ingest", lit(0L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("ingest", "cell").parquet(path)
+    writeCentroids(spark, path, cs)
+  }
+
+  /** Train-and-build: fit `nlist` spherical k-means centroids on the
+    * corpus ([[kmeansFit]] — partition-invariant, seeded init) and
+    * build the index with them. The quantizer is FROZEN at build like
+    * the PQ codebook; retraining on a grown corpus is a rebuild by
+    * definition (cell assignments are meaningless across quantizers).
+    */
+  def buildIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
+                    dim: Int = 64, iters: Int = 3): Unit =
+    buildIvfIndexWith(emb, path, kmeansFit(emb, nlist, iters, dim))
 
   /** Incremental IVF maintenance: fold a batch of NEW vectors into the
-    * persisted index. Every index row is independent (vector, norm,
-    * quantizer cell — no corpus-level state at all), and the batch
-    * lands as its own dynamically-overwritten `ingest=` partition, so
-    * the append is IDEMPOTENT per `ingestId` (a replay replaces its own
-    * partition, nothing else) and a query over the appended index
-    * equals one over a from-scratch rebuild EXACTLY (ExtSpec).
-    * `ingestId` < 0 auto-assigns max+1; streams pass their micro-batch
-    * id + 1. Same new-vec_ids-across-ingests, one-writer-at-a-time,
-    * and self-initialization contract as [[Retrieval.appendBm25Index]]
+    * persisted index, assigned by the index's STORED quantizer. Every
+    * index row is independent (vector, norm, quantizer cell — no
+    * corpus-level state at all), and the batch lands as its own
+    * dynamically-overwritten `ingest=` partition, so the append is
+    * IDEMPOTENT per `ingestId` (a replay replaces its own partition,
+    * nothing else) and a query over the appended index equals one over
+    * a SAME-QUANTIZER rebuild EXACTLY (ExtSpec). On a cold start the
+    * quantizer trains on the FIRST batch and freezes (`nlist`/`dim`/
+    * `iters` apply only then — an empty first batch freezes the seeded
+    * init, which for IVF is merely low-recall, never wrong: the probe
+    * uses the same stored centroids). `ingestId` < 0 auto-assigns
+    * max+1; streams pass their micro-batch id + 1. Same
+    * new-vec_ids-across-ingests, one-writer-at-a-time, and
+    * self-initialization contract as [[Retrieval.appendBm25Index]]
     * (explicit-id cold start creates an EMPTY ingest-0 base so the
-    * batch lands in its own replayable partition); the
-    * `_source_stamp` is dropped BEFORE the mutation so a crash
-    * mid-append never leaves a mutated index that still claims source
-    * freshness.
+    * batch lands in its own replayable partition); the `_source_stamp`
+    * is dropped BEFORE the mutation so a crash mid-append never leaves
+    * a mutated index that still claims source freshness.
     */
   def appendIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
-                     dim: Int = 64, ingestId: Long = -1L): Unit =
-    IndexStamp.appendLifecycle(emb.sparkSession, path, s"$path/_SUCCESS",
+                     dim: Int = 64, ingestId: Long = -1L,
+                     iters: Int = 3): Unit = {
+    val spark = emb.sparkSession
+    // Set only by the cold branch, so the warm path reads the STORED
+    // quantizer and the cold path doesn't re-read what it just wrote.
+    var justBuilt: Option[Seq[Seq[Float]]] = None
+    IndexStamp.appendLifecycle(spark, path, ivfMarker(path),
         path, ingestId) {
-      buildIvfIndex(emb, path, nlist, dim)
+      buildIvfIndex(emb, path, nlist, dim, iters)
     } {
-      buildIvfIndex(emb.limit(0), path, nlist, dim)
+      val cs = kmeansFit(emb, nlist, iters, dim)
+      buildIvfIndexWith(emb.limit(0), path, cs)
+      justBuilt = Some(cs)
     } { id =>
-      ivfRowsFor(emb, nlist, dim).withColumn("ingest", lit(id))
+      val cs = justBuilt.getOrElse(loadCentroidsMeta(spark, path)._1)
+      ivfRowsFor(emb, cs).withColumn("ingest", lit(id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest", "cell").parquet(path)
+    }
+  }
+
+  /** Compact the IVF index: fold every `ingest=` partition into the
+    * base (ingest 0), one file per cell (`repartition(cell)`) — the
+    * BM25 rationale ([[Retrieval.compactBm25Index]]) applied to the
+    * vector index. Index rows are independent (vector, norm, cell), so
+    * the fold is a pure re-layout: `annTopKIndexed` over the compacted
+    * index equals the appended and rebuilt index exactly. Folded-id
+    * replays no-op; `_source_stamp` untouched; crash-safe/resumable per
+    * [[IndexStamp.compactLifecycle]]. Returns false on ≤ 1 ingest.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Boolean =
+    IndexStamp.compactLifecycle(spark, path, ivfMarker(path),
+        Seq(path)) { case Seq(stg) =>
+      spark.read.parquet(path)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("nrm"), col("cell"))
+        .withColumn("ingest", lit(0L))
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("ingest", "cell")
+        .parquet(stg)
     }
 
   /** Build the index only when absent (`_SUCCESS` marker) or STALE —
@@ -274,7 +381,7 @@ object Similarity {
                      emb: => DataFrame, path: String, nlist: Int = 16,
                      dim: Int = 64,
                      sourcePath: Option[String] = None): Unit =
-    IndexStamp.ensureFresh(spark, s"$path/_SUCCESS", path, sourcePath) {
+    IndexStamp.ensureFresh(spark, ivfMarker(path), path, sourcePath) {
       buildIvfIndex(emb, path, nlist, dim)
     }
 
@@ -291,17 +398,18 @@ object Similarity {
     (r.getSeq[Float](0).toArray, r.getDouble(1))
   }
 
-  /** The query's `nprobe` best cells, computed driver-side against the
-    * same centroids with the same double fold order as
+  /** The query's `nprobe` best cells against an EXPLICIT quantizer,
+    * computed driver-side with the same double fold order as
     * [[graft.functions.FloatVecDot]] (left-to-right, per-term toDouble),
     * and [[probeCellsExpr]]'s tie order (score desc, ties toward the
     * LOWEST cell index — [[cellFor]]'s assignment order, so a tied
     * query always probes its own cell) — identical scores, identical
-    * probe set.
+    * probe set. Callers pass the index's STORED centroids
+    * ([[loadCentroidsMeta]]), never re-derive their own.
     */
-  def probeCells(queryVec: Array[Float], nlist: Int = 16, dim: Int = 64,
+  def probeCells(queryVec: Array[Float], cs: Seq[Seq[Float]],
                  nprobe: Int = 2): Seq[Int] =
-    centroids(nlist, dim, 7L).zipWithIndex.map { case (c, i) =>
+    cs.zipWithIndex.map { case (c, i) =>
       (driverDot(queryVec, c, 0), i)
     }.sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering,
         Ordering.Int.reverse))
@@ -326,23 +434,31 @@ object Similarity {
     * `cell IN (probed…)` partition filter — only the probed cells' files
     * are read (PlanGuardSpec asserts this) — then scores survivors with
     * the codegen'd dot kernel against the literal query vector and takes
-    * TakeOrdered(k). Returns exactly [[annTopKIvf]]'s rows (the query is
-    * a vector, not an id — like [[annTopKIvf]], a stored vector querying
-    * for itself appears in its own results; filter by id downstream to
-    * exclude it).
+    * TakeOrdered(k). The quantizer (and the dim the query is validated
+    * against) comes FROM the index ([[loadCentroidsMeta]]), never from
+    * the caller; returns exactly [[annTopKIvfWith]]'s rows under the
+    * same centroids (the query is a vector, not an id — a stored vector
+    * querying for itself appears in its own results; filter by id
+    * downstream to exclude it).
     */
   def annTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                      indexPath: String, queryVec: Array[Float],
                      queryNorm: Double, k: Int,
-                     nlist: Int = 16, dim: Int = 64,
                      nprobe: Int = 2): DataFrame = {
-    // Committed empty base (cold-start crash window): empty corpus,
-    // empty ranking. A MISSING index fails loudly inside the gate.
-    if (IndexStamp.emptyCommittedIndex(spark, s"$indexPath/_SUCCESS",
-        indexPath))
+    // A MISSING index fails loudly inside the gate; a committed empty
+    // base (cold-start crash window) yields an empty ranking — but only
+    // AFTER the query is validated against the stored dim, so a
+    // wrong-model client fails immediately, not once the first batch
+    // lands (the PQ reader's rule).
+    val empty = IndexStamp.emptyCommittedIndex(spark, ivfMarker(indexPath),
+      indexPath)
+    val (cs, dim) = loadCentroidsMeta(spark, indexPath)
+    require(queryVec.length == dim,
+      s"query has ${queryVec.length} dims, index built with $dim")
+    if (empty)
       return spark.range(0).select(col("id").as("vec_id"),
         lit(0).as("label"), lit(0.0).as("cosine"))
-    val cells = probeCells(queryVec, nlist, dim, nprobe)
+    val cells = probeCells(queryVec, cs, nprobe)
     spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("label"),
@@ -376,7 +492,6 @@ object Similarity {
     */
   def semanticNovelAgainstIndex(emb: DataFrame, indexPath: String,
                                 threshold: Double = 0.95,
-                                nlist: Int = 16, dim: Int = 64,
                                 nprobe: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     // No corpus data — including no index at all — means every vector
@@ -385,7 +500,11 @@ object Similarity {
     // starts before any corpus exists (the stream's first batch), and
     // a committed-but-empty base (cold-start crash window) must not
     // wedge on parquet schema inference. Gate on DATA, here in the
-    // operator, so every caller — batch or stream — shares it.
+    // operator, so every caller — batch or stream — shares it. (Past
+    // the gate the stored quantizer is loaded; the one state with data
+    // but no `_centroids` — a build crash between the rows and
+    // centroids writes — surfaces loudly there, which is right: that
+    // index is marker-less and mid-rebuild, not a standing corpus.)
     val dir = new org.apache.hadoop.fs.Path(indexPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!IndexStamp.hasIngestData(fs, dir))
@@ -393,7 +512,7 @@ object Similarity {
         lit(null).cast("double").as("best_cos"),
         lit(null).cast("long").as("match_id"))
         .orderBy("vec_id")
-    val cs = centroids(nlist, dim, 7L)
+    val cs = loadCentroidsMeta(spark, indexPath)._1
     val probing = emb.select(col("vec_id"), col("embedding"),
       vec_norm(col("embedding")).as("nrm"),
       explode(cellsFor(col("embedding"), cs, nprobe)).as("cell"))

@@ -77,6 +77,44 @@ object Bm25Drill {
       .collect()
     assert(appended.toSeq == rebuilt.toSeq,
       "appended index must equal the rebuilt index")
+
+    // Streaming-sink decay: a 10 s-trigger stream lands 8,640 ingest
+    // partitions a day. Simulate ~1% of a day (120 micro-batch appends
+    // on top of the two ingests above), measure the query cost the
+    // small-files metadata work adds, then compact and measure what the
+    // fold gives back. File counts printed alongside: the query cost IS
+    // the listing+footer cost at this corpus size.
+    val perBatch = math.max(rows / 10000L, 100L)
+    time(s"append 120 micro-batches ($perBatch docs each)") {
+      (0 until 120).foreach { b =>
+        val lo = rows + rows / 100 + b * perBatch
+        Retrieval.appendBm25Index(gen(lo, lo + perBatch), path,
+          ingestId = 100L + b)
+      }
+    }
+    def fileCount(p: String): Long = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    println(f"postings files at 122 ingests: ${fileCount(s"$path/postings")}%d")
+    val fragmented = time("BM25 top-10 (122-ingest index, warm)") {
+      Retrieval.bm25Indexed(spark, path, terms, k = 10).collect()
+      Retrieval.bm25Indexed(spark, path, terms, k = 10).collect()
+    }
+    time("compactBm25Index (fold 122 ingests)") {
+      Retrieval.compactBm25Index(spark, path)
+    }
+    println(f"postings files after compaction: ${fileCount(s"$path/postings")}%d")
+    val folded = time("BM25 top-10 (compacted index, warm)") {
+      Retrieval.bm25Indexed(spark, path, terms, k = 10).collect()
+      Retrieval.bm25Indexed(spark, path, terms, k = 10).collect()
+    }
+    assert(folded.toSeq == fragmented.toSeq,
+      "compacted index must equal the fragmented index")
     spark.stop()
   }
 }

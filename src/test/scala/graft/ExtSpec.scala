@@ -646,6 +646,51 @@ class ExtSpec extends AnyFunSuite {
     assert(spark.read.parquet(incDir).count() === 40L)
   }
 
+  test("compactIvfIndex folds ingests into the base; folded replays no-op") {
+    val emb = (0L until 40L).map(i => (i, (i % 3).toInt,
+        Seq.tabulate(4)(j => math.sin(i.toDouble * 7 + j).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf-compact").toString + "/idx"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 20), dir,
+      nlist = 4, dim = 4)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 20 &&
+      col("vec_id") < 30), dir, nlist = 4, dim = 4, ingestId = 1L)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 30), dir,
+      nlist = 4, dim = 4, ingestId = 2L)
+    val (qv, qn) = Similarity.lookupVec(spark, dir, 0L)
+    def top(d: String) = Similarity.annTopKIndexed(spark, d, qv, qn,
+      k = 10, nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+    val before = top(dir)
+    assert(Similarity.compactIvfIndex(spark, dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.ext.IndexStamp.ingestIds(fs,
+      new org.apache.hadoop.fs.Path(dir)) === Set(0L))
+    assert(top(dir) === before)
+    assert(spark.read.parquet(dir).count() === 40L)
+    // compacted == rebuilt
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("ivf-compact-full").toString + "/idx"
+    Similarity.buildIvfIndex(emb, fullDir, nlist = 4, dim = 4)
+    assert(top(dir) === top(fullDir))
+    // a folded-id replay no-ops (no duplicate vectors), a new auto-id
+    // append skips past the folded namespace and lands
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 30), dir,
+      nlist = 4, dim = 4, ingestId = 2L)
+    assert(spark.read.parquet(dir).count() === 40L)
+    Similarity.appendIvfIndex(
+      Seq((99L, 0, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "label", "embedding"),
+      dir, nlist = 4, dim = 4)
+    assert(graft.ext.IndexStamp.ingestIds(fs,
+      new org.apache.hadoop.fs.Path(dir)) === Set(0L, 3L))
+    assert(spark.read.parquet(dir).count() === 41L)
+    // already-compact after a re-compact → no-op
+    assert(Similarity.compactIvfIndex(spark, dir))
+    assert(!Similarity.compactIvfIndex(spark, dir))
+    assert(spark.read.parquet(dir).count() === 41L)
+  }
+
   test("semanticNovelAgainstIndex screens a batch against the standing corpus") {
     // Index holds two axis vectors; the batch brings a near-copy of the
     // first and a genuinely new direction. nprobe = nlist so the test

@@ -168,6 +168,41 @@ class QuantizationSpec extends AnyFunSuite {
     assert(Quantization.loadBooks(spark, inc) == trained)
   }
 
+  test("compactPqIndex folds ingests; codebook untouched; folded replays no-op") {
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
+      dim = 8, seed = 11L)
+    val half = clustered.filter(col("vec_id") < 100L)
+    val rest = clustered.filter(col("vec_id") >= 100L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-compact")
+    val (full, inc) = (s"$tmp/full", s"$tmp/inc")
+    Quantization.buildPqIndex(clustered, full, trained, dim = 8, nlist = 8)
+    Quantization.buildPqIndex(half, inc, trained, dim = 8, nlist = 8)
+    Quantization.appendPqIndex(rest, inc, ingestId = 1L)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "label", "codes", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(Quantization.compactPqIndex(spark, inc))
+    val fs = new org.apache.hadoop.fs.Path(inc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.ext.IndexStamp.ingestIds(fs,
+      new org.apache.hadoop.fs.Path(inc)) === Set(0L))
+    // compacted == appended == same-codebook rebuilt, and the codebook
+    // side table is untouched by the fold
+    assert(rows(inc) == rows(full) && rows(full).nonEmpty)
+    assert(Quantization.loadBooks(spark, inc) == trained)
+    // folded-id replay no-ops; the ranked answer is unchanged
+    Quantization.appendPqIndex(rest, inc, ingestId = 1L)
+    assert(rows(inc) == rows(full))
+    val qVec = clustered.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    assert(Quantization.pqTopKIndexed(spark, inc, qVec, k = 10, nprobe = 3)
+        .collect().toSeq ===
+      Quantization.pqTopKIndexed(spark, full, qVec, k = 10, nprobe = 3)
+        .collect().toSeq)
+    // an already-compact index no-ops
+    assert(!Quantization.compactPqIndex(spark, inc))
+  }
+
   test("lifecycle guards: empty cold start refused, dim mismatch loud, empty base reads empty") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pq-guards")
     // 1. A cold-start append on an empty batch must refuse rather than

@@ -112,6 +112,87 @@ class RetrievalSpec extends AnyFunSuite {
     assert(stats(incDir).getLong(0) === stats(fullDir).getLong(0))
   }
 
+  test("compactBm25Index: compacted == appended == rebuilt; folded replays no-op") {
+    val all = docs(
+      (1L, "cat dog"), (2L, "cat cat cat dog"), (3L, "fish cat"),
+      (4L, "dog fish"), (5L, "cat fish fish fish"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-compact").toString
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("bm25-compact-full").toString
+    Retrieval.buildBm25Index(all.filter(col("doc_id") <= 2), dir)
+    Retrieval.appendBm25Index(all.filter(col("doc_id") === 3), dir,
+      ingestId = 1L)
+    Retrieval.appendBm25Index(all.filter(col("doc_id") > 3), dir,
+      ingestId = 2L)
+    val q = Seq("cat", "fish")
+    def rows(d: String) = Retrieval.bm25Indexed(spark, d, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = rows(dir)
+    assert(Retrieval.compactBm25Index(spark, dir))
+    // every partition folded into the base, on BOTH sibling tables
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids(sub: String) = graft.ext.IndexStamp.ingestIds(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+    assert(ids("postings") === Set(0L) && ids("stats") === Set(0L))
+    // compacted == appended == rebuilt
+    Retrieval.buildBm25Index(all, fullDir)
+    assert(rows(dir) === before && rows(dir) === rows(fullDir))
+    // a replay of a FOLDED ingest id is a no-op — its rows are already
+    // in the base; re-landing the partition would double them (the
+    // at-least-once stream's post-compaction crash replay)
+    Retrieval.appendBm25Index(all.filter(col("doc_id") === 3), dir,
+      ingestId = 1L)
+    assert(ids("postings") === Set(0L) && rows(dir) === before)
+    // a genuinely new auto-id append skips past folded ids (no reuse of
+    // an id a live stream might still replay) and still lands
+    Retrieval.appendBm25Index(docs((9L, "cat bird")), dir)
+    assert(ids("postings") === Set(0L, 3L))
+    val grown = java.nio.file.Files
+      .createTempDirectory("bm25-compact-grown").toString
+    Retrieval.buildBm25Index(all.unionByName(docs((9L, "cat bird"))), grown)
+    assert(rows(dir) === rows(grown))
+    // compact again; an already-compact index then no-ops
+    assert(Retrieval.compactBm25Index(spark, dir))
+    assert(rows(dir) === rows(grown))
+    assert(!Retrieval.compactBm25Index(spark, dir))
+  }
+
+  test("compaction changes files, not corpus: a fresh source stamp survives") {
+    val src = java.nio.file.Files
+      .createTempDirectory("bm25-cstamp-src").toString + "/documents"
+    val idx = java.nio.file.Files
+      .createTempDirectory("bm25-cstamp").toString
+    docs((1L, "cat"), (2L, "cat dog")).write.mode("overwrite").parquet(src)
+    Retrieval.ensureBm25Index(spark, spark.read.parquet(src), idx,
+      sourcePath = Some(src))
+    assert(graft.ext.IndexStamp.read(spark, idx).isDefined)
+    // single-ingest index → compact is a no-op and the stamp survives:
+    // a following stamped ensure must NOT rebuild (fingerprint of the
+    // postings listing is unchanged — same files, same mtimes)
+    assert(!Retrieval.compactBm25Index(spark, idx))
+    assert(graft.ext.IndexStamp.read(spark, idx).isDefined)
+    val filesBefore = graft.ext.IndexStamp.fingerprint(spark, s"$idx/postings")
+    Retrieval.ensureBm25Index(spark, spark.read.parquet(src), idx,
+      sourcePath = Some(src))
+    assert(graft.ext.IndexStamp.fingerprint(spark, s"$idx/postings")
+      === filesBefore, "ensure after a no-op compact must not rebuild")
+    // a multi-ingest index is already unstamped (the APPEND dropped it,
+    // not the compaction) — compact keeps it absent, so the stamped
+    // ensure afterwards rebuilds from source exactly as it would have
+    // before the compact
+    Retrieval.appendBm25Index(docs((3L, "cat bird")), idx, ingestId = 1L)
+    assert(graft.ext.IndexStamp.read(spark, idx).isEmpty)
+    assert(Retrieval.compactBm25Index(spark, idx))
+    assert(graft.ext.IndexStamp.read(spark, idx).isEmpty)
+    Retrieval.ensureBm25Index(spark, spark.read.parquet(src), idx,
+      sourcePath = Some(src))
+    // rebuilt from the 2-doc source: the appended doc 3 is gone
+    assert(Retrieval.bm25Indexed(spark, idx, Seq("cat"), k = 10)
+      .count() === 2)
+  }
+
   test("ensureBm25Index rebuilds when the source data changes") {
     // A marker-only ensure serves stale postings after the source table
     // is regenerated in place; the source-stamped ensure detects the
