@@ -179,17 +179,23 @@ object IndexStamp {
     }.toSet
   }
 
-  /** Delete the compaction fold record — full rebuilds reset the
-    * ingest-id namespace, so they must reset the fold record too (a
-    * stale one would no-op a new batch that reuses a folded id).
-    * Root-wiping builds (IVF/PQ static overwrite) get this implicitly;
-    * subdir-rewriting builds (BM25) call it explicitly.
+  /** Delete the compaction fold record AND any staging left by a
+    * crashed compaction — full rebuilds reset the ingest-id namespace,
+    * so they must reset both (a stale fold record would no-op a new
+    * batch that reuses a folded id; a stale `_compact` staging with its
+    * `_fold_ids` manifest would let a marker-less crash window AFTER
+    * the rebuild "resume" the pre-rebuild fold, installing stale
+    * corpus). Root-wiping builds (IVF/PQ static overwrite) get both
+    * implicitly; subdir-rewriting builds (BM25) call this explicitly.
     */
   private[graft] def dropCompactionRecord(spark: SparkSession,
                                           indexRoot: String): Unit = {
-    val p = new Path(indexRoot, "_compacted_ids")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val fs = new Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("_compacted_ids", "_compact").foreach { d =>
+      val p = new Path(indexRoot, d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   private def writeIdsFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,

@@ -392,7 +392,11 @@ object Quantization {
     val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
       book.map(c => Similarity.driverDot(queryVec, c, s * dsub)).toSeq
     }
-    val cells = Similarity.probeCells(queryVec, nlist, dim, nprobe)
+    // The PQ coarse quantizer is the SEEDED centroid set pqRowsFor
+    // assigns cells with (the stored nlist/dim reproduce it exactly);
+    // unlike the IVF index there is no trained _centroids side table.
+    val cells = Similarity.probeCells(queryVec,
+      Similarity.centroids(nlist, dim, 7L), nprobe)
     spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("label"),

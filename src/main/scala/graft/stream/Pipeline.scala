@@ -313,7 +313,7 @@ object Pipeline {
             graft.ext.Similarity.appendIvfIndex(once, indexPath, nlist,
               dim, ingestId = batchId + 1)
             graft.ext.Similarity.annTopKIndexed(once.sparkSession,
-                indexPath, qVec, qNorm, k, nlist, dim, nprobe)
+                indexPath, qVec, qNorm, k, nprobe)
               .write.mode("overwrite").parquet(rankDir)
           } finally { once.unpersist(); () }
         }
@@ -400,7 +400,7 @@ object Pipeline {
             // INSIDE the operator — no data → the whole batch is novel;
             // the append below self-initializes the base.
             val verdicts = graft.ext.Similarity.semanticNovelAgainstIndex(
-              once, indexPath, threshold, nlist, dim, nprobe)
+              once, indexPath, threshold, nprobe)
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val novel = spark.read.parquet(outDir)

@@ -42,20 +42,25 @@ object AnnDrill {
       Similarity.cosineTopK(emb, queryId = 42L, k = 10).collect()
     }
     assert(exact.length == 10)
+    // The index's quantizer is TRAINED at build time, so the full-scan
+    // comparator must run under the SAME stored centroids for the
+    // equality to be meaningful (annTopKIvf's seeded quantizer probes
+    // different cells).
+    val (storedCs, _) = Similarity.loadCentroidsMeta(spark, path)
     val ivf = time("IVF top-10 (cells re-derived)") {
-      Similarity.annTopKIvf(emb, queryId = 42L, k = 10, nlist = 64,
-        dim = dim, nprobe = 4).collect()
+      Similarity.annTopKIvfWith(emb, queryId = 42L, k = 10, storedCs,
+        nprobe = 4).collect()
     }
     val (qv, qn) = Similarity.lookupVec(spark, path, 42L)
     val idx = time("indexed top-10 (pruned partitions)") {
-      Similarity.annTopKIndexed(spark, path, qv, qn, k = 10, nlist = 64,
-        dim = dim, nprobe = 4).collect()
+      Similarity.annTopKIndexed(spark, path, qv, qn, k = 10,
+        nprobe = 4).collect()
     }
     assert(idx.toSeq == ivf.toSeq, "indexed must equal full-scan IVF")
     // Steady state: the second indexed query (file index warm).
     time("indexed top-10 (repeat query)") {
-      Similarity.annTopKIndexed(spark, path, qv, qn, k = 10, nlist = 64,
-        dim = dim, nprobe = 4).collect()
+      Similarity.annTopKIndexed(spark, path, qv, qn, k = 10,
+        nprobe = 4).collect()
     }
     // Spherical k-means over the same corpus: per-iteration cost is one
     // scan + one (cell, dim)-keyed decimal aggregate; the fitted

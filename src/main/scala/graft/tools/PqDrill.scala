@@ -58,10 +58,10 @@ object PqDrill {
 
     val (qv, qn) = Similarity.lookupVec(spark, ivfPath, 42L)
     val raw = time("indexed raw top-10 (pruned, warm 2nd)") {
-      Similarity.annTopKIndexed(spark, ivfPath, qv, qn, k = 10, nlist = 64,
-        dim = dim, nprobe = 4).collect()
-      Similarity.annTopKIndexed(spark, ivfPath, qv, qn, k = 10, nlist = 64,
-        dim = dim, nprobe = 4).collect()
+      Similarity.annTopKIndexed(spark, ivfPath, qv, qn, k = 10,
+        nprobe = 4).collect()
+      Similarity.annTopKIndexed(spark, ivfPath, qv, qn, k = 10,
+        nprobe = 4).collect()
     }
     val adc = time("indexed ADC top-10 (pruned, warm 2nd)") {
       Quantization.pqTopKIndexed(spark, pqPath, qv, k = 10, nprobe = 4)

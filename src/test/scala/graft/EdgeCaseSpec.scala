@@ -130,7 +130,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     // and the real query against the index still finds both neighbors
     val (qv, qn) = Similarity.lookupVec(spark, path, 0L)
     val top = Similarity.annTopKIndexed(spark, path, qv, qn, k = 2,
-      nlist = 4, dim = 4, nprobe = 4)
+      nprobe = 4)
     assert(top.select("vec_id").as[Long].collect().toSet == Set(0L, 1L))
   }
 

@@ -624,16 +624,16 @@ class ExtSpec extends AnyFunSuite {
     Similarity.buildIvfIndex(emb, fullDir, nlist = 4, dim = 4)
     val (qv, qn) = Similarity.lookupVec(spark, incDir, 0L)
     val inc = Similarity.annTopKIndexed(spark, incDir, qv, qn, k = 10,
-      nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+      nprobe = 2).collect().toSeq
     val full = Similarity.annTopKIndexed(spark, fullDir, qv, qn, k = 10,
-      nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+      nprobe = 2).collect().toSeq
     assert(inc.nonEmpty && inc === full)
     // self-initializing: append into an absent index builds it
     val coldDir = java.nio.file.Files
       .createTempDirectory("ivf-cold").toString + "/idx"
     Similarity.appendIvfIndex(emb, coldDir, nlist = 4, dim = 4)
     val cold = Similarity.annTopKIndexed(spark, coldDir, qv, qn, k = 10,
-      nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+      nprobe = 2).collect().toSeq
     assert(cold === full)
     // replay idempotence: the same batch re-appended under the SAME
     // ingest id overwrites its own partition — no duplicate vectors
@@ -642,7 +642,7 @@ class ExtSpec extends AnyFunSuite {
     Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 20), incDir,
       nlist = 4, dim = 4, ingestId = 1L)
     assert(Similarity.annTopKIndexed(spark, incDir, qv, qn, k = 10,
-      nlist = 4, dim = 4, nprobe = 2).collect().toSeq === full)
+      nprobe = 2).collect().toSeq === full)
     assert(spark.read.parquet(incDir).count() === 40L)
   }
 
@@ -660,7 +660,7 @@ class ExtSpec extends AnyFunSuite {
       nlist = 4, dim = 4, ingestId = 2L)
     val (qv, qn) = Similarity.lookupVec(spark, dir, 0L)
     def top(d: String) = Similarity.annTopKIndexed(spark, d, qv, qn,
-      k = 10, nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+      k = 10, nprobe = 2).collect().toSeq
     val before = top(dir)
     assert(Similarity.compactIvfIndex(spark, dir))
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -704,7 +704,7 @@ class ExtSpec extends AnyFunSuite {
         (11L, 0, Seq(0f, 0f, 1f, 0f)))
       .toDF("vec_id", "label", "embedding")
     val out = Similarity.semanticNovelAgainstIndex(batch, idx,
-        threshold = 0.95, nlist = 4, dim = 4, nprobe = 4)
+        threshold = 0.95, nprobe = 4)
       .collect()
       .map(r => (r.getLong(0), r.getBoolean(1),
         Option(r.get(3)).map(_.asInstanceOf[Long])))

@@ -283,11 +283,16 @@ class PipelineSpec extends AnyFunSuite {
     val b1 = (0L until 10L).map(i => (i, (i % 3).toInt, vec(i)))
     val b2 = (10L until 20L).map(i => (i, (i % 3).toInt, vec(i)))
     def fresh(rows: Seq[(Long, Int, Seq[Float])], tag: String) = {
+      // The stream's quantizer trains on batch 1 and FREEZES; the
+      // comparator must rebuild with the SAME stored quantizer (the
+      // appendIvfIndex "same-quantizer rebuild" contract) — a fresh
+      // train over the grown corpus would probe different cells.
+      val frozenCs = Similarity.loadCentroidsMeta(spark, idx)._1
       val d = s"$tmp/fresh-$tag"
-      Similarity.buildIvfIndex(rows.toDF("vec_id", "label", "embedding"),
-        d, nlist = 4, dim = 4)
+      Similarity.buildIvfIndexWith(
+        rows.toDF("vec_id", "label", "embedding"), d, frozenCs)
       Similarity.annTopKIndexed(spark, d, qVec, 1.0, k = 5,
-        nlist = 4, dim = 4, nprobe = 2).collect().toSeq
+        nprobe = 2).collect().toSeq
     }
     def snapshot() = spark.read.parquet(rankDir).collect().toSeq
       .sortBy(_.toString)

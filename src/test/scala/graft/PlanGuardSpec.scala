@@ -83,8 +83,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // The files actually read all come from the probed cells' directories
     // (≤ nprobe of the 16 cell partitions).
     val idx = graft.ext.Similarity.ivfIndexPathFor(dir)
-    val (qVec, _) = graft.ext.Similarity.lookupVec(spark, idx, 0L)
-    val probed = graft.ext.Similarity.probeCells(qVec).toSet
+    val (qVec, qNorm) = graft.ext.Similarity.lookupVec(spark, idx, 0L)
+    // The probe set derives from the index's STORED (trained) quantizer.
+    val storedCs = graft.ext.Similarity.loadCentroidsMeta(spark, idx)._1
+    val probed = graft.ext.Similarity.probeCells(qVec, storedCs).toSet
     val scannedCells = spark.read.parquet(idx)
       .filter(col("cell").isin(probed.toSeq: _*))
       .select(input_file_name()).distinct().collect()
@@ -93,9 +95,13 @@ class PlanGuardSpec extends AnyFunSuite {
       .toSet
     assert(scannedCells.nonEmpty && scannedCells.subsetOf(probed),
       s"scanned $scannedCells, probed $probed")
-    // Pruned scan and full-scan IVF agree row-for-row.
+    // Pruned scan and a full-scan IVF under the SAME stored quantizer
+    // agree row-for-row (ann_topk_ivf's seeded quantizer probes
+    // different cells, so the comparator is annTopKIvfWith).
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     assert(df.collect().toSeq ==
-      SparkEntry.queries("ann_topk_ivf")(spark, dir).collect().toSeq)
+      graft.ext.Similarity.annTopKIvfWith(emb, queryId = 0L, k = 10,
+        storedCs).collect().toSeq)
   }
 
   test("ngram_jaccard_pairs runs the shingle pass once (reused exchange)") {

@@ -157,12 +157,15 @@ class PropertySpec extends AnyFunSuite {
       .toDF("vec_id", "label", "embedding")
     val path = java.nio.file.Files.createTempDirectory("ivf-prop").toString
     Similarity.buildIvfIndex(emb, path, nlist = 8, dim = 16)
+    // The index's quantizer is TRAINED at build; the full-scan
+    // comparator must score under the SAME stored centroids.
+    val storedCs = Similarity.loadCentroidsMeta(spark, path)._1
     Seq(0L, 7L, 23L).foreach { q =>
-      val ivf = Similarity.annTopKIvf(emb, q, k = 5, nlist = 8, dim = 16,
+      val ivf = Similarity.annTopKIvfWith(emb, q, k = 5, storedCs,
         nprobe = 3).collect().toSeq
       val (qv, qn) = Similarity.lookupVec(spark, path, q)
       val idx = Similarity.annTopKIndexed(spark, path, qv, qn, k = 5,
-        nlist = 8, dim = 16, nprobe = 3).collect().toSeq
+        nprobe = 3).collect().toSeq
       assert(idx == ivf, s"query $q: $idx vs $ivf")
     }
   }
