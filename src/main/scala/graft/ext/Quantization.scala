@@ -83,37 +83,51 @@ object Quantization {
     * with deterministic seeded init and keep-old-on-empty like
     * [[Similarity.kmeansFit]]; the update is mean = fixed-point sum /
     * count, so the result is partition-invariant.
+    *
+    * Trains on the same bounded deterministic sample as the coarse
+    * quantizer ([[Similarity.trainSample]]; `sampleCap` < 0 ⇒ 256·k,
+    * 0 disables): fitting m × k codewords never needs the full corpus,
+    * and the full-corpus pass a PQ index build pays is the one ENCODE
+    * scan, not `iters` training scans. A corpus at or under the cap
+    * trains exactly as the unsampled fit.
     */
   def pqTrain(emb: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 4,
-              dim: Int = 64, seed: Long = 11L): Seq[Seq[Seq[Float]]] = {
+              dim: Int = 64, seed: Long = 11L,
+              sampleCap: Int = -1): Seq[Seq[Seq[Float]]] = {
     val dsub = dsubFor(m, dim)
-    var books: Seq[Seq[Seq[Float]]] =
-      (0 until m).map(s => Similarity.centroids(k, dsub, seed + s))
-    for (_ <- 0 until iters) {
-      val parts = (0 until m).map { s =>
-        struct(lit(s).as("sub"),
-          codeFor(subvec(col("embedding"), s, dsub), books(s)).as("code"),
-          subvec(col("embedding"), s, dsub).as("v"))
-      }
-      val sums = emb
-        .select(explode(array(parts: _*)).as("a"))
-        .select(col("a.sub"), col("a.code"), col("a.v"))
-        .groupBy("sub", "code")
-        .agg(VecSumAgg.vec_sum_fixed(col("v"), dsub).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val byKey = sums.map(r => (r.getInt(0), r.getInt(1)) ->
-        (r.getSeq[Double](2), r.getLong(3))).toMap
-      books = books.zipWithIndex.map { case (book, s) =>
-        book.zipWithIndex.map { case (old, c) =>
-          byKey.get((s, c)) match {
-            case Some((sum, n)) if n > 0 => sum.map(x => (x / n).toFloat)
-            case _ => old
+    val cap = if (sampleCap < 0) 256 * k else sampleCap
+    val doCache = cap > 0 && iters > 1
+    val train = if (doCache) Similarity.trainSample(emb, cap).persist()
+      else Similarity.trainSample(emb, cap)
+    try {
+      var books: Seq[Seq[Seq[Float]]] =
+        (0 until m).map(s => Similarity.centroids(k, dsub, seed + s))
+      for (_ <- 0 until iters) {
+        val parts = (0 until m).map { s =>
+          struct(lit(s).as("sub"),
+            codeFor(subvec(col("embedding"), s, dsub), books(s)).as("code"),
+            subvec(col("embedding"), s, dsub).as("v"))
+        }
+        val sums = train
+          .select(explode(array(parts: _*)).as("a"))
+          .select(col("a.sub"), col("a.code"), col("a.v"))
+          .groupBy("sub", "code")
+          .agg(VecSumAgg.vec_sum_fixed(col("v"), dsub).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val byKey = sums.map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getSeq[Double](2), r.getLong(3))).toMap
+        books = books.zipWithIndex.map { case (book, s) =>
+          book.zipWithIndex.map { case (old, c) =>
+            byKey.get((s, c)) match {
+              case Some((sum, n)) if n > 0 => sum.map(x => (x / n).toFloat)
+              case _ => old
+            }
           }
         }
       }
-    }
-    books
+      books
+    } finally if (doCache) { train.unpersist(); () }
   }
 
   /** Replace each vector by its m codeword ids — the compressed form a
@@ -296,7 +310,12 @@ object Quantization {
     } { id =>
       val (books, idxDim, idxNlist) =
         justBuilt.getOrElse(loadBooksMeta(spark, path))
+      // One task (and so one file) per cell: without the repartition
+      // every shuffle task writes its own file into every cell dir —
+      // ~shuffle.partitions× the files per append (Bm25Drill measured
+      // the decay this causes at 122 ingests).
       pqRowsFor(emb, books, idxDim, idxNlist).withColumn("ingest", lit(id))
+        .repartition(col("cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest", "cell").parquet(path)

@@ -229,7 +229,14 @@ object Retrieval {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest")
         .parquet(s"$path/stats")
+      // One task (and so one file) per bucket: without the repartition
+      // every shuffle task writes into every bucket dir — at 2M docs
+      // Bm25Drill measured ~2,000 files PER 200-doc append (one per
+      // bucket × task), 239,719 files after 122 ingests, and an 11×
+      // warm-query decay. A streaming ingest compounds this every
+      // trigger; the repartition caps an append at `buckets` files.
       postingsFor(docs, buckets).withColumn("ingest", lit(id))
+        .repartition(col("bucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest", "bucket")

@@ -339,7 +339,9 @@ object Similarity {
       justBuilt = Some(cs)
     } { id =>
       val cs = justBuilt.getOrElse(loadCentroidsMeta(spark, path)._1)
+      // One task/file per cell — see the appendPqIndex rationale.
       ivfRowsFor(emb, cs).withColumn("ingest", lit(id))
+        .repartition(col("cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest", "cell").parquet(path)
@@ -564,6 +566,19 @@ object Similarity {
   // pruning, diversity balancing, and fitting REAL IVF centroids)
   // ---------------------------------------------------------------------
 
+  /** The bounded, DETERMINISTIC training sample quantizer fits run on:
+    * the `cap` rows with the smallest (xxhash64(vec_id), vec_id) — a
+    * total order, so the sample is a pure function of the corpus
+    * contents, invariant under partitioning and file layout (the
+    * repo's digest-sampling discipline; `sample(rand)` is neither).
+    * Plans as one TakeOrdered pass: per-partition top-cap, merged —
+    * never a global sort. A corpus at or under `cap` returns whole,
+    * so small-scale fits are exactly the unsampled fit.
+    */
+  private[ext] def trainSample(emb: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) emb
+    else emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
+
   /** Lloyd iterations of spherical k-means: assign every vector to its
     * max-dot centroid (the same opaque quantizer node the IVF path uses,
     * [[cellFor]]), recompute each centroid as the L2-normalized
@@ -578,31 +593,48 @@ object Similarity {
     * into the next iteration's quantizer literal. Clusters that lose
     * all members keep their previous centroid. Returns the final
     * (unit-norm) centroids.
+    *
+    * Training runs on a bounded deterministic SAMPLE of the corpus
+    * ([[trainSample]]; `sampleCap` < 0 ⇒ 256·k — the standard
+    * points-per-centroid budget — 0 disables): placing k centroids
+    * never needs the full corpus, and at 100 TB paying `iters`
+    * full-corpus scans to do it would dominate the index build. With
+    * sampling the corpus is scanned ONCE (the TakeOrdered sample pass,
+    * cached), the iterations touch only the ≤ cap sample rows, and the
+    * one remaining full-corpus pass is the caller's assignment scan
+    * (build cost O(corpus + iters·cap), was O(iters·corpus)). A corpus
+    * at or under the cap trains exactly as the unsampled fit.
     */
   def kmeansFit(emb: DataFrame, k: Int = 8, iters: Int = 5, dim: Int = 64,
-                seed: Long = 7L): Seq[Seq[Float]] = {
-    var cs = centroids(k, dim, seed)
-    for (_ <- 0 until iters) {
-      val sums = emb
-        .select(cellFor(col("embedding"), cs).as("cell"), col("embedding"))
-        .groupBy("cell")
-        .agg(graft.functions.VecSumAgg.vec_sum_fixed(col("embedding"), dim)
-          .as("s"))
-        .collect()
-      val byCell = sums.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      cs = cs.zipWithIndex.map { case (old, c) =>
-        byCell.get(c) match {
-          case None => old // empty cluster: keep its centroid
-          case Some(s) =>
-            // Normalization makes the per-cluster divide-by-count a
-            // no-op: sum and mean share a direction.
-            val nrm = math.sqrt(s.map(x => x * x).sum)
-            if (nrm == 0.0) old
-            else s.map(x => (x / nrm).toFloat)
+                seed: Long = 7L, sampleCap: Int = -1): Seq[Seq[Float]] = {
+    val cap = if (sampleCap < 0) 256 * k else sampleCap
+    val doCache = cap > 0 && iters > 1
+    val cached = if (doCache) trainSample(emb, cap).persist()
+      else trainSample(emb, cap)
+    try {
+      var cs = centroids(k, dim, seed)
+      for (_ <- 0 until iters) {
+        val sums = cached
+          .select(cellFor(col("embedding"), cs).as("cell"), col("embedding"))
+          .groupBy("cell")
+          .agg(graft.functions.VecSumAgg.vec_sum_fixed(col("embedding"), dim)
+            .as("s"))
+          .collect()
+        val byCell = sums.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cs = cs.zipWithIndex.map { case (old, c) =>
+          byCell.get(c) match {
+            case None => old // empty cluster: keep its centroid
+            case Some(s) =>
+              // Normalization makes the per-cluster divide-by-count a
+              // no-op: sum and mean share a direction.
+              val nrm = math.sqrt(s.map(x => x * x).sum)
+              if (nrm == 0.0) old
+              else s.map(x => (x / nrm).toFloat)
+          }
         }
       }
-    }
-    cs
+      cs
+    } finally if (doCache) { cached.unpersist(); () }
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with

@@ -65,15 +65,86 @@ object AnnDrill {
     // Spherical k-means over the same corpus: per-iteration cost is one
     // scan + one (cell, dim)-keyed decimal aggregate; the fitted
     // centroids are what a production IVF index would be built from.
-    val cs = time("k-means fit (16 cells, 3 iters)") {
+    // (Sample-trained by default: the fit pays one TakeOrdered corpus
+    // pass + iters passes over ≤ 256·k rows — compare against the
+    // unsampled fit timed below it.)
+    val cs = time("k-means fit (16 cells, 3 iters, sampled)") {
       Similarity.kmeansFit(emb, k = 16, iters = 3, dim = dim)
     }
     assert(cs.length == 16)
+    time("k-means fit (16 cells, 3 iters, FULL corpus)") {
+      Similarity.kmeansFit(emb, k = 16, iters = 3, dim = dim, sampleCap = 0)
+    }
     time("k-means cluster summary") {
       val cl = Similarity.kmeansClusters(emb, k = 16, iters = 1, dim = dim)
         .collect()
       assert(cl.map(_.getAs[Long]("n_vecs")).sum == rows)
     }
+
+    // ------------------------------------------------------------------
+    // Seeded vs TRAINED quantizer on a CLUSTERED corpus — the claim the
+    // trained-centroid index build rests on. Uniform noise (above) has
+    // no cluster structure, so it can't distinguish the two; real
+    // embedding corpora are clustered. Report recall@10 at fixed nprobe
+    // and cell-population skew for both quantizers.
+    // ------------------------------------------------------------------
+    val nlist = 64
+    val protos = Similarity.centroids(nlist, dim, seed = 99L)
+    val protoLit = typedLit(protos)
+    val clustered = spark.range(rows).select(
+        col("id").as("vec_id"),
+        (col("id") % nlist).cast("int").as("label"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (element_at(element_at(protoLit,
+              (col("id") % nlist).cast("int") + 1), i + 1) +
+            (pmod(xxhash64(col("id") * 131 + i), lit(2000000)) -
+              1000000L) / lit(1000000.0) * lit(0.25)).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    val seededDir = java.nio.file.Files
+      .createTempDirectory("ann-drill-seeded").toString + "/idx"
+    val trainedDir = java.nio.file.Files
+      .createTempDirectory("ann-drill-trained").toString + "/idx"
+    time("build clustered index (seeded quantizer)") {
+      Similarity.buildIvfIndexWith(clustered, seededDir,
+        Similarity.centroids(nlist, dim, 7L))
+    }
+    time("build clustered index (trained quantizer)") {
+      Similarity.buildIvfIndex(clustered, trainedDir, nlist = nlist,
+        dim = dim)
+    }
+    def skew(p: String): (Double, Int) = {
+      val counts = spark.read.parquet(p).groupBy("cell").count()
+        .collect().map(_.getLong(1))
+      (counts.max.toDouble * counts.length / counts.sum,
+        nlist - counts.length)
+    }
+    val (skewS, emptyS) = skew(seededDir)
+    val (skewT, emptyT) = skew(trainedDir)
+    println(f"cell skew (max/mean): seeded $skewS%.1fx ($emptyS empty cells), trained $skewT%.1fx ($emptyT empty cells)")
+    // Recall@10 at nprobe = 4 over 16 queries drawn from 16 clusters.
+    val queries = (0L until 16L)
+    def recallOf(p: String): Double = {
+      val hits = queries.map { q =>
+        val exact = Similarity.cosineTopK(clustered, queryId = q, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val (qv, qn) = Similarity.lookupVec(spark, p, q)
+        // k+1 then drop the self-hit driver-side (the indexed ranker
+        // includes the query vector; cosineTopK excludes it).
+        val got = Similarity.annTopKIndexed(spark, p, qv, qn, k = 11,
+            nprobe = 4)
+          .collect().map(_.getLong(0)).filterNot(_ == q).take(10).toSet
+        (exact & got).size
+      }
+      hits.sum / (10.0 * queries.length)
+    }
+    val rS = time("recall@10, seeded (16 queries, nprobe=4)") {
+      recallOf(seededDir)
+    }
+    val rT = time("recall@10, trained (16 queries, nprobe=4)") {
+      recallOf(trainedDir)
+    }
+    println(f"recall@10 at nprobe=4: seeded $rS%.3f, trained $rT%.3f")
     spark.stop()
   }
 }

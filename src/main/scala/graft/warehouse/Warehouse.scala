@@ -40,6 +40,15 @@ object Warehouse {
     * duplicates. Readers see exactly-once data without any coordination;
     * the reference's non-idempotent JDBC append (spark_consumer.py:106)
     * cannot make that claim.
+    *
+    * Lifecycle: the `batch_id=` partitions ARE the replay protection
+    * and must be preserved while the stream can still replay those ids;
+    * they also accumulate one partition per trigger (the index
+    * families' small-files growth). Once batches are final, fold them
+    * with [[compact]] into the date-partitioned analytic table —
+    * `batch_id` survives as an audit column, `pickup_date` becomes the
+    * only partition key (PipelineSpec pins rows-intact + one file per
+    * date).
     */
   def appendTripsIdempotent(df: DataFrame, path: String, batchId: Long): Unit = df
     .withColumn("pickup_date", to_date(col("pickup_datetime")))

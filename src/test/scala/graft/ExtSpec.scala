@@ -736,6 +736,32 @@ class ExtSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("sampled k-means training is deterministic and equals the explicit-sample fit") {
+    // 300 vectors, cap 100 — sampling genuinely restricts the training
+    // set; the fit must be a pure function of corpus CONTENTS.
+    val emb = (0L until 300L).map(i => (i, (i % 3).toInt,
+        Seq.tabulate(8)(j => math.sin(i.toDouble * 13 + j).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val a = Similarity.kmeansFit(emb, k = 4, iters = 3, dim = 8,
+      sampleCap = 100)
+    // the sample IS the 100 lowest-(xxhash64(id), id) rows: training on
+    // that explicit frame with sampling disabled gives the same fit
+    val sample = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(100)
+    assert(a == Similarity.kmeansFit(sample, k = 4, iters = 3, dim = 8,
+      sampleCap = 0))
+    // partition-invariant (TakeOrdered total order + fixed-point sums)
+    assert(a == Similarity.kmeansFit(emb.repartition(7), k = 4, iters = 3,
+      dim = 8, sampleCap = 100))
+    // sampling restricted the training set (the full-corpus fit differs)
+    assert(a != Similarity.kmeansFit(emb, k = 4, iters = 3, dim = 8,
+      sampleCap = 0))
+    // a corpus at/under the cap trains exactly as the unsampled fit
+    // (default cap 256·k = 1024 ≥ 300)
+    assert(Similarity.kmeansFit(emb, k = 4, iters = 3, dim = 8) ==
+      Similarity.kmeansFit(emb, k = 4, iters = 3, dim = 8, sampleCap = 0))
+  }
+
   test("dropRepeatedSpans removes a re-occurring 3-gram block greedily") {
     import graft.ext.TextAnalysis
     val docs = Seq(

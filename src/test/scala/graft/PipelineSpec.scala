@@ -109,6 +109,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("idempotent batch-id warehouse compacts to one file per date, rows intact") {
+    // appendTripsIdempotent lands one (batch_id, pickup_date) partition
+    // per micro-batch — the same small-files growth the index families
+    // compact away. The fold is the existing compact-and-swap: batch_id
+    // partitions must be PRESERVED in the live table while the stream
+    // can still replay those ids (they ARE the replay protection); once
+    // batches are final, compact into the date-partitioned analytic
+    // table. batch_id survives as a data column (the audit trail),
+    // pickup_date becomes the only partition key.
+    val src = Files.createTempDirectory("graft-idem-src").toString
+    val dest = Files.createTempDirectory("graft-idem-dest").toString
+    val batch = Seq((1, "2015-01-15 10:00:00", 10.0),
+        (2, "2015-01-16 11:00:00", 5.0))
+      .toDF("vendor_id", "p", "fare_amount")
+      .withColumn("pickup_datetime", to_timestamp(col("p"))).drop("p")
+    (1L to 3L).foreach(b => Warehouse.appendTripsIdempotent(batch, src, b))
+    Warehouse.appendTripsIdempotent(batch, src, 2L) // replay: no dupes
+    def dataFiles(dir: String) = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(spark.read.parquet(src).count() == 6) // 3 batches × 2, replay folded
+    assert(dataFiles(src) >= 6) // one file per (batch, date) at least
+    Warehouse.compact(spark, src, dest, "pickup_date")
+    assert(dataFiles(dest) == 2) // one per date partition
+    val a = spark.read.parquet(src)
+      .select("vendor_id", "fare_amount", "batch_id", "pickup_date")
+    val b = spark.read.parquet(dest)
+      .select("vendor_id", "fare_amount", "batch_id", "pickup_date")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("AvailableNow trigger drains the source and self-terminates") {
     // The batch-over-stream pattern for scheduled ingestion: process
     // everything available in rate-limited micro-batches, then stop —

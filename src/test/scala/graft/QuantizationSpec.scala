@@ -105,6 +105,22 @@ class QuantizationSpec extends AnyFunSuite {
       s"ADC returned out-of-cluster ids: ${adc.filterNot(_ % 4 == 0).toSeq}")
   }
 
+  test("sampled PQ training is deterministic and equals the explicit-sample fit") {
+    val a = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 3,
+      dim = 8, seed = 11L, sampleCap = 64)
+    val sample = clustered
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+    assert(a == Quantization.pqTrain(sample, m = 2, k = 8, iters = 3,
+      dim = 8, seed = 11L, sampleCap = 0))
+    assert(a == Quantization.pqTrain(clustered.repartition(7), m = 2,
+      k = 8, iters = 3, dim = 8, seed = 11L, sampleCap = 64))
+    // the default cap (256·k = 2048) covers this 200-row corpus whole:
+    // identical to the unsampled fit
+    assert(Quantization.pqTrain(clustered, m = 2, k = 8, iters = 3,
+      dim = 8, seed = 11L) == Quantization.pqTrain(clustered, m = 2,
+      k = 8, iters = 3, dim = 8, seed = 11L, sampleCap = 0))
+  }
+
   test("pqTopKIvf prunes to probed cells without losing the query's cluster") {
     val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
       dim = 8, seed = 11L)
