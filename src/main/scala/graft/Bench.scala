@@ -16,8 +16,18 @@ object Bench {
     // Warm the session (codegen compiler, parquet footer reader, shuffle
     // machinery) so JVM init isn't attributed to whichever query happens
     // to run first. Best-effort: a warmup failure must never kill the
-    // bench before the JSON line is emitted.
-    try {
+    // bench before the JSON line is emitted — and each step is isolated
+    // so ONE bad table can't void warmup for every table after it (the
+    // r8 events schema drift aborted the single try-block here mid-loop,
+    // leaving documents/embeddings unwarmed and contaminating the cold
+    // timings of whichever queries touched them first).
+    var warmupFailed = List.empty[String]
+    def warm(tag: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        warmupFailed ::= tag
+        System.err.println(s"[bench] warmup '$tag' failed: ${e.getMessage}")
+      }
+    warm("codegen") {
       spark.range(1000).selectExpr("sum(id)").collect()
       // JIT/codegen warm for the operator classes the suite leans on —
       // shuffle join, window function, decimal aggregate — so the first
@@ -27,25 +37,25 @@ object Bench {
         .selectExpr("sum(cast(id as decimal(18,6)))").collect()
       a.selectExpr("sum(id) over (partition by k order by id) AS r")
         .agg(max(col("r"))).collect()
-      // Per-table warm with a REAL column decode (count() alone is
-      // stats-only): the first query that actually decodes parquet data
-      // otherwise pays ~4 s of vectorized-reader + codec + scan-codegen
-      // init, and which query that is depends on Map iteration order —
-      // r3's props_map "regression" was exactly this attribution noise.
-      // hash(struct(*)) forces every column through the decoder; the
-      // whole dataset is small at bench SFs, and a long-lived cluster
-      // session has all of this machinery warm too.
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
-        .foreach { t =>
+    }
+    // Per-table warm with a REAL column decode (count() alone is
+    // stats-only): the first query that actually decodes parquet data
+    // otherwise pays ~4 s of vectorized-reader + codec + scan-codegen
+    // init, and which query that is depends on Map iteration order —
+    // r3's props_map "regression" was exactly this attribution noise.
+    // hash(struct(*)) forces every column through the decoder; the
+    // whole dataset is small at bench SFs, and a long-lived cluster
+    // session has all of this machinery warm too.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach { t =>
+        warm(t) {
           val df = graft.sources.Tables.load(spark, sfDir, t)
           df.select(org.apache.spark.sql.functions.hash(
               org.apache.spark.sql.functions.struct(df.columns.map(col): _*))
             .as("h")).agg(max(col("h"))).collect()
         }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
-    }
+      }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -93,7 +103,8 @@ object Bench {
         }
     }.sum
     val warmFailedJson = warmFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"warm_failed":$warmFailedJson,"sf":"$sfDir"}"""
+    val warmupFailedJson = warmupFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"warm_failed":$warmFailedJson,"warmup_failed":$warmupFailedJson,"sf":"$sfDir"}"""
     // Belt and braces: the same line also lands in BENCH_LAST.json next
     // to the sources, immune to any log-tail truncation. Best-effort —
     // an unwritable CWD must not fail the bench after all queries ran.

@@ -16,13 +16,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= (name -> String.valueOf(e.getMessage))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Self-check: every declared query must have produced output. The r8
+    // testdata schema drift silently dropped 56 of 149 entries (the
+    // driver records only queries that wrote parquet) — make that state
+    // impossible to miss: scream on BOTH streams with a count the driver's
+    // log tail will carry, and persist the failures next to the dumps.
+    val expected = SparkEntry.queries.size
+    val written = expected - failed.size
+    if (failed.nonEmpty) {
+      val msg = s"[verify] SELF-CHECK FAILED: $written/$expected queries " +
+        s"produced output; failed: ${failed.map(_._1).sorted.mkString(", ")}"
+      System.err.println(msg); println(msg)
+      try Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+        failed.sortBy(_._1).map { case (n, m) =>
+          s"""{"query":"$n","error":${"\"" + m.replace("\\", "\\\\")
+            .replace("\"", "\\\"").replace("\n", "\\n") + "\""}}"""
+        }.mkString("[", ",", "]"))
+      catch { case _: Throwable => () }
+    } else
+      println(s"[verify] self-check OK: $written/$expected queries produced output")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

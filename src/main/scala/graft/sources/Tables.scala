@@ -34,21 +34,36 @@ object Tables {
         _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
     }
     perSession.getOrElseUpdate((dir, name), {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-      // (µs) cannot hold natively — read nanos as long, then truncate to µs
-      // with exact integer division (`div`, not `/`: ns-since-epoch ≈ 1.7e18
-      // exceeds double's 2^53 exact-integer range). DuckDB applies the same
-      // ns→µs truncation, so oracle comparisons stay exact.
+      // events.ts has shipped with two physical encodings across testdata
+      // generations, so branch on the LOADED schema rather than assuming:
+      //  - INT64 TIMESTAMP(NANOS): Spark's TimestampType (µs) can't hold it
+      //    natively — read nanos as long, truncate to µs with exact integer
+      //    division (`div`, not `/`: ns-since-epoch ≈ 1.7e18 exceeds
+      //    double's 2^53 exact-integer range). The raw ns column is kept as
+      //    ts_ns: predicates on the derived ts can't be pushed into the scan
+      //    (Spark can't invert the conversion), so range queries add a
+      //    redundant pushable predicate on ts_ns — see
+      //    [[graft.etl.Quality.betweenWithPushdown]].
+      //  - timestamp[us] (NTZ or instant): native TimestampType; cast NTZ to
+      //    the session type (UTC) and derive ts_ns = unix_micros*1000 so
+      //    every downstream ts_ns call site keeps working. Here ts predicates
+      //    push into the scan directly; the redundant ns preimage bounds in
+      //    Quality stay necessary conditions, just dormant.
+      // DuckDB reads either encoding natively and references only ts, so
+      // oracle comparisons are unaffected by the branch.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // The raw ns column is kept as ts_ns: predicates on the *derived* ts
-      // cannot be pushed into the scan (Spark can't invert the conversion),
-      // so range queries add a redundant pushable predicate on ts_ns — see
-      // [[graft.etl.Quality.betweenWithPushdown]].
-      if (name == "events")
-        df.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      if (name == "events") {
+        import org.apache.spark.sql.types.LongType
+        df.schema("ts").dataType match {
+          case LongType =>
+            df.withColumn("ts_ns", col("ts"))
+              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+              .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        }
+      } else df
     })
   }
 

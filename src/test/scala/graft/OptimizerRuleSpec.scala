@@ -18,20 +18,40 @@ class OptimizerRuleSpec extends AnyFunSuite {
   private def scanOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // The driver's events.ts has shipped as both INT64 TIMESTAMP(NANOS) and
+  // timestamp[us] across testdata generations (Tables.load branches on the
+  // loaded schema). These two guards adapt with it: on ns data the injected
+  // rule must derive pushable int64-ns bounds; on µs data the bounds must
+  // push NATIVELY on ts (no rewrite needed — and the plan must show it, or
+  // the scan reads the whole table at 100 TB).
+  private def eventsAreNs: Boolean =
+    Tables.load(spark, dir, "events").schema("ts_ns").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+
   test("plain BETWEEN on derived ts pushes ns bounds into the scan") {
     val ev = Tables.load(spark, dir, "events")
     // No betweenWithPushdown — the rule must do it.
     val plan = scanOf(Quality.between(ev, col("ts"),
       "2024-01-05 00:00:00", "2024-01-20 00:00:00"))
-    assert(plan.contains("GreaterThanOrEqual(ts,1704412800000000000"), plan)
-    assert(plan.contains("LessThanOrEqual(ts,1705708800000000999"), plan)
+    if (eventsAreNs) {
+      assert(plan.contains("GreaterThanOrEqual(ts,1704412800000000000"), plan)
+      assert(plan.contains("LessThanOrEqual(ts,1705708800000000999"), plan)
+    } else {
+      assert(plan.contains("GreaterThanOrEqual(ts,2024-01-05"), plan)
+      assert(plan.contains("LessThanOrEqual(ts,2024-01-20"), plan)
+    }
   }
 
   test("flipped literal-first comparison is also rewritten") {
     val ev = Tables.load(spark, dir, "events")
     val plan = scanOf(ev.filter(
       to_timestamp(lit("2024-01-15 00:00:00")) <= col("ts")))
-    assert(plan.contains("GreaterThanOrEqual(ts,1705276800000000000"), plan)
+    if (eventsAreNs)
+      assert(plan.contains("GreaterThanOrEqual(ts,1705276800000000000"), plan)
+    else
+      assert(plan.contains("GreaterThanOrEqual(ts,2024-01-15"), plan)
   }
 
   test("rule changes plans, never results") {
