@@ -979,10 +979,18 @@ object SparkEntry {
           col("embedding"), col("embedding"))), 4).as("feature_norm"))
       .orderBy("id")),
 
-    // -- rows-only checks (not ANSI-SQL-expressible; no oracle entry) --
-
+    // MinHash candidate pairs with the EXACT Jaccard verified alongside
+    // the estimate: the oracle covers the exact side (DuckDB re-derives
+    // the word-3-gram sets) and the estimate is pinned by a tolerance
+    // flag — |est − exact| ≤ 0.2 (≳3σ for 32 hashes at the J≈0.9 of the
+    // planted dups), so a broken signature shows up as a hash mismatch
+    // without asking the oracle to reproduce xxhash64 minima.
     "minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashNearDupPairs(T(s, dir, "documents"))),
+      Dedup.minhashVerifiedPairs(T(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"),
+          (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("est_within_02"))
+        .orderBy("doc_a", "doc_b")),
 
     // Near-dup pairs → connected components → corpus-wide cluster
     // assignment with canonical survivors (min doc_id per cluster).
@@ -1009,33 +1017,59 @@ object SparkEntry {
     }),
 
     // Sketch quantiles (KLL-style percentile_approx) — the 100 TB path
-    // where exact sort-based percentiles stop being viable; exact twins
-    // ride along to record the sketch error, like approx_distinct.
+    // where exact sort-based percentiles stop being viable. Oracle-checked
+    // in RANK space, which is the sketch's actual guarantee: the approx
+    // value (a real data point) must fall between the exact interpolated
+    // quantiles at target ±0.01 rank (sketch rank error is 1/accuracy =
+    // 1e-4, so the ±0.01 band is ~100× slack yet still catches a broken
+    // sketch, whose error is rank-random); value-space error is
+    // unbounded in a sparse tail, so it is NOT the pinned quantity.
+    // DuckDB recomputes the exact quantiles; the flags oracle as TRUE.
     "approx_percentiles" -> ((s, dir) => T(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        round(expr("percentile_approx(value, 0.5, 10000)"), 4).as("p50_approx"),
+        expr("percentile_approx(value, 0.5, 10000)").as("__p50a"),
         round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
-        round(expr("percentile_approx(value, 0.99, 10000)"), 4).as("p99_approx"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
+        expr("percentile_approx(value, 0.99, 10000)").as("__p99a"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99_exact"),
+        expr("percentile(value, 0.49)").as("__l50"),
+        expr("percentile(value, 0.51)").as("__h50"),
+        expr("percentile(value, 0.98)").as("__l99"),
+        expr("percentile(value, 1.0)").as("__h99"))
+      .select(col("event_type"), col("p50_exact"), col("p99_exact"),
+        col("__p50a").between(col("__l50"), col("__h50")).as("p50_in_band"),
+        col("__p99a").between(col("__l99"), col("__h99")).as("p99_in_band"))
       .orderBy("event_type")),
 
-    // Sketch aggregates (HLL++) — approx values are engine-specific, so
-    // exact twins ride along for the recorded relative error.
+    // Sketch aggregates (HLL++) — the estimate is engine-specific, so the
+    // oracle checks the EXACT twins and pins the sketch by relative-error
+    // flags (5% = default rsd, 3% = 3σ of the rsd-0.01 sketch).
     "approx_distinct" -> ((s, dir) => T(s, dir, "events")
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("user_id")).as("__au"),
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
-        countDistinct(col("event_id")).as("exact_events"))),
+        approx_count_distinct(col("event_id"), 0.01).as("__ae"),
+        countDistinct(col("event_id")).as("exact_events"))
+      .select(col("exact_users"), col("exact_events"),
+        (abs(col("__au") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("users_err_le_5pct"),
+        (abs(col("__ae") - col("exact_events")) <=
+          col("exact_events") * 0.03).as("events_err_le_3pct"))),
 
     // Exact verification of raw LSH candidates (band collisions), the
     // recall-safe complement of minhash_pairs' estimate-thresholded view.
     // Single-scan form: one hashedShingles pass yields both the banding
-    // signatures and the exact shingle sets.
+    // signatures and the exact shingle sets. Oracle-checked: DuckDB
+    // re-derives the exact Jaccard over word-3-gram STRING sets (the
+    // engine's hashed sets are collision-free at this scale), so a hash
+    // match certifies both the verify arithmetic AND that banding lost
+    // no true pair ≥ 0.3 on this corpus.
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.lshVerifiedJaccardPairs(T(s, dir, "documents"))
-        .filter(col("jaccard") >= 0.3)),
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
 
     "simhash_docs" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))),
 
@@ -1235,11 +1269,15 @@ object SparkEntry {
       TextAnalysis.zipfSlope(T(s, dir, "documents"), topK = 100)),
 
     // Mergeable-sketch rollup: per-lang HLL vocabulary sketches + the
-    // ALL row as a sketch UNION (no corpus re-scan). Deterministic but
-    // not ANSI-expressible → rows-only; StatsSpec pins estimate error
-    // and union-equals-rescan.
+    // ALL row as a sketch UNION (no corpus re-scan). The sketch estimate
+    // itself isn't ANSI-expressible, so the oracle-checked output carries
+    // the EXACT twin (which DuckDB recomputes) plus a tolerance flag
+    // pinning the estimate to ≤2% relative error (lgK=12 HLL++ is ~1.6%
+    // worst-case, exact in sparse mode at this vocab size) — a broken
+    // sketch or union flips the flag and fails the hash compare.
+    // StatsSpec still pins estimate error and union-equals-rescan.
     "hll_vocab_rollup" -> ((s, dir) =>
-      TextAnalysis.vocabRollup(T(s, dir, "documents"))),
+      TextAnalysis.vocabRollupChecked(T(s, dir, "documents"))),
 
     // Welch's t-test: click vs view event values — one conditional
     // hash aggregate, six decimal sums, single-row answer.
@@ -1288,10 +1326,28 @@ object SparkEntry {
       T(s, dir, "events"), col("ts"), col("user_id"))),
 
     // The sketch path: per-day HLL sketches unioned over a trailing
-    // ROWS frame — estimate (rows-only; BehaviorSpec pins <5% error
-    // vs the exact form), re-scan-free at any window length.
-    "rolling_distinct_hll" -> ((s, dir) => Behavior.rollingDistinctUsersHll(
-      T(s, dir, "events"), col("ts"), col("user_id"))),
+    // RANGE frame — re-scan-free at any window length. Oracle-checked:
+    // the exact rolling distinct (recomputed over the same
+    // days-present row set, so the sketch's sparse-calendar semantics
+    // are preserved) rides along, and the estimate is pinned to ≤5%
+    // relative error (BehaviorSpec's bound, now hash-enforced).
+    "rolling_distinct_hll" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val est = Behavior.rollingDistinctUsersHll(ev, col("ts"), col("user_id"))
+      val du = ev.select(to_date(col("ts")).as("d"), col("user_id").as("u"))
+        .distinct()
+      val exact = du.select(col("d").as("day")).distinct()
+        .join(du, col("d").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day")
+        .agg(countDistinct(col("u")).as("exact_users_7d"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("exact_users_7d"))
+      est.join(exact, Seq("day"))
+        .select(col("day"), col("exact_users_7d"),
+          (abs(col("est_users_7d") - col("exact_users_7d")) <=
+            col("exact_users_7d") * 0.05).as("est_err_le_5pct"))
+        .orderBy("day")
+    }),
 
     // Intra-doc repeated-span removal (Gopher/C4-style scrub): greedy
     // one-pass skip of n-grams already seen in the same document.
@@ -2277,8 +2333,194 @@ object SparkEntry {
           |WINDOW wnd AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
           |ORDER BY s_nationkey, pct_rank, s_suppkey""".stripMargin
     )
+    // ------------------------------------------------------------------
+    // Dedup / curation / multimodal oracles. The engine's shingle stream
+    // hashes word 3-grams with XXH64 (Dedup.hashedShingles); Jaccard over
+    // the hashed sets equals Jaccard over the STRING sets modulo hash
+    // collisions (none at this corpus size), so DuckDB re-derives the
+    // string sets directly. A hash match therefore certifies the whole
+    // candidate-generation + verify pipeline, including that LSH banding
+    // lost no true pair at the query threshold on this corpus.
+    // ------------------------------------------------------------------
+    // Word-3-gram shingle CTE bodies (src = a relation with doc_id, text).
+    def shingleCte(rel: String, prefix: String = "") =
+      s"""${prefix}t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $rel),
+         |${prefix}sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+         |       FROM ${prefix}t, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3)""".stripMargin
+    // Exact pairwise Jaccard over the shingle sets of `sh`.
+    val jaccardCte =
+      """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT da, db, ov/(na.n+nb.n-ov) AS j FROM inter
+        |        JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db)""".stripMargin
+    // Connected components of the J >= `thr` similarity graph via
+    // transitive closure (the corpus is small at oracle scale; the
+    // engine's iterative min-label propagation reaches the same fixpoint).
+    def componentCte(thr: String) =
+      s"""edges AS (SELECT da, db FROM jac WHERE j >= $thr),
+         |sym AS (SELECT da AS s, db AS d FROM edges UNION SELECT db, da FROM edges),
+         |reach(s, d) AS (SELECT s, d FROM sym UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+         |comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)""".stripMargin
+    // Multimodal STUB fold (Multimodal.fold): h0 = 1125899906842597,
+    // h = wrap64(h*31 + byte) over the payload bytes (ASCII text, so
+    // ord(char) == byte). Wrapping 64-bit arithmetic emulated in HUGEINT;
+    // arithmetic shifts/floorMod via sign-correct floor division.
+    def wrap64(x: String) =
+      s"((($x) % 18446744073709551616::HUGEINT + 18446744073709551616::HUGEINT + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT - 9223372036854775808::HUGEINT)"
+    def floorMod(x: String, m: String) = s"((($x) % $m + $m) % $m)"
+    def floorDiv(x: String, m: String) = s"((($x) - ${floorMod(x, m)}) // $m)"
+    val foldCol =
+      "CAST(list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        "list_transform(range(1, length(text)+1), i -> ord(substr(text, i, 1))::HUGEINT)), " +
+        s"(a, b) -> ${wrap64("a*31 + b")}) AS BIGINT)"
+    // LSH hyperplane bucket (Similarity.planes(4, 64, seed=42) —
+    // deterministic, so the EXACT plane constants inline as literals;
+    // Double.toString round-trips through DuckDB's parser, and the sign
+    // of a ~unit dot product is reassociation-robust).
+    val lshBucketCol = Similarity.planes(4, 64, 42L).zipWithIndex.map {
+      case (p, j) =>
+        val lits = p.map(_.toDouble.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(emb_d, $lits::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    // corpus_prep / train_prep share the curation pipeline: corpus =
+    // doc_id >= 50, eval slice = doc_id < 50; quality/contamination/
+    // digest/cluster verdicts exactly as CorpusPrep.prepare derives them.
+    val curationCte =
+      s"""corpus AS (SELECT * FROM documents WHERE doc_id >= 50),
+         |eval_docs AS (SELECT * FROM documents WHERE doc_id < 50),
+         |${shingleCte("corpus")},
+         |${shingleCte("eval_docs", "e")},
+         |trainrare AS (SELECT doc_id, g FROM
+         |  (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM sh) WHERE df <= 20),
+         |contam AS (SELECT DISTINCT tr.doc_id FROM esh e JOIN trainrare tr ON e.g = tr.g
+         |           GROUP BY e.doc_id, tr.doc_id HAVING count(*) >= 5),
+         |$jaccardCte,
+         |${componentCte("0.5")},
+         |flagged AS (
+         |  SELECT c.doc_id, md5(c.text) AS content_digest,
+         |    COALESCE(cm.doc_id IS NOT NULL, FALSE) AS is_contaminated,
+         |    (LEN(string_split_regex(TRIM(c.text), '\\s+')) >= 5
+         |     AND LENGTH(REGEXP_REPLACE(c.text, '[^A-Za-z]', '', 'g')) / LENGTH(c.text) > 0.6) AS quality_ok,
+         |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN contam cm ON cm.doc_id = c.doc_id
+         |  LEFT JOIN comp cp ON cp.doc_id = c.doc_id),
+         |s3 AS (
+         |  SELECT doc_id, quality_ok, is_contaminated,
+         |    (quality_ok AND NOT is_contaminated) AS eligible,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY content_digest) AS is_exact_dup,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY cluster_id) AS is_near_dup,
+         |    min(CASE WHEN quality_ok AND NOT is_contaminated THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
+         |    min(CASE WHEN quality_ok AND NOT is_contaminated THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
+         |  FROM flagged)""".stripMargin
+    val extOracles = Map(
+      "approx_percentiles" ->
+        """SELECT event_type,
+          |  ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+          |  ROUND(quantile_cont(value, 0.99), 4) AS p99_exact,
+          |  TRUE AS p50_in_band, TRUE AS p99_in_band
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      "approx_distinct" ->
+        """SELECT COUNT(DISTINCT user_id) AS exact_users,
+          |  COUNT(DISTINCT event_id) AS exact_events,
+          |  TRUE AS users_err_le_5pct, TRUE AS events_err_le_3pct
+          |FROM events""".stripMargin,
+      "rolling_distinct_hll" ->
+        """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+          |days AS (SELECT DISTINCT day FROM du),
+          |x AS (SELECT d.day, u.user_id FROM days d
+          |      JOIN du u ON u.day BETWEEN d.day - 6 AND d.day)
+          |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+          |  COUNT(DISTINCT user_id) AS exact_users_7d,
+          |  TRUE AS est_err_le_5pct
+          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+      "ngram_jaccard_pairs" ->
+        s"""WITH ${shingleCte("documents")},
+           |$jaccardCte
+           |SELECT da AS doc_a, db AS doc_b, ROUND(j, 4) AS jaccard
+           |FROM jac WHERE j >= 0.3 ORDER BY 1, 2""".stripMargin,
+      "minhash_pairs" ->
+        s"""WITH ${shingleCte("documents")},
+           |$jaccardCte
+           |SELECT da AS doc_a, db AS doc_b, ROUND(j, 4) AS jaccard,
+           |  TRUE AS est_within_02
+           |FROM jac WHERE j >= 0.5 ORDER BY 1, 2""".stripMargin,
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE ${shingleCte("documents")},
+           |$jaccardCte,
+           |${componentCte("0.5")}
+           |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+           |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "hll_vocab_rollup" ->
+        """WITH toks AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+          |per AS (SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS exact_distinct_tokens FROM toks GROUP BY 1),
+          |allr AS (SELECT 'ALL' AS lang, count(*) AS n_tokens, count(DISTINCT token) AS exact_distinct_tokens FROM toks)
+          |SELECT lang, n_tokens, exact_distinct_tokens, TRUE AS est_err_le_2pct
+          |FROM (SELECT * FROM per UNION ALL SELECT * FROM allr) ORDER BY lang""".stripMargin,
+      "decode_meta" ->
+        s"""WITH f AS (SELECT doc_id AS id, length(text) AS byte_len, $foldCol AS h FROM documents)
+           |SELECT id, CAST(byte_len AS INTEGER) AS byte_len,
+           |  CAST(64 + ${floorMod("h", "1024")} AS INTEGER) AS width,
+           |  CAST(64 + ${floorMod(floorDiv("h", "1024"), "1024")} AS INTEGER) AS height,
+           |  CASE WHEN ${floorMod("h", "2")} = 0 THEN 'jpeg' ELSE 'png' END AS format
+           |FROM f ORDER BY id""".stripMargin,
+      "media_features" -> {
+        // f_i = toFloat(floorMod(h >> 7i, 1000)/1000f) − 0.5f, norm over
+        // the 8 components in double (same float→double promotion order
+        // as the engine's FloatVecDot).
+        val comps = (0 until 8).map { i =>
+          val sh = floorDiv("h", (1L << (7 * i)).toString)
+          s"CAST(CAST(CAST(${floorMod(sh, "1000")} AS FLOAT)/CAST(1000 AS FLOAT) - CAST(0.5 AS FLOAT) AS FLOAT) AS DOUBLE)"
+        }.mkString(", ")
+        s"""WITH f AS (SELECT doc_id AS id, $foldCol AS h FROM documents),
+           |c AS (SELECT id, [$comps] AS v FROM f)
+           |SELECT id, ROUND(SQRT(list_dot_product(v, v)), 4) AS feature_norm
+           |FROM c ORDER BY id""".stripMargin
+      },
+      "embed_neardup_pairs" ->
+        s"""WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d FROM embeddings),
+           |bk AS (SELECT vec_id, emb_d, $lshBucketCol AS bucket,
+           |         sqrt(list_dot_product(emb_d, emb_d)) AS nrm FROM b)
+           |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           |  ROUND(list_dot_product(a.emb_d, c.emb_d)/(a.nrm*c.nrm), 4) AS cosine
+           |FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |WHERE ROUND(list_dot_product(a.emb_d, c.emb_d)/(a.nrm*c.nrm), 4) >= 0.25
+           |ORDER BY vec_a, vec_b""".stripMargin,
+      "corpus_prep" ->
+        s"""WITH RECURSIVE $curationCte
+           |SELECT count(*) AS total_docs,
+           |  CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS low_quality,
+           |  CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups,
+           |  CAST(sum(CASE WHEN is_near_dup THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
+           |  CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+           |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+           |FROM s3""".stripMargin,
+      "train_prep" ->
+        s"""WITH RECURSIVE $curationCte,
+           |kept AS (SELECT doc_id FROM s3 WHERE eligible AND doc_id = dig_surv AND doc_id = clu_surv),
+           |kc AS (SELECT c.doc_id, c.lang, string_split_regex(trim(c.text), '\\s+') AS toks
+           |       FROM corpus c JOIN kept k ON k.doc_id = c.doc_id),
+           |chunks AS (
+           |  SELECT doc_id, i AS chunk_id, least(i*24 + 32, len(toks)) - i*24 AS n_tokens
+           |  FROM kc, UNNEST(range(0, greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT)) + 1)) AS u(i)),
+           |mixed AS (
+           |  SELECT doc_id, lang, epoch FROM kc,
+           |    UNNEST(range(1, CASE WHEN lang = 'en' THEN 3 ELSE 2 END)) AS e(epoch)),
+           |expanded AS (
+           |  SELECT c.doc_id, c.chunk_id, c.n_tokens, m.lang, m.epoch
+           |  FROM chunks c JOIN mixed m ON c.doc_id = m.doc_id),
+           |packed AS (
+           |  SELECT lang, CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+           |    ORDER BY doc_id, epoch, chunk_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 256) AS BIGINT) AS seq_id,
+           |    n_tokens
+           |  FROM expanded)
+           |SELECT lang, seq_id, count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+           |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     // The indexed BM25 form returns exactly bm25_topk's rows (identical
     // scoring tree over the persisted postings) — one oracle, two plans.
-    base + ("bm25_indexed" -> base("bm25_topk"))
+    base ++ extOracles + ("bm25_indexed" -> base("bm25_topk"))
   }
 }

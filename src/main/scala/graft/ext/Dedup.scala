@@ -444,6 +444,62 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[minhashNearDupPairs]] with the EXACT Jaccard verified in the SAME
+    * single corpus pass ([[lshVerifiedJaccardPairs]]'s shape): banding
+    * candidates carry their shingle sets through the join-back, and the
+    * MinHash estimate is re-derived from those sets by the scalar
+    * [[graft.functions.MinHashAgg.minhash_of_set]] (identical hash
+    * family, so bit-identical to the aggregated signature) — no second
+    * shingle scan for the estimate column. The output pair set is the
+    * estimate-thresholded one (minhashNearDupPairs semantics); `jaccard`
+    * is the exact verification riding along.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, shingleSize: Int = 3,
+                           numHashes: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigSets = hashedShingles(docs, shingleSize)
+      .select("doc_id", "h")
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("shset"))
+    val bandRows = sigSets
+      .select(col("doc_id"),
+        graft.functions.MinHashAgg.minhash_of_set(col("shset"), numHashes)
+          .as("signature"))
+      .select(col("doc_id"),
+        explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+    val a = bandRows.as("a").hint("merge")
+    val b = bandRows.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sigSets.select(col("doc_id"), col("shset"))
+    val sigOf = (c: Column) =>
+      graft.functions.MinHashAgg.minhash_of_set(c, numHashes)
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        Seq("doc_b"))
+      .withColumn("__ov",
+        graft.functions.SetFunctions.set_overlap(col("set_a"), col("set_b"))
+          .cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        (graft.functions.SetFunctions.agree_count(
+            sigOf(col("set_a")), sigOf(col("set_b"))) /
+          numHashes.toDouble).as("est_jaccard"),
+        (col("__ov") /
+          (size(col("set_a")) + size(col("set_b")) - col("__ov")))
+          .as("jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting): the
     * minimum shingle hash of every `window`-wide sliding window, distinct
     * per doc. Robust to insertions/reordering the way single whole-doc

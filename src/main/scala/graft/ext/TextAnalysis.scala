@@ -493,6 +493,34 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** [[vocabRollup]] with the EXACT twin riding along for cross-engine
+    * verification, still in ONE token-stream pass: `ROLLUP(lang)`
+    * computes the per-lang rows AND the all-languages row in a single
+    * aggregate tree (one explode, one scan — the Expand doubles rows,
+    * not scans), with the exact distinct, the raw token count, and the
+    * HLL sketch side by side. The estimate itself is not
+    * ANSI-expressible, so the output pins it as a ≤2% relative-error
+    * flag (lgK=12 HLL++ is ~1.6% worst-case) next to the exact value
+    * the oracle recomputes; [[vocabRollup]] remains the
+    * mergeable-sketch production path (union-equals-rescan pinned by
+    * StatsSpec).
+    */
+  def vocabRollupChecked(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .rollup(col("lang"))
+      .agg(grouping(col("lang")).as("__g"),
+        countDistinct(col("token")).as("exact_distinct_tokens"),
+        count(lit(1)).as("n_tokens"),
+        hll_sketch_agg(col("token"), lit(12)).as("sk"))
+      .select(
+        when(col("__g") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+        col("n_tokens"), col("exact_distinct_tokens"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_distinct_tokens")) <=
+          col("exact_distinct_tokens") * 0.02).as("est_err_le_2pct"))
+      .orderBy("lang")
+
   /** Zipf rank-frequency slope: OLS slope of ln(count) on ln(rank) over
     * the `topK` most frequent tokens (count desc, token asc — the shared
     * total order). A natural-corpus slope sits near −1; synthetic or

@@ -145,6 +145,62 @@ object AnnDrill {
       recallOf(trainedDir)
     }
     println(f"recall@10 at nprobe=4: seeded $rS%.3f, trained $rT%.3f")
+
+    // ------------------------------------------------------------------
+    // SKEWED-population clustered corpus — the balance claim the equal-
+    // population section above cannot test. Cluster of id = floor(
+    // nlist · u²) for uniform hash-u, so cluster populations fall off as
+    // 1/√(k+1): cluster 0 holds ~8× the mean, the tail thins out. A
+    // trained quantizer should adapt cell boundaries to the density
+    // (splitting heavy clusters across cells, merging sparse ones);
+    // report recall AND cell skew for both quantizers on the same data.
+    // ------------------------------------------------------------------
+    val skewed = spark.range(rows).select(
+        col("id").as("vec_id"),
+        (col("id") % 5).cast("int").as("label"),
+        floor(lit(nlist) *
+          pow((pmod(xxhash64(col("id")), lit(1000000)) / lit(1000000.0)), 2))
+          .cast("int").as("__c"))
+      .select(col("vec_id"), col("label"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (element_at(element_at(protoLit, col("__c") + 1), i + 1) +
+            (pmod(xxhash64(col("vec_id") * 131 + i), lit(2000000)) -
+              1000000L) / lit(1000000.0) * lit(0.25)).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    val seededDir2 = java.nio.file.Files
+      .createTempDirectory("ann-drill-skew-seeded").toString + "/idx"
+    val trainedDir2 = java.nio.file.Files
+      .createTempDirectory("ann-drill-skew-trained").toString + "/idx"
+    time("build skewed index (seeded quantizer)") {
+      Similarity.buildIvfIndexWith(skewed, seededDir2,
+        Similarity.centroids(nlist, dim, 7L))
+    }
+    time("build skewed index (trained quantizer)") {
+      Similarity.buildIvfIndex(skewed, trainedDir2, nlist = nlist, dim = dim)
+    }
+    val (skewS2, emptyS2) = skew(seededDir2)
+    val (skewT2, emptyT2) = skew(trainedDir2)
+    println(f"SKEWED cell skew (max/mean): seeded $skewS2%.1fx ($emptyS2 empty cells), trained $skewT2%.1fx ($emptyT2 empty cells)")
+    def recallOn(corpus: org.apache.spark.sql.DataFrame, p: String): Double = {
+      val hits = queries.map { q =>
+        val exact = Similarity.cosineTopK(corpus, queryId = q, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val (qv, qn) = Similarity.lookupVec(spark, p, q)
+        val got = Similarity.annTopKIndexed(spark, p, qv, qn, k = 11,
+            nprobe = 4)
+          .collect().map(_.getLong(0)).filterNot(_ == q).take(10).toSet
+        (exact & got).size
+      }
+      hits.sum / (10.0 * queries.length)
+    }
+    val rS2 = time("SKEWED recall@10, seeded (16 queries, nprobe=4)") {
+      recallOn(skewed, seededDir2)
+    }
+    val rT2 = time("SKEWED recall@10, trained (16 queries, nprobe=4)") {
+      recallOn(skewed, trainedDir2)
+    }
+    println(f"SKEWED recall@10 at nprobe=4: seeded $rS2%.3f, trained $rT2%.3f")
     spark.stop()
   }
 }

@@ -271,17 +271,17 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("hll_vocab_rollup unions sketches, not a corpus re-scan") {
-    // The ALL row must come from merging the per-lang sketches. The
-    // static plan shows the explode+partial-sketch subtree twice (union
-    // branch + merge branch), but the exchanges are identical — at
-    // runtime AQE reuses one, so the token stream is scanned and
-    // sketched exactly once. Assert on the final adaptive plan.
+  test("hll_vocab_rollup computes per-lang and ALL rows in one token pass") {
+    // ROLLUP(lang) must produce both grouping levels from a single
+    // aggregate tree: exactly one token explode (one corpus scan — the
+    // Expand doubles rows in-flight, not scans) feeding the combined
+    // exact-distinct + sketch aggregate. A second explode would mean
+    // the exact twin re-scanned the corpus.
     val df = SparkEntry.queries("hll_vocab_rollup")(spark, dir)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    assert(finalPlan.contains("Expand"), finalPlan)
     assert("Generate explode".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
 
