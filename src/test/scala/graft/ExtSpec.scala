@@ -277,6 +277,35 @@ class ExtSpec extends AnyFunSuite {
     assert(onePass.contains((0L, 1L, 1.0))) // identical docs verify at 1.0
   }
 
+  test("minhashVerifiedPairs: est-thresholded pair set, exact jaccard, sig-consistent estimate") {
+    val verified = Dedup.minhashVerifiedPairs(docs, threshold = 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"), r.getAs[Double]("jaccard")))
+    // Same pair set as the estimate-only operator at the same threshold…
+    val estOnly = Dedup.minhashNearDupPairs(docs, threshold = 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard")))
+    assert(verified.map(t => (t._1, t._2)).toSet ===
+      estOnly.map(t => (t._1, t._2)).toSet)
+    // …with the SAME estimate values (the set-derived signature must be
+    // bit-identical to the aggregated one)…
+    assert(verified.map(t => (t._1, t._2) -> t._3).toMap ===
+      estOnly.map(t => (t._1, t._2) -> t._3).toMap)
+    // …and the exact side agrees with the standalone verify operator.
+    val exact = Dedup.exactJaccard(docs,
+        Dedup.minhashNearDupPairs(docs, threshold = 0.4)
+          .select("doc_a", "doc_b"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(verified.map(t => (t._1, t._2) -> t._4).toMap === exact)
+    // Identical docs: estimate and exact both 1.0.
+    val id = verified.find(t => t._1 == 0L && t._2 == 1L).get
+    assert(id._3 == 1.0 && id._4 == 1.0)
+  }
+
   test("PII redaction replaces emails, urls and long digit runs only") {
     val rows = Seq(
       (0L, "mail me at jane.doe+x@sub.example.org today"),

@@ -135,6 +135,31 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out("ALL") - globalExact) / globalExact < 0.05)
   }
 
+  test("vocabRollupChecked: exact twins agree with vocabRollup's frame and flags hold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val checked = TextAnalysis.vocabRollupChecked(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("exact_distinct_tokens"),
+        r.getAs[Boolean]("est_err_le_2pct"))).toMap
+    val base = TextAnalysis.vocabRollup(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_tokens")).toMap
+    // Same language set + same raw token counts as the production path.
+    assert(checked.keySet === base.keySet)
+    checked.foreach { case (lang, (n, _, _)) => assert(n === base(lang)) }
+    // Exact distincts match an independent computation, per lang and ALL.
+    val exactPer = docs
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("lang").agg(countDistinct("t").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactPer.foreach { case (lang, n) => assert(checked(lang)._2 === n) }
+    val globalExact = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .agg(countDistinct("t")).head.getLong(0)
+    assert(checked("ALL")._2 === globalExact)
+    // The ≤2% estimate flag holds everywhere on this corpus.
+    checked.foreach { case (lang, (_, _, ok)) => assert(ok, lang) }
+  }
+
   test("zipfSlope recovers the exponent of an exact power law") {
     // Token k repeated floor(1000/k) times → counts ~ 1/rank → slope ≈ −1.
     val text = (1 to 20).flatMap(k => Seq.fill(1000 / k)(s"tok$k"))
