@@ -2438,6 +2438,12 @@ object SparkEntry {
          |    min(CASE WHEN quality_ok AND NOT is_contaminated THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
          |  FROM flagged)""".stripMargin
     val extOracles = Map(
+      // xxhash64-derived outputs, oracled by reproducing Spark's XXH64 in
+      // DuckDB SQL (wrapping-64-bit HUGEINT arithmetic, staged subquery
+      // pipeline) — see [[graft.oracle.Xxh64Sql]].
+      "simhash_docs" -> graft.oracle.Xxh64Sql.simhashSql,
+      "doc_fingerprints" -> graft.oracle.Xxh64Sql.fingerprintSql,
+      "doc_winnow" -> graft.oracle.Xxh64Sql.winnowSql,
       "approx_percentiles" ->
         """SELECT event_type,
           |  ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,

@@ -1,0 +1,217 @@
+package graft.oracle
+
+/** DuckDB-SQL generator reproducing Spark's XXH64 (seed 42) — the hash
+  * family behind [[graft.ext.Dedup.simhash]],
+  * [[graft.ext.TextAnalysis.fingerprint]] and
+  * [[graft.ext.Dedup.winnowedFingerprints]] — so those three queries get
+  * REAL cross-engine oracles instead of rows-only checks.
+  *
+  * Technique: 64-bit wrapping arithmetic emulated in HUGEINT with the
+  * value kept unsigned in [0, 2^64): multiplication via 32-bit limbs
+  * (a full 64×64 product overflows HUGEINT), rotation/shift via exact
+  * floor division by powers of two, XOR through a sign-adjusted BIGINT
+  * round-trip. Each hash stage is emitted as its OWN nested-subquery
+  * projection referencing the previous stage as a column — DuckDB
+  * evaluates projection columns once per row, whereas lateral aliases
+  * are inlined textually and the ~14 chained stages would blow up
+  * exponentially (measured: the alias form did not finish on 9 rows;
+  * the staged form hashes the corpus in milliseconds).
+  *
+  * Every branch of XXH64 is covered (≥32-byte stripes with the 4-lane
+  * accumulator carried as a list through `list_reduce`, 8-byte rounds,
+  * the 4-byte round, tail bytes, avalanche), validated against Spark's
+  * `xxhash64` for string and long inputs across all paths. Inputs are
+  * assumed ASCII (`ord(substr(..))` = byte value) — true of the
+  * driver's documents corpus; a non-ASCII corpus would need a
+  * byte-level accessor instead.
+  */
+object Xxh64Sql {
+  private val W = "18446744073709551616::HUGEINT" // 2^64
+  private val H63 = "9223372036854775808::HUGEINT" // 2^63
+  private val P1 = "11400714785074694791::HUGEINT"
+  private val P2 = "14029467366897019727::HUGEINT"
+  private val P3 = "1609587929392839161::HUGEINT"
+  private val P4 = "9650029242287828579::HUGEINT"
+  private val P5 = "2870177450012600261::HUGEINT"
+  private val T32 = "4294967296::HUGEINT" // 2^32
+  private val Seed = "42::HUGEINT"
+
+  private def addm(xs: String*): String =
+    xs.map(x => s"($x)").mkString("((", " + ", s") % $W)")
+
+  /** (a*b) mod 2^64 via 32-bit limbs; a, b unsigned in [0, 2^64). */
+  private def mul64(a: String, b: String): String =
+    s"((((( ($a) // $T32) * (($b) % $T32) + (($a) % $T32) * (($b) // $T32)) % $T32) * $T32 " +
+      s"+ (($a) % $T32) * (($b) % $T32)) % $W)"
+
+  private def rotl(x: String, r: Int): String = {
+    val lo = BigInt(2).pow(64 - r)
+    s"(((($x) % $lo::HUGEINT) * ${BigInt(2).pow(r)}::HUGEINT) + (($x) // $lo::HUGEINT))"
+  }
+
+  private def shr(x: String, n: Int): String =
+    s"(($x) // ${BigInt(2).pow(n)}::HUGEINT)"
+
+  private def s64(u: String): String =
+    s"CAST(($u) - CASE WHEN ($u) >= $H63 THEN $W ELSE 0::HUGEINT END AS BIGINT)"
+
+  private def u64(s: String): String =
+    s"(CAST(($s) AS HUGEINT) + CASE WHEN ($s) < 0 THEN $W ELSE 0::HUGEINT END)"
+
+  private def xor64(a: String, b: String): String =
+    u64(s"xor(${s64(a)}, ${s64(b)})")
+
+  /** Little-endian 64-bit fetch from byte-list `bl` at 1-indexed `j`. */
+  private def f64(bl: String, j: String): String =
+    (0 until 8).map(k => s"($bl[$j+$k])*${BigInt(256).pow(k)}::HUGEINT")
+      .mkString("(", " + ", ")")
+
+  private def f32(bl: String, j: String): String =
+    (0 until 4).map(k => s"($bl[$j+$k])*${BigInt(256).pow(k)}::HUGEINT")
+      .mkString("(", " + ", ")")
+
+  /** round(0, lane) = rotl31(lane·P2)·P1 */
+  private def rnd0(lane: String): String = mul64(rotl(mul64(lane, P2), 31), P1)
+
+  /** round(acc, lane) = rotl31(acc + lane·P2)·P1 */
+  private def rndv(acc: String, lane: String): String =
+    mul64(rotl(addm(acc, mul64(lane, P2)), 31), P1)
+
+  private def mergeRound(h: String, v: String): String =
+    addm(mul64(xor64(h, rnd0(v)), P1), P4)
+
+  private def staged(inner: String, carry: String,
+                     stages: Seq[(String, String)]): String = {
+    var sql = inner
+    var prev = carry
+    stages.foreach { case (expr, name) =>
+      sql = s"SELECT $prev, $expr AS $name FROM ($sql)"
+      prev = s"$prev, $name"
+    }
+    sql
+  }
+
+  /** Byte-list projection for an ASCII string column/expression. */
+  def bytesOf(t: String): String =
+    s"list_transform(range(1, length($t)+1), i -> ord(substr($t, i, 1))::HUGEINT)"
+
+  /** Wrap `inner` (exposing byte-list col `bl`, BIGINT length col `n`,
+    * plus `carryCols`) in the full XXH64 stage pipeline; the unsigned
+    * result lands in `outCol`.
+    */
+  def xxh64Select(inner: String, carryCols: Seq[String], bl: String,
+                  n: String, prefix: String, outCol: String): String = {
+    val p = prefix
+    val init = s"[${addm(Seed, P1, P2)}, ${addm(Seed, P2)}, ($Seed), " +
+      s"(($Seed) - $P1 + $W) % $W]"
+    val lanes = s"list_transform(range(0, ($n)//32), si -> " +
+      s"[${f64(bl, "si*32+1")}, ${f64(bl, "si*32+9")}, ${f64(bl, "si*32+17")}, ${f64(bl, "si*32+25")}])"
+    val chunkRnds =
+      s"list_transform(range(($n)//32*32 + 1, ($n) - 6, 8), j -> ${rnd0(f64(bl, "j"))})"
+    val j4 = s"(($n)//8*8 + 1)"
+    val jb = s"(($n)//8*8 + CASE WHEN ($n) % 8 >= 4 THEN 4 ELSE 0 END + 1)"
+    val tail = s"list_transform(range($jb, ($n)+1), j -> ($bl)[j])"
+    val stages = Seq(
+      (s"list_reduce(list_prepend($init, $lanes), (va, ln) -> " +
+        s"[${rndv("va[1]", "ln[1]")}, ${rndv("va[2]", "ln[2]")}, ${rndv("va[3]", "ln[3]")}, ${rndv("va[4]", "ln[4]")}])") -> s"${p}_v",
+      addm(rotl(s"${p}_v[1]", 1), rotl(s"${p}_v[2]", 7),
+        rotl(s"${p}_v[3]", 12), rotl(s"${p}_v[4]", 18)) -> s"${p}_m0") ++
+      (1 to 4).map(i =>
+        mergeRound(s"${p}_m${i - 1}", s"${p}_v[$i]") -> s"${p}_m$i") ++ Seq(
+      s"CASE WHEN ($n) >= 32 THEN ${p}_m4 ELSE ${addm(Seed, P5)} END" -> s"${p}_hb",
+      addm(s"${p}_hb", s"($n)::HUGEINT") -> s"${p}_h0",
+      (s"list_reduce(list_prepend(${p}_h0, $chunkRnds), (ac, r8) -> " +
+        addm(mul64(rotl(xor64("ac", "r8"), 27), P1), P4) + ")") -> s"${p}_h1",
+      (s"CASE WHEN ($n) % 8 >= 4 THEN " +
+        addm(mul64(rotl(xor64(s"${p}_h1", mul64(f32(bl, j4), P1)), 23), P2), P3) +
+        s" ELSE ${p}_h1 END") -> s"${p}_h2",
+      (s"list_reduce(list_prepend(${p}_h2, $tail), (ac, bt) -> " +
+        mul64(rotl(xor64("ac", mul64("bt", P5)), 11), P1) + ")") -> s"${p}_h3",
+      xor64(s"${p}_h3", shr(s"${p}_h3", 33)) -> s"${p}_a1",
+      mul64(s"${p}_a1", P2) -> s"${p}_a2",
+      xor64(s"${p}_a2", shr(s"${p}_a2", 29)) -> s"${p}_a3",
+      mul64(s"${p}_a3", P3) -> s"${p}_a4",
+      xor64(s"${p}_a4", shr(s"${p}_a4", 32)) -> outCol)
+    staged(inner, (carryCols ++ Seq(bl, n)).mkString(", "), stages)
+  }
+
+  /** XXH64.hashLong(lane, seed): the 8-byte single-round path. `lane`
+    * is a column; `seedExpr` may be a column or literal. The lane stays
+    * carried so the stage that consumes it can see it.
+    */
+  def hashLongSelect(inner: String, carryCols: Seq[String], laneCol: String,
+                     seedExpr: String, prefix: String,
+                     outCol: String): String = {
+    val p = prefix
+    val stages = Seq(
+      addm(seedExpr, P5, "8::HUGEINT") -> s"${p}_h0",
+      addm(mul64(rotl(xor64(s"${p}_h0", rnd0(laneCol)), 27), P1), P4) -> s"${p}_h1",
+      xor64(s"${p}_h1", shr(s"${p}_h1", 33)) -> s"${p}_a1",
+      mul64(s"${p}_a1", P2) -> s"${p}_a2",
+      xor64(s"${p}_a2", shr(s"${p}_a2", 29)) -> s"${p}_a3",
+      mul64(s"${p}_a3", P3) -> s"${p}_a4",
+      xor64(s"${p}_a4", shr(s"${p}_a4", 32)) -> outCol)
+    staged(inner, (carryCols :+ laneCol).mkString(", "), stages)
+  }
+
+  /** Oracle for `simhash_docs`: per-token xxh64, 64 per-bit votes, bit
+    * set when the vote is strictly positive (the engine's rule).
+    */
+  def simhashSql: String = {
+    val inner = "SELECT doc_id, " + bytesOf("tok") +
+      " AS bl, length(tok) AS n FROM (SELECT doc_id, " +
+      raw"unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)"
+    val hashed = xxh64Select(inner, Seq("doc_id"), "bl", "n", "x", "x_u")
+    val votes = (0 until 64).map(b =>
+      s"sum(CASE WHEN (x_u // ${BigInt(2).pow(b)}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val bits = (0 until 64).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${BigInt(2).pow(b)}::HUGEINT ELSE 0::HUGEINT END)")
+      .mkString(" + ")
+    s"SELECT doc_id, ${s64("sh_u")} AS simhash FROM (" +
+      s"SELECT doc_id, ($bits) AS sh_u FROM (" +
+      s"SELECT doc_id, $votes FROM ($hashed) GROUP BY doc_id)) ORDER BY doc_id"
+  }
+
+  /** Oracle for `doc_fingerprints`: xxh64 of the whole normalized text
+    * (lower, whitespace-collapsed) — exercises the ≥32-byte stripe path.
+    */
+  def fingerprintSql: String = {
+    val inner = "SELECT doc_id, " + bytesOf("nt") +
+      " AS bl, length(nt) AS n FROM (SELECT doc_id, " +
+      raw"array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS nt FROM documents)"
+    val hashed = xxh64Select(inner, Seq("doc_id"), "bl", "n", "x", "x_u")
+    s"SELECT doc_id, ${s64("x_u")} AS fingerprint FROM ($hashed) ORDER BY doc_id"
+  }
+
+  /** Oracle for `doc_winnow`: token hashes → 3-token shingle hashes via
+    * the engine's right-to-left hashLong chain → window-4 sliding minima
+    * (SIGNED comparison — Scala's Array[Long].min) → distinct per doc.
+    */
+  def winnowSql: String = {
+    val inner = "SELECT doc_id, pos, " + bytesOf("tok") +
+      " AS bl, length(tok) AS n FROM (SELECT doc_id, " +
+      raw"unnest(string_split_regex(trim(text), '\s+')) AS tok, " +
+      raw"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents)"
+    val th = xxh64Select(inner, Seq("doc_id", "pos"), "bl", "n", "x", "th")
+    val sh0 = s"SELECT doc_id, pos, th AS t0, lead(th,1) OVER w AS t1, " +
+      s"lead(th,2) OVER w AS t2 FROM ($th) " +
+      "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+    val sh1 = s"SELECT * FROM ($sh0) WHERE t2 IS NOT NULL"
+    val c1 = hashLongSelect(sh1, Seq("doc_id", "pos", "t0", "t1"), "t2",
+      Seed, "q1", "hl1")
+    val c2 = hashLongSelect(c1, Seq("doc_id", "pos", "t0"), "t1", "hl1",
+      "q2", "hl2")
+    val c3 = hashLongSelect(c2, Seq("doc_id", "pos"), "t0", "hl2", "q3",
+      "sh_u")
+    val sgn = s"SELECT doc_id, pos, ${s64("sh_u")} AS sh_s FROM ($c3)"
+    val win = s"SELECT doc_id, pos, sh_s, count(*) OVER (PARTITION BY doc_id) AS c, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn, " +
+      "min(sh_s) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin " +
+      s"FROM ($sgn)"
+    "SELECT DISTINCT doc_id, fp AS fingerprint FROM (" +
+      "SELECT doc_id, CASE WHEN c < 4 THEN sh_s ELSE wmin END AS fp " +
+      s"FROM ($win) WHERE c < 4 OR rn <= c - 3) " +
+      "ORDER BY doc_id, fingerprint"
+  }
+}
