@@ -2407,6 +2407,38 @@ object SparkEntry {
         val lits = p.map(_.toDouble.toString).mkString("[", ",", "]")
         s"(CASE WHEN list_dot_product(emb_d, $lits::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+    // Seeded IVF coarse-quantizer scores (centroids(16, 64, seed=7) —
+    // deterministic, inlined like the planes). Cell = FIRST max index
+    // (list_position returns the first occurrence, matching
+    // IvfCellAssign's lower-index tie rule); probe cells = score desc,
+    // index asc (probeCellsExpr's tie order).
+    val ivfScoresCol = Similarity.centroids(16, 64, 7L).map { c =>
+      val lits = c.map(_.toDouble.toString).mkString("[", ",", "]")
+      s"list_dot_product(emb_d, $lits::DOUBLE[])"
+    }.mkString("[", ",", "]")
+    // Shared CTE bodies for the seeded-ANN oracles.
+    val annLshCte =
+      s"""b AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d FROM embeddings),
+         |bk AS (SELECT vec_id, label, emb_d, $lshBucketCol AS bucket,
+         |       sqrt(list_dot_product(emb_d, emb_d)) AS nrm FROM b),
+         |q AS (SELECT bucket AS qb, emb_d AS qe, nrm AS qn FROM bk WHERE vec_id = 0),
+         |lsh_topk AS (
+         |  SELECT vec_id, label, ROUND(list_dot_product(emb_d, qe)/(nrm*qn), 4) AS cosine
+         |  FROM bk, q WHERE vec_id <> 0 AND bit_count(xor(bucket::BIGINT, qb::BIGINT)) <= 1
+         |  ORDER BY cosine DESC, vec_id LIMIT 10)""".stripMargin
+    val annIvfCte =
+      s"""b AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d FROM embeddings),
+         |cells AS (SELECT vec_id, label, emb_d, ss,
+         |          sqrt(list_dot_product(emb_d, emb_d)) AS nrm,
+         |          list_position(ss, list_aggregate(ss, 'max')) AS cell
+         |          FROM (SELECT vec_id, label, emb_d, $ivfScoresCol AS ss FROM b)),
+         |qp AS (SELECT emb_d AS qe, nrm AS qn, ss AS qss FROM cells WHERE vec_id = 0),
+         |probe AS (SELECT i AS pcell FROM qp, UNNEST(range(1, len(qss)+1)) AS u(i)
+         |          ORDER BY qss[i] DESC, i LIMIT 2),
+         |ivf_topk AS (
+         |  SELECT vec_id, label, ROUND(list_dot_product(emb_d, qe)/(nrm*qn), 4) AS cosine
+         |  FROM cells, qp WHERE cell IN (SELECT pcell FROM probe)
+         |  ORDER BY cosine DESC, vec_id LIMIT 10)""".stripMargin
     // corpus_prep / train_prep share the curation pipeline: corpus =
     // doc_id >= 50, eval slice = doc_id < 50; quality/contamination/
     // digest/cluster verdicts exactly as CorpusPrep.prepare derives them.
@@ -2441,6 +2473,47 @@ object SparkEntry {
       // xxhash64-derived outputs, oracled by reproducing Spark's XXH64 in
       // DuckDB SQL (wrapping-64-bit HUGEINT arithmetic, staged subquery
       // pipeline) — see [[graft.oracle.Xxh64Sql]].
+      // Seeded-structure ANN oracles: the hyperplanes and coarse
+      // centroids are deterministic constants, so DuckDB re-runs the
+      // same bucket / cell-probe / exact-rerank pipeline end to end.
+      "ann_topk_lsh" ->
+        s"""WITH $annLshCte
+           |SELECT vec_id, label, cosine FROM lsh_topk""".stripMargin,
+      "ann_topk_ivf" ->
+        s"""WITH $annIvfCte
+           |SELECT vec_id, label, cosine FROM ivf_topk""".stripMargin,
+      "ann_recall" ->
+        s"""WITH $annLshCte,
+           |cells AS (SELECT vec_id, emb_d, ss,
+           |          sqrt(list_dot_product(emb_d, emb_d)) AS nrm,
+           |          list_position(ss, list_aggregate(ss, 'max')) AS cell
+           |          FROM (SELECT vec_id, emb_d, $ivfScoresCol AS ss FROM b)),
+           |qp AS (SELECT emb_d AS qe, nrm AS qn, ss AS qss FROM cells WHERE vec_id = 0),
+           |probe AS (SELECT i AS pcell FROM qp, UNNEST(range(1, len(qss)+1)) AS u(i)
+           |          ORDER BY qss[i] DESC, i LIMIT 2),
+           |ivf_topk AS (
+           |  SELECT vec_id FROM cells, qp WHERE cell IN (SELECT pcell FROM probe)
+           |  ORDER BY ROUND(list_dot_product(emb_d, qe)/(nrm*qn), 4) DESC, vec_id LIMIT 10),
+           |exact_topk AS (
+           |  SELECT e.vec_id FROM bk e, q WHERE e.vec_id <> 0
+           |  ORDER BY ROUND(list_dot_product(e.emb_d, qe)/(e.nrm*qn), 4) DESC, e.vec_id LIMIT 10)
+           |SELECT
+           |  (SELECT COUNT(*) FROM exact_topk WHERE vec_id IN (SELECT vec_id FROM lsh_topk)) / 10.0 AS recall_lsh,
+           |  (SELECT COUNT(*) FROM exact_topk WHERE vec_id IN (SELECT vec_id FROM ivf_topk)) / 10.0 AS recall_ivf""".stripMargin,
+      // k-means-backed outputs, oracled by reproducing kmeansFit in
+      // DuckDB SQL (fixed-point sums, float rounding, unrolled Lloyd
+      // iterations) — see [[graft.oracle.KmeansSql]].
+      "kmeans_clusters" -> graft.oracle.KmeansSql.kmeansClustersSql,
+      "ann_topk_indexed" -> graft.oracle.KmeansSql.annTopKIndexedSql,
+      // PQ codebook training + encoding + ADC reproduced in SQL — see
+      // [[graft.oracle.PqSql]].
+      "pq_topk" -> graft.oracle.PqSql.pqTopKSql,
+      "pq_topk_ivf" -> graft.oracle.PqSql.pqTopKIvfSql,
+      "pq_topk_indexed" -> graft.oracle.PqSql.pqTopKIvfSql,
+      "pq_recall" -> graft.oracle.PqSql.pqRecallSql,
+      "semantic_dedup" -> graft.oracle.KmeansSql.semanticDedupSql(multi = false),
+      "semantic_dedup_multi" -> graft.oracle.KmeansSql.semanticDedupSql(multi = true),
+      "semantic_novel" -> graft.oracle.KmeansSql.semanticNovelSql,
       "simhash_docs" -> graft.oracle.Xxh64Sql.simhashSql,
       "doc_fingerprints" -> graft.oracle.Xxh64Sql.fingerprintSql,
       "doc_winnow" -> graft.oracle.Xxh64Sql.winnowSql,
