@@ -2517,6 +2517,11 @@ object SparkEntry {
       "simhash_docs" -> graft.oracle.Xxh64Sql.simhashSql,
       "doc_fingerprints" -> graft.oracle.Xxh64Sql.fingerprintSql,
       "doc_winnow" -> graft.oracle.Xxh64Sql.winnowSql,
+      "span_dedup" -> graft.oracle.Xxh64Sql.spanDedupSql,
+      // BPE merge learning + token accounting unrolled in SQL — see
+      // [[graft.oracle.BpeSql]].
+      "bpe_merges" -> graft.oracle.BpeSql.mergesSql,
+      "bpe_encode" -> graft.oracle.BpeSql.encodeSql,
       "approx_percentiles" ->
         """SELECT event_type,
           |  ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,

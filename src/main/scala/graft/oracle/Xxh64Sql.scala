@@ -184,6 +184,50 @@ object Xxh64Sql {
     s"SELECT doc_id, ${s64("x_u")} AS fingerprint FROM ($hashed) ORDER BY doc_id"
   }
 
+  /** Oracle for `span_dedup`: the greedy one-pass repeated-span scrub
+    * ([[graft.ext.TextAnalysis.dropRepeatedSpans]], n=3). The gram at
+    * position i is the wrapping chain h = 42; h = h·31 + hash(tok_j)
+    * for j = i+2 down to i (token hashes via the xxh64 pipeline). The
+    * sequential skip-by-3 scan with its growing seen-set is a
+    * RECURSIVE CTE stepping one token position per round across all
+    * docs simultaneously (a `list_reduce` fold over a struct state
+    * measured pathologically slow in DuckDB 1.0; the recursion is
+    * ~max-tokens rounds of an indexed join). Docs under 3 tokens pass
+    * through as trimmed text, like the engine.
+    */
+  def spanDedupSql: String = {
+    val inner = "SELECT doc_id, pos, " + bytesOf("tok") +
+      " AS bl, length(tok) AS n, tok FROM (SELECT doc_id, " +
+      raw"unnest(string_split_regex(trim(text), '\s+')) AS tok, " +
+      raw"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents)"
+    val th = xxh64Select(inner, Seq("doc_id", "pos", "tok"), "bl", "n", "x",
+      "th")
+    val g1 = addm(mul64("42::HUGEINT", "31::HUGEINT"), "t2")
+    val g2 = addm(mul64(s"($g1)", "31::HUGEINT"), "t1")
+    val g3 = addm(mul64(s"($g2)", "31::HUGEINT"), "t0")
+    s"""WITH RECURSIVE g_t AS MATERIALIZED (
+       |  SELECT doc_id, pos, tok, CASE WHEN t2 IS NOT NULL THEN ($g3) ELSE NULL END AS g
+       |  FROM (SELECT doc_id, pos, tok, th AS t0, lead(th,1) OVER w AS t1, lead(th,2) OVER w AS t2
+       |        FROM ($th) WINDOW w AS (PARTITION BY doc_id ORDER BY pos))),
+       |nt AS (SELECT doc_id, count(*) AS ntok FROM g_t GROUP BY doc_id),
+       |step(doc_id, i, seen, outp, dropped) AS (
+       |  SELECT doc_id, 1::BIGINT, []::HUGEINT[], []::VARCHAR[], 0::BIGINT FROM nt WHERE ntok >= 3
+       |  UNION ALL
+       |  SELECT s.doc_id,
+       |    CASE WHEN g.g IS NOT NULL AND list_contains(s.seen, g.g) THEN s.i + 3 ELSE s.i + 1 END,
+       |    CASE WHEN g.g IS NOT NULL AND NOT list_contains(s.seen, g.g) THEN list_append(s.seen, g.g) ELSE s.seen END,
+       |    CASE WHEN g.g IS NOT NULL AND list_contains(s.seen, g.g) THEN s.outp ELSE list_append(s.outp, g.tok) END,
+       |    s.dropped + CASE WHEN g.g IS NOT NULL AND list_contains(s.seen, g.g) THEN 1 ELSE 0 END
+       |  FROM step s JOIN g_t g ON g.doc_id = s.doc_id AND g.pos = s.i),
+       |final AS (SELECT doc_id, outp, dropped FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn FROM step) WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN f.doc_id IS NULL THEN trim(d.text) ELSE array_to_string(f.outp, ' ') END AS clean_text,
+       |  COALESCE(f.dropped, 0) AS spans_dropped
+       |FROM documents d LEFT JOIN final f ON f.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Oracle for `doc_winnow`: token hashes → 3-token shingle hashes via
     * the engine's right-to-left hashLong chain → window-4 sliding minima
     * (SIGNED comparison — Scala's Array[Long].min) → distinct per doc.
