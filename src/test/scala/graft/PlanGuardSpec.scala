@@ -30,7 +30,10 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("trip_stats pushes rule-derived int64-ns bounds into the scan") {
+  test("trip_stats pushes its ts bounds into the scan on either encoding") {
+    // ns-encoded events push rule-derived int64 bounds; µs-encoded events
+    // push native timestamp bounds — both satisfy this shape, and a scan
+    // with NO pushed ts bound (reading the whole table at 100 TB) fails.
     val p = plan("trip_stats")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
   }
