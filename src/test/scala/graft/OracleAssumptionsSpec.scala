@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+import graft.sources.Tables
+
+/** The generated DuckDB oracles (`graft/oracle/` + the inline entries in
+  * `SparkEntry.oracleSql`) reproduce engine semantics under a few
+  * corpus-shape assumptions. This spec pins each assumption against the
+  * ACTUAL testdata so that a driver-side regeneration that breaks one
+  * fails HERE with the oracle named — not as a pile of anonymous hash
+  * mismatches in the correctness run (the round-8 events-schema drift,
+  * but for oracles). Scope: sf0.001 — the same generators run at every
+  * verify scale, and sf0.01 shares the generator.
+  */
+class OracleAssumptionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("documents.text is pure ASCII (Xxh64Sql/BpeSql byte = ord(char))") {
+    // ord(substr(t,i,1)) equals the UTF-8 byte only for ASCII; a
+    // non-ASCII corpus breaks every xxhash-derived oracle (simhash_docs,
+    // doc_fingerprints, doc_winnow, span_dedup) and BpeSql's char split.
+    val nonAscii = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) =!= octet_length(col("text").cast("binary")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii non-ASCII documents — Xxh64Sql/BpeSql oracles need a byte-level accessor")
+  }
+
+  test("embeddings corpus fits under the quantizer sample caps (KmeansSql/PqSql fit whole-corpus)") {
+    // kmeansFit/pqTrain sample 256·k rows; the SQL refits train on the
+    // whole corpus. Identical only while n ≤ min cap (k=8 ⇒ 2048).
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(n <= 2048,
+      s"$n vectors exceeds the 256·8 sample cap — KmeansSql/PqSql oracles must prepend the xxhash64 sample ordering")
+  }
+
+  test("embeddings are 64-dimensional (inlined plane/centroid literals)") {
+    val dims = Tables.load(spark, dir, "embeddings")
+      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(64),
+      s"dims ${dims.mkString(",")} — regenerate the 64-dim constants in the ANN/k-means/PQ oracles")
+  }
+
+  test("BPE learns 16 full merges, no early stop (BpeSql unrolls exactly 16 rounds)") {
+    val merges = graft.ext.Vocab.learnBpeMerges(
+      Tables.load(spark, dir, "documents"), 16).collect()
+    assert(merges.length == 16,
+      s"only ${merges.length} merges before the min-pair-count floor — BpeSql needs a stop-flag chain")
+    assert(merges.forall(_.getLong(3) >= 2L))
+  }
+
+  test("LSH banding recall is 1.0 at the oracle thresholds on this corpus") {
+    // ngram_jaccard_pairs' oracle enumerates ALL exact-Jaccard pairs
+    // ≥ 0.3; the engine emits LSH candidates only. A planted near-dup
+    // that banding misses would mismatch the oracle — so pin that every
+    // all-pairs exact match IS a candidate, and that the est- and
+    // exact-thresholded sets coincide at minhash_pairs' 0.5 cutoff.
+    val docs = Tables.load(spark, dir, "documents")
+    val sets = Dedup.hashedShingles(docs, 3)
+      .groupBy("doc_id").agg(collect_set(col("h")).as("s"))
+    val allPairs = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (graft.functions.SetFunctions.set_overlap(col("a.s"), col("b.s"))
+          .cast("double") /
+          (size(col("a.s")) + size(col("b.s")) -
+            graft.functions.SetFunctions.set_overlap(col("a.s"), col("b.s"))))
+          .as("j"))
+    val exact03 = allPairs.filter(col("j") >= 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact05 = allPairs.filter(col("j") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshVerified = Dedup.lshVerifiedJaccardPairs(docs)
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val estPairs = Dedup.minhashNearDupPairs(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshVerified == exact03,
+      s"banding lost ${(exact03 -- lshVerified).size} true pairs at J≥0.3 — ngram_jaccard_pairs oracle over-counts")
+    assert(estPairs == exact05,
+      s"estimate-thresholded set differs from exact at 0.5 (${(estPairs diff exact05).size}/${(exact05 diff estPairs).size}) — minhash_pairs oracle diverges")
+  }
+
+  test("sketch tolerance flags hold corpus-wide (exact-twin oracles emit literal TRUE)") {
+    // Each flag is computed by the ENGINE and matched against TRUE in
+    // the oracle; a corpus where a sketch drifts past its bound fails
+    // the hash compare. Surface it here with the query named.
+    def allTrue(q: String, flags: String*): Unit = {
+      val df = SparkEntry.queries(q)(spark, dir)
+      flags.foreach { f =>
+        val bad = df.filter(!col(f)).count()
+        assert(bad == 0L, s"$q: $f false on $bad rows — retune the bound in query AND oracle")
+      }
+    }
+    allTrue("hll_vocab_rollup", "est_err_le_2pct")
+    allTrue("approx_distinct", "users_err_le_5pct", "events_err_le_3pct")
+    allTrue("approx_percentiles", "p50_in_band", "p99_in_band")
+    allTrue("rolling_distinct_hll", "est_err_le_5pct")
+    allTrue("minhash_pairs", "est_within_02")
+  }
+}
