@@ -52,7 +52,8 @@ object Bench {
         warm(t) {
           val df = graft.sources.Tables.load(spark, sfDir, t)
           df.select(org.apache.spark.sql.functions.hash(
-              org.apache.spark.sql.functions.struct(df.columns.map(col): _*))
+              org.apache.spark.sql.functions.struct(
+                df.columns.toIndexedSeq.map(col): _*))
             .as("h")).agg(max(col("h"))).collect()
         }
       }

@@ -1067,7 +1067,10 @@ object SparkEntry {
 
     // Sketch aggregates (HLL++) — the estimate is engine-specific, so the
     // oracle checks the EXACT twins and pins the sketch by relative-error
-    // flags (5% = default rsd, 3% = 3σ of the rsd-0.01 sketch).
+    // flags at 3σ of each sketch's rsd (15% for the default rsd-0.05,
+    // 3% for rsd-0.01). A 1σ bound looked fine at the gate scales but
+    // flipped at sf0.1 (measured 6.67% user error on 1500 distincts) —
+    // pin the guarantee, not one dataset's luck.
     "approx_distinct" -> ((s, dir) => T(s, dir, "events")
       .agg(
         approx_count_distinct(col("user_id")).as("__au"),
@@ -1076,7 +1079,7 @@ object SparkEntry {
         countDistinct(col("event_id")).as("exact_events"))
       .select(col("exact_users"), col("exact_events"),
         (abs(col("__au") - col("exact_users")) <=
-          col("exact_users") * 0.05).as("users_err_le_5pct"),
+          col("exact_users") * 0.15).as("users_err_le_15pct"),
         (abs(col("__ae") - col("exact_events")) <=
           col("exact_events") * 0.03).as("events_err_le_3pct"))),
 
@@ -1143,7 +1146,7 @@ object SparkEntry {
       Quantization.ensurePqIndex(s, emb, idx, m = 4, k = 16, iters = 3,
         sourcePath = Some(s"$dir/embeddings.parquet"))
       val qVec = emb.filter(col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).toArray
+        .select("embedding").head().getSeq[Float](0).toArray
       Quantization.pqTopKIndexed(s, idx, qVec, k = 10)
     }),
 
@@ -2531,7 +2534,7 @@ object SparkEntry {
       "approx_distinct" ->
         """SELECT COUNT(DISTINCT user_id) AS exact_users,
           |  COUNT(DISTINCT event_id) AS exact_events,
-          |  TRUE AS users_err_le_5pct, TRUE AS events_err_le_3pct
+          |  TRUE AS users_err_le_15pct, TRUE AS events_err_le_3pct
           |FROM events""".stripMargin,
       "rolling_distinct_hll" ->
         """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -71,7 +71,7 @@ object Temporal {
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
       lit(null).cast(right.schema(rightTie).dataType).as("__tie"),
       lit(null).cast(rightSide.schema("__p").dataType).as("__p"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"))
     // Backward: scan time ascending, running last-non-null = latest
     // right at-or-before; ties broken to the LARGEST tie (last in asc
     // tie order). Forward: scan time descending, running last-non-null

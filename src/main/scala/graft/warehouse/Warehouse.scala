@@ -140,7 +140,7 @@ object Warehouse {
     val u = state.unionByName(delta)
     u.groupBy(keys.map(col): _*)
       .agg(sum(col(measures.head)).as(measures.head),
-        measures.tail.map(m => sum(col(m)).as(m)): _*)
+        measures.tail.toIndexedSeq.map(m => sum(col(m)).as(m)): _*)
   }
 
   /** Bucketed table write: co-locates rows by join key so repeated joins

@@ -97,7 +97,7 @@ class OracleAssumptionsSpec extends AnyFunSuite {
       }
     }
     allTrue("hll_vocab_rollup", "est_err_le_2pct")
-    allTrue("approx_distinct", "users_err_le_5pct", "events_err_le_3pct")
+    allTrue("approx_distinct", "users_err_le_15pct", "events_err_le_3pct")
     allTrue("approx_percentiles", "p50_in_band", "p99_in_band")
     allTrue("rolling_distinct_hll", "est_err_le_5pct")
     allTrue("minhash_pairs", "est_within_02")
