@@ -19,30 +19,46 @@ class OracleAssumptionsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("documents.text is pure ASCII (Xxh64Sql/BpeSql byte = ord(char))") {
+  // Cheap shape assumptions hold at EVERY testdata scale present (the
+  // sf0.1 embeddings sit only 48 rows under the 2048 sample cap — the
+  // tightest margin in the suite, worth watching at all scales); the
+  // expensive semantic pins below run at sf0.001 only.
+  private val allDirs = Seq("0.001", "0.01", "0.1")
+    .map(sf => s"/root/testdata/sf$sf")
+    .filter(d => new java.io.File(d).exists())
+
+  test("documents.text is pure ASCII at every scale (Xxh64Sql/BpeSql byte = ord(char))") {
     // ord(substr(t,i,1)) equals the UTF-8 byte only for ASCII; a
     // non-ASCII corpus breaks every xxhash-derived oracle (simhash_docs,
     // doc_fingerprints, doc_winnow, span_dedup) and BpeSql's char split.
-    val nonAscii = Tables.load(spark, dir, "documents")
-      .filter(length(col("text")) =!= octet_length(col("text").cast("binary")))
-      .count()
-    assert(nonAscii == 0L,
-      s"$nonAscii non-ASCII documents — Xxh64Sql/BpeSql oracles need a byte-level accessor")
+    allDirs.foreach { d =>
+      val nonAscii = Tables.load(spark, d, "documents")
+        .filter(length(col("text")) =!=
+          octet_length(col("text").cast("binary")))
+        .count()
+      assert(nonAscii == 0L,
+        s"$d: $nonAscii non-ASCII documents — Xxh64Sql/BpeSql oracles need a byte-level accessor")
+    }
   }
 
-  test("embeddings corpus fits under the quantizer sample caps (KmeansSql/PqSql fit whole-corpus)") {
+  test("embeddings fit under the quantizer sample caps at every scale (KmeansSql/PqSql fit whole-corpus)") {
     // kmeansFit/pqTrain sample 256·k rows; the SQL refits train on the
     // whole corpus. Identical only while n ≤ min cap (k=8 ⇒ 2048).
-    val n = Tables.load(spark, dir, "embeddings").count()
-    assert(n <= 2048,
-      s"$n vectors exceeds the 256·8 sample cap — KmeansSql/PqSql oracles must prepend the xxhash64 sample ordering")
+    allDirs.foreach { d =>
+      val n = Tables.load(spark, d, "embeddings").count()
+      assert(n <= 2048,
+        s"$d: $n vectors exceeds the 256·8 sample cap — KmeansSql/PqSql oracles must prepend the xxhash64 sample ordering")
+    }
   }
 
-  test("embeddings are 64-dimensional (inlined plane/centroid literals)") {
-    val dims = Tables.load(spark, dir, "embeddings")
-      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
-    assert(dims.toSeq == Seq(64),
-      s"dims ${dims.mkString(",")} — regenerate the 64-dim constants in the ANN/k-means/PQ oracles")
+  test("embeddings are 64-dimensional at every scale (inlined plane/centroid literals)") {
+    allDirs.foreach { d =>
+      val dims = Tables.load(spark, d, "embeddings")
+        .select(size(col("embedding")).as("d")).distinct().collect()
+        .map(_.getInt(0))
+      assert(dims.toSeq == Seq(64),
+        s"$d: dims ${dims.mkString(",")} — regenerate the 64-dim constants in the ANN/k-means/PQ oracles")
+    }
   }
 
   test("BPE learns 16 full merges, no early stop (BpeSql unrolls exactly 16 rounds)") {
