@@ -49,24 +49,39 @@ object Quality {
   private def nsUpper(bound: String): Long =
     graft.model.NsTime.maxNs(graft.model.NsTime.boundMicros(bound))
 
-  /** [[between]] plus a redundant predicate on the raw int64-nanos column.
-    * The derived-µs `ts` predicate is exact but opaque to the parquet
-    * scan; the ns predicate is pushable, so row groups outside the range
-    * are skipped at any scale. The ns bounds are the truncation preimage
-    * of the µs bounds — necessary conditions, so no row the µs predicate
-    * keeps is ever dropped (including sub-millisecond and pre-epoch
-    * bounds).
+  /** True when `tsNs` is the loader's DERIVED ns column (µs-encoded
+    * events — [[graft.sources.Tables.DerivedNsKey]]): the ts predicate
+    * already pushes natively and a redundant ns conjunct would cost one
+    * evaluated expression per scanned row while pruning nothing.
+    */
+  private def derivedNs(df: DataFrame, tsNs: Column): Boolean =
+    df.schema.fields.find(_.name == tsNs.toString()).exists(f =>
+      f.metadata.contains(graft.sources.Tables.DerivedNsKey) &&
+        f.metadata.getBoolean(graft.sources.Tables.DerivedNsKey))
+
+  /** [[between]] plus a redundant predicate on the raw int64-nanos column
+    * WHEN the ns column is the scan column: the derived-µs `ts` predicate
+    * is then opaque to the parquet scan, while the ns predicate is
+    * pushable, so row groups outside the range are skipped at any scale.
+    * The ns bounds are the truncation preimage of the µs bounds —
+    * necessary conditions, so no row the µs predicate keeps is ever
+    * dropped (including sub-millisecond and pre-epoch bounds). On
+    * µs-encoded data (ns column [[derivedNs]]) the conjunct is skipped:
+    * `ts` pushes natively and the preimage would only burn per-row work.
     */
   def betweenWithPushdown(df: DataFrame, ts: Column, tsNs: Column,
                           lo: String, hi: String): DataFrame =
-    between(df, ts, lo, hi)
+    if (derivedNs(df, tsNs)) between(df, ts, lo, hi)
+    else between(df, ts, lo, hi)
       .filter(tsNs >= nsLower(lo) && tsNs <= nsUpper(hi))
 
-  /** [[timeRange]] (P12) with the same pushable ns-column reinforcement. */
+  /** [[timeRange]] (P12) with the same conditional ns reinforcement. */
   def timeRangeWithPushdown(df: DataFrame, ts: Column, tsNs: Column,
                             from: Option[String], to: Option[String]): DataFrame = {
-    val pushed = (from.map(b => tsNs >= nsLower(b)).toSeq ++
-      to.map(b => tsNs <= nsUpper(b)).toSeq).foldLeft(df)(_ filter _)
+    val pushed =
+      if (derivedNs(df, tsNs)) df
+      else (from.map(b => tsNs >= nsLower(b)).toSeq ++
+        to.map(b => tsNs <= nsUpper(b)).toSeq).foldLeft(df)(_ filter _)
     timeRange(pushed, ts, from, to)
   }
 }

@@ -15,6 +15,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Column-metadata key marking `ts_ns` as DERIVED from a native
+    * timestamp (the µs testdata path) rather than read from the scan.
+    */
+  val DerivedNsKey = "graft.derivedNs"
+
   // Memoized per (session, dir): the returned DataFrame is a reusable
   // logical plan (no data is cached) — repeated queries over the same
   // table skip the file listing + parquet footer/schema read that
@@ -60,8 +65,15 @@ object Tables {
             df.withColumn("ts_ns", col("ts"))
               .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           case _ =>
+            // Tag the derived ts_ns so Quality's pushdown helpers know
+            // the redundant ns conjunct would prune nothing here (ts
+            // bounds push natively) and skip it — on the ns path ts_ns
+            // IS the scan column and the conjunct is the pushdown.
+            val derivedMd = new org.apache.spark.sql.types.MetadataBuilder()
+              .putBoolean(Tables.DerivedNsKey, true).build()
             df.withColumn("ts", col("ts").cast("timestamp"))
-              .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+              .select(col("*"),
+                (unix_micros(col("ts")) * lit(1000L)).as("ts_ns", derivedMd))
         }
       } else df
     })

@@ -36,6 +36,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // with NO pushed ts bound (reading the whole table at 100 TB) fails.
     val p = plan("trip_stats")
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
+    // On µs data the redundant ns-preimage conjunct must be GONE (it
+    // prunes nothing there and costs one evaluated expression per
+    // scanned row); on ns data it IS the pushdown and must stay.
+    val nsEncoded = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    if (!nsEncoded) assert(!p.contains("unix_micros"), p)
   }
 
   test("string_funcs pushes the LIKE prefix into the scan") {
