@@ -52,7 +52,7 @@ w$i AS MATERIALIZED (SELECT w, list_reduce(list_prepend([]::VARCHAR[], list_tran
   def mergesSql: String =
     "WITH " + chain + ",\nmg AS (" +
       (1 to Iters).map(i =>
-        s"""SELECT $i AS rank, l AS "left", r AS "right", c AS pair_count FROM t$i""")
+        s"""SELECT $i AS rank, l AS "left", r AS "right", c::BIGINT AS pair_count FROM t$i""")
         .mkString(" UNION ALL ") +
       ") SELECT * FROM mg ORDER BY rank"
 

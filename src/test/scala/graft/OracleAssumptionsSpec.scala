@@ -118,4 +118,94 @@ class OracleAssumptionsSpec extends AnyFunSuite {
     allTrue("rolling_distinct_hll", "est_err_le_5pct")
     allTrue("minhash_pairs", "est_within_02")
   }
+
+  test("no oracle ships an uncast integer SUM as an output column (DuckDB promotes SUM(BIGINT) to HUGEINT)") {
+    // The round-9 red query as a standing rule: DuckDB's SUM over
+    // integer input yields HUGEINT (→ float64 through pandas), which
+    // typed-hash-mismatches Spark's int64 even when every value is
+    // identical (bpe_merges: `c AS pair_count` where c = SUM(cnt)).
+    // Convict a SUM only when its value can actually surface as an
+    // integral OUTPUT column: uncast at the site (no CAST(...) wrapper,
+    // no `::type` on the close) AND its alias either IS an output
+    // column of the Spark query or is later re-projected bare under an
+    // output column's name. Aliasless SUMs are skipped — a bare
+    // `SELECT SUM(x)` output column is a loud schema mismatch, not the
+    // silent typed-hash class this pins.
+    def balancedClose(s: String, open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    val sumRe = "(?i)\\bsum\\s*\\(".r
+    val aliasRe = "(?i)^AS\\s+(\"[^\"]+\"|\\w+)".r
+    // (query, alias, candidate output-column names) for every
+    // uncast-at-site SUM alias, including window SUMs (promotion
+    // applies to `SUM(int) OVER (...)` too).
+    val candidates = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      sumRe.findAllMatchIn(sql).flatMap { m =>
+        val open = sql.indexOf('(', m.start)
+        val close = balancedClose(sql, open)
+        val beforeTrim = sql.substring(0, m.start).reverse.dropWhile(_.isWhitespace).reverse
+        val castWrapped = beforeTrim.toUpperCase.endsWith("CAST(")
+        var after = sql.substring(close + 1).dropWhile(_.isWhitespace)
+        var afterPos = close + 1 + (sql.substring(close + 1).length - sql.substring(close + 1).dropWhile(_.isWhitespace).length)
+        if (after.take(4).equalsIgnoreCase("OVER")) {
+          val overOpen = afterPos + after.indexOf('(')
+          val overClose = balancedClose(sql, overOpen)
+          after = sql.substring(overClose + 1).dropWhile(_.isWhitespace)
+          afterPos = overClose + 1
+        }
+        val siteCast = after.startsWith("::")
+        if (castWrapped || siteCast) None
+        else aliasRe.findFirstMatchIn(after).map { am =>
+          val alias = am.group(1).stripPrefix("\"").stripSuffix("\"")
+          // names the alias could surface under: itself, plus any bare
+          // re-projection target `alias AS out` after the binding site
+          val rest = sql.substring(afterPos + am.end(0))
+          val reprojRe = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) +
+            "\\s+AS\\s+(\"[^\"]+\"|\\w+)").r
+          val targets = alias +: reprojRe.findAllMatchIn(rest)
+            .map(_.group(1).stripPrefix("\"").stripSuffix("\"")).toSeq
+          (name, alias, targets.distinct)
+        }
+      }
+    }
+    // Resolve output schemas lazily, only for queries with candidates.
+    val integralOut = scala.collection.mutable.Map.empty[String, Set[String]]
+    def integralCols(q: String): Set[String] = integralOut.getOrElseUpdate(q, {
+      SparkEntry.queries(q)(spark, dir).schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType => f.name
+      }.toSet
+    })
+    // Shadow rule: if the SQL ALSO binds the same name through a cast
+    // (`...::TYPE AS name` or `CAST(... AS TYPE) AS name`), the final
+    // projection is the cast one and the same-named internal alias
+    // never surfaces (bpe_encode's `COALESCE(a.n_words, 0)::BIGINT AS
+    // n_words`, sessionize_batch's `CAST(session_id AS BIGINT) AS
+    // session_id`).
+    def castBound(sql: String, t: String): Boolean = {
+      val qt = java.util.regex.Pattern.quote(t)
+      ("(?i)(::\\w+(\\(\\d+(,\\d+)?\\))?|AS\\s+\\w+(\\(\\d+(,\\d+)?\\))?\\))\\s+AS\\s+\"?" + qt + "\"?\\b").r
+        .findFirstIn(sql).isDefined
+    }
+    val offenders = candidates.flatMap { case (q, alias, targets) =>
+      val sql = SparkEntry.oracleSql(q)
+      val hit = targets.filter(t => integralCols(q).contains(t) && !castBound(sql, t))
+      if (hit.nonEmpty)
+        Some(s"$q: uncast SUM alias '$alias' surfaces as integral output column " +
+          s"'${hit.mkString(",")}' — add ::BIGINT")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
