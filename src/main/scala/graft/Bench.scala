@@ -5,6 +5,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Bench measures the PRODUCTION plan of the sketch queries — the
+    // correctness path (Verify + the driver's DuckDB gate) keeps the
+    // in-query exact-verification twins; see SparkEntry.verifyExact.
+    sys.props("graft.verify.exact") = "false"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,14 +66,41 @@ object Bench {
     // per-query timings are steady-state query cost; the queries' own
     // ensure calls become stamp-validated no-ops.
     val tIdx = System.nanoTime()
-    warm("indexes") { SparkEntry.ensureIndexes(spark, sfDir) }
+    var indexBuilt = Seq.empty[String]
+    warm("indexes") { indexBuilt = SparkEntry.ensureIndexes(spark, sfDir) }
     val indexWarmupSec = (System.nanoTime() - tIdx) / 1e9
+    val indexBuiltJson = indexBuilt.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Session-state telemetry: a query must leave NO persisted blocks
+    // behind (r9's warm pass ran 18 queries slower than cold — the
+    // signature of state accumulated across the 149-query cold pass).
+    // Snapshot the persisted-RDD set after every query and scream any
+    // growth with the query named; summarize per pass.
+    var prevRddIds = Set.empty[Int]
+    def leakCheck(name: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val fresh = infos.filter(i => !prevRddIds.contains(i.id))
+      if (fresh.nonEmpty)
+        System.err.println(s"[bench] LEAK $name left ${fresh.length} persisted RDDs " +
+          s"(${fresh.map(_.memSize).sum / 1048576} MB mem, ${fresh.map(_.diskSize).sum / 1048576} MB disk): " +
+          fresh.map(_.name).mkString("; "))
+      prevRddIds = infos.map(_.id).toSet
+    }
+    def passSummary(tag: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val rt = Runtime.getRuntime
+      System.err.println(s"[bench] $tag: persisted=${infos.length} rdds " +
+        s"mem=${infos.map(_.memSize).sum / 1048576}MB disk=${infos.map(_.diskSize).sum / 1048576}MB " +
+        s"heapUsed=${(rt.totalMemory - rt.freeMemory) / 1048576}MB")
+    }
+    passSummary("pre-cold")
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        leakCheck(name)
+        name -> dt
       } catch {
         case e: Throwable =>
           // A failed query's partial elapsed time must not leak into the
@@ -81,6 +112,7 @@ object Bench {
           name -> -1.0
       }
     }
+    passSummary("post-cold")
     // Millisecond precision in the stdout JSON: the driver captures only
     // a bounded TAIL of the log, and at ~140 queries the full-precision
     // doubles pushed the single line past that window — the r5 bench
@@ -99,23 +131,48 @@ object Bench {
     // what a fresh job pays). Queries that already failed cold are
     // skipped (not re-run as silent 0.0s), and a warm-only failure is
     // recorded in warm_failed instead of deflating the sum.
+    // Between passes, do what Spark's own ContextCleaner periodic GC
+    // (spark.cleaner.periodicGC.interval, default 30 min) would have
+    // done by now in a real long-lived session: a full GC lets the
+    // cleaner release the cold pass's unreferenced checkpoint blocks,
+    // broadcasts, and shuffle files, so the warm pass measures
+    // steady-state query cost, not 149 queries of deferred cleanup.
+    System.gc()
+    Thread.sleep(500)
     var warmFailed = List.empty[String]
     val warmResults = SparkEntry.queries.toSeq.collect {
       case (name, fn) if !failed.contains(name) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          leakCheck(name)
+          name -> dt
+        }
         catch { case e: Throwable =>
           warmFailed ::= name
           System.err.println(s"[bench] $name FAILED warm: ${e.getMessage}")
           name -> 0.0
         }
     }
+    passSummary("post-warm")
     val warmTotal = warmResults.map(_._2).sum
+    // Self-flagging warm anomalies: steady-state (warm) must not exceed
+    // 1.5× cold for any query — anything above with a ≥ 0.75 s absolute
+    // delta is an accumulated-state bug, not noise (both bars together
+    // catch every r9 anomaly — 1.6–3.5×, 0.7–8.8 s — while run-to-run
+    // jitter on sub-second queries stays out).
+    val coldByName = results.toMap
+    val warmAnomalies = warmResults.collect {
+      case (n, w) if w > 1.5 * coldByName.getOrElse(n, Double.MaxValue) &&
+        w - coldByName(n) > 0.75 => n
+    }.sorted
+    val warmAnomaliesJson = warmAnomalies.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmFailedJson = warmFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmupFailedJson = warmupFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val idxSec = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(indexWarmupSec))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"warm_failed":$warmFailedJson,"warmup_failed":$warmupFailedJson,"index_warmup_sec":$idxSec,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"warm_failed":$warmFailedJson,"warm_anomalies":$warmAnomaliesJson,"warmup_failed":$warmupFailedJson,"index_warmup_sec":$idxSec,"index_built":$indexBuiltJson,"sf":"$sfDir"}"""
     // Belt and braces: the line also lands in BENCH_LAST.json next to
     // the sources, immune to any log-tail truncation — EXTENDED with the
     // per-query warm timings (kept out of the stdout line so the

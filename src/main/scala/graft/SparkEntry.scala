@@ -27,6 +27,19 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Correctness-vs-bench switch for the two sketch queries that carry
+    * an in-query EXACT verification twin (`minhash_pairs`,
+    * `rolling_distinct_hll`): true (the default — Verify, specs, the
+    * driver's oracle gate) runs the twin-verified shape the DuckDB
+    * oracle hash-checks; [[Bench]] flips the property so the measured
+    * number is the PRODUCTION sketch plan — the re-scan-free cost the
+    * sketch exists for — instead of sketch + exact-twin self-join. The
+    * oracle contract is unaffected: nothing in the Verify path reads
+    * this.
+    */
+  private[graft] def verifyExact: Boolean =
+    sys.props.getOrElse("graft.verify.exact", "true").toBoolean
+
   /** Recall@k of an approximate id set against the exact one — one
     * definition for every *_recall self-measurement (the divisor IS
     * the k the rankers were asked for).
@@ -47,19 +60,27 @@ object SparkEntry {
     * the queries' own ensure calls, which remain in place and become
     * stamp-validated no-ops after this runs.
     */
-  def ensureIndexes(s: SparkSession, dir: String): Unit = {
+  def ensureIndexes(s: SparkSession, dir: String): Seq[String] = {
     val emb = T(s, dir, "embeddings")
-    Similarity.ensureIvfIndex(s, emb, Similarity.ivfIndexPathFor(dir),
-      sourcePath = Some(s"$dir/embeddings.parquet"))
-    Similarity.ensureIvfIndex(s, emb.filter(col("vec_id") % 2 === 0),
-      Similarity.ivfIndexPathFor(dir) + "-even",
-      sourcePath = Some(s"$dir/embeddings.parquet"))
-    Quantization.ensurePqIndex(s, emb, Quantization.pqIndexPathFor(dir),
-      m = 4, k = 16, iters = 3,
-      sourcePath = Some(s"$dir/embeddings.parquet"))
-    Retrieval.ensureBm25Index(s, T(s, dir, "documents"),
-      Retrieval.bm25IndexPathFor(dir),
-      sourcePath = Some(s"$dir/documents.parquet"))
+    // Report which indexes were actually BUILT (vs stamp-validated
+    // no-ops): the bench's index_warmup_sec is meaningless without
+    // knowing which world it measured — ~11 s when the four builds run,
+    // ~40 ms when every ensure validates a pre-existing dir.
+    Seq(
+      "ivf" -> Similarity.ensureIvfIndex(s, emb,
+        Similarity.ivfIndexPathFor(dir),
+        sourcePath = Some(s"$dir/embeddings.parquet")),
+      "ivf-even" -> Similarity.ensureIvfIndex(s,
+        emb.filter(col("vec_id") % 2 === 0),
+        Similarity.ivfIndexPathFor(dir) + "-even",
+        sourcePath = Some(s"$dir/embeddings.parquet")),
+      "pq" -> Quantization.ensurePqIndex(s, emb,
+        Quantization.pqIndexPathFor(dir), m = 4, k = 16, iters = 3,
+        sourcePath = Some(s"$dir/embeddings.parquet")),
+      "bm25" -> Retrieval.ensureBm25Index(s, T(s, dir, "documents"),
+        Retrieval.bm25IndexPathFor(dir),
+        sourcePath = Some(s"$dir/documents.parquet"))
+    ).collect { case (name, built) if built => name }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -660,15 +681,22 @@ object SparkEntry {
                         event_type ASC NULLS FIRST""")
     }),
 
-    // INTERSECT / EXCEPT set operators.
+    // INTERSECT / EXCEPT set-operator semantics, computed as ONE
+    // aggregate: both memberships fold per user in a single shuffle
+    // (bool_or map-side-combines), then the set label derives from the
+    // two flags — vs the literal INTERSECT/EXCEPT formulation's four
+    // distinct passes over events plus two set-op shuffles. Same rows,
+    // one scan, one exchange; the plan that survives 100 TB.
     "set_ops_users" -> ((s, dir) => {
-      val ev = T(s, dir, "events")
-      def users(t: String) =
-        ev.filter(col("event_type") === t).select("user_id").distinct()
-      users("click").intersect(users("purchase"))
-        .withColumn("set_op", lit("click_and_purchase"))
-        .unionByName(users("click").except(users("purchase"))
-          .withColumn("set_op", lit("click_only")))
+      T(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        .filter(col("c") === 1)
+        .select(col("user_id"),
+          when(col("p") === 1, "click_and_purchase").otherwise("click_only")
+            .as("set_op"))
         .orderBy("set_op", "user_id")
     }),
 
@@ -1010,11 +1038,14 @@ object SparkEntry {
     // planted dups), so a broken signature shows up as a hash mismatch
     // without asking the oracle to reproduce xxhash64 minima.
     "minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashVerifiedPairs(T(s, dir, "documents"))
-        .select(col("doc_a"), col("doc_b"),
-          round(col("jaccard"), 4).as("jaccard"),
-          (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("est_within_02"))
-        .orderBy("doc_a", "doc_b")),
+      if (verifyExact)
+        Dedup.minhashVerifiedPairs(T(s, dir, "documents"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 4).as("jaccard"),
+            (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("est_within_02"))
+          .orderBy("doc_a", "doc_b")
+      else // bench: the production sketch plan, no exact twin
+        Dedup.minhashNearDupPairs(T(s, dir, "documents"))),
 
     // Near-dup pairs → connected components → corpus-wide cluster
     // assignment with canonical survivors (min doc_id per cluster).
@@ -1225,9 +1256,17 @@ object SparkEntry {
     // SemDeDup composite: k-means cells bound the pair space, cosine ≥ t
     // edges connect into semantic groups, min vec_id per group survives.
     // Threshold is low for the near-orthogonal testdata (see
-    // embed_neardup_pairs); rows-only (iterative fit upstream).
-    "semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(
-      T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2)),
+    // embed_neardup_pairs). k scales with the corpus (√N — a fixed k
+    // would let cell populations, hence the within-cell pair space,
+    // grow unboundedly); the KmeansSql oracle inlines k = 8, and
+    // OracleAssumptionsSpec pins that the formula still resolves to 8
+    // on every present testdata scale (the count() it derives from is
+    // parquet metadata-only).
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.semanticDedup(emb, threshold = 0.25,
+        k = Similarity.scaledCellCount(emb.count()), iters = 2)
+    }),
 
     // Multi-assignment SemDeDup: vectors within eps of a cell boundary
     // also land in their 2nd-best cell, recovering near-dup pairs that
@@ -1235,9 +1274,12 @@ object SparkEntry {
     // geometry ScalaTest in ExtSpec). The conditionality keeps the pair
     // space at (1+beta)^2 of single assignment (beta = boundary
     // fraction) — unconditional top-2 measures 4.0x (SemDedupDrill).
-    "semantic_dedup_multi" -> ((s, dir) => Similarity.semanticDedup(
-      T(s, dir, "embeddings"), threshold = 0.25, k = 8, iters = 2,
-      assignments = 2)),
+    "semantic_dedup_multi" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.semanticDedup(emb, threshold = 0.25,
+        k = Similarity.scaledCellCount(emb.count()), iters = 2,
+        assignments = 2)
+    }),
 
     // Incremental SemDeDup: odd-id vectors screened against a persisted
     // index of the even-id corpus — cell-pruned probe join, novel iff
@@ -1361,19 +1403,22 @@ object SparkEntry {
     "rolling_distinct_hll" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val est = Behavior.rollingDistinctUsersHll(ev, col("ts"), col("user_id"))
-      val du = ev.select(to_date(col("ts")).as("d"), col("user_id").as("u"))
-        .distinct()
-      val exact = du.select(col("d").as("day")).distinct()
-        .join(du, col("d").between(date_sub(col("day"), 6), col("day")))
-        .groupBy("day")
-        .agg(countDistinct(col("u")).as("exact_users_7d"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("exact_users_7d"))
-      est.join(exact, Seq("day"))
-        .select(col("day"), col("exact_users_7d"),
-          (abs(col("est_users_7d") - col("exact_users_7d")) <=
-            col("exact_users_7d") * 0.05).as("est_err_le_5pct"))
-        .orderBy("day")
+      if (!verifyExact) est.orderBy("day") // bench: production sketch plan
+      else {
+        val du = ev.select(to_date(col("ts")).as("d"), col("user_id").as("u"))
+          .distinct()
+        val exact = du.select(col("d").as("day")).distinct()
+          .join(du, col("d").between(date_sub(col("day"), 6), col("day")))
+          .groupBy("day")
+          .agg(countDistinct(col("u")).as("exact_users_7d"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("exact_users_7d"))
+        est.join(exact, Seq("day"))
+          .select(col("day"), col("exact_users_7d"),
+            (abs(col("est_users_7d") - col("exact_users_7d")) <=
+              col("exact_users_7d") * 0.05).as("est_err_le_5pct"))
+          .orderBy("day")
+      }
     }),
 
     // Intra-doc repeated-span removal (Gopher/C4-style scrub): greedy

@@ -30,23 +30,10 @@ object Verify {
     // driver records only queries that wrote parquet) — make that state
     // impossible to miss: scream on BOTH streams with a count the driver's
     // log tail will carry, and persist the failures next to the dumps.
-    val expected = SparkEntry.queries.size
-    val written = expected - failed.size
-    if (failed.nonEmpty) {
-      val msg = s"[verify] SELF-CHECK FAILED: $written/$expected queries " +
-        s"produced output; failed: ${failed.map(_._1).sorted.mkString(", ")}"
-      System.err.println(msg); println(msg)
-      try Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
-        failed.sortBy(_._1).map { case (n, m) =>
-          s"""{"query":"$n","error":${"\"" + m.replace("\\", "\\\\")
-            .replace("\"", "\\\"").replace("\n", "\\n") + "\""}}"""
-        }.mkString("[", ",", "]"))
-      catch { case _: Throwable => () }
-    } else
-      println(s"[verify] self-check OK: $written/$expected queries produced output")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    // — a tab or CR in builder-authored SQL (or in an exception message
+    // below) would otherwise make the driver's json.load fail and
+    // silently zero the round's correctness.
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -56,6 +43,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val expected = SparkEntry.queries.size
+    val written = expected - failed.size
+    if (failed.nonEmpty) {
+      val msg = s"[verify] SELF-CHECK FAILED: $written/$expected queries " +
+        s"produced output; failed: ${failed.map(_._1).sorted.mkString(", ")}"
+      System.err.println(msg); println(msg)
+      try Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+        failed.sortBy(_._1).map { case (n, m) =>
+          s"""{"query":${q(n)},"error":${q(m)}}"""
+        }.mkString("[", ",", "]"))
+      catch { case _: Throwable => () }
+    } else
+      println(s"[verify] self-check OK: $written/$expected queries produced output")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -48,11 +48,14 @@ object IndexStamp {
     * exists AND (no source given, or the stored stamp equals the
     * source's current fingerprint); otherwise `build` runs and the new
     * stamp is recorded — AFTER the build, so a failed build leaves no
-    * stamp claiming freshness.
+    * stamp claiming freshness. Returns true iff the build RAN — callers
+    * that report "what did this session pay for" (the bench's
+    * index-warmup line) need built-vs-validated, not just "it's fresh
+    * now".
     */
   def ensureFresh(spark: SparkSession, markerPath: String,
                   indexPath: String, sourcePath: Option[String])
-                 (build: => Unit): Unit = {
+                 (build: => Unit): Boolean = {
     val marker = new Path(markerPath)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = sourcePath.map(fingerprint(spark, _))
@@ -62,6 +65,7 @@ object IndexStamp {
       build
       want.foreach(write(spark, indexPath, _))
     }
+    !fresh
   }
 
   /** Next unused ingest id for the partitioned index layout: max

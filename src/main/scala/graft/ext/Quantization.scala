@@ -372,7 +372,7 @@ object Quantization {
                     emb: => DataFrame, path: String, m: Int = 4,
                     k: Int = 16, iters: Int = 3, dim: Int = 64,
                     nlist: Int = 16,
-                    sourcePath: Option[String] = None): Unit =
+                    sourcePath: Option[String] = None): Boolean =
     IndexStamp.ensureFresh(spark, s"$path/_books/_SUCCESS", path,
       sourcePath) {
       buildPqIndex(emb, path, pqTrain(emb, m, k, iters, dim), dim, nlist)

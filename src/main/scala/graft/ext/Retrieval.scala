@@ -305,7 +305,7 @@ object Retrieval {
   def ensureBm25Index(spark: org.apache.spark.sql.SparkSession,
                       docs: => DataFrame, path: String,
                       buckets: Int = Bm25Buckets,
-                      sourcePath: Option[String] = None): Unit =
+                      sourcePath: Option[String] = None): Boolean =
     IndexStamp.ensureFresh(spark, s"$path/postings/_SUCCESS", path,
       sourcePath) { buildBm25Index(docs, path, buckets) }
 

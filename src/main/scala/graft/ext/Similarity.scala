@@ -377,12 +377,12 @@ object Similarity {
     * fingerprint of the source listing and rebuilds on mismatch, so a
     * regenerated embeddings table at the same path never serves stale
     * cells. Steady state is "index exists and matches, queries prune",
-    * not "rebuild per query".
+    * not "rebuild per query". Returns true iff the build ran.
     */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      emb: => DataFrame, path: String, nlist: Int = 16,
                      dim: Int = 64,
-                     sourcePath: Option[String] = None): Unit =
+                     sourcePath: Option[String] = None): Boolean =
     IndexStamp.ensureFresh(spark, ivfMarker(path), path, sourcePath) {
       buildIvfIndex(emb, path, nlist, dim)
     }
@@ -673,6 +673,22 @@ object Similarity {
     val cs = kmeansFit(emb, k, iters, dim)
     semanticDedupAssigned(emb, cs, threshold, assignments, boundaryEps)
   }
+
+  /** Corpus-scaled cell count for [[semanticDedup]]: k = max(kMin,
+    * ⌈√(n / targetCellPop)⌉). A FIXED k is the scale-killer in an
+    * otherwise bucketed design — expected cell population n/k grows
+    * linearly with the corpus and the within-cell pair space Σ|cell|²
+    * quadratically; √N-scaled k balances the two costs that pull in
+    * opposite directions (fit cost O(n·k·iters) up with k, pair space
+    * ~n²/k down with k), holding both at O(n^1.5). Callers pass a
+    * cheap `count()` (parquet metadata-only); the explicit-k API stays
+    * for tests and oracle-pinned suites — OracleAssumptionsSpec pins
+    * this formula to the oracles' inlined k at every testdata scale.
+    */
+  def scaledCellCount(n: Long, targetCellPop: Int = 256,
+                      kMin: Int = 8): Int =
+    math.max(kMin, math.ceil(math.sqrt(
+      math.max(0L, n).toDouble / targetCellPop)).toInt)
 
   /** Cell assignment for [[semanticDedupAssigned]]: one row per
     * (vector, assigned cell) with the embedding and its norm. m = 1 is

@@ -90,6 +90,31 @@ object SemDedupDrill {
         f"${pairs.toDouble / basePairs}%7.3f $recall%7.4f")
     }
 
+    // Scaled-k growth law: fixed k = 8 (the r9 constant) vs
+    // k = scaledCellCount(n) at 1× and 10× corpus — with fixed k the
+    // expected cell population grows linearly in n and the candidate
+    // pair space quadratically; √N-scaled k holds both at O(n^1.5).
+    // Real fits, real assignment path, exact occupancy counts.
+    println()
+    println("scaled-k growth law (fixed k=8 vs scaledCellCount):")
+    println(f"${"corpus"}%10s ${"k"}%6s ${"maxCell"}%10s ${"meanCell"}%10s " +
+      f"${"candPairs"}%14s ${"fit s"}%7s")
+    Seq(n / 10, n).foreach { s =>
+      val corpus = emb.filter(col("vec_id") < s)
+      Seq(8, Similarity.scaledCellCount(s)).distinct.foreach { kk =>
+        val t0 = System.nanoTime()
+        val cs2 = Similarity.kmeansFit(corpus, kk, iters = 2, dim = dim)
+        val fitSec = (System.nanoTime() - t0) / 1e9
+        val occ = Similarity.assignedCells(corpus, cs2, 1, 0.0)
+          .groupBy("cell").agg(count(lit(1)).as("c"))
+          .agg(max(col("c")), avg(col("c")),
+            sum(col("c") * (col("c") - 1) / 2).cast("long"))
+          .head()
+        println(f"$s%10d $kk%6d ${occ.getLong(0)}%10d ${occ.getDouble(1)}%10.1f " +
+          f"${occ.getLong(2)}%14d $fitSec%7.2f")
+      }
+    }
+
     // End-to-end operator at a volume where the in-cell join actually
     // runs: same centroids, 1/10 of the corpus.
     val small = emb.filter(col("vec_id") % 10 === 0 ||

@@ -24,11 +24,13 @@ class OptimizerRuleSpec extends AnyFunSuite {
   // rule must derive pushable int64-ns bounds; on µs data the bounds must
   // push NATIVELY on ts (no rewrite needed — and the plan must show it, or
   // the scan reads the whole table at 100 TB).
+  // The RAW parquet ts type is the discriminator (PlanGuardSpec's rule):
+  // the loaded frame's ts_ns is LongType on BOTH paths (the µs branch
+  // derives it too), so a loaded-schema conjunct here would be always
+  // true and silently degenerate the guard.
   private def eventsAreNs: Boolean =
-    Tables.load(spark, dir, "events").schema("ts_ns").dataType ==
-      org.apache.spark.sql.types.LongType &&
-      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
 
   test("plain BETWEEN on derived ts pushes ns bounds into the scan") {
     val ev = Tables.load(spark, dir, "events")

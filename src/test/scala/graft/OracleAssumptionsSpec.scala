@@ -51,6 +51,21 @@ class OracleAssumptionsSpec extends AnyFunSuite {
     }
   }
 
+  test("scaled SemDeDup cell count resolves to the oracles' inlined k=8 at every scale") {
+    // semantic_dedup(_multi) derive k from the corpus count
+    // (Similarity.scaledCellCount — √N-bounded cell population); the
+    // KmeansSql oracle refits with a hard-inlined k = 8. The two agree
+    // only while the formula resolves to 8 — a testdata regeneration
+    // that crosses 256·8² = 16384 vectors must regenerate the oracle
+    // with the new k (and respect the sample-cap canary above).
+    allDirs.foreach { d =>
+      val n = Tables.load(spark, d, "embeddings").count()
+      val k = graft.ext.Similarity.scaledCellCount(n)
+      assert(k == 8,
+        s"$d: scaledCellCount($n) = $k ≠ 8 — regenerate KmeansSql.semanticDedupSql with k = $k")
+    }
+  }
+
   test("embeddings are 64-dimensional at every scale (inlined plane/centroid literals)") {
     allDirs.foreach { d =>
       val dims = Tables.load(spark, d, "embeddings")

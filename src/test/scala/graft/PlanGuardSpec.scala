@@ -163,6 +163,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(exchanges == 2, s"$exchanges exchanges:\n$p")
   }
 
+  test("set_ops_users folds both memberships in one aggregate (single hash exchange)") {
+    // The INTERSECT/EXCEPT semantics computed as one groupBy(user_id):
+    // exactly one hash exchange (the aggregate) plus the presentation
+    // ORDER BY's range exchange — the four-distinct + two-set-op
+    // formulation this replaced planned five.
+    val p = plan("set_ops_users")
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    val range = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(hash == 1 && range == 1, s"$hash hash + $range range exchanges:\n$p")
+  }
+
   test("minhash_pairs join-back runs the sketch pipeline once (reused exchanges)") {
     // The static plan shows the scan+shingle+sketch subtree four times
     // (two band-join sides, two signature join-backs); at runtime AQE
