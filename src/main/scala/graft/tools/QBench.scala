@@ -10,10 +10,28 @@ object QBench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"QBENCH $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // `--split` prefix: per query, separate plan derivation (analysis +
+    // optimization + physical planning, forced via executedPlan) from
+    // first execution (janino codegen compile + run) and a second, fresh-
+    // frame execution (codegen cache warm — the steady-state cost). The
+    // cold-warm delta minus the plan time is the one-time codegen tax.
+    val (split, names) = args.partition(_ == "--split")
+    names.foreach { name =>
+      if (split.nonEmpty) {
+        def sec(t0: Long) = (System.nanoTime() - t0) / 1e9
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val tP = System.nanoTime(); df.queryExecution.executedPlan
+        val planS = sec(tP)
+        val t1 = System.nanoTime(); val n = df.count(); val exec1 = sec(t1)
+        val t2 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        val exec2 = sec(t2)
+        println(f"QBENCH $name rows=$n plan=$planS%.2f s exec1=$exec1%.2f s exec2=$exec2%.2f s")
+      } else {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"QBENCH $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
   }
 }
