@@ -15,6 +15,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache sized to the workload: the default
+      // (spark.sql.codegen.cache.maxEntries = 100) is guaranteed to
+      // thrash across this suite's 149 queries × ~3 codegen units each,
+      // so the "warm" pass silently re-pays janino compilation for
+      // almost every stage — measured as sporadic per-run warm>cold
+      // anomalies (ann_recall 0.72→3.68 s one run, absent the next,
+      // never reproducible in isolation). A long-lived production
+      // session serving a query library this size would size the cache
+      // the same way; 4096 entries of generated classes is a few
+      // hundred MB of metaspace at most.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, parquet footer reader, shuffle

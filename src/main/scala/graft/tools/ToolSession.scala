@@ -13,6 +13,9 @@ private[tools] object ToolSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Match Bench: the default 100-entry generated-class cache
+      // thrashes across multi-query tool runs (see Bench.scala).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark
