@@ -79,6 +79,10 @@ object SparkEntry {
         sourcePath = Some(s"$dir/embeddings.parquet")),
       "bm25" -> Retrieval.ensureBm25Index(s, T(s, dir, "documents"),
         Retrieval.bm25IndexPathFor(dir),
+        sourcePath = Some(s"$dir/documents.parquet")),
+      "minhash" -> Dedup.ensureMinhashIndex(s,
+        T(s, dir, "documents").filter(col("doc_id") < 450),
+        Dedup.minhashIndexPathFor(dir),
         sourcePath = Some(s"$dir/documents.parquet"))
     ).collect { case (name, built) if built => name }
   }
@@ -1046,6 +1050,31 @@ object SparkEntry {
           .orderBy("doc_a", "doc_b")
       else // bench: the production sketch plan, no exact twin
         Dedup.minhashNearDupPairs(T(s, dir, "documents"))),
+
+    // Incremental MinHash near-dup: new-slice docs with no verified
+    // near-duplicate (exact J ≥ 0.5 on banding candidates) in the
+    // standing corpus — the syntactic twin of incremental_dedup (exact
+    // digest) and semantic_novel (embedding cells), same 450 split.
+    "minhash_novel" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.minhashNovel(docs.filter(col("doc_id") >= 450),
+          docs.filter(col("doc_id") < 450))
+        .orderBy("doc_id")
+    }),
+
+    // The same screen over the PERSISTED MinHash corpus index (bands +
+    // stored shingle sets; corpus text never re-scanned) — shares
+    // minhash_novel's oracle, so a hash match certifies the index path
+    // end-to-end: build layout, bucket-pruned candidates, stored-set
+    // verify.
+    "minhash_novel_indexed" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Dedup.minhashIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 450), path,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      Dedup.minhashNovelAgainstIndex(docs.filter(col("doc_id") >= 450), path)
+        .filter(col("is_novel")).select("doc_id").orderBy("doc_id")
+    }),
 
     // Near-dup pairs → connected components → corpus-wide cluster
     // assignment with canonical survivors (min doc_id per cluster).
@@ -2601,6 +2630,32 @@ object SparkEntry {
            |SELECT da AS doc_a, db AS doc_b, ROUND(j, 4) AS jaccard,
            |  TRUE AS est_within_02
            |FROM jac WHERE j >= 0.5 ORDER BY 1, 2""".stripMargin,
+      "minhash_novel" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "n")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 450)", "c")},
+           |nsz AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+           |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+           |          FROM nsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2),
+           |dup AS (SELECT DISTINCT da AS doc_id FROM inter
+           |        JOIN nsz ON nsz.doc_id = da JOIN csz ON csz.doc_id = db
+           |        WHERE ov/(nsz.n+csz.n-ov) >= 0.5)
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id >= 450 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+           |ORDER BY 1""".stripMargin,
+      "minhash_novel_indexed" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "n")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 450)", "c")},
+           |nsz AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+           |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+           |          FROM nsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2),
+           |dup AS (SELECT DISTINCT da AS doc_id FROM inter
+           |        JOIN nsz ON nsz.doc_id = da JOIN csz ON csz.doc_id = db
+           |        WHERE ov/(nsz.n+csz.n-ov) >= 0.5)
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id >= 450 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+           |ORDER BY 1""".stripMargin,
       "dedup_clusters" ->
         s"""WITH RECURSIVE ${shingleCte("documents")},
            |$jaccardCte,

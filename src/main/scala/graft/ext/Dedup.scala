@@ -500,6 +500,283 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental MinHash near-dup screen: the new-ingest docs that have
+    * NO exact-Jaccard-verified near-duplicate in a standing corpus —
+    * the syntactic member of the incremental-dedup family, completing
+    * [[dedupAgainstSeen]] (exact digest) and
+    * [[graft.ext.Similarity.semanticNovel]] (embedding cells): the
+    * per-batch question at 100 TB is always "what does this slice add",
+    * never corpus×corpus.
+    *
+    * Shape: each side is scanned once into its shingle-set aggregate
+    * ([[lshVerifiedJaccardPairs]]'s exchange-reuse contract — band rows
+    * AND the verify join-back read the same aggregated frame); candidate
+    * generation is the CROSS join new×corpus on (band, band_hash) only —
+    * Σ per-bucket |new|·|corpus|, never |corpus|² — and candidates are
+    * verified with the fused overlap count before the threshold cut.
+    * The standing side's aggregate is recomputed here for oracle
+    * parity; a production deployment persists the corpus band table and
+    * shingle sets once at ingest (the [[graft.ext.Retrieval]] index
+    * pattern) and this join reads them as-is.
+    *
+    * Oracle contract: banding must lose no true cross pair at
+    * `threshold` on the gate corpus (same recall pin as
+    * `minhash_pairs`); the DuckDB twin re-derives exact word-n-gram
+    * Jaccard and anti-joins, so a hash match certifies candidate
+    * recall AND verify arithmetic.
+    */
+  def minhashNovel(newDocs: DataFrame, corpus: DataFrame,
+                   shingleSize: Int = 3, numHashes: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val newSets = shingleSetsOf(newDocs, shingleSize)
+    val corpusSets = shingleSetsOf(corpus, shingleSize)
+    def bandRows(ss: DataFrame) = setBandRows(ss, numHashes, bands)
+    // Sort-merge pin for the same reason as the pair queries: both band
+    // sides must shuffle (broadcast would re-run a whole corpus pass
+    // into the build side), and each side's aggregate exchange is then
+    // reused by its verify join-back.
+    val cand = bandRows(newSets).as("n").hint("merge")
+      .join(bandRows(corpusSets).as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val dupIds = cand
+      .join(newSets.select(col("doc_id").as("new_id"), col("shset").as("set_n")),
+        Seq("new_id"))
+      .join(corpusSets.select(col("doc_id").as("corpus_id"),
+          col("shset").as("set_c")),
+        Seq("corpus_id"))
+      .withColumn("__ov",
+        graft.functions.SetFunctions.set_overlap(col("set_n"), col("set_c"))
+          .cast("double"))
+      .filter((col("__ov") /
+          (size(col("set_n")) + size(col("set_c")) - col("__ov")))
+        >= threshold)
+      .select(col("new_id").as("doc_id"))
+      .distinct()
+    newDocs.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-doc distinct hashed shingle sets — the verify-side artifact
+    * every MinHash consumer here shares (pairs, novel screen, the
+    * persisted corpus index).
+    */
+  private[ext] def shingleSetsOf(docs: DataFrame,
+                                 shingleSize: Int): DataFrame =
+    hashedShingles(docs, shingleSize)
+      .select("doc_id", "h")
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("shset"))
+
+  /** (doc_id, band, band_hash) rows derived from a shingle-set frame via
+    * the scalar [[graft.functions.MinHashOfSet]] — same hash family and
+    * banding definition ([[bandHashStructs]]) as the aggregate path, so
+    * candidate sets can never diverge between consumers.
+    */
+  private[ext] def setBandRows(sets: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame =
+    sets
+      .select(col("doc_id"),
+        graft.functions.MinHashAgg.minhash_of_set(col("shset"), numHashes)
+          .as("signature"))
+      .select(col("doc_id"),
+        explode(array(bandHashStructs(bands, numHashes / bands): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+
+  // ---------------------------------------------------------------------
+  // Persisted MinHash corpus index — the standing-corpus side of
+  // [[minhashNovel]] materialized once at ingest, so the per-batch
+  // screen never re-scans corpus text: `path/sets` holds each corpus
+  // doc's hashed shingle set (the verify artifact), `path/bands` its
+  // LSH band rows partitioned by band (the candidate-generation
+  // artifact, bucket-pruned at read). Same three lifecycle verbs and
+  // crash-safety contract as the BM25 and IVF indexes
+  // ([[IndexStamp.appendLifecycle]] / [[IndexStamp.compactLifecycle]]):
+  // batchId-idempotent dynamic-overwrite appends, fold-to-base
+  // compaction, single writer per index.
+  // ---------------------------------------------------------------------
+
+  private def minhashMarker(path: String) = s"$path/bands/_SUCCESS"
+
+  /** Canonical per-corpus index location (same convention as
+    * [[graft.ext.Similarity.ivfIndexPathFor]]; bump the version segment
+    * on layout changes so stale layouts can't be served).
+    */
+  def minhashIndexPathFor(sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-minhash1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  /** Shingle/banding parameters ride IN the index (1-row `params`
+    * table): every append and read derives shingles and bands with the
+    * stored values, so a caller can't silently mix segmentations.
+    */
+  private def minhashParams(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/params").head()
+    (r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("bands"))
+  }
+
+  /** Full build: the corpus becomes ingest 0 of both tables. */
+  def buildMinhashIndex(docs: DataFrame, path: String,
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleSize, numHashes, bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/params")
+    // Persist the shingle aggregate across the two writes: bands derive
+    // from sets, and without the pin the second write would re-run the
+    // corpus scan. (NOT a read-back of the written parquet — an empty
+    // base writes zero part files, which a read-back can't re-infer.)
+    val sets = shingleSetsOf(docs, shingleSize).persist()
+    try {
+      sets.withColumn("ingest", lit(0L))
+        .write.mode("overwrite")
+        .partitionBy("ingest").parquet(s"$path/sets")
+      // One file per band per ingest (the BM25 bucket rationale): band
+      // cardinality is small and fixed, so without the repartition every
+      // shuffle task writes into every band dir.
+      setBandRows(sets, numHashes, bands)
+        .withColumn("ingest", lit(0L))
+        .repartition(col("band"))
+        .write.mode("overwrite")
+        .partitionBy("ingest", "band").parquet(s"$path/bands")
+    } finally { sets.unpersist(); () }
+  }
+
+  /** Append a batch under `ingestId` (batchId-idempotent: a replayed id
+    * dynamically overwrites its own partitions; a compacted-away id
+    * no-ops). Sets first, bands last — the marker lives on bands, so a
+    * crash between the writes leaves set rows without band rows: those
+    * corpus docs are unreachable as candidates (screen errs novel) and
+    * the replay heals both, rather than band rows pointing at sets that
+    * aren't there (a verify-join null).
+    */
+  def appendMinhashIndex(docs: DataFrame, path: String,
+                         ingestId: Long = -1L): Unit = {
+    val spark = docs.sparkSession
+    IndexStamp.appendLifecycle(spark, path, minhashMarker(path),
+        s"$path/bands", ingestId) {
+      buildMinhashIndex(docs, path)
+    } {
+      buildMinhashIndex(docs.limit(0), path)
+    } { id =>
+      val (shingleSize, numHashes, bands) = minhashParams(spark, path)
+      // Pinned across the two writes for the build-path reason.
+      val sets = shingleSetsOf(docs, shingleSize).persist()
+      try {
+        sets.withColumn("ingest", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest").parquet(s"$path/sets")
+        setBandRows(sets, numHashes, bands)
+          .withColumn("ingest", lit(id))
+          .repartition(col("band"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest", "band").parquet(s"$path/bands")
+      } finally { sets.unpersist(); () }
+    }
+  }
+
+  /** Compact: fold every ingest partition of both tables into the base
+    * (ingest 0). Rows are independent, so the fold is pure re-layout —
+    * [[minhashNovelAgainstIndex]] over the compacted index equals the
+    * appended index exactly; folded-id replays no-op.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Boolean =
+    IndexStamp.compactLifecycle(spark, path, minhashMarker(path),
+        Seq(s"$path/bands", s"$path/sets")) {
+      case Seq(stgBands, stgSets) =>
+        spark.read.parquet(s"$path/sets")
+          .select(col("doc_id"), col("shset"))
+          .withColumn("ingest", lit(0L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ingest").parquet(stgSets)
+        spark.read.parquet(s"$path/bands")
+          .select(col("doc_id"), col("band"), col("band_hash"))
+          .withColumn("ingest", lit(0L))
+          .repartition(col("band"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ingest", "band").parquet(stgBands)
+    }
+
+  /** Build only when absent or stale (the [[IndexStamp.ensureFresh]]
+    * source-fingerprint contract every index family here shares).
+    * Returns true iff the build ran.
+    */
+  def ensureMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         docs: => DataFrame, path: String,
+                         shingleSize: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8,
+                         sourcePath: Option[String] = None): Boolean =
+    IndexStamp.ensureFresh(spark, minhashMarker(path), path, sourcePath) {
+      buildMinhashIndex(docs, path, shingleSize, numHashes, bands)
+    }
+
+  /** Per-doc novelty verdicts against the persisted corpus index —
+    * [[minhashNovel]] with the standing side read from storage instead
+    * of recomputed: (doc_id, is_novel, best_jaccard, match_id), the
+    * same verdict shape as
+    * [[graft.ext.Similarity.semanticNovelAgainstIndex]]. No corpus data
+    * (including no index at all) means every doc is novel — the
+    * cold-start gate lives in the operator so batch and stream callers
+    * share it. Candidates form only inside shared band buckets
+    * (bucket-pruned scan of `bands`); verification joins the stored
+    * sets — corpus text is never touched.
+    */
+  def minhashNovelAgainstIndex(newDocs: DataFrame, path: String,
+                               threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexStamp.hasIngestData(fs, dir))
+      return newDocs.select(col("doc_id"), lit(true).as("is_novel"),
+        lit(null).cast("double").as("best_jaccard"),
+        lit(null).cast("long").as("match_id"))
+        .orderBy("doc_id")
+    val (shingleSize, numHashes, bands) = minhashParams(spark, path)
+    val newSets = shingleSetsOf(newDocs, shingleSize)
+    val idxBands = spark.read.parquet(s"$path/bands")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash"))
+    val cand = setBandRows(newSets, numHashes, bands).as("n").hint("merge")
+      .join(idxBands.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(col("n.doc_id").as("doc_id"), col("corpus_id"))
+      .distinct()
+    val idxSets = spark.read.parquet(s"$path/sets")
+      .select(col("doc_id").as("corpus_id"), col("shset").as("set_c"))
+    val matches = cand
+      .join(newSets.select(col("doc_id"), col("shset").as("set_n")),
+        Seq("doc_id"))
+      .join(idxSets, Seq("corpus_id"))
+      .withColumn("__ov",
+        graft.functions.SetFunctions.set_overlap(col("set_n"), col("set_c"))
+          .cast("double"))
+      .select(col("doc_id"),
+        (col("__ov") /
+          (size(col("set_n")) + size(col("set_c")) - col("__ov")))
+          .as("j"), col("corpus_id"))
+      .filter(col("j") >= threshold)
+      .groupBy("doc_id")
+      .agg(max(struct(round(col("j"), 4).as("j"), col("corpus_id"))).as("m"))
+      .select(col("doc_id"), col("m.j").as("best_jaccard"),
+        col("m.corpus_id").as("match_id"))
+    newDocs.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("best_jaccard").isNull.as("is_novel"),
+        col("best_jaccard"), col("match_id"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting): the
     * minimum shingle hash of every `window`-wide sliding window, distinct
     * per doc. Robust to insertions/reordering the way single whole-doc

@@ -189,8 +189,16 @@ object Relations {
             col("id1") < col("id2"))
       }
     joined
-      .withColumn("dist", F.levenshtein(col("nm1"), col("nm2")))
-      .filter(col("dist") <= maxDist)
+      // Length-gap prefilter (|len(a)-len(b)| > k ⇒ dist > k) drops a
+      // pair before any DP work; the survivors run the THRESHOLDED
+      // levenshtein — a banded O(n·k) DP that abandons a row pair the
+      // moment the band exceeds maxDist (returns -1), instead of
+      // filling the full O(n²) matrix and filtering after. Same result
+      // set: the thresholded form returns the exact distance whenever
+      // it is ≤ maxDist, which is precisely the surviving predicate.
+      .filter(abs(length(col("nm1")) - length(col("nm2"))) <= maxDist)
+      .withColumn("dist", F.levenshtein(col("nm1"), col("nm2"), maxDist))
+      .filter(col("dist").between(0, maxDist))
       .select(col("blk"), col("id1"), col("id2"), col("dist"))
       .orderBy("blk", "id1", "id2")
   }

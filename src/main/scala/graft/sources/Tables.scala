@@ -92,4 +92,38 @@ object Tables {
   def csv(spark: SparkSession, path: String,
           schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** ORC batch scan — the second columnar format the warehouse tier
+    * speaks (Spark bundles the ORC reader natively; same vectorized
+    * read, predicate pushdown and column pruning contract as parquet —
+    * `TablesSpec` pins pushed filters appear in the scan). Schema is
+    * read from the ORC footer; pass `schema` to fail loudly on drift
+    * instead of silently retyping, mirroring [[csv]].
+    */
+  def orc(spark: SparkSession, path: String,
+          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format("orc")
+    schema.fold(r)(r.schema).load(path)
+  }
+
+  /** JSONL batch scan with explicit schema — the batch twin of the
+    * streaming [[graft.stream.Pipeline.fileTextSource]] + from_json
+    * path. Explicit schema for the same reason as [[csv]]: schema
+    * inference costs an extra full pass over the data AND retypes on
+    * drift; production ingest declares its contract. PERMISSIVE mode
+    * with a corrupt-record column so malformed lines surface as rows,
+    * not job failures (the reference's consumer drops malformed
+    * messages the same way — spark_consumer.py:46-50).
+    */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType,
+            corruptCol: String = "_corrupt_record"): DataFrame = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        corruptCol, org.apache.spark.sql.types.StringType))
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
 }

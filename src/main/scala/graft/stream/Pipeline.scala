@@ -413,6 +413,53 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming syntactic near-dup screen — the MinHash member of the
+    * streaming dedup family, completing [[dedupStream]] (exact,
+    * in-watermark), [[dedupAgainstCorpus]] (exact digest vs standing
+    * corpus) and [[semanticDedupStream]] (embedding cells): each
+    * micro-batch of documents is screened against the PERSISTED MinHash
+    * corpus index ([[graft.ext.Dedup.minhashNovelAgainstIndex]] —
+    * band-bucket candidates, stored-set exact-Jaccard verify, corpus
+    * text never re-scanned), verdicts land in `verdictDir/batch_id=N`,
+    * and the batch's novel docs fold into the index
+    * ([[graft.ext.Dedup.appendMinhashIndex]]) so later batches dedup
+    * against them too. Same replay contract as the other index streams:
+    * appends run under ingest id `batchId + 1` (0 = base corpus) as
+    * dynamic partition overwrites, so foreachBatch's at-least-once
+    * replay rewrites instead of duplicating — exactly-once per
+    * checkpoint lineage, streaming state zero (the index carries all
+    * cross-batch memory). Cold start: an absent index means the first
+    * batch is wholly novel and self-initializes the base.
+    */
+  def minhashDedupStream(docStream: DataFrame, indexPath: String,
+                         verdictDir: String, checkpointDir: String,
+                         threshold: Double = 0.5,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val spark = batch.sparkSession
+          val once = batch.persist()
+          try {
+            val verdicts = graft.ext.Dedup.minhashNovelAgainstIndex(
+              once, indexPath, threshold)
+            val outDir = s"$verdictDir/batch_id=$batchId"
+            verdicts.write.mode("overwrite").parquet(outDir)
+            val novel = spark.read.parquet(outDir)
+              .filter(col("is_novel")).select("doc_id")
+            graft.ext.Dedup.appendMinhashIndex(
+              once.join(novel, Seq("doc_id"), "left_semi"),
+              indexPath, ingestId = batchId + 1)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Streaming k-means scoring — the streaming twin of
     * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
     * assigned to their nearest FITTED centroid (the same opaque

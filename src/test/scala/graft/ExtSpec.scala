@@ -306,6 +306,79 @@ class ExtSpec extends AnyFunSuite {
     assert(id._3 == 1.0 && id._4 == 1.0)
   }
 
+  test("minhashNovel: exact dups screened out, novel and short docs pass") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+      (11L, "entirely unrelated words never appearing in the standing corpus"),
+      (12L, "too short")) // < 3 words: no shingles, always novel
+      .toDF("doc_id", "text")
+    val novel = Dedup.minhashNovel(batch, corpus)
+      .as[Long].collect().sorted.toSeq
+    assert(novel === Seq(11L, 12L))
+  }
+
+  test("persisted MinHash index: indexed verdicts equal recompute; append/replay/compact lifecycle") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("minhash-idx").toString + "/idx"
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "entirely unrelated words never appearing in the standing corpus"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(corpus, tmp)
+    val verdicts = Dedup.minhashNovelAgainstIndex(batch, tmp).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(verdicts === Seq((10L, false, Some(0L)), (11L, true, None)))
+    // The exact dup's verify rides the stored set: jaccard 1.0.
+    assert(Dedup.minhashNovelAgainstIndex(batch, tmp)
+      .filter(col("doc_id") === 10L).head().getDouble(2) == 1.0)
+    // Indexed novel ids equal the recompute form at the same threshold.
+    val recompute = Dedup.minhashNovel(batch, corpus)
+      .as[Long].collect().sorted.toSeq
+    val indexed = Dedup.minhashNovelAgainstIndex(batch, tmp)
+      .filter(col("is_novel")).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(indexed === recompute)
+    // Append the novel docs; a dup of an APPENDED doc is now screened.
+    Dedup.appendMinhashIndex(
+      batch.filter(col("doc_id") === 11L), tmp, ingestId = 1L)
+    val batch2 = Seq(
+      (20L, "entirely unrelated words never appearing in the standing corpus"),
+      (21L, "yet another brand new document with its own fresh wording"))
+      .toDF("doc_id", "text")
+    val v2 = Dedup.minhashNovelAgainstIndex(batch2, tmp).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(v2 === Seq((20L, false, Some(11L)), (21L, true, None)))
+    // Replay of the same ingest id is idempotent (dynamic overwrite).
+    val before = spark.read.parquet(s"$tmp/sets").count()
+    Dedup.appendMinhashIndex(
+      batch.filter(col("doc_id") === 11L), tmp, ingestId = 1L)
+    assert(spark.read.parquet(s"$tmp/sets").count() === before)
+    // Compaction folds to a single base partition and is verdict-invariant.
+    assert(Dedup.compactMinhashIndex(spark, tmp))
+    val v2c = Dedup.minhashNovelAgainstIndex(batch2, tmp).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(v2c === v2)
+    val ingests = new java.io.File(s"$tmp/sets").listFiles()
+      .map(_.getName).filter(_.startsWith("ingest=")).toSeq
+    assert(ingests === Seq("ingest=0"))
+    // A replay of the folded id no-ops (its rows live in the base now).
+    Dedup.appendMinhashIndex(
+      batch.filter(col("doc_id") === 11L), tmp, ingestId = 1L)
+    assert(new java.io.File(s"$tmp/sets").listFiles()
+      .map(_.getName).count(_.startsWith("ingest=")) === 1)
+  }
+
   test("PII redaction replaces emails, urls and long digit runs only") {
     val rows = Seq(
       (0L, "mail me at jane.doe+x@sub.example.org today"),

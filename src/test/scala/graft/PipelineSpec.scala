@@ -380,6 +380,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming minhash dedup screens text dups against the growing index") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("minhash-stream").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.minhashDedupStream(docs, idx, verdicts, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      // cold start: no index — both docs novel, they seed the base
+      source.addData(
+        (0L, "the quick brown fox jumps over the lazy dog again and again"),
+        (1L, "completely different content about spark query engines at scale"))
+      query.processAllAvailable()
+      // batch 2: an exact dup of doc 0 and a fresh doc
+      source.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again"),
+        (11L, "entirely unrelated words never appearing in the standing corpus"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("doc_id", "is_novel", "match_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+    assert(v.toSeq === Seq((0L, true, None), (1L, true, None),
+      (10L, false, Some(0L)), (11L, true, None)))
+    // the index's set table holds exactly the admitted (novel) docs
+    val indexed = spark.read.parquet(s"$idx/sets").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 1L, 11L))
+  }
+
   test("streaming semantic dedup admits novel vectors and flags cross-batch dups") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

@@ -23,19 +23,42 @@ class SourcesSpec extends AnyFunSuite {
   test("ORC roundtrip preserves rows, schema, and nulls") {
     val dir = java.nio.file.Files.createTempDirectory("orc").toString
     df.write.mode("overwrite").orc(dir)
-    val back = spark.read.orc(dir)
+    val back = Tables.orc(spark, dir, Some(df.schema))
     assert(shape(back.schema) == shape(df.schema))
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
     // Predicate pushdown reaches the ORC scan too.
     val plan = back.filter(col("id") > 1).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1)"), plan)
+    // Footer-schema path (no explicit schema) reads the same shape.
+    assert(shape(Tables.orc(spark, dir).schema) == shape(df.schema))
   }
 
   test("JSON-lines roundtrip with explicit schema preserves values") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
     df.write.mode("overwrite").json(dir)
-    val back = spark.read.schema(df.schema).json(dir)
-    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    val back = Tables.jsonl(spark, dir, df.schema)
+    assert(back.select("id", "tag", "v").orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // Clean lines carry a null corrupt-record column. (Spark disallows
+    // plans whose referenced columns are ONLY the corrupt column —
+    // QUERY_ONLY_CORRUPT_RECORD_COLUMN — so reference a data column too.)
+    assert(back.select("id", "_corrupt_record").collect()
+      .forall(_.isNullAt(1)))
+  }
+
+  test("JSONL malformed lines surface as corrupt-record rows, not failures") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_bad")
+    java.nio.file.Files.writeString(dir.resolve("a.jsonl"),
+      """{"id": 1, "tag": "a", "v": 1.5}
+        |not json at all
+        |{"id": 2, "tag": "b", "v": 2.5}
+        |""".stripMargin)
+    val back = Tables.jsonl(spark, dir.toString, df.schema)
+      .select("id", "_corrupt_record").collect()
+    assert(back.count(_.isNullAt(1)) == 2)
+    val bad = back.filter(!_.isNullAt(1))
+    assert(bad.length == 1)
+    assert(bad.head.getString(1).contains("not json"))
   }
 
   test("CSV reader enforces its explicit schema") {
