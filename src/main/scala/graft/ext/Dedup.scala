@@ -591,7 +591,10 @@ object Dedup {
   // screen never re-scans corpus text: `path/sets` holds each corpus
   // doc's hashed shingle set (the verify artifact), `path/bands` its
   // LSH band rows partitioned by band (the candidate-generation
-  // artifact, bucket-pruned at read). Same three lifecycle verbs and
+  // artifact; the partitioning caps appends at one file per band — the
+  // BM25 small-file rationale — the novelty join itself reads every
+  // band, since a batch carries all band indices). Same three lifecycle
+  // verbs and
   // crash-safety contract as the BM25 and IVF indexes
   // ([[IndexStamp.appendLifecycle]] / [[IndexStamp.compactLifecycle]]):
   // batchId-idempotent dynamic-overwrite appends, fold-to-base
@@ -728,9 +731,10 @@ object Dedup {
     * [[graft.ext.Similarity.semanticNovelAgainstIndex]]. No corpus data
     * (including no index at all) means every doc is novel — the
     * cold-start gate lives in the operator so batch and stream callers
-    * share it. Candidates form only inside shared band buckets
-    * (bucket-pruned scan of `bands`); verification joins the stored
-    * sets — corpus text is never touched.
+    * share it. Candidates form only inside shared band buckets (the
+    * bands join carries Σ per-bucket |new|·|corpus| pairs, never
+    * corpus²); verification joins the stored sets — corpus text is
+    * never touched.
     */
   def minhashNovelAgainstIndex(newDocs: DataFrame, path: String,
                                threshold: Double = 0.5): DataFrame = {

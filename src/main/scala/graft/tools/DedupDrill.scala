@@ -60,6 +60,47 @@ object DedupDrill {
         docs.filter(col("doc_id") >= cut),
         docs.filter(col("doc_id") < cut)).count()
     }
+    // Incremental MinHash screen: a 1%-sized ingest batch vs the whole
+    // standing corpus — recompute form (re-derives the corpus side per
+    // batch) against the persisted-index form (corpus sets/bands at
+    // rest). The per-batch asymptotics are the whole point at 100 TB:
+    // recompute pays the corpus scan + signature pipeline EVERY batch;
+    // the index pays it once at build, then each batch costs
+    // batch-sized work + the band-bucket join against at-rest band
+    // rows. The batch is half planted exact copies of corpus docs (even
+    // ids replay corpus seed (id−rows)·20+1 — ≡1 mod 20, so the source
+    // is not itself a dup copy) and half fresh seeds ≥ rows; exactly
+    // the fresh half must survive, in both forms — asserted.
+    val batchN = rows / 100
+    val batch = spark.range(rows, rows + batchN).select(
+        col("id").as("doc_id"),
+        when(col("id") % 2 === 0, (col("id") - rows) * 20 + 1)
+          .otherwise(col("id")).as("seed"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          i => concat(lit("tok"),
+            pmod(xxhash64(col("seed") * 31 + i), lit(5000)))))
+          .as("text"))
+      .localCheckpoint()
+    val expectedNovel = batchN - batchN / 2 // the fresh (odd-id) half
+    val novelRecompute = time("minhash novel (recompute corpus side)") {
+      Dedup.minhashNovel(batch, docs, threshold = 0.9).count()
+    }
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("dedup-drill-idx").toString + "/idx"
+    time("minhash index build (full corpus)") {
+      Dedup.buildMinhashIndex(docs, idxPath)
+      spark.read.parquet(s"$idxPath/sets").count()
+    }
+    val novelIndexed = time("minhash novel (persisted index)") {
+      Dedup.minhashNovelAgainstIndex(batch, idxPath, threshold = 0.9)
+        .filter(col("is_novel")).count()
+    }
+    assert(novelIndexed == novelRecompute,
+      s"indexed screen must equal recompute: $novelIndexed != $novelRecompute")
+    assert(novelRecompute == expectedNovel,
+      s"exactly the fresh half must survive: $novelRecompute novel " +
+        s"of $batchN, expected $expectedNovel")
     spark.stop()
   }
 }
