@@ -541,11 +541,21 @@ object Dedup {
           col("n.band_hash") === col("c.band_hash"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
+    // Merge-pinned join-backs, for the pair queries' reason doubled:
+    // (a) at scale both set frames are corpus/batch-sized — a broadcast
+    // build of either is the plan that dies first; (b) a merge join
+    // requires hashpartitioning(doc_id), the exact exchange each side's
+    // aggregate already produced, so AQE reuses it and the shingle
+    // pipeline runs ONCE per side (a broadcast build is a DIFFERENT
+    // exchange node and re-executes the whole subtree — measured as a
+    // 4× shingle pass in the unpinned plan).
     val dupIds = cand
-      .join(newSets.select(col("doc_id").as("new_id"), col("shset").as("set_n")),
+      .join(newSets.select(col("doc_id").as("new_id"), col("shset").as("set_n"))
+          .hint("merge"),
         Seq("new_id"))
       .join(corpusSets.select(col("doc_id").as("corpus_id"),
-          col("shset").as("set_c")),
+            col("shset").as("set_c"))
+          .hint("merge"),
         Seq("corpus_id"))
       .withColumn("__ov",
         graft.functions.SetFunctions.set_overlap(col("set_n"), col("set_c"))

@@ -187,6 +187,29 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange"), finalPlan)
   }
 
+  test("minhash_novel scans corpus text once; indexed form never touches it") {
+    // The corpus side is the 100-TB cost: its shingle aggregate's
+    // exchange must be reused by the merge-pinned verify join-back, so
+    // corpus text is scanned exactly once. (The batch side may plan a
+    // second batch-sized scan — an optimizer-cloning artifact that is
+    // cheap by construction and deliberately not pinned.)
+    val df = SparkEntry.queries("minhash_novel")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p)
+    assert("LessThan\\(doc_id,450\\)".r.findAllIn(p).length == 1, p)
+    // The indexed screen reads bands + sets AT REST: no corpus text
+    // scan anywhere in the plan — the property the persisted index
+    // exists for.
+    val dfi = SparkEntry.queries("minhash_novel_indexed")(spark, dir)
+    dfi.collect()
+    val pi = dfi.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!pi.contains("LessThan(doc_id,450)"), pi)
+    assert(pi.contains("graft-minhash1-"), pi)
+  }
+
   test("boilerplate_grams joins survivor text back via broadcast") {
     // Gram STRINGS must never enter a wide shuffle: the df-thresholded
     // hash list broadcasts and the string stream filters against it.
