@@ -114,6 +114,23 @@ class OracleAssumptionsSpec extends AnyFunSuite {
       s"banding lost ${(exact03 -- lshVerified).size} true pairs at J≥0.3 — ngram_jaccard_pairs oracle over-counts")
     assert(estPairs == exact05,
       s"estimate-thresholded set differs from exact at 0.5 (${(estPairs diff exact05).size}/${(exact05 diff estPairs).size}) — minhash_pairs oracle diverges")
+    // minhash_novel's oracle anti-joins ALL exact cross pairs ≥ 0.5
+    // (new ≥ 450 × corpus < 450); the engine screens banding candidates
+    // only — pin that banding loses no true CROSS pair, i.e. the
+    // screened id set equals the exact anti-join.
+    val dupFromExact = exact05.collect {
+      case (a, b) if a < 450 && b >= 450 => b
+      case (a, b) if b < 450 && a >= 450 => a
+    }
+    val newIds = docs.filter(col("doc_id") >= 450)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val novelExpected = (newIds -- dupFromExact).toSeq.sorted
+    val novelEngine = Dedup.minhashNovel(
+        docs.filter(col("doc_id") >= 450), docs.filter(col("doc_id") < 450))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(novelEngine == novelExpected,
+      s"cross-slice banding recall broke: engine ${novelEngine.size} novel " +
+        s"vs exact ${novelExpected.size} — minhash_novel oracle diverges")
   }
 
   test("sketch tolerance flags hold corpus-wide (exact-twin oracles emit literal TRUE)") {
