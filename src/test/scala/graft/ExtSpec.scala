@@ -321,6 +321,32 @@ class ExtSpec extends AnyFunSuite {
     assert(novel === Seq(11L, 12L))
   }
 
+  test("minhashNovel edges: empty corpus admits all; empty batch yields none; monotone in corpus and threshold") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "entirely unrelated words never appearing in the standing corpus"))
+      .toDF("doc_id", "text")
+    val empty = corpus.limit(0)
+    // No corpus → everything is novel (the batch screen's cold start).
+    assert(Dedup.minhashNovel(batch, empty).as[Long].collect().sorted.toSeq
+      === Seq(10L, 11L))
+    // No batch → no verdicts.
+    assert(Dedup.minhashNovel(empty, corpus).count() === 0)
+    // Growing the corpus can only shrink the novel set.
+    val vsHalf = Dedup.minhashNovel(batch,
+      corpus.filter(col("doc_id") === 4L)).as[Long].collect().toSet
+    val vsFull = Dedup.minhashNovel(batch, corpus).as[Long].collect().toSet
+    assert(vsFull.subsetOf(vsHalf))
+    // Raising the threshold can only grow the novel set.
+    val strict = Dedup.minhashNovel(batch, corpus, threshold = 0.99)
+      .as[Long].collect().toSet
+    assert(vsFull.subsetOf(strict))
+  }
+
   test("persisted MinHash index: indexed verdicts equal recompute; append/replay/compact lifecycle") {
     val tmp = java.nio.file.Files
       .createTempDirectory("minhash-idx").toString + "/idx"
