@@ -106,6 +106,18 @@ object Tables {
     schema.fold(r)(r.schema).load(path)
   }
 
+  /** XML batch scan (Spark 4 bundles the XML source natively): rows are
+    * the `rowTag` elements. Explicit schema optional, same
+    * fail-loudly-on-drift rationale as [[csv]]/[[jsonl]]; without one
+    * the source infers from the documents (an extra pass — fine for
+    * exploration, not for production ingest).
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(r)(r.schema).load(path)
+  }
+
   /** JSONL batch scan with explicit schema — the batch twin of the
     * streaming [[graft.stream.Pipeline.fileTextSource]] + from_json
     * path. Explicit schema for the same reason as [[csv]]: schema

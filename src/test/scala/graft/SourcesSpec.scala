@@ -61,6 +61,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.head.getString(1).contains("not json"))
   }
 
+  test("XML roundtrip (native Spark 4 source) with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("xml").toString
+    df.write.format("xml").option("rootTag", "rows").option("rowTag", "row")
+      .mode("overwrite").save(dir)
+    val back = Tables.xml(spark, dir, rowTag = "row", Some(df.schema))
+    assert(shape(back.schema) == shape(df.schema))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // Inference path reads the same row count.
+    assert(Tables.xml(spark, dir, rowTag = "row").count() == df.count())
+  }
+
   test("CSV reader enforces its explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("csv").toString
     df.write.mode("overwrite").option("header", "true").csv(dir)
