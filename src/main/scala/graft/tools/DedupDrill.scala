@@ -101,6 +101,40 @@ object DedupDrill {
     assert(novelRecompute == expectedNovel,
       s"exactly the fresh half must survive: $novelRecompute novel " +
         s"of $batchN, expected $expectedNovel")
+    // Small-file decay and compaction (the Bm25Drill story on this
+    // index): a stream feeding the index creates one ingest partition
+    // per trigger; measure the screen after 20 small appends, compact,
+    // re-measure — the fold must restore query cost AND verdicts
+    // exactly.
+    def fileCount(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(p))
+    }
+    (1 to 20).foreach { i =>
+      // tiny per-trigger batches of fresh docs (ids past the drill space)
+      val b = spark.range(10L * rows + i * 100L, 10L * rows + i * 100L + 100L)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(29)),
+            j => concat(lit("tok"),
+              pmod(xxhash64(col("id") * 31 + j), lit(5000)))))
+            .as("text"))
+      Dedup.appendMinhashIndex(b, idxPath, ingestId = i)
+    }
+    println(f"after 20 appends: ${fileCount(idxPath)}%d parquet files")
+    val vPre = time("screen after 20 appends") {
+      Dedup.minhashNovelAgainstIndex(batch, idxPath, threshold = 0.9)
+        .filter(col("is_novel")).count()
+    }
+    assert(Dedup.compactMinhashIndex(spark, idxPath))
+    println(f"after compaction:  ${fileCount(idxPath)}%d parquet files")
+    val vPost = time("screen after compaction") {
+      Dedup.minhashNovelAgainstIndex(batch, idxPath, threshold = 0.9)
+        .filter(col("is_novel")).count()
+    }
+    assert(vPre == vPost,
+      s"compaction must be verdict-invariant: $vPre != $vPost")
     spark.stop()
   }
 }
