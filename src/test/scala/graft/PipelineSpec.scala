@@ -416,6 +416,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed.toSeq === Seq(0L, 1L, 11L))
   }
 
+  test("streaming minhash dedup with in-stream compaction keeps verdicts and membership") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("minhash-stream-compact").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.minhashDedupStream(docs, idx, verdicts, ckpt,
+      compactEvery = 2, trigger = Trigger.ProcessingTime("0 seconds"))
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "completely different content about spark query engines at scale"
+    val tC = "entirely unrelated words never appearing in the standing corpus"
+    val tD = "yet another brand new document with its own fresh wording"
+    try {
+      source.addData((0L, tA), (1L, tB)); query.processAllAvailable() // batch 0
+      source.addData((10L, tA), (11L, tC)); query.processAllAvailable() // batch 1
+      source.addData((20L, tB), (21L, tD)); query.processAllAvailable() // batch 2 → compacts
+      source.addData((30L, tC), (31L, tD)); query.processAllAvailable() // batch 3 vs folded
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("doc_id", "is_novel", "match_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+    // Dups are flagged identically before, across, and after the fold:
+    // 30 dups 11 (admitted pre-compaction), 31 dups 21 (admitted in the
+    // compacting batch itself).
+    assert(v.toSeq === Seq((0L, true, None), (1L, true, None),
+      (10L, false, Some(0L)), (11L, true, None),
+      (20L, false, Some(1L)), (21L, true, None),
+      (30L, false, Some(11L)), (31L, false, Some(21L))))
+    // The fold happened: batch-0/1 ingests live in the base now.
+    val ingests = new java.io.File(s"$idx/sets").listFiles()
+      .map(_.getName).filter(_.startsWith("ingest=")).sorted.toSeq
+    assert(ingests.head == "ingest=0" && !ingests.contains("ingest=1"),
+      ingests.toString)
+    // Membership preserved: every admitted doc is in the index exactly once.
+    val indexed = spark.read.parquet(s"$idx/sets").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 1L, 11L, 21L))
+  }
+
   test("streaming semantic dedup admits novel vectors and flags cross-batch dups") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
