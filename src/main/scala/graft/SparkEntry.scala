@@ -1072,7 +1072,12 @@ object SparkEntry {
       val path = Dedup.minhashIndexPathFor(dir)
       Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 450), path,
         sourcePath = Some(s"$dir/documents.parquet"))
-      Dedup.minhashNovelAgainstIndex(docs.filter(col("doc_id") >= 450), path)
+      // broadcastBatch = false: this query's fixed 450-split makes the
+      // "batch" most of the table at larger SFs — backfill-shaped, so
+      // the co-partitioned merge plan is right here. Per-trigger-sized
+      // batches (the streaming path) keep the broadcast default.
+      Dedup.minhashNovelAgainstIndex(docs.filter(col("doc_id") >= 450), path,
+          broadcastBatch = false)
         .filter(col("is_novel")).select("doc_id").orderBy("doc_id")
     }),
 

@@ -747,7 +747,8 @@ object Dedup {
     * never touched.
     */
   def minhashNovelAgainstIndex(newDocs: DataFrame, path: String,
-                               threshold: Double = 0.5): DataFrame = {
+                               threshold: Double = 0.5,
+                               broadcastBatch: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$path/bands")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -760,7 +761,19 @@ object Dedup {
     val newSets = shingleSetsOf(newDocs, shingleSize)
     val idxBands = spark.read.parquet(s"$path/bands")
       .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash"))
-    val cand = setBandRows(newSets, numHashes, bands).as("n").hint("merge")
+    // Join strategy is THE per-batch cost at 100 TB. Default
+    // (broadcastBatch): the batch's band rows — per-trigger-ingest
+    // sized by this operator's contract — broadcast into a STREAMED
+    // scan of the at-rest bands table, so the corpus side is never
+    // shuffled per batch; downstream the small candidate set drives
+    // broadcast probes of the sets table the same way (zero
+    // corpus-sized exchanges end to end). A backfill-sized "batch"
+    // overflows the broadcast limit — pass broadcastBatch = false for
+    // the co-partitioned merge plan (both sides shuffle once), or use
+    // [[minhashNovel]] and recompute.
+    val nBands = setBandRows(newSets, numHashes, bands)
+    val nSide = if (broadcastBatch) broadcast(nBands) else nBands.hint("merge")
+    val cand = nSide.as("n")
       .join(idxBands.as("c"),
         col("n.band") === col("c.band") &&
           col("n.band_hash") === col("c.band_hash"))
