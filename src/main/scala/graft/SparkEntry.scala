@@ -981,6 +981,14 @@ object SparkEntry {
     "dedup_keep_first" -> ((s, dir) =>
       Dedup.dedupKeepFirst(T(s, dir, "documents")).orderBy("content_digest")),
 
+    // Source-priority dedup: among exact dups the most-trusted source's
+    // copy survives (trust rank = the source's numeric suffix here),
+    // tie → min doc_id.
+    "dedup_keep_preferred" -> ((s, dir) =>
+      Dedup.dedupKeepPreferred(T(s, dir, "documents"),
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+        .orderBy("content_digest")),
+
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(T(s, dir, "documents"))),
 
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(T(s, dir, "documents"))),
@@ -2019,6 +2027,15 @@ object SparkEntry {
         s"""SELECT COUNT(*) AS total_docs, COUNT(DISTINCT MD5($normText)) AS distinct_docs, COUNT(*) - COUNT(DISTINCT MD5($normText)) AS duplicate_docs FROM documents""",
       "dedup_keep_first" ->
         "SELECT MD5(text) AS content_digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size FROM documents GROUP BY 1 ORDER BY 1",
+      "dedup_keep_preferred" ->
+        """SELECT content_digest, keep_doc_id, keep_priority, group_size FROM (
+          |  SELECT MD5(text) AS content_digest, doc_id AS keep_doc_id,
+          |         CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) AS keep_priority,
+          |         COUNT(*) OVER (PARTITION BY MD5(text)) AS group_size,
+          |         ROW_NUMBER() OVER (PARTITION BY MD5(text)
+          |           ORDER BY CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn = 1 ORDER BY content_digest""".stripMargin,
       "token_stats" ->
         s"""SELECT doc_id, CAST($nTokens AS INTEGER) AS n_tokens, CAST(LEN(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS bpe_tokens, CAST(LENGTH(text) AS INTEGER) AS n_chars_calc FROM documents ORDER BY doc_id""",
       "lang_stats" ->

@@ -48,6 +48,21 @@ object Dedup {
     .groupBy(digest(col("text")).as("content_digest"))
     .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
 
+  /** Exact dedup keeping the PREFERRED copy per digest group: among
+    * exact duplicates, survive the doc with the lowest `priority` value
+    * (caller-derived trust rank — curated sources beat crawl dumps),
+    * tie-broken on doc_id. One `min(struct(priority, doc_id))`
+    * aggregate — map-side combined, mergeable at any partitioning, the
+    * same single-shuffle shape as [[dedupKeepFirst]] (which is this
+    * with a constant priority).
+    */
+  def dedupKeepPreferred(docs: DataFrame, priority: Column): DataFrame = docs
+    .groupBy(digest(col("text")).as("content_digest"))
+    .agg(min(struct(priority.as("p"), col("doc_id").as("id"))).as("m"),
+      count(lit(1)).as("group_size"))
+    .select(col("content_digest"), col("m.id").as("keep_doc_id"),
+      col("m.p").as("keep_priority"), col("group_size"))
+
   /** Incremental exact dedup: documents of `newDocs` whose content digest
     * does NOT already occur in `seenDocs` — the per-ingestion-batch form
     * of exact dedup at 100 TB (dedupe the new slice against the standing

@@ -321,6 +321,20 @@ class ExtSpec extends AnyFunSuite {
     assert(novel === Seq(11L, 12L))
   }
 
+  test("dedupKeepPreferred: priority beats doc_id order, ties fall back to min id") {
+    val d = Seq(
+      (5L, "same text here", 2), // dup group: lower id but WORSE priority…
+      (9L, "same text here", 1), // …so 9 (priority 1) survives
+      (3L, "other text entirely", 2),
+      (7L, "other text entirely", 2), // tie on priority → min id 3
+      (8L, "unique text", 0))
+      .toDF("doc_id", "text", "prio")
+    val kept = Dedup.dedupKeepPreferred(d, col("prio"))
+      .select("keep_doc_id", "keep_priority", "group_size")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(kept === Set((9L, 1, 2L), (3L, 2, 2L), (8L, 0, 1L)))
+  }
+
   test("minhashNovel edges: empty corpus admits all; empty batch yields none; monotone in corpus and threshold") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
