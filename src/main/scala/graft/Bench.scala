@@ -126,12 +126,19 @@ object Bench {
       if (from < 0 || to < 0) -1.0 else (to - from) / 100.0
     passSummary("pre-cold")
     val stealColdFrom = stealJiffies()
+    // Per-query steal attribution (BENCH_LAST.json only): a steal burst
+    // lands on SPECIFIC queries — with the per-query deltas a flagged
+    // warm anomaly is adjudicable at query granularity instead of
+    // pass granularity. One /proc/stat line read per query: free.
+    val stealByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val s0 = stealJiffies()
       try {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        stealByQuery(name) = stealSec(s0, stealJiffies())
         leakCheck(name)
         name -> dt
       } catch {
@@ -175,12 +182,15 @@ object Bench {
     Thread.sleep(500)
     val stealWarmFrom = stealJiffies()
     var warmFailed = List.empty[String]
+    val stealByQueryWarm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warmResults = SparkEntry.queries.toSeq.collect {
       case (name, fn) if !failed.contains(name) =>
         val t0 = System.nanoTime()
+        val s0 = stealJiffies()
         try {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
+          stealByQueryWarm(name) = stealSec(s0, stealJiffies())
           leakCheck(name)
           name -> dt
         }
@@ -223,7 +233,14 @@ object Bench {
     val warmQs = warmResults.map { case (k, v) => "\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
-    val extended = line.dropRight(1) + s""","warm_queries":$warmQs}"""
+    // Per-query steal maps (file only, 2dp, zeros included): divide a
+    // query's wall time into "engine" and "stolen" without re-running.
+    def stealJson(m: scala.collection.Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
+        .mkString("{", ",", "}")
+    val extended = line.dropRight(1) +
+      s""","warm_queries":$warmQs,"steal_queries":${stealJson(stealByQuery)},"steal_queries_warm":${stealJson(stealByQueryWarm)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), extended + "\n")
     catch { case e: Throwable =>
