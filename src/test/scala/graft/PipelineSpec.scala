@@ -416,6 +416,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed.toSeq === Seq(0L, 1L, 11L))
   }
 
+  test("streaming minhash dedup survives a checkpointed restart without rescreening or duplicating") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("minhash-stream-restart").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    def start() = Pipeline.minhashDedupStream(docs, idx, verdicts, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tC = "entirely unrelated words never appearing in the standing corpus"
+    val q1 = start()
+    try {
+      source.addData((0L, tA)); q1.processAllAvailable()
+    } finally q1.stop()
+    // Restart against the SAME checkpoint: committed offsets mean batch
+    // 0 is not reprocessed; the index (all cross-batch state) carries
+    // the screen, so the dup of doc 0 is still caught after restart.
+    val q2 = start()
+    try {
+      source.addData((10L, tA), (11L, tC)); q2.processAllAvailable()
+    } finally q2.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("doc_id", "is_novel", "match_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+    assert(v.toSeq === Seq((0L, true, None),
+      (10L, false, Some(0L)), (11L, true, None)))
+    // No duplicated index rows from the restart: one row per admitted doc.
+    val indexed = spark.read.parquet(s"$idx/sets").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 11L))
+  }
+
   test("streaming minhash dedup with in-stream compaction keeps verdicts and membership") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
