@@ -55,10 +55,19 @@ object Dedup {
     * aggregate — map-side combined, mergeable at any partitioning, the
     * same single-shuffle shape as [[dedupKeepFirst]] (which is this
     * with a constant priority).
+    *
+    * A NULL priority (an unclassifiable source) is LEAST preferred:
+    * Spark's struct-min would otherwise sort the null field FIRST and
+    * crown the least-classifiable copy the survivor — the opposite of
+    * the trust semantics, and a divergence from SQL twins whose ASC
+    * ordering defaults to NULLS LAST. The leading is-null flag keeps
+    * the ordering type-generic (no sentinel cast on the caller's
+    * priority type).
     */
   def dedupKeepPreferred(docs: DataFrame, priority: Column): DataFrame = docs
     .groupBy(digest(col("text")).as("content_digest"))
-    .agg(min(struct(priority.as("p"), col("doc_id").as("id"))).as("m"),
+    .agg(min(struct(priority.isNull.as("pn"), priority.as("p"),
+        col("doc_id").as("id"))).as("m"),
       count(lit(1)).as("group_size"))
     .select(col("content_digest"), col("m.id").as("keep_doc_id"),
       col("m.p").as("keep_priority"), col("group_size"))
@@ -653,6 +662,16 @@ object Dedup {
                         bands: Int = 8): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Rebuild discipline for the sibling-directory layout (the
+    // buildBm25Index rules): the OLD marker is dropped before anything
+    // mutates — this build rewrites three SIBLING dirs, so a rebuild
+    // crash after the sets overwrite would otherwise leave corpus-A
+    // bands marker-valid over corpus-B sets — and the compaction fold
+    // record resets with the ingest-id namespace (a stale record would
+    // silently no-op a genuinely NEW batch reusing a folded id; a
+    // stale `_compact` staging could "resume" a pre-rebuild fold).
+    IndexStamp.dropMarker(spark, minhashMarker(path))
+    IndexStamp.dropCompactionRecord(spark, path)
     Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
       .write.mode("overwrite").parquet(s"$path/params")
@@ -662,8 +681,13 @@ object Dedup {
     // base writes zero part files, which a read-back can't re-infer.)
     val sets = shingleSetsOf(docs, shingleSize).persist()
     try {
+      // partitionOverwriteMode pinned STATIC: a rebuild must replace
+      // the WHOLE table — under a session-wide dynamic default the
+      // overwrite would replace only ingest=0 and leave stale appended
+      // partitions behind a fresh stamp (the buildBm25Index rule).
       sets.withColumn("ingest", lit(0L))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("ingest").parquet(s"$path/sets")
       // One file per band per ingest (the BM25 bucket rationale): band
       // cardinality is small and fixed, so without the repartition every
@@ -672,6 +696,7 @@ object Dedup {
         .withColumn("ingest", lit(0L))
         .repartition(col("band"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("ingest", "band").parquet(s"$path/bands")
     } finally { sets.unpersist(); () }
   }

@@ -426,10 +426,18 @@ object Pipeline {
     * against them too. Same replay contract as the other index streams:
     * appends run under ingest id `batchId + 1` (0 = base corpus) as
     * dynamic partition overwrites, so foreachBatch's at-least-once
-    * replay rewrites instead of duplicating — exactly-once per
-    * checkpoint lineage, streaming state zero (the index carries all
-    * cross-batch memory). Cold start: an absent index means the first
-    * batch is wholly novel and self-initializes the base.
+    * replay rewrites instead of duplicating — the INDEX converges
+    * exactly-once per checkpoint lineage, streaming state zero (the
+    * index carries all cross-batch memory). Verdicts are NOT stable
+    * across crash replays (the [[semanticDedupStream]] contract): a
+    * crash between the append and the checkpoint commit replays the
+    * batch against an index that already holds its novel docs, and the
+    * rewritten `batch_id=N` verdicts then record those docs as
+    * non-novel SELF-matches (match_id = their own doc_id) — the honest
+    * audit of the replay, but consumers wanting replay-stable verdicts
+    * must filter self/current-ingest matches downstream. Cold start:
+    * an absent index means the first batch is wholly novel and
+    * self-initializes the base.
     */
   def minhashDedupStream(docStream: DataFrame, indexPath: String,
                          verdictDir: String, checkpointDir: String,

@@ -419,6 +419,50 @@ class ExtSpec extends AnyFunSuite {
       .map(_.getName).count(_.startsWith("ingest=")) === 1)
   }
 
+  test("dedupKeepPreferred: NULL priority is LEAST preferred (classifiable copy survives)") {
+    // A digit-free source yields a null trust rank at the SparkEntry
+    // call site; Spark's raw struct-min would sort that null FIRST and
+    // crown the unclassifiable copy — the is-null flag pins null LAST,
+    // matching the SQL twin's default NULLS LAST ordering.
+    val d = Seq(
+      (2L, "same text here", Some(3)),
+      (6L, "same text here", None), // null priority loses to ANY ranked copy
+      (1L, "all null group", None),
+      (4L, "all null group", None)) // all-null group → min doc_id
+      .toDF("doc_id", "text", "prio")
+    val kept = Dedup.dedupKeepPreferred(d, col("prio"))
+      .select("keep_doc_id", "keep_priority")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(kept === Set((2L, Some(3)), (1L, None)))
+  }
+
+  test("minhash index rebuild resets the compaction fold record (a folded id lands again)") {
+    // The ADVICE scenario: build → append → compact folds ids {0,1} →
+    // REBUILD on a regenerated corpus. The rebuild resets the ingest-id
+    // namespace, so a subsequent append reusing folded id 1 must LAND —
+    // a stale `_compacted_ids` record would silently no-op it and those
+    // novel docs would never enter the index.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("minhash-rebuild").toString + "/idx"
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(corpus, tmp)
+    Dedup.appendMinhashIndex(Seq(
+        (11L, "entirely unrelated words never appearing in the standing corpus"))
+      .toDF("doc_id", "text"), tmp, ingestId = 1L)
+    assert(Dedup.compactMinhashIndex(spark, tmp))
+    Dedup.buildMinhashIndex(corpus, tmp) // regenerated-source rebuild
+    Dedup.appendMinhashIndex(Seq(
+        (30L, "a brand new post-rebuild document that must be screenable"))
+      .toDF("doc_id", "text"), tmp, ingestId = 1L)
+    // The appended doc is reachable: its exact dup is now non-novel.
+    val v = Dedup.minhashNovelAgainstIndex(Seq(
+        (40L, "a brand new post-rebuild document that must be screenable"))
+      .toDF("doc_id", "text"), tmp).head()
+    assert(!v.getBoolean(1) && v.getLong(3) === 30L)
+  }
+
   test("PII redaction replaces emails, urls and long digit runs only") {
     val rows = Seq(
       (0L, "mail me at jane.doe+x@sub.example.org today"),
