@@ -16,6 +16,30 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexStamp {
 
+  /** Root directory every per-corpus `*PathFor` convention resolves
+    * under: the `spark.graft.indexRoot` session conf if set, else the
+    * `GRAFT_INDEX_ROOT` env var, else `java.io.tmpdir` as the dev/test
+    * fallback. Persisted indexes are production STATE — tmp is the one
+    * place they must not live in a deployment (lost on reboot, not
+    * shared across drivers) — so one warehouse-root config relocates
+    * the whole index family (BM25, IVF, PQ, MinHash) without touching
+    * call sites: the lifecycle verbs all take explicit paths; this
+    * governs only the `*PathFor` conveniences the registered queries
+    * and streams use. Accepts any Hadoop-resolvable URI (hdfs://,
+    * s3a://, file:/) — paths compose via `Path`, never `java.io.File`.
+    */
+  def indexRoot: String =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.indexRoot"))
+      .orElse(sys.env.get("GRAFT_INDEX_ROOT"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  /** `indexRoot`-resolved directory for a deterministic per-corpus
+    * index name (the shared body of every `*PathFor`).
+    */
+  private[ext] def pathUnderRoot(name: String): String =
+    new Path(indexRoot, name).toString
+
   /** Fingerprint of a source file/directory: md5 over the recursive
     * (ROOT-RELATIVE file path, length, mtime) listing, order-fixed by
     * name. The relative path — not just the file name — is hashed, so

@@ -204,16 +204,17 @@ object Quantization {
   // m=4 × 64 float dims before bit-packing).
   // ---------------------------------------------------------------------
 
-  /** Deterministic index directory for a testdata dir (tmpdir-scoped),
-    * its own family like the BM25/IVF indexes. Version history (the
+  /** Deterministic index directory for a testdata dir (resolved under
+    * [[IndexStamp.indexRoot]]), its own family like the BM25/IVF
+    * indexes. Version history (the
     * `graft-ivf2-` discipline — every layout change is a new directory
     * family so an old layout can't be served to a new reader): pq2
     * added (dim, nlist) meta columns to `_books`; pq3 added the
     * `ingest` partition level above `cell` for idempotent appends.
     */
   def pqIndexPathFor(sfDir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-pq3-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    IndexStamp.pathUnderRoot(
+      "graft-pq3-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** Materialize the PQ index: (vec_id, label, codes) PARTITIONED BY
     * the IVF cell — no raw embeddings at rest. The codebook rides in an

@@ -76,14 +76,15 @@ object Retrieval {
     */
   val Bm25Buckets = 64
 
-  /** Where a scale-factor directory's BM25 index lives (tmp-scoped like
-    * the IVF index — a deployment would pin a warehouse path).
+  /** Where a scale-factor directory's BM25 index lives — under
+    * [[IndexStamp.indexRoot]], like the IVF index (a deployment pins
+    * the warehouse path via `spark.graft.indexRoot`).
     */
   def bm25IndexPathFor(sfDir: String): String =
     // v2: the ingest-partitioned layout (round 6) — a new directory
     // family so pre-existing v1 indexes can't be served to v2 readers.
-    new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-bm25v2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    IndexStamp.pathUnderRoot(
+      "graft-bm25v2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** Spark's `xxhash64` (seed 42) computed driver-side, so query-term
     * hashes match the index's stored hashes bit-for-bit.

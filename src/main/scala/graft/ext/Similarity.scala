@@ -199,15 +199,17 @@ object Similarity {
   // partition key at scale" layout the operators above describe.
   // ---------------------------------------------------------------------
 
-  /** Deterministic index directory for a testdata dir (tmpdir-scoped).
+  /** Deterministic index directory for a testdata dir, resolved under
+    * [[IndexStamp.indexRoot]] (`spark.graft.indexRoot` → durable
+    * warehouse home; unset → tmpdir for dev/test).
     * v3: trained (k-means) coarse centroids stored IN the index, marker
     * moved to `_centroids/_SUCCESS` — a new directory family per the
     * layout-change discipline, so pre-existing v2 indexes (seeded
     * centroids, root marker) can't be served to v3 readers.
     */
   def ivfIndexPathFor(sfDir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-ivf3-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    IndexStamp.pathUnderRoot(
+      "graft-ivf3-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** The index's freshness marker: the `_centroids` side table is
     * written LAST (the PQ `_books` rule), so its `_SUCCESS` committing

@@ -53,6 +53,34 @@ class MaintenanceSpec extends AnyFunSuite {
       sizes.toMap.toString)
   }
 
+
+  test("*PathFor index conventions resolve under spark.graft.indexRoot when set, tmp otherwise") {
+    // Persisted indexes are production state: one warehouse-root config
+    // must relocate every index family; tmp remains the dev fallback.
+    import graft.ext.{Dedup, IndexStamp, Quantization, Retrieval, Similarity}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-idx-root").toString
+    spark.conf.set("spark.graft.indexRoot", root)
+    try {
+      val paths = Seq(Similarity.ivfIndexPathFor("/x/sf9"),
+        Quantization.pqIndexPathFor("/x/sf9"),
+        Retrieval.bm25IndexPathFor("/x/sf9"),
+        Dedup.minhashIndexPathFor("/x/sf9"))
+      paths.foreach(p => assert(p.startsWith(root), p))
+      assert(paths.distinct.size == 4) // families stay distinct
+      // and an index actually built through the convention lands there
+      val docs = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      val idx = Dedup.minhashIndexPathFor("/x/sf9")
+      Dedup.buildMinhashIndex(docs, idx)
+      assert(new java.io.File(idx, "bands/_SUCCESS").exists())
+    } finally spark.conf.unset("spark.graft.indexRoot")
+    assert(IndexStamp.indexRoot == sys.props("java.io.tmpdir"))
+    assert(Dedup.minhashIndexPathFor("/x/sf9")
+      .startsWith(new org.apache.hadoop.fs.Path(
+        sys.props("java.io.tmpdir")).toString))
+  }
+
   test("applyCdc upserts, inserts, deletes — and replays idempotently") {
     val state = Seq((1L, "a", 1L, 10L), (2L, "b", 1L, 11L))
       .toDF("k", "v", "ver", "tb")
