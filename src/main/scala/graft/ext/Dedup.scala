@@ -255,13 +255,71 @@ object Dedup {
       .select(col("doc_id"), col("bh.band").as("band"),
         col("bh.band_hash").as("band_hash"))
 
+  /** Default hot-bucket ceiling for every band-bucket candidate join
+    * here. Σ per-bucket pairs is the MinHash family's entire cost
+    * model, and it holds only while no single bucket is huge: one
+    * boilerplate sub-corpus sharing a band hash (m docs → ~m²/2
+    * candidate pairs in ONE join key) is both a pair-space blowup and
+    * a shuffle-skew spike AQE can split but not shrink. 1000 keeps the
+    * worst single bucket at ≤ ~500k pairs — one healthy task — while
+    * sitting far above anything an organically-near-dup bucket reaches.
+    */
+  val DefaultMaxBucket = 1000
+
+  /** Drops every (band, band_hash) bucket holding more than `maxBucket`
+    * docs before a candidate join consumes it — the [[graft.ext
+    * .Relations.itemPairs]] basket clamp applied to LSH buckets
+    * (`maxBucket <= 0` disables). The drop is OBSERVABLE, never silent:
+    * the `observeName` metric reports `dropped_buckets` (exact — each
+    * dropped row contributes 1/bucket_size), `dropped_rows`, and
+    * `max_bucket` via `Dataset.observe` (read from
+    * `queryExecution.observedMetrics`, a `QueryExecutionListener`, or
+    * `StreamingQueryProgress.observedMetrics`).
+    *
+    * Recall contract: a doc pair sharing a dropped bucket still pairs
+    * through any of its other `bands − 1` buckets, so near-dups that
+    * agree beyond the boilerplate survive. Pairs WHOLLY inside a
+    * dropped bucket are lost — by construction those cluster with ≥
+    * `maxBucket` mutual near-dups (identical or template docs), which
+    * the exact/normalized dedup pre-pass ([[dedupKeepFirst]],
+    * [[normalize]]) is the right tool for; run it first, as
+    * [[graft.ext.CorpusPrep.prepare]] does.
+    *
+    * Plan shape: one window count partitioned by (band, band_hash) —
+    * its exchange is the SAME partitioning the downstream candidate
+    * join needs, so the cap adds no extra corpus-sized shuffle, and a
+    * self-join's two sides still share (and AQE-reuse) the single
+    * capped subtree.
+    */
+  private[ext] def capBandBuckets(bandRows: DataFrame, maxBucket: Int,
+                                  observeName: String): DataFrame = {
+    if (maxBucket <= 0) return bandRows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    bandRows
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .observe(observeName,
+        coalesce(round(sum(when(col("__bsz") > maxBucket,
+            lit(1.0) / col("__bsz")).otherwise(lit(0.0)))), lit(0.0))
+          .cast("long").as("dropped_buckets"),
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_rows"),
+        coalesce(max(col("__bsz")), lit(0L)).as("max_bucket"))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+  }
+
   /** LSH candidate pairs: docs sharing at least one band bucket. The
     * self-join is keyed on (band, band_hash), so only colliding docs pair
-    * up — cost tracks collisions, never n². Pass the signatures in (and
+    * up — cost tracks collisions, never n², with single buckets bounded
+    * by the [[capBandBuckets]] ceiling. Pass the signatures in (and
     * persist them) when they'll be reused for verification.
     */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandRows = lshBands(sigs, bands, rowsPerBand)
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucket: Int = DefaultMaxBucket,
+                        observeName: String = "lsh_bucket_clamp"): DataFrame = {
+    val bandRows = capBandBuckets(lshBands(sigs, bands, rowsPerBand),
+      maxBucket, observeName)
     // merge hint → both sides shuffle on the same key from the same
     // subtree → AQE exchange reuse runs the signature pipeline ONCE (a
     // broadcast self-join would compute it twice, once per side).
@@ -290,13 +348,16 @@ object Dedup {
     */
   def minhashNearDupPairsFused(docs: DataFrame, shingleSize: Int = 3,
                                numHashes: Int = 32, bands: Int = 8,
-                               threshold: Double = 0.5): DataFrame = {
+                               threshold: Double = 0.5,
+                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val bandRows = minhashSignatures(docs, shingleSize, numHashes)
-      .select(col("doc_id"), col("signature"),
-        explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
-      .select(col("doc_id"), col("signature"),
-        col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+    val bandRows = capBandBuckets(
+      minhashSignatures(docs, shingleSize, numHashes)
+        .select(col("doc_id"), col("signature"),
+          explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
+        .select(col("doc_id"), col("signature"),
+          col("bh.band").as("band"), col("bh.band_hash").as("band_hash")),
+      maxBucket, "lsh_bucket_clamp_fused")
     // merge hint → exchange reuse: one shingle+sketch pass feeds both
     // join sides (see [[lshVerifiedJaccardPairs]] for the rationale).
     val a = bandRows.as("a").hint("merge")
@@ -339,11 +400,12 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, shingleSize: Int = 3,
                           numHashes: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5,
-                          shingles: Option[DataFrame] = None): DataFrame = {
+                          shingles: Option[DataFrame] = None,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignaturesFromShingles(
       shingles.getOrElse(hashedShingles(docs, shingleSize)), numHashes)
-    val pairs = lshCandidatePairs(sigs, bands, rowsPerBand)
+    val pairs = lshCandidatePairs(sigs, bands, rowsPerBand, maxBucket)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")),
         Seq("doc_a"))
@@ -420,20 +482,22 @@ object Dedup {
     * and is shuffled again only for docs that actually collide.
     */
   def lshVerifiedJaccardPairs(docs: DataFrame, shingleSize: Int = 3,
-                              numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                              numHashes: Int = 32, bands: Int = 8,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigSets = hashedShingles(docs, shingleSize)
       .select("doc_id", "h")
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("shset"))
-    val bandRows = sigSets
+    val bandRows = capBandBuckets(sigSets
       .select(col("doc_id"),
         graft.functions.MinHashAgg.minhash_of_set(col("shset"), numHashes)
           .as("signature"))
       .select(col("doc_id"),
         explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"),
-        col("bh.band_hash").as("band_hash"))
+        col("bh.band_hash").as("band_hash")),
+      maxBucket, "lsh_bucket_clamp_verified")
     // Force a sort-merge self-join: both sides then shuffle on the SAME
     // (band, band_hash) key from the SAME subtree, and Spark's exchange
     // reuse computes the shingle scan + aggregation ONCE (a broadcast
@@ -480,20 +544,22 @@ object Dedup {
     */
   def minhashVerifiedPairs(docs: DataFrame, shingleSize: Int = 3,
                            numHashes: Int = 32, bands: Int = 8,
-                           threshold: Double = 0.5): DataFrame = {
+                           threshold: Double = 0.5,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigSets = hashedShingles(docs, shingleSize)
       .select("doc_id", "h")
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("shset"))
-    val bandRows = sigSets
+    val bandRows = capBandBuckets(sigSets
       .select(col("doc_id"),
         graft.functions.MinHashAgg.minhash_of_set(col("shset"), numHashes)
           .as("signature"))
       .select(col("doc_id"),
         explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"),
-        col("bh.band_hash").as("band_hash"))
+        col("bh.band_hash").as("band_hash")),
+      maxBucket, "lsh_bucket_clamp_mv")
     val a = bandRows.as("a").hint("merge")
     val b = bandRows.as("b")
     val pairs = a.join(b,
@@ -551,7 +617,8 @@ object Dedup {
     */
   def minhashNovel(newDocs: DataFrame, corpus: DataFrame,
                    shingleSize: Int = 3, numHashes: Int = 32,
-                   bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                   bands: Int = 8, threshold: Double = 0.5,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val newSets = shingleSetsOf(newDocs, shingleSize)
     val corpusSets = shingleSetsOf(corpus, shingleSize)
     def bandRows(ss: DataFrame) = setBandRows(ss, numHashes, bands)
@@ -559,8 +626,16 @@ object Dedup {
     // sides must shuffle (broadcast would re-run a whole corpus pass
     // into the build side), and each side's aggregate exchange is then
     // reused by its verify join-back.
+    //
+    // The CORPUS side carries the [[capBandBuckets]] ceiling (candidate
+    // volume is Σ per-bucket |new|·|corpus|, and |corpus| is the
+    // unbounded factor — the batch side is per-trigger sized by this
+    // operator's contract). A batch doc probing a dropped boilerplate
+    // bucket errs NOVEL for that bucket, recoverable through its other
+    // bands — the clamp docstring's recall contract.
     val cand = bandRows(newSets).as("n").hint("merge")
-      .join(bandRows(corpusSets).as("c"),
+      .join(capBandBuckets(bandRows(corpusSets), maxBucket,
+          "lsh_bucket_clamp_novel").as("c"),
         col("n.band") === col("c.band") &&
           col("n.band_hash") === col("c.band_hash"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
@@ -642,8 +717,8 @@ object Dedup {
     * on layout changes so stale layouts can't be served).
     */
   def minhashIndexPathFor(sfDir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-minhash1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    IndexStamp.pathUnderRoot(
+      "graft-minhash1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** Shingle/banding parameters ride IN the index (1-row `params`
     * table): every append and read derives shingles and bands with the
@@ -788,7 +863,8 @@ object Dedup {
     */
   def minhashNovelAgainstIndex(newDocs: DataFrame, path: String,
                                threshold: Double = 0.5,
-                               broadcastBatch: Boolean = true): DataFrame = {
+                               broadcastBatch: Boolean = true,
+                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = newDocs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$path/bands")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -812,9 +888,29 @@ object Dedup {
     // the co-partitioned merge plan (both sides shuffle once), or use
     // [[minhashNovel]] and recompute.
     val nBands = setBandRows(newSets, numHashes, bands)
+    // Hot-bucket ceiling on the corpus side ([[capBandBuckets]]'s
+    // contract — at-rest boilerplate buckets are the one skew exposure
+    // of this join). In the broadcast plan the window count would be a
+    // corpus-wide exchange — exactly what that plan exists to avoid —
+    // so the at-rest scan is first pruned to the buckets the batch
+    // actually PROBES (a broadcast semi-join on the batch's distinct
+    // bucket keys; survivors are Σ probed-bucket sizes,
+    // batch-proportional) and the count runs over that small frame.
+    // Per-bucket size over the semi-join equals the true corpus bucket
+    // size (a semi-join keeps every corpus row of a probed bucket), so
+    // verdicts are identical to the merge plan's corpus-wide window.
+    val cSide =
+      if (maxBucket <= 0) idxBands
+      else if (broadcastBatch)
+        capBandBuckets(
+          idxBands.join(
+            broadcast(nBands.select("band", "band_hash").distinct()),
+            Seq("band", "band_hash"), "left_semi"),
+          maxBucket, "lsh_bucket_clamp_idx")
+      else capBandBuckets(idxBands, maxBucket, "lsh_bucket_clamp_idx")
     val nSide = if (broadcastBatch) broadcast(nBands) else nBands.hint("merge")
     val cand = nSide.as("n")
-      .join(idxBands.as("c"),
+      .join(cSide.as("c"),
         col("n.band") === col("c.band") &&
           col("n.band_hash") === col("c.band_hash"))
       .select(col("n.doc_id").as("doc_id"), col("corpus_id"))
@@ -958,9 +1054,10 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, shingleSize: Int = 3,
                       numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
-                      shingles: Option[DataFrame] = None): DataFrame = {
+                      shingles: Option[DataFrame] = None,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val edges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
-        threshold, shingles)
+        threshold, shingles, maxBucket)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comps = connectedComponents(edges)
     docs.select(col("doc_id"))

@@ -135,6 +135,69 @@ object DedupDrill {
     }
     assert(vPre == vPost,
       s"compaction must be verdict-invariant: $vPre != $vPost")
+
+    // -------------------------------------------------------------------
+    // Planted boilerplate skew: the adversarial corpus the hot-bucket
+    // cap exists for. 5% of docs (id ≡ 3 mod 20) share IDENTICAL
+    // template text — identical signatures, so every one of the
+    // cluster's 8 band buckets holds the whole cluster and the uncapped
+    // candidate space is ~C(cluster, 2) in eight copies of ONE join
+    // key. 0.1% of docs (id ≡ 9 mod 1000) are planted TRUE near-dups of
+    // doc id−4 (29 of 30 tokens shared → exact J = 27/29 ≈ 0.93) whose
+    // buckets stay cold — the cap must keep every one of those pairs
+    // while dropping the boilerplate blowup. Uncapped baseline runs at
+    // a bounded size (the blowup is quadratic — the point); the capped
+    // form runs at full skew scale. Plant J is kept high (29/30 tokens
+    // shared → J = 27/29 ≈ 0.93) so BANDING recall is not the variable
+    // under test: at J ≈ 0.93 a pair misses all 8 bands w.p.
+    // (1−0.93⁴)⁸ ≈ 1.5e-5 (an earlier 0.81-J plant lost the expected
+    // ~1.2% of pairs to banding, not to the cap).
+    // -------------------------------------------------------------------
+    val skewRows = if (args.length > 1) args(1).toLong else 200000L
+    def skewCorpus(n: Long) = {
+      def toks(seed: org.apache.spark.sql.Column, from: Int, to: Int) =
+        transform(sequence(lit(from), lit(to)),
+          i => concat(lit("tok"), pmod(xxhash64(seed * 31 + i), lit(5000))))
+      spark.range(n).select(col("id").as("doc_id"),
+          when(col("id") % 20 === 3,
+            lit((0 to 29).map(i => s"boiler$i").mkString(" ")))
+          .when(col("id") % 1000 === 9, concat_ws(" ",
+            concat(toks(col("id") - 4, 0, 28), toks(col("id"), 29, 29))))
+          .otherwise(concat_ws(" ", toks(col("id"), 0, 29)))
+          .as("text"))
+        .localCheckpoint()
+    }
+    val smallN = math.min(skewRows, 50000L)
+    val small = skewCorpus(smallN)
+    val uncappedPairs = time(f"skew $smallN%d: pairs UNCAPPED") {
+      Dedup.minhashNearDupPairs(small, maxBucket = 0).count()
+    }
+    val cappedSmall = time(f"skew $smallN%d: pairs capped@1000") {
+      Dedup.minhashNearDupPairs(small).count()
+    }
+    val cluster = (smallN + 16) / 20 // ids ≡ 3 (mod 20)
+    println(f"  boilerplate cluster $cluster%d docs → " +
+      f"${cluster * (cluster - 1) / 2}%d pair blowup uncapped")
+    assert(uncappedPairs - cappedSmall >= cluster * (cluster - 1) / 2,
+      "uncapped run must contain the full boilerplate pair space")
+    val skew = if (skewRows == smallN) small else skewCorpus(skewRows)
+    val cappedFull = time(f"skew $skewRows%d: pairs capped@1000") {
+      Dedup.minhashNearDupPairs(skew).count()
+    }
+    println(f"  capped pair count at full skew scale: $cappedFull%d")
+    // Recall pin: EVERY planted cold-bucket near-dup pair survives the
+    // cap (the boilerplate cluster's internal pairs are the documented
+    // loss — they are exact dups, the exact-dedup pre-pass' job).
+    val planted = time("skew recall: planted pairs found") {
+      val found = Dedup.minhashNearDupPairs(skew)
+        .filter(col("doc_b") % 1000 === 9 && col("doc_a") === col("doc_b") - 4)
+        .count()
+      val expected = skew.filter(col("doc_id") % 1000 === 9).count()
+      assert(found == expected,
+        s"cap lost ${expected - found} of $expected planted near-dup pairs")
+      found
+    }
+    println(f"  planted-pair recall under cap: $planted%d/$planted%d (1.0)")
     spark.stop()
   }
 }

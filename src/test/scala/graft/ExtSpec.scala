@@ -463,6 +463,72 @@ class ExtSpec extends AnyFunSuite {
     assert(!v.getBoolean(1) && v.getLong(3) === 30L)
   }
 
+  private val boilerText =
+    "common template header repeated across the fleet of documents here"
+
+  test("hot LSH band buckets are capped, observably; cold-bucket pairs survive") {
+    // A 12-doc boilerplate cluster of IDENTICAL text (identical
+    // signatures → all 8 of its band buckets hot at maxBucket = 8) plus
+    // a genuine dup pair elsewhere: the cap must drop the cluster's
+    // pair space, keep the cold pair, and report exactly what it cost.
+    val d = ((100L until 112L).map(i => (i, boilerText)) ++ Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines at scale")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDupPairs(d, threshold = 0.4, maxBucket = 8)
+    val pairs = capped.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L))
+    val m = capped.queryExecution.observedMetrics("lsh_bucket_clamp")
+    assert(m.getAs[Long]("dropped_buckets") == 8L) // every band of the cluster
+    assert(m.getAs[Long]("dropped_rows") == 96L)   // 12 docs × 8 bands
+    assert(m.getAs[Long]("max_bucket") == 12L)
+    // maxBucket <= 0 disables the clamp: the cluster's C(12,2) = 66
+    // pairs reappear and nothing else changes.
+    val uncapped = Dedup.minhashNearDupPairs(d, threshold = 0.4, maxBucket = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) == 66)
+    assert((uncapped -- pairs).forall(p => p._1 >= 100L && p._2 >= 100L))
+    // The verified one-pass forms clamp identically.
+    assert(Dedup.lshVerifiedJaccardPairs(d, maxBucket = 8).collect()
+      .forall(r => r.getLong(0) < 100L && r.getLong(1) < 100L))
+    assert(Dedup.minhashVerifiedPairs(d, threshold = 0.4, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === pairs)
+  }
+
+  test("hot-bucket cap in the novelty screens: recompute, broadcast and merge index plans agree") {
+    val corpus = ((100L until 112L).map(i => (i, boilerText)) ++ Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, boilerText), // matches ONLY the hot cluster → errs novel
+      (201L, "the quick brown fox jumps over the lazy dog again and again"),
+      (202L, "entirely unrelated words never appearing in the standing corpus"))
+      .toDF("doc_id", "text")
+    val novel = Dedup.minhashNovel(batch, corpus, maxBucket = 8)
+      .as[Long].collect().sorted.toSeq
+    // 200 errs novel (its only matches live in dropped buckets — the
+    // documented recall trade); 201's match is a cold bucket → screened.
+    assert(novel === Seq(200L, 202L))
+    assert(Dedup.minhashNovel(batch, corpus, maxBucket = 0)
+      .as[Long].collect().sorted.toSeq === Seq(202L))
+    // Indexed screens under the cap: the broadcast plan's probed-bucket
+    // window and the merge plan's corpus-wide window must yield the
+    // SAME verdicts as the recompute form.
+    val path = java.nio.file.Files
+      .createTempDirectory("minhash-cap-idx").toString + "/idx"
+    Dedup.buildMinhashIndex(corpus, path)
+    def run(bc: Boolean) =
+      Dedup.minhashNovelAgainstIndex(batch, path, broadcastBatch = bc,
+          maxBucket = 8)
+        .filter(col("is_novel")).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+    assert(run(true) === novel)
+    assert(run(false) === novel)
+  }
+
   test("PII redaction replaces emails, urls and long digit runs only") {
     val rows = Seq(
       (0L, "mail me at jane.doe+x@sub.example.org today"),
