@@ -20,15 +20,36 @@ import graft.ext.Similarity
   * Iterations unroll as CTE blocks; the fitted centroids are a k-row
   * relation joined by every consumer.
   *
-  * Scope guard: [[graft.ext.Similarity.kmeansFit]] trains on a
-  * deterministic sample capped at 256·k rows; the oracle fits on the
-  * whole corpus, which is identical while the corpus is at or under
-  * the cap (true of the driver's 500-vector embeddings table at every
-  * verify scale — 256·8 = 2048). A corpus above the cap would need the
-  * xxhash64 sample ordering prepended (available in [[Xxh64Sql]]).
+  * Sample scope: [[graft.ext.Similarity.kmeansFit]] trains on the
+  * bounded deterministic sample ([[Similarity.trainSample]] — the
+  * 256·k rows with the smallest (xxhash64(vec_id), vec_id)) and
+  * assigns the FULL corpus once. The oracle reproduces both sides:
+  * each refit's `sample` CTE orders by [[Xxh64Sql.hashLongOf]]'s
+  * bit-exact hashLong and takes the same cap, while every consumer's
+  * assignment scans the `corpus` CTE — so the oracle stays valid past
+  * the cap (at or under it, sample ≡ corpus and the SQL degenerates
+  * to the former whole-corpus fit).
   */
 object KmeansSql {
   private val Scale = "16777216" // 2^24 — VecSumFixed's default scaleBits
+
+  /** Full-corpus relation (float + double embedding forms). */
+  private def corpusCte(pred: String = "TRUE"): String =
+    "corpus AS (SELECT vec_id, embedding AS emb_f, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d " +
+      s"FROM embeddings WHERE $pred)"
+
+  /** The engine's training sample over `corpus`: smallest `cap` rows
+    * by (xxhash64(vec_id), vec_id) — [[Similarity.trainSample]]'s
+    * total order, reproduced bit-exactly.
+    */
+  private def sampleCte(cap: Int): String = {
+    val hashed = Xxh64Sql.hashLongOf(
+      "SELECT vec_id, emb_f, emb_d FROM corpus",
+      Seq("emb_f", "emb_d"), "vec_id", "sx", "xh")
+    s"sample AS (SELECT vec_id, emb_f, emb_d FROM ($hashed) " +
+      s"ORDER BY xh, vec_id LIMIT $cap)"
+  }
 
   /** One fitted-centroid CTE chain over CTE `sample`(vec_id, emb_f,
     * emb_d); the result relation is `{pfx}c{iters}`(cell 1-based,
@@ -63,20 +84,18 @@ ${pfx}c$i AS (SELECT c.cell,
     parts.toString
   }
 
-  private val sampleAll =
-    "sample AS (SELECT vec_id, embedding AS emb_f, " +
-      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d FROM embeddings)"
-
-  /** Oracle for `kmeans_clusters` (k=8, iters=4): assignment under the
-    * fitted centroids, per-cell size and DECIMAL(27,12) mean cosine.
-    * Output cell ids are 0-based like IvfCellAssign's.
+  /** Oracle for `kmeans_clusters` (k=8, iters=4): fit on the 2048-row
+    * sample, assignment of the FULL corpus under the fitted centroids,
+    * per-cell size and DECIMAL(27,12) mean cosine. Output cell ids are
+    * 0-based like IvfCellAssign's.
     */
   def kmeansClustersSql: String =
-    s"""WITH $sampleAll,
+    s"""WITH ${corpusCte()},
+       |${sampleCte(2048)},
        |${fitCtes(8, 4)},
        |final_d AS (SELECT v.vec_id, v.emb_d, c.cell,
        |        list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) AS s
-       |        FROM sample v CROSS JOIN c4 c),
+       |        FROM corpus v CROSS JOIN c4 c),
        |final_a AS (SELECT vec_id, cell, s, sqrt(list_dot_product(emb_d, emb_d)) AS vn FROM (
        |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn FROM final_d) WHERE rn = 1)
        |SELECT cell - 1 AS cell, count(*) AS n_vecs,
@@ -97,20 +116,21 @@ ${pfx}c$i AS (SELECT c.cell,
           |    SELECT v.vec_id, v.emb_d, sqrt(list_dot_product(v.emb_d, v.emb_d)) AS nrm, c.cell,
           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
           |             list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) DESC, c.cell) AS rn
-          |    FROM sample v CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+          |    FROM corpus v CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
       else
         """ranked AS (SELECT v.vec_id, v.emb_d, sqrt(list_dot_product(v.emb_d, v.emb_d)) AS nrm, c.cell,
           |           list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) AS s,
           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
           |             list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) DESC, c.cell) AS rn
-          |    FROM sample v CROSS JOIN c2 c),
+          |    FROM corpus v CROSS JOIN c2 c),
           |best AS (SELECT vec_id, s AS s1 FROM ranked WHERE rn = 1),
           |asg AS (SELECT r.vec_id, r.emb_d, r.nrm, r.cell FROM ranked r JOIN best b ON b.vec_id = r.vec_id
           |        WHERE r.rn = 1 OR (r.rn = 2 AND r.s/r.nrm >= b.s1/r.nrm - 0.1))""".stripMargin
     val dedupe =
       if (multi) "SELECT DISTINCT src, dst FROM raw_edges"
       else "SELECT src, dst FROM raw_edges"
-    s"""WITH RECURSIVE $sampleAll,
+    s"""WITH RECURSIVE ${corpusCte()},
+       |${sampleCte(2048)},
        |${fitCtes(8, 2)},
        |$assigned,
        |raw_edges AS (
@@ -134,11 +154,12 @@ ${pfx}c$i AS (SELECT c.cell,
     * self-hit leads — annTopKIndexed's documented contract).
     */
   def annTopKIndexedSql: String =
-    s"""WITH $sampleAll,
+    s"""WITH ${corpusCte()},
+       |${sampleCte(4096)},
        |${fitCtes(16, 3)},
        |d AS (SELECT v.vec_id, v.emb_d, c.cell,
        |      list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) AS s
-       |      FROM sample v CROSS JOIN c3 c),
+       |      FROM corpus v CROSS JOIN c3 c),
        |asg AS (SELECT vec_id, emb_d, sqrt(list_dot_product(emb_d, emb_d)) AS nrm, cell FROM (
        |      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn FROM d) WHERE rn = 1),
        |probe AS (SELECT cell AS pcell FROM (
@@ -157,14 +178,14 @@ ${pfx}c$i AS (SELECT c.cell,
     * struct comparison reproduces field-by-field).
     */
   def semanticNovelSql: String =
-    s"""WITH sample AS (SELECT vec_id, embedding AS emb_f,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d FROM embeddings WHERE vec_id % 2 = 0),
+    s"""WITH ${corpusCte("vec_id % 2 = 0")},
+       |${sampleCte(4096)},
        |${fitCtes(16, 3)},
        |idx AS (SELECT vec_id AS idx_id, emb_d AS idx_emb, sqrt(list_dot_product(emb_d, emb_d)) AS idx_nrm, cell FROM (
        |    SELECT v.vec_id, v.emb_d, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |             list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) DESC, c.cell) AS rn
-       |    FROM sample v CROSS JOIN c3 c) WHERE rn = 1),
+       |    FROM corpus v CROSS JOIN c3 c) WHERE rn = 1),
        |odds AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d FROM embeddings WHERE vec_id % 2 = 1),
        |probing AS (SELECT vec_id, emb_d, sqrt(list_dot_product(emb_d, emb_d)) AS nrm, cell FROM (
        |    SELECT o.vec_id, o.emb_d, c.cell,

@@ -12,12 +12,26 @@ import graft.ext.Similarity
   * rounded at 4dp). Upgrades `pq_topk`, `pq_topk_ivf`,
   * `pq_topk_indexed` and `pq_recall` to real cross-engine oracles.
   *
-  * Same sample-cap scope guard as [[KmeansSql]]: pqTrain's cap is
-  * 256·k = 4096 ≥ the 500-vector corpus, so the whole-corpus fit is the
-  * sampled fit.
+  * Sample scope, same contract as [[KmeansSql]]: pqTrain trains every
+  * subspace on ONE global 256·k = 4096-row deterministic sample
+  * ([[Similarity.trainSample]]'s (xxhash64(vec_id), vec_id) order,
+  * reproduced via [[Xxh64Sql.hashLongOf]]) and ENCODES the full
+  * corpus; the oracle mirrors both sides, so it stays valid past the
+  * cap (at or under it, sample ≡ corpus — the former whole-corpus
+  * fit).
   */
 object PqSql {
   private val Scale = "16777216" // 2^24
+
+  /** Global training-sample ids: smallest `cap` by the engine's
+    * (xxhash64(vec_id), vec_id) total order — shared by all subspaces
+    * (pqTrain samples whole rows once, then slices).
+    */
+  private def pqSampleCte(cap: Int): String = {
+    val hashed = Xxh64Sql.hashLongOf(
+      "SELECT vec_id FROM embeddings", Seq(), "vec_id", "px", "xh")
+    s"pqsample AS (SELECT vec_id FROM ($hashed) ORDER BY xh, vec_id LIMIT $cap)"
+  }
 
   /** Extended codeword list (doubles) from FLOAT[] column `cf`:
     * cf ∥ [float(−0.5·Σ cf_i²)] with the norm folded left-to-right.
@@ -36,8 +50,9 @@ object PqSql {
     }.mkString(", ")
     val lo = s * 16 + 1
     val parts = new StringBuilder(
-      s"""p${s}samp AS (SELECT vec_id, embedding[$lo:${lo + 15}] AS sub_f,
+      s"""p${s}full AS (SELECT vec_id, embedding[$lo:${lo + 15}] AS sub_f,
          |    list_transform(embedding[$lo:${lo + 15}], x -> CAST(x AS DOUBLE)) || [1.0] AS ext_d FROM embeddings),
+         |p${s}samp AS (SELECT f.* FROM p${s}full f JOIN pqsample q ON q.vec_id = f.vec_id),
          |p${s}c0(code, cf) AS (VALUES $rows)""".stripMargin)
     for (i <- 1 to iters) {
       parts ++= s""",
@@ -62,14 +77,15 @@ p${s}c$i AS (SELECT c.code,
     * per-subspace lookup terms, and the full-corpus ADC scores.
     */
   private def common(iters: Int = 3): String = {
-    val subs = (0 until 4).map(subCtes(_, iters)).mkString(",\n")
+    val subs = pqSampleCte(4096) + ",\n" +
+      (0 until 4).map(subCtes(_, iters)).mkString(",\n")
     val enc = (0 until 4).map { s =>
       s"""p${s}xf AS (SELECT code, ${extended("cf")} AS cfx,
          |        list_transform(cf, x -> CAST(x AS DOUBLE)) AS cfd FROM p${s}c$iters),
          |p${s}code AS (SELECT vec_id, code FROM (
          |        SELECT v.vec_id, c.code,
          |        row_number() OVER (PARTITION BY v.vec_id ORDER BY list_dot_product(v.ext_d, c.cfx) DESC, c.code) AS rn
-         |        FROM p${s}samp v CROSS JOIN p${s}xf c) WHERE rn = 1),
+         |        FROM p${s}full v CROSS JOIN p${s}xf c) WHERE rn = 1),
          |p${s}q AS (SELECT list_transform(embedding[${s * 16 + 1}:${s * 16 + 16}], x -> CAST(x AS DOUBLE)) AS qd FROM embeddings WHERE vec_id = 0),
          |p${s}term AS (SELECT pc.vec_id, list_dot_product(q.qd, b.cfd) AS t
          |        FROM p${s}code pc CROSS JOIN p${s}q q JOIN p${s}xf b ON b.code = pc.code)""".stripMargin

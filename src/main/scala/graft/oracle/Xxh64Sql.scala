@@ -154,6 +154,24 @@ object Xxh64Sql {
     staged(inner, (carryCols :+ laneCol).mkString(", "), stages)
   }
 
+  /** Spark's `xxhash64(<BIGINT col>)` (seed 42, the 8-byte hashLong
+    * path) as a SIGNED BIGINT projection — the ordering key of the
+    * engine's bounded deterministic training sample
+    * ([[graft.ext.Similarity.trainSample]]: the `cap` rows with the
+    * smallest (xxhash64(id), id)). Wraps `inner` (exposing `idCol` +
+    * `carryCols`); consumers `ORDER BY outCol, idCol LIMIT cap` to
+    * refit on EXACTLY the engine's sample at any corpus size.
+    */
+  def hashLongOf(inner: String, carryCols: Seq[String], idCol: String,
+                 prefix: String, outCol: String): String = {
+    val keep = (carryCols :+ idCol).mkString(", ")
+    val withLane = s"SELECT $keep, ${u64(idCol)} AS ${prefix}_lane " +
+      s"FROM ($inner)"
+    val hashed = hashLongSelect(withLane, carryCols :+ idCol,
+      s"${prefix}_lane", Seed, prefix, s"${prefix}_u")
+    s"SELECT $keep, ${s64(s"${prefix}_u")} AS $outCol FROM ($hashed)"
+  }
+
   /** Oracle for `simhash_docs`: per-token xxh64, 64 per-bit votes, bit
     * set when the vote is strictly positive (the engine's rule).
     */

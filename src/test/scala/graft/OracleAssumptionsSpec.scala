@@ -19,9 +19,7 @@ class OracleAssumptionsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  // Cheap shape assumptions hold at EVERY testdata scale present (the
-  // sf0.1 embeddings sit only 48 rows under the 2048 sample cap — the
-  // tightest margin in the suite, worth watching at all scales); the
+  // Cheap shape assumptions hold at EVERY testdata scale present; the
   // expensive semantic pins below run at sf0.001 only.
   private val allDirs = Seq("0.001", "0.01", "0.1")
     .map(sf => s"/root/testdata/sf$sf")
@@ -41,13 +39,21 @@ class OracleAssumptionsSpec extends AnyFunSuite {
     }
   }
 
-  test("embeddings fit under the quantizer sample caps at every scale (KmeansSql/PqSql fit whole-corpus)") {
-    // kmeansFit/pqTrain sample 256·k rows; the SQL refits train on the
-    // whole corpus. Identical only while n ≤ min cap (k=8 ⇒ 2048).
+  test("vec_id is unique at every scale (quantizer sample tie-break is a total order)") {
+    // KmeansSql/PqSql now refit on the engine's bounded sample — the
+    // `cap` rows with the smallest (xxhash64(vec_id), vec_id) — so the
+    // oracles hold at ANY corpus size (the former n ≤ 2048
+    // whole-corpus-fit canary is retired; tools/OracleFixture +
+    // selfcheck.py replays the DuckDB comparison at 5000 > 4096
+    // vectors). The remaining assumption is that (hash, vec_id) is a
+    // TOTAL order, i.e. vec_id never repeats — a duplicate id would
+    // make the limit-cap sample boundary engine-arbitrary.
     allDirs.foreach { d =>
-      val n = Tables.load(spark, d, "embeddings").count()
-      assert(n <= 2048,
-        s"$d: $n vectors exceeds the 256·8 sample cap — KmeansSql/PqSql oracles must prepend the xxhash64 sample ordering")
+      val emb = Tables.load(spark, d, "embeddings")
+      val dupIds = emb.groupBy("vec_id").count()
+        .filter(col("count") > 1).count()
+      assert(dupIds == 0L,
+        s"$d: $dupIds duplicate vec_ids — the quantizer sample ordering is no longer total")
     }
   }
 

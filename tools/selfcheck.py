@@ -18,10 +18,19 @@ def load_spark(path):
 
 
 def main(sfdir, outdir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
+        # Tolerate partial fixture dirs (tools/OracleFixture writes only
+        # the tables its queries touch) and Spark-written directory
+        # parquet alongside the driver's single-file layout.
+        path = f"{sfdir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     import glob
     import os
