@@ -358,6 +358,34 @@ object Pipeline {
       }
       .start()
 
+  /** Bounded retention for a per-batch verdict audit dir: deletes
+    * `verdictDir/batch_id=K` for K ≤ currentBatch − retain. The verdict
+    * stream is an AUDIT LOG, not pipeline state (the novel set is read
+    * back within the writing batch; nothing re-reads old partitions),
+    * so unbounded growth is pure operational debt — at the reference's
+    * 10 s trigger, 8,640 dirs/day. Retention is crash-trivial: deletes
+    * are idempotent, a replay only ever rewrites the CURRENT batch's
+    * partition (always inside the window), and a crash mid-sweep just
+    * leaves dirs the next batch's sweep re-deletes. Consumers wanting
+    * history beyond the window own copying it out (a downstream
+    * reader/ETL over `verdictDir` — the usual audit-log contract);
+    * `retain` = 0 disables and the caller owns retention entirely.
+    */
+  private def pruneVerdictDirs(spark: org.apache.spark.sql.SparkSession,
+                               verdictDir: String, currentBatch: Long,
+                               retain: Int): Unit =
+    if (retain > 0) {
+      val vd = new org.apache.hadoop.fs.Path(verdictDir)
+      val fs = vd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(vd, "batch_id=*")))
+        .toSeq.flatten.foreach { st =>
+          val id = st.getPath.getName.stripPrefix("batch_id=").toLongOption
+          if (id.exists(_ <= currentBatch - retain)) {
+            fs.delete(st.getPath, true); ()
+          }
+        }
+    }
+
   /** Incremental semantic dedup over a vector stream — the semantic
     * twin of [[dedupStream]]/[[dedupAgainstCorpus]], and SemDeDup's
     * production deployment shape: per micro-batch, screen incoming
@@ -365,7 +393,9 @@ object Pipeline {
     * ([[graft.ext.Similarity.semanticNovelAgainstIndex]] — cell-pruned,
     * never batch × corpus), land the per-vector verdicts in
     * `verdictDir/batch_id=N` (dynamic per-batch dir, overwritten on
-    * replay), and fold ONLY the novel vectors into the index so later
+    * replay; audit retention bounded by `retainVerdictBatches` — see
+    * [[pruneVerdictDirs]]), and fold ONLY the novel vectors into the
+    * index so later
     * batches dedup against them. The index is the entire cross-batch
     * state. Ordering is durable, not cached: verdicts are WRITTEN
     * before the index mutates, then the novel set is read back from
@@ -383,6 +413,7 @@ object Pipeline {
                           verdictDir: String, checkpointDir: String,
                           threshold: Double = 0.95, nlist: Int = 16,
                           dim: Int = 64, nprobe: Int = 2,
+                          retainVerdictBatches: Int = 0,
                           trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
     embStream.writeStream
@@ -408,6 +439,8 @@ object Pipeline {
             graft.ext.Similarity.appendIvfIndex(
               once.join(novel, Seq("vec_id"), "left_semi"),
               indexPath, nlist, dim, ingestId = batchId + 1)
+            pruneVerdictDirs(spark, verdictDir, batchId,
+              retainVerdictBatches)
           } finally { once.unpersist(); () }
         }
       }
@@ -420,7 +453,9 @@ object Pipeline {
     * micro-batch of documents is screened against the PERSISTED MinHash
     * corpus index ([[graft.ext.Dedup.minhashNovelAgainstIndex]] —
     * band-bucket candidates, stored-set exact-Jaccard verify, corpus
-    * text never re-scanned), verdicts land in `verdictDir/batch_id=N`,
+    * text never re-scanned), verdicts land in `verdictDir/batch_id=N`
+    * (an audit log with bounded retention — `retainVerdictBatches`,
+    * see [[pruneVerdictDirs]]; 0 = caller-owned),
     * and the batch's novel docs fold into the index
     * ([[graft.ext.Dedup.appendMinhashIndex]]) so later batches dedup
     * against them too. Same replay contract as the other index streams:
@@ -443,6 +478,7 @@ object Pipeline {
                          verdictDir: String, checkpointDir: String,
                          threshold: Double = 0.5,
                          compactEvery: Int = 0,
+                         retainVerdictBatches: Int = 0,
                          trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
     docStream.writeStream
@@ -476,6 +512,12 @@ object Pipeline {
                 batchId % compactEvery == 0) {
               graft.ext.Dedup.compactMinhashIndex(spark, indexPath); ()
             }
+            // Verdict-dir retention on the same in-stream-maintenance
+            // rationale as compactEvery: the INDEX stopped growing per
+            // trigger in r10; this stops the verdict AUDIT dir doing it
+            // ([[pruneVerdictDirs]] — 0 = caller-owned retention).
+            pruneVerdictDirs(spark, verdictDir, batchId,
+              retainVerdictBatches)
           } finally { once.unpersist(); () }
         }
       }

@@ -497,6 +497,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed.toSeq === Seq(0L, 1L, 11L, 21L))
   }
 
+  test("streaming minhash dedup verdict-dir retention keeps only the window, dedup unaffected") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("minhash-stream-retain").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.minhashDedupStream(docs, idx, verdicts, ckpt,
+      retainVerdictBatches = 2,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val texts = Seq(
+      tA,
+      "completely different content about spark query engines at scale",
+      "entirely unrelated words never appearing in the standing corpus",
+      "yet another brand new document with its own fresh wording")
+    try {
+      texts.zipWithIndex.foreach { case (t, i) =>
+        source.addData((i * 10L, t)); query.processAllAvailable()
+      }
+      // batch 4: a dup of batch 0's doc — the screen reads the INDEX,
+      // so dedup memory must survive verdict pruning.
+      source.addData((100L, tA)); query.processAllAvailable()
+    } finally query.stop()
+    val dirs = new java.io.File(verdicts).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs === Seq("batch_id=3", "batch_id=4"), dirs.toString)
+    val v4 = spark.read.parquet(s"$verdicts/batch_id=4")
+      .select("doc_id", "is_novel", "match_id").head()
+    assert(v4.getLong(0) == 100L && !v4.getBoolean(1) &&
+      v4.getLong(2) == 0L)
+    // index membership is complete despite the pruned audit dirs
+    assert(spark.read.parquet(s"$idx/sets").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 10L, 20L, 30L))
+  }
+
   test("streaming semantic dedup admits novel vectors and flags cross-batch dups") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
