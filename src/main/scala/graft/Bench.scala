@@ -230,6 +230,39 @@ object Bench {
     // cold query is an index/append side-effect bug this file is the
     // diagnosis surface for). Best-effort — an unwritable CWD must not
     // fail the bench after all queries ran.
+    // Trend guard: compare against the PREVIOUS run's warm_total
+    // (BENCH_LAST.json, read before this run overwrites it) so a
+    // regression is flagged in the driver log THE ROUND IT HAPPENS,
+    // with steal context on both sides — a slow host and a slow engine
+    // look identical in one number alone. The flag bar (≥ +15% AND
+    // ≥ +2 s) mirrors the warm-anomaly bars: relative alone trips on
+    // sub-second noise, absolute alone on honest suite growth.
+    val prevBench = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_LAST.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def field(key: String): Option[Double] =
+        ("\"" + key + "\":\"?([0-9.]+)").r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      field("warm_total").map(w =>
+        (w, field("steal_warm_sec").getOrElse(0.0)))
+    } catch { case _: Throwable => None }
+    prevBench.foreach { case (pw, ps) =>
+      val delta = warmTotal - pw
+      val flag =
+        if (delta >= 2.0 && warmTotal >= 1.15 * pw) " ** REGRESSION? **"
+        else ""
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] warm_total trend: %.2f s vs previous %.2f s (%+.2f s, " +
+          "%+.1f%%; steal_warm now %.2f s, prev %.2f s)%s",
+        Double.box(warmTotal), Double.box(pw), Double.box(delta),
+        Double.box(if (pw > 0) 100.0 * delta / pw else 0.0),
+        Double.box(stealWarm), Double.box(ps), flag))
+    }
+    val prevJson = prevBench
+      .map { case (pw, _) => String.format(java.util.Locale.ROOT,
+        "%.3f", Double.box(pw)) }
+      .getOrElse("null")
     val warmQs = warmResults.map { case (k, v) => "\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
@@ -240,7 +273,7 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
         .mkString("{", ",", "}")
     val extended = line.dropRight(1) +
-      s""","warm_queries":$warmQs,"steal_queries":${stealJson(stealByQuery)},"steal_queries_warm":${stealJson(stealByQueryWarm)}}"""
+      s""","warm_total_prev":$prevJson,"warm_queries":$warmQs,"steal_queries":${stealJson(stealByQuery)},"steal_queries_warm":${stealJson(stealByQueryWarm)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), extended + "\n")
     catch { case e: Throwable =>

@@ -27,6 +27,31 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Per-(session, table) row-count memo for plan-SIZING decisions
+    * (`scaledCellCount`'s corpus count): a column-less parquet count is
+    * metadata-cheap but still one job per query BUILD — at 100 TB the
+    * right cost is once per table per session. Weak-keyed on the
+    * session (a replaced session re-counts; entries die with it), so
+    * the memo can never serve a count across a testdata regeneration
+    * that recycles the path in a NEW session. Within one session the
+    * tables are immutable by the driver contract.
+    */
+  private val countMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+  private[graft] def tableCount(s: SparkSession, dir: String, n: String): Long = {
+    val perSession = countMemo.synchronized {
+      var m = countMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        countMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$n", _ => T(s, dir, n).count())
+      .longValue()
+  }
+
   /** Correctness-vs-bench switch for the two sketch queries that carry
     * an in-query EXACT verification twin (`minhash_pairs`,
     * `rolling_distinct_hll`): true (the default — Verify, specs, the
@@ -1302,12 +1327,14 @@ object SparkEntry {
     // would let cell populations, hence the within-cell pair space,
     // grow unboundedly); the KmeansSql oracle inlines k = 8, and
     // OracleAssumptionsSpec pins that the formula still resolves to 8
-    // on every present testdata scale (the count() it derives from is
-    // parquet metadata-only).
+    // on every present testdata scale. The corpus count behind k is
+    // memoized per (session, table) — one count job per session for
+    // the whole semantic family, not one per query build.
     "semantic_dedup" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.semanticDedup(emb, threshold = 0.25,
-        k = Similarity.scaledCellCount(emb.count()), iters = 2)
+        k = Similarity.scaledCellCount(tableCount(s, dir, "embeddings")),
+        iters = 2)
     }),
 
     // Multi-assignment SemDeDup: vectors within eps of a cell boundary
@@ -1319,8 +1346,8 @@ object SparkEntry {
     "semantic_dedup_multi" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.semanticDedup(emb, threshold = 0.25,
-        k = Similarity.scaledCellCount(emb.count()), iters = 2,
-        assignments = 2)
+        k = Similarity.scaledCellCount(tableCount(s, dir, "embeddings")),
+        iters = 2, assignments = 2)
     }),
 
     // Incremental SemDeDup: odd-id vectors screened against a persisted

@@ -73,6 +73,33 @@ class ProfileSpec extends AnyFunSuite {
       ("p2", "2024-01-01", 0L), ("p2", "2024-01-02", 1L), ("p2", "2024-01-03", 0L)))
   }
 
+
+  test("tableCount memoizes the per-table row count: second lookup runs zero jobs") {
+    // scaledCellCount's corpus count is a plan-SIZING lookup made at
+    // query-build time — at 100 TB it must cost one job per (session,
+    // table), not one per build (the r10 verdict's priced finding).
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val dir = "/root/testdata/sf0.001"
+    val n1 = SparkEntry.tableCount(spark, dir, "embeddings") // populate
+    sc.addSparkListener(l)
+    try {
+      val n2 = SparkEntry.tableCount(spark, dir, "embeddings")
+      // listener events are async; a memoized lookup schedules nothing,
+      // so a short settle window suffices (a real count's job-start
+      // event lands well inside it).
+      Thread.sleep(500)
+      assert(n2 == n1 && n1 == 500L)
+      assert(jobs.get() == 0, s"memoized lookup ran ${jobs.get()} jobs")
+    } finally sc.removeSparkListener(l)
+  }
+
   test("itemPairs counts co-occurrence once per basket; prune is lossless above support") {
     val facts = Seq(
       (1L, "x"), (1L, "x"), (1L, "y"), (1L, "z"),  // x listed twice: one pair
