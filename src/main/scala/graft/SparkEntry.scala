@@ -1198,6 +1198,13 @@ object SparkEntry {
 
     "simhash_docs" -> ((s, dir) => Dedup.simhash(T(s, dir, "documents"))),
 
+    // SimHash near-dup pairs: banded Hamming join over the 64-bit
+    // fingerprints — 4×16-bit bands are COMPLETE at Hamming ≤ 3
+    // (pigeonhole), so the oracle enumerates ALL pairs exhaustively
+    // and a hash match certifies fingerprint + lossless banding.
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(T(s, dir, "documents"))),
+
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
 
@@ -2641,6 +2648,7 @@ object SparkEntry {
       "semantic_dedup_multi" -> graft.oracle.KmeansSql.semanticDedupSql(multi = true),
       "semantic_novel" -> graft.oracle.KmeansSql.semanticNovelSql,
       "simhash_docs" -> graft.oracle.Xxh64Sql.simhashSql,
+      "simhash_pairs" -> graft.oracle.Xxh64Sql.simhashPairsSql(),
       "doc_fingerprints" -> graft.oracle.Xxh64Sql.fingerprintSql,
       "doc_winnow" -> graft.oracle.Xxh64Sql.winnowSql,
       "span_dedup" -> graft.oracle.Xxh64Sql.spanDedupSql,

@@ -1050,16 +1050,39 @@ object Dedup {
     * no pair are their own singleton cluster. `keep = (doc_id ==
     * cluster_id)` is the canonical survivor — the materializing "which
     * rows do I keep at 100 TB" form of near-dup detection.
+    *
+    * EXACT duplicates contribute STAR edges (every doc → its digest
+    * group's min doc_id) alongside the LSH pairs. Semantically free —
+    * identical docs have Jaccard 1 ≥ any threshold, so these edges
+    * only ever join docs the pair query already deems duplicates —
+    * but structurally load-bearing under the [[capBandBuckets]]
+    * ceiling: an m-doc template cluster's band buckets are all hot,
+    * its LSH pairs are dropped, and without the star edges the
+    * cluster would silently dissolve into m singleton "survivors".
+    * The digest path is a hash-agg + one narrow join keyed on the
+    * digest — O(n) edges, no pair blowup, no per-group arrays — so
+    * mega-clusters cost what they should. (Near-identical template
+    * docs that differ by a token still rely on their non-hot bands —
+    * the documented clamp trade.)
     */
   def nearDupClusters(docs: DataFrame, shingleSize: Int = 3,
                       numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       shingles: Option[DataFrame] = None,
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val edges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
+    val lshEdges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
         threshold, shingles, maxBucket)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comps = connectedComponents(edges)
+    val digests = docs.select(col("doc_id"),
+      digest(col("text")).as("__dg"))
+    val reps = digests.groupBy("__dg")
+      .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    val starEdges = digests
+      .join(reps.select("__dg", "__rep"), Seq("__dg"))
+      .filter(col("doc_id") =!= col("__rep"))
+      .select(col("doc_id").as("src"), col("__rep").as("dst"))
+    val comps = connectedComponents(lshEdges.unionByName(starEdges))
     docs.select(col("doc_id"))
       .join(comps.select(col("id").as("doc_id"), col("comp")),
         Seq("doc_id"), "left_outer")
@@ -1076,7 +1099,13 @@ object Dedup {
   /** 64-bit SimHash over the whitespace token stream: per-bit vote of
     * token hashes, sign → bit. One explode + one 64-column hash-aggregate.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    simhashRaw(docs).orderBy("doc_id")
+
+  /** [[simhash]] without the presentation sort — the composable form
+    * [[simhashNearDupPairs]] builds on.
+    */
+  private def simhashRaw(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
     val h = xxhash64(col("tok"))
@@ -1089,7 +1118,59 @@ object Dedup {
       shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b)
     }
     voted.select(col("doc_id"),
-        bits.reduce(_ bitwiseOR _).as("simhash"))
-      .orderBy("doc_id")
+      bits.reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: docs whose 64-bit [[simhash]] fingerprints
+    * differ in at most `maxHamming` bits — the SimHash member of the
+    * banded candidate-join family, completing the fingerprint the way
+    * the LSH joins complete MinHash. Candidates form by EXACT match on
+    * any of four 16-bit bands of the fingerprint, and unlike MinHash
+    * banding this is COMPLETE, not probabilistic: ≤ 3 differing bits
+    * cannot touch all four bands (pigeonhole), so every true pair
+    * shares at least one intact band — recall 1.0 by construction, the
+    * classic Charikar/Manku web-dedup layout. `maxHamming` > 3 breaks
+    * that bound, so it is rejected rather than silently losing recall
+    * (larger radii need more, narrower bands).
+    *
+    * Cost is Σ per-bucket pairs like the MinHash joins, under the same
+    * [[capBandBuckets]] ceiling (a template sub-corpus agrees on ALL
+    * bands). The 8-byte fingerprint rides THROUGH the band join (the
+    * fused shape): the join-back trade that wins for MinHash payloads
+    * (256-byte signatures, KB-scale sets) loses here — two extra
+    * shuffled joins to save an 8-byte column is the wrong side of it.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming outside [0, 3]: 4×16-bit banding " +
+        "guarantees recall only through Hamming distance 3")
+    // Arithmetic shift + low-16 mask == unsigned band extract (sign
+    // extension only ever reaches masked-away high bits).
+    val bandRows = capBandBuckets(
+      simhashRaw(docs).select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+                .as("band_hash"))): _*)).as("bh"))
+        .select(col("doc_id"), col("simhash"),
+          col("bh.band").as("band"), col("bh.band_hash").as("band_hash")),
+      maxBucket, "simhash_bucket_clamp")
+    // merge pin → both sides shuffle the same subtree on the same key
+    // and AQE reuses the one fingerprint pipeline (the MinHash joins'
+    // rationale).
+    val a = bandRows.as("a").hint("merge")
+    val b = bandRows.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // A pair agreeing in several bands yields identical rows.
+      .distinct()
+      .orderBy("doc_a", "doc_b")
   }
 }

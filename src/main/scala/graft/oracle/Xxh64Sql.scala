@@ -172,10 +172,11 @@ object Xxh64Sql {
     s"SELECT $keep, ${s64(s"${prefix}_u")} AS $outCol FROM ($hashed)"
   }
 
-  /** Oracle for `simhash_docs`: per-token xxh64, 64 per-bit votes, bit
+  /** `simhash_docs`' relation without the presentation sort (shared
+    * with the pairs oracle): per-token xxh64, 64 per-bit votes, bit
     * set when the vote is strictly positive (the engine's rule).
     */
-  def simhashSql: String = {
+  private def simhashCore: String = {
     val inner = "SELECT doc_id, " + bytesOf("tok") +
       " AS bl, length(tok) AS n FROM (SELECT doc_id, " +
       raw"unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)"
@@ -188,8 +189,26 @@ object Xxh64Sql {
       .mkString(" + ")
     s"SELECT doc_id, ${s64("sh_u")} AS simhash FROM (" +
       s"SELECT doc_id, ($bits) AS sh_u FROM (" +
-      s"SELECT doc_id, $votes FROM ($hashed) GROUP BY doc_id)) ORDER BY doc_id"
+      s"SELECT doc_id, $votes FROM ($hashed) GROUP BY doc_id))"
   }
+
+  /** Oracle for `simhash_docs`. */
+  def simhashSql: String = simhashCore + " ORDER BY doc_id"
+
+  /** Oracle for `simhash_pairs`: EXHAUSTIVE all-pairs Hamming over the
+    * re-derived simhash. The engine enumerates banded candidates only,
+    * but its 4×16-bit banding is COMPLETE at Hamming ≤ 3 (pigeonhole:
+    * 3 differing bits cannot touch all four bands), so a hash match
+    * against the exhaustive set certifies both the fingerprint AND
+    * that banding lost nothing.
+    */
+  def simhashPairsSql(maxHamming: Int = 3): String =
+    s"""WITH sh AS ($simhashCore)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY 1, 2""".stripMargin
 
   /** Oracle for `doc_fingerprints`: xxh64 of the whole normalized text
     * (lower, whitespace-collapsed) — exercises the ≥32-byte stripe path.

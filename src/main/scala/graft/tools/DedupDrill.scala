@@ -198,6 +198,18 @@ object DedupDrill {
       found
     }
     println(f"  planted-pair recall under cap: $planted%d/$planted%d (1.0)")
+    // Cluster assignment under the cap: the 10k-doc template cluster's
+    // LSH pairs are gone, but the exact-digest star edges must still
+    // collapse it to ONE survivor (star diameter 2 → CC converges in a
+    // couple of iterations — no pair blowup anywhere).
+    val boilerDocs = (skewRows + 16) / 20
+    time("skew clusters capped (star edges)") {
+      val nonKeep = Dedup.nearDupClusters(skew).filter(!col("keep")).count()
+      assert(nonKeep >= boilerDocs - 1 + skewRows / 1000,
+        s"template cluster dissolved: only $nonKeep non-survivors, " +
+          s"expected ≥ ${boilerDocs - 1 + skewRows / 1000}")
+      nonKeep
+    }
     spark.stop()
   }
 }

@@ -498,6 +498,26 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === pairs)
   }
 
+  test("nearDupClusters keeps template mega-clusters grouped under the cap (digest star edges)") {
+    // The 12-doc identical-template cluster's LSH pairs are dropped by
+    // the bucket cap — without the exact-digest star edges it would
+    // dissolve into 12 singleton "survivors". With them, the cluster
+    // keeps exactly one canonical doc, at O(n) edge cost.
+    val d = ((100L until 112L).map(i => (i, boilerText)) ++ Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines at scale")))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(d, threshold = 0.4, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byDoc = out.map(t => t._1 -> (t._2, t._3)).toMap
+    (100L until 112L).foreach { i =>
+      assert(byDoc(i) === (100L, i == 100L), s"doc $i: ${byDoc(i)}")
+    }
+    assert(byDoc(0L) === (0L, true) && byDoc(1L) === (0L, false))
+    assert(byDoc(4L) === (4L, true))
+  }
+
   test("hot-bucket cap in the novelty screens: recompute, broadcast and merge index plans agree") {
     val corpus = ((100L until 112L).map(i => (i, boilerText)) ++ Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again")))
@@ -564,6 +584,25 @@ class ExtSpec extends AnyFunSuite {
     assert(sh(0L) == sh(1L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(0L), sh(3L)) < hamming(sh(0L), sh(4L)))
+  }
+
+  test("simhashNearDupPairs equals the exhaustive Hamming enumeration (pigeonhole-complete banding)") {
+    val pairs = Dedup.simhashNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h)).toSet
+    // 4×16-bit banding is complete at Hamming ≤ 3 — the banded join
+    // must find EXACTLY the exhaustive set, not a subset.
+    assert(pairs === brute)
+    assert(pairs.exists(t => t._1 == 0L && t._2 == 1L && t._3 == 0))
+    // beyond the pigeonhole bound the operator refuses, never recalls < 1
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, maxHamming = 4)
+    }
   }
 
   test("token stats and fingerprints are deterministic") {
