@@ -547,8 +547,11 @@ class PipelineSpec extends AnyFunSuite {
       implicitly[org.apache.spark.sql.Encoder[(Long, Int, Seq[Float])]],
       spark.sqlContext)
     val emb = source.toDF().toDF("vec_id", "label", "embedding")
+    // retainVerdictBatches = 2: with two batches driven, both stay —
+    // pruning must never touch partitions inside the window.
     val query = Pipeline.semanticDedupStream(emb, idx, verdicts, ckpt,
       threshold = 0.95, nlist = 4, dim = 4, nprobe = 4,
+      retainVerdictBatches = 2,
       trigger = Trigger.ProcessingTime("0 seconds"))
     try {
       // cold start: both directions are novel and seed the index
@@ -559,16 +562,24 @@ class PipelineSpec extends AnyFunSuite {
       source.addData((10L, 0, Seq(0.99f, 0.05f, 0f, 0f)),
         (11L, 0, Seq(0f, 0f, 1f, 0f)))
       query.processAllAvailable()
+      // batch 3: pushes batch 0 out of the 2-batch verdict window
+      source.addData((20L, 0, Seq(0f, 0f, 0f, 1f)))
+      query.processAllAvailable()
     } finally query.stop()
     val v = spark.read.parquet(verdicts)
       .select("vec_id", "is_novel", "match_id").collect()
       .map(r => (r.getLong(0), r.getBoolean(1),
         Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._1)
-    assert(v.toSeq === Seq((0L, true, None), (1L, true, None),
-      (10L, false, Some(0L)), (11L, true, None)))
-    // the index holds exactly the admitted (novel) vectors
+    // batch 0's audit rows (vecs 0, 1) are pruned; later verdicts intact
+    assert(v.toSeq === Seq((10L, false, Some(0L)), (11L, true, None),
+      (20L, true, None)))
+    assert(new java.io.File(verdicts).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq ===
+      Seq("batch_id=1", "batch_id=2"))
+    // the index holds every admitted (novel) vector — dedup memory is
+    // the INDEX, unaffected by audit retention
     val indexed = spark.read.parquet(idx).select("vec_id").collect()
       .map(_.getLong(0)).sorted
-    assert(indexed.toSeq === Seq(0L, 1L, 11L))
+    assert(indexed.toSeq === Seq(0L, 1L, 11L, 20L))
   }
 }
