@@ -118,6 +118,15 @@ object Tables {
     schema.fold(r)(r.schema).load(path)
   }
 
+  /** Avro container-file batch scan — [[AvroSource]], the engine's own
+    * DSv2 reader over the avro core jars (the `spark-avro` external
+    * module is not on this classpath). Schema comes from the first
+    * file's writer schema; column pruning happens at Avro DECODE level
+    * via a projected reader schema.
+    */
+  def avro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft.sources.AvroSource").load(path)
+
   /** JSONL batch scan with explicit schema — the batch twin of the
     * streaming [[graft.stream.Pipeline.fileTextSource]] + from_json
     * path. Explicit schema for the same reason as [[csv]]: schema

@@ -5,9 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
 
-/** Source/sink format breadth beyond the parquet warehouse: ORC and
-  * JSON-lines roundtrips through the same schemas, and the CSV reader's
-  * explicit-schema contract.
+/** Source/sink format breadth beyond the parquet warehouse: Avro
+  * (the engine's own DSv2 reader), ORC and JSON-lines roundtrips
+  * through the same schemas, and the CSV reader's explicit-schema
+  * contract.
   */
 class SourcesSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -19,6 +20,60 @@ class SourcesSpec extends AnyFunSuite {
   // File sources report every column nullable — compare names and types.
   private def shape(s: org.apache.spark.sql.types.StructType) =
     s.fields.map(f => (f.name, f.dataType)).toSeq
+
+  test("Avro container roundtrip: types, nulls, logical timestamps, decode-level pruning") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val ts = LogicalTypes.timestampMicros()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val schema = SchemaBuilder.record("Trip").fields()
+      .requiredLong("id")
+      .name("tag").`type`().unionOf().nullType().and().stringType().endUnion()
+        .nullDefault()
+      .requiredDouble("v")
+      .name("ts").`type`(ts).noDefault()
+      .name("xs").`type`().array().items().longType().noDefault()
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-0.avro"))
+    def rec(id: Long, tag: String, v: Double, tsUs: Long, xs: Seq[Long]) = {
+      val r = new GenericData.Record(schema)
+      r.put("id", id); r.put("tag", tag); r.put("v", v); r.put("ts", tsUs)
+      r.put("xs", java.util.Arrays.asList(xs.map(Long.box): _*))
+      r
+    }
+    w.append(rec(1L, "a", 1.5, 1700000000000000L, Seq(1L, 2L)))
+    w.append(rec(2L, null, 2.5, 1700000001000000L, Seq.empty))
+    w.close()
+    val back = Tables.avro(spark, dir)
+    assert(shape(back.schema) == Seq(
+      ("id", org.apache.spark.sql.types.LongType),
+      ("tag", org.apache.spark.sql.types.StringType),
+      ("v", org.apache.spark.sql.types.DoubleType),
+      ("ts", org.apache.spark.sql.types.TimestampType),
+      ("xs", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))))
+    val got = back.orderBy("id")
+      .select(col("id"), col("tag"), col("v"),
+        unix_micros(col("ts")).as("ts_us"), col("xs"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2),
+        r.getLong(3), r.getSeq[Long](4)))
+    assert(got.toSeq == Seq(
+      (1L, Some("a"), 1.5, 1700000000000000L, Seq(1L, 2L)),
+      (2L, None, 2.5, 1700000001000000L, Seq.empty)))
+    // Decode-level pruning: the DSv2 scan's read schema narrows to the
+    // projection (the projected Avro READER schema skips the rest).
+    val pruned = back.select("id", "v")
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 1.5), (2L, 2.5)))
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("AvroScan ReadSchema: struct<id:bigint,v:double>"),
+      scanDesc.take(800))
+  }
 
   test("ORC roundtrip preserves rows, schema, and nulls") {
     val dir = java.nio.file.Files.createTempDirectory("orc").toString
