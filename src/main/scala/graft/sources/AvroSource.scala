@@ -28,10 +28,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * with the remaining common interchange format.
   *
   * Scale design:
-  *  - **One InputPartition per container file** — the natural Avro
-  *    parallelism unit (sync-marker splitting inside a file is the
-  *    next refinement; ingest pipelines that care about intra-file
-  *    parallelism write many files, which this layout already covers).
+  *  - **Sync-marker file splitting**: each container file is split
+  *    into byte ranges of `splitBytes` (option; default 128 MB — the
+  *    `files.maxPartitionBytes` spirit) and every partition
+  *    `sync(start)`s to the first block boundary at-or-after its
+  *    range and reads blocks until `pastSync(end)` — the classic
+  *    avro-mapred split contract, so each block is consumed by
+  *    exactly one partition and a single 10 GB file still fans out
+  *    across the cluster.
   *  - **Column pruning at DECODE level**
   *    (`SupportsPushDownRequiredColumns`): the pruned columns become a
   *    projected Avro READER schema, so Avro's schema resolution SKIPS
@@ -56,9 +60,10 @@ class AvroSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
     require(path != null, "AvroSource requires a path")
-    new AvroTable(path)
+    new AvroTable(path, opts.getLong("splitBytes", 128L * 1024 * 1024))
   }
 }
 
@@ -181,7 +186,8 @@ object AvroSource {
     }
 }
 
-private class AvroTable(path: String) extends Table with SupportsRead {
+private class AvroTable(path: String, splitBytes: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"avro($path)"
   override def schema(): StructType =
     AvroSource.sqlSchemaOf(
@@ -189,10 +195,10 @@ private class AvroTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path)
+    new AvroScanBuilder(path, splitBytes)
 }
 
-private class AvroScanBuilder(path: String)
+private class AvroScanBuilder(path: String, splitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private val files = AvroSource.listFiles(path)
   private val writer = AvroSource.writerSchema(files)
@@ -205,24 +211,40 @@ private class AvroScanBuilder(path: String)
       AvroSource.sqlSchemaOf(writer).fields.filter(f => keep(f.name)))
   }
 
-  override def build(): Scan = new AvroScan(files, writer, required)
+  override def build(): Scan =
+    new AvroScan(files, writer, required, splitBytes)
 }
 
 private class AvroScan(files: Seq[String], writer: Schema,
-                       required: StructType) extends Scan with Batch {
+                       required: StructType, splitBytes: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"AvroScan ReadSchema: ${required.catalogString}"
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => AvroFilePartition(f): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    files.flatMap { f =>
+      val p = new Path(f)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      val step = math.max(1L, splitBytes)
+      (0L until math.max(1L, (len + step - 1) / step)).map { i =>
+        AvroFilePartition(f, i * step, math.min(len, (i + 1) * step))
+      }
+    }.map(identity[InputPartition]).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(
       AvroSource.project(writer, required.fieldNames.toSeq).toString,
       required)
 }
 
-private case class AvroFilePartition(file: String) extends InputPartition
+/** A byte range of one container file; the reader `sync`s to the first
+  * block boundary at-or-after `start` and stops once `pastSync(end)` —
+  * each Avro block is consumed by exactly one partition.
+  */
+private case class AvroFilePartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 /** Schema rides as its JSON string — `org.apache.avro.Schema` is not
   * serializable.
@@ -231,11 +253,14 @@ private class AvroReaderFactory(readerSchemaJson: String,
                                 required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[AvroFilePartition].file
+    val part = p.asInstanceOf[AvroFilePartition]
     val readerSchema = new Schema.Parser().parse(readerSchemaJson)
     val datumReader = new GenericDatumReader[GenericRecord](null, readerSchema)
-    val in = new FsInput(new Path(file), new Configuration())
+    val in = new FsInput(new Path(part.file), new Configuration())
     val reader = DataFileReader.openReader(in, datumReader)
+    // avro-mapred split contract: own the blocks whose sync point
+    // falls in [start, end).
+    reader.sync(part.start)
     // timestamp-millis fields need a ×1000 rescale to Catalyst micros;
     // precompute which required columns carry that logical type.
     val millisCols = required.fieldNames.map { n =>
@@ -245,7 +270,8 @@ private class AvroReaderFactory(readerSchemaJson: String,
       s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis]
     }
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = reader.hasNext
+      override def next(): Boolean =
+        reader.hasNext && !reader.pastSync(part.end)
       override def get(): InternalRow = {
         val rec = reader.next()
         val row = new GenericInternalRow(required.length)

@@ -75,6 +75,36 @@ class SourcesSpec extends AnyFunSuite {
       scanDesc.take(800))
   }
 
+  test("Avro sync-marker splitting: many byte-range partitions, rows exactly once") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("R").fields()
+      .requiredLong("id").requiredString("s").endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("avro-split").toString
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(64) // tiny blocks → many sync points in one file
+    w.create(schema, new java.io.File(dir, "big.avro"))
+    (0L until 2000L).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i); r.put("s", s"row-$i-payload")
+      w.append(r)
+    }
+    w.close()
+    // force many splits: each byte-range partition must sync to its
+    // first owned block and stop at pastSync(end) — every row exactly
+    // once, regardless of where range bounds fall inside blocks
+    val split = spark.read.format("graft.sources.AvroSource")
+      .option("splitBytes", 1024).load(dir)
+    assert(split.rdd.getNumPartitions > 5, split.rdd.getNumPartitions)
+    val ids = split.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 2000L))
+    // split and unsplit reads agree row-for-row
+    val whole = Tables.avro(spark, dir).collect().map(_.toSeq).toSet
+    assert(split.collect().map(_.toSeq).toSet == whole)
+  }
+
   test("ORC roundtrip preserves rows, schema, and nulls") {
     val dir = java.nio.file.Files.createTempDirectory("orc").toString
     df.write.mode("overwrite").orc(dir)
