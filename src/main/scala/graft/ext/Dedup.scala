@@ -349,7 +349,9 @@ object Dedup {
   def minhashNearDupPairsFused(docs: DataFrame, shingleSize: Int = 3,
                                numHashes: Int = 32, bands: Int = 8,
                                threshold: Double = 0.5,
-                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                               maxBucket: Int = DefaultMaxBucket,
+                               observeName: String = "lsh_bucket_clamp_fused")
+      : DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandRows = capBandBuckets(
       minhashSignatures(docs, shingleSize, numHashes)
@@ -357,7 +359,7 @@ object Dedup {
           explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
         .select(col("doc_id"), col("signature"),
           col("bh.band").as("band"), col("bh.band_hash").as("band_hash")),
-      maxBucket, "lsh_bucket_clamp_fused")
+      maxBucket, observeName)
     // merge hint → exchange reuse: one shingle+sketch pass feeds both
     // join sides (see [[lshVerifiedJaccardPairs]] for the rationale).
     val a = bandRows.as("a").hint("merge")
@@ -401,11 +403,13 @@ object Dedup {
                           numHashes: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5,
                           shingles: Option[DataFrame] = None,
-                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                          maxBucket: Int = DefaultMaxBucket,
+                          observeName: String = "lsh_bucket_clamp"): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignaturesFromShingles(
       shingles.getOrElse(hashedShingles(docs, shingleSize)), numHashes)
-    val pairs = lshCandidatePairs(sigs, bands, rowsPerBand, maxBucket)
+    val pairs = lshCandidatePairs(sigs, bands, rowsPerBand, maxBucket,
+      observeName)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")),
         Seq("doc_a"))
@@ -483,7 +487,9 @@ object Dedup {
     */
   def lshVerifiedJaccardPairs(docs: DataFrame, shingleSize: Int = 3,
                               numHashes: Int = 32, bands: Int = 8,
-                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                              maxBucket: Int = DefaultMaxBucket,
+                              observeName: String = "lsh_bucket_clamp_verified")
+      : DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigSets = hashedShingles(docs, shingleSize)
       .select("doc_id", "h")
@@ -497,7 +503,7 @@ object Dedup {
         explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"),
         col("bh.band_hash").as("band_hash")),
-      maxBucket, "lsh_bucket_clamp_verified")
+      maxBucket, observeName)
     // Force a sort-merge self-join: both sides then shuffle on the SAME
     // (band, band_hash) key from the SAME subtree, and Spark's exchange
     // reuse computes the shingle scan + aggregation ONCE (a broadcast
@@ -545,7 +551,9 @@ object Dedup {
   def minhashVerifiedPairs(docs: DataFrame, shingleSize: Int = 3,
                            numHashes: Int = 32, bands: Int = 8,
                            threshold: Double = 0.5,
-                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                           maxBucket: Int = DefaultMaxBucket,
+                           observeName: String = "lsh_bucket_clamp_mv")
+      : DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigSets = hashedShingles(docs, shingleSize)
       .select("doc_id", "h")
@@ -559,7 +567,7 @@ object Dedup {
         explode(array(bandHashStructs(bands, rowsPerBand): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"),
         col("bh.band_hash").as("band_hash")),
-      maxBucket, "lsh_bucket_clamp_mv")
+      maxBucket, observeName)
     val a = bandRows.as("a").hint("merge")
     val b = bandRows.as("b")
     val pairs = a.join(b,
@@ -618,7 +626,8 @@ object Dedup {
   def minhashNovel(newDocs: DataFrame, corpus: DataFrame,
                    shingleSize: Int = 3, numHashes: Int = 32,
                    bands: Int = 8, threshold: Double = 0.5,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket,
+                   observeName: String = "lsh_bucket_clamp_novel"): DataFrame = {
     val newSets = shingleSetsOf(newDocs, shingleSize)
     val corpusSets = shingleSetsOf(corpus, shingleSize)
     def bandRows(ss: DataFrame) = setBandRows(ss, numHashes, bands)
@@ -635,7 +644,7 @@ object Dedup {
     // bands — the clamp docstring's recall contract.
     val cand = bandRows(newSets).as("n").hint("merge")
       .join(capBandBuckets(bandRows(corpusSets), maxBucket,
-          "lsh_bucket_clamp_novel").as("c"),
+          observeName).as("c"),
         col("n.band") === col("c.band") &&
           col("n.band_hash") === col("c.band_hash"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
@@ -864,7 +873,9 @@ object Dedup {
   def minhashNovelAgainstIndex(newDocs: DataFrame, path: String,
                                threshold: Double = 0.5,
                                broadcastBatch: Boolean = true,
-                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                               maxBucket: Int = DefaultMaxBucket,
+                              observeName: String = "lsh_bucket_clamp_verified")
+      : DataFrame = {
     val spark = newDocs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$path/bands")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -906,8 +917,8 @@ object Dedup {
           idxBands.join(
             broadcast(nBands.select("band", "band_hash").distinct()),
             Seq("band", "band_hash"), "left_semi"),
-          maxBucket, "lsh_bucket_clamp_idx")
-      else capBandBuckets(idxBands, maxBucket, "lsh_bucket_clamp_idx")
+          maxBucket, observeName)
+      else capBandBuckets(idxBands, maxBucket, observeName)
     val nSide = if (broadcastBatch) broadcast(nBands) else nBands.hint("merge")
     val cand = nSide.as("n")
       .join(cSide.as("c"),
@@ -1069,9 +1080,10 @@ object Dedup {
                       numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       shingles: Option[DataFrame] = None,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                      maxBucket: Int = DefaultMaxBucket,
+                      observeName: String = "lsh_bucket_clamp"): DataFrame = {
     val lshEdges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
-        threshold, shingles, maxBucket)
+        threshold, shingles, maxBucket, observeName)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val digests = docs.select(col("doc_id"),
       digest(col("text")).as("__dg"))
@@ -1141,7 +1153,9 @@ object Dedup {
     * shuffled joins to save an 8-byte column is the wrong side of it.
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
-                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                          maxBucket: Int = DefaultMaxBucket,
+                          observeName: String = "simhash_bucket_clamp")
+      : DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming outside [0, 3]: 4×16-bit banding " +
         "guarantees recall only through Hamming distance 3")
@@ -1155,7 +1169,7 @@ object Dedup {
                 .as("band_hash"))): _*)).as("bh"))
         .select(col("doc_id"), col("simhash"),
           col("bh.band").as("band"), col("bh.band_hash").as("band_hash")),
-      maxBucket, "simhash_bucket_clamp")
+      maxBucket, observeName)
     // merge pin → both sides shuffle the same subtree on the same key
     // and AQE reuses the one fingerprint pipeline (the MinHash joins'
     // rationale).
