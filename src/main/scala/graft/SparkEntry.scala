@@ -851,6 +851,19 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("seq_tokens"))
       .orderBy("lang", "seq_id")),
 
+    // ONE global greedy packing order (no shard key): the distributed
+    // two-pass prefix sum — quantile buckets, per-bucket offsets,
+    // parallel per-bucket windows — whose output is bit-identical to a
+    // single global window at any bucket count. The oracle computes
+    // the plain global window cumsum, so a hash match certifies the
+    // prefix-sum reassembly exactly.
+    "pack_global" -> ((s, dir) => Sampling.packSequencesGlobal(
+        T(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), maxTokens = 256, buckets = 8)
+      .select(col("doc_id"), col("n_tokens"), col("seq_id"))
+      .orderBy("doc_id")),
+
     // Benchmark-contamination screen: eval docs (id < 50) vs the training
     // rest, 3-gram overlap with stop-gram pruning.
     "contamination" -> ((s, dir) => {
@@ -2024,6 +2037,11 @@ object SparkEntry {
           |         nt
           |  FROM (SELECT doc_id, lang, $nTokens AS nt FROM documents) x) t
           |GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+      "pack_global" ->
+        s"""SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens,
+          |       CAST(FLOOR((SUM(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt) / 256) AS BIGINT) AS seq_id
+          |FROM (SELECT doc_id, $nTokens AS nt FROM documents) x
+          |ORDER BY doc_id""".stripMargin,
       "edit_distance" ->
         "SELECT a.doc_id AS doc_a, CAST(levenshtein(SUBSTRING(a.text, 1, 200), SUBSTRING(b.text, 1, 200)) AS INTEGER) AS edit_dist FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 200 AND b.doc_id < 200 ORDER BY doc_a",
       "dedup_exact" ->

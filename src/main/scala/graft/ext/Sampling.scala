@@ -230,6 +230,76 @@ object Sampling {
       .toDF("doc_id", "chunk_id", "n_tokens", "chunk")
   }
 
+  /** [[packSequences]]' EXACT global-order semantics without the
+    * single-task global window: a declarative two-pass distributed
+    * prefix sum.
+    *
+    *  1. Bucket cuts: `buckets − 1` approximate quantiles of the
+    *     (numeric, unique) `key` — one narrow agg job. Bucket id =
+    *     number of cuts below the key, so bucketing is a pure function
+    *     of the key VALUE (never of partition layout; Spark's range
+    *     partitioner samples nondeterministically across jobs, which
+    *     is why it cannot be used twice and isn't used here).
+    *  2. Per-bucket token totals (map-side-combined agg → `buckets`
+    *     rows on the driver) become exclusive prefix offsets.
+    *  3. Each bucket runs its cumulative sum as a PARALLEL window
+    *     partitioned by bucket id, plus its broadcast offset — the
+    *     global running sum, reassembled.
+    *
+    * The output is bit-identical to [[packSequences]] for any bucket
+    * count (the global cumsum is bucketing-invariant — quantile
+    * wobble only moves WORK between buckets, never results; pinned by
+    * SamplingSpec and the `pack_global` oracle). Cost at 100 TB: two
+    * scans (the offsets pass reads two columns), one narrow and one
+    * full shuffle, no task ever sees more than ~1/buckets of the
+    * corpus — vs [[packSequences]]' one-task global sort. Use
+    * [[packSequencesSharded]] when a natural shard key exists and
+    * per-shard sequence ids suffice; use this when the contract is ONE
+    * global greedy packing order.
+    */
+  def packSequencesGlobal(df: DataFrame, key: Column, tokenCount: Column,
+                          maxTokens: Int, buckets: Int = 64): DataFrame = {
+    require(maxTokens >= 1 && buckets >= 1,
+      s"maxTokens/buckets must be positive: $maxTokens/$buckets")
+    val withTc = df.withColumn("__tc", tokenCount.cast("long"))
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts: Seq[Long] =
+      if (probs.isEmpty) Seq.empty
+      else {
+        val row = withTc
+          .agg(percentile_approx(key.cast("long"),
+            typedLit(probs), lit(10000)).as("c"))
+          .head()
+        if (row.isNullAt(0)) Seq.empty // empty input
+        else row.getSeq[Long](0)
+      }
+    // pid = number of cuts strictly below the key — ONE flat array
+    // expression (a fold of nested `when`s builds an expression tree
+    // as deep as the bucket count and overflows the stack past a few
+    // thousand; the lambda form is depth-1, width-n).
+    val pid =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(typedLit(cuts.distinct.sorted),
+        c => key.cast("long") > c))
+    val bucketed = withTc.withColumn("__pid", pid)
+    val sums = bucketed.groupBy("__pid").agg(sum(col("__tc")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (p, s)) =>
+      (p, acc + s)
+    }.sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cum", col("__off") + sum(col("__tc")).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col("__tc")) / maxTokens).cast("long"))
+      .drop("__pid", "__off", "__cum", "__tc")
+  }
+
   /** [[packSequences]] at 100 TB: the running sum is windowed per
     * `shard` (a date / source-file / language bucket), so every shard
     * packs independently in parallel — no single-partition global sort.

