@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{LogicalTypes, Schema}
-import org.apache.avro.file.DataFileReader
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
@@ -58,12 +58,17 @@ class AvroSource extends TableProvider {
     AvroSource.sqlSchemaOf(
       AvroSource.writerSchema(AvroSource.listFiles(options.get("path"))))
 
+  // Writes hand the dataframe's schema straight to getTable — a write
+  // to a not-yet-existing path has no files to infer from.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
     require(path != null, "AvroSource requires a path")
-    new AvroTable(path, opts.getLong("splitBytes", 128L * 1024 * 1024))
+    new AvroTable(path, opts.getLong("splitBytes", 128L * 1024 * 1024),
+      Option(schema))
   }
 }
 
@@ -137,6 +142,98 @@ object AvroSource {
     })
   }
 
+  /** Catalyst → Avro schema, the reverse of [[sqlSchemaOf]]: nullable
+    * fields become `[null, T]` unions, TimestampType/DateType carry
+    * the timestamp-micros/date logical types (so a roundtrip through
+    * [[sqlSchemaOf]] is the identity), and nested records are named by
+    * field path for uniqueness.
+    */
+  private[sources] def avroSchemaOf(st: StructType,
+                                    name: String = "spark_record"): Schema = {
+    def of(dt: DataType, nullable: Boolean, path: String): Schema = {
+      val base = dt match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case TimestampType => LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+        case DateType => LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
+        case ArrayType(et, cn) =>
+          Schema.createArray(of(et, cn, path + "_item"))
+        case MapType(StringType, vt, vn) =>
+          Schema.createMap(of(vt, vn, path + "_value"))
+        case s: StructType => record(s, path)
+        case other => throw new IllegalArgumentException(
+          s"unsupported Catalyst type $other for Avro write at $path")
+      }
+      if (nullable)
+        Schema.createUnion(util.Arrays.asList(
+          Schema.create(Schema.Type.NULL), base))
+      else base
+    }
+    def record(s: StructType, path: String): Schema = {
+      val fields = s.fields.map { f =>
+        new Schema.Field(f.name, of(f.dataType, f.nullable,
+            path + "_" + f.name), null,
+          if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      }
+      Schema.createRecord(path, null, "graft.avro", false,
+        util.Arrays.asList(fields: _*))
+    }
+    record(st, name)
+  }
+
+  /** Catalyst internal value → Avro runtime value under `avro`
+    * (nullable values target the union's non-null branch).
+    */
+  private[sources] def toAvro(v: Any, dt: DataType, avro: Schema): AnyRef = {
+    if (v == null) return null
+    val target =
+      if (avro.getType == Schema.Type.UNION)
+        avro.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else avro
+    dt match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           TimestampType | DateType => v.asInstanceOf[AnyRef]
+      case StringType => v.toString
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case ArrayType(et, _) =>
+        val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val out = new util.ArrayList[AnyRef](ad.numElements())
+        var i = 0
+        while (i < ad.numElements()) {
+          out.add(toAvro(ad.get(i, et), et, target.getElementType)); i += 1
+        }
+        out
+      case MapType(_, vt, _) =>
+        val md = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val out = new util.HashMap[String, AnyRef]()
+        val (ks, vs) = (md.keyArray(), md.valueArray())
+        var i = 0
+        while (i < md.numElements()) {
+          out.put(ks.getUTF8String(i).toString,
+            toAvro(vs.get(i, vt), vt, target.getValueType))
+          i += 1
+        }
+        out
+      case st: StructType =>
+        val row = v.asInstanceOf[InternalRow]
+        val rec = new org.apache.avro.generic.GenericData.Record(target)
+        var i = 0
+        while (i < st.length) {
+          rec.put(i, toAvro(row.get(i, st(i).dataType), st(i).dataType,
+            target.getFields.get(i).schema()))
+          i += 1
+        }
+        rec
+    }
+  }
+
   /** Projected READER schema: the writer record restricted to the
     * pruned column set, writer order preserved (Avro resolution skips
     * the rest during decode).
@@ -186,16 +283,23 @@ object AvroSource {
     }
 }
 
-private class AvroTable(path: String, splitBytes: Long)
-    extends Table with SupportsRead {
+private class AvroTable(path: String, splitBytes: Long,
+                        provided: Option[StructType])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"avro($path)"
-  override def schema(): StructType =
+  override def schema(): StructType = provided.getOrElse(
     AvroSource.sqlSchemaOf(
-      AvroSource.writerSchema(AvroSource.listFiles(path)))
+      AvroSource.writerSchema(AvroSource.listFiles(path))))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, splitBytes)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AvroWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private class AvroScanBuilder(path: String, splitBytes: Long)
@@ -287,6 +391,122 @@ private class AvroReaderFactory(readerSchemaJson: String,
         row
       }
       override def close(): Unit = reader.close()
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// Write path — `df.write.format("graft.sources.AvroSource")
+//   .mode("append"|"overwrite").save(path)`.
+//
+// Commit protocol (the warehouse's staged-move discipline): every task
+// writes `part-<partition>-<task>.avro` into `path/_write_<queryId>`
+// (an underscore dir the read side's listing ignores), task commit
+// reports the file, job commit moves the staged files into place — on
+// overwrite after deleting the existing `*.avro` data files — and
+// drops staging LAST. A crash anywhere before job commit leaves the
+// live data untouched; task retries write distinct task-id names, and
+// only files named in COMMITTED task messages are moved, so a zombie
+// task's output dies with the staging dir.
+// ---------------------------------------------------------------------
+
+private class AvroWriteBuilder(path: String, schema: StructType,
+                               queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new AvroBatchWrite(path, schema, queryId, doTruncate)
+    }
+}
+
+private case class AvroCommitMessage(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private class AvroBatchWrite(path: String, schema: StructType,
+                             queryId: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private def stagingPath = new Path(path, s"_write_$queryId")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new AvroDataWriterFactory(stagingPath.toString,
+      AvroSource.avroSchemaOf(schema).toString, schema)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (!fs.exists(root)) fs.mkdirs(root)
+    if (truncate)
+      Option(fs.listStatus(root)).toSeq.flatten
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+        .foreach(st => fs.delete(st.getPath, false))
+    messages.foreach {
+      case AvroCommitMessage(files) => files.foreach { f =>
+        val src = new Path(f)
+        fs.rename(src, new Path(root, src.getName)); ()
+      }
+      case _ => ()
+    }
+    fs.delete(stagingPath, true)
+    ()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = stagingPath.getFileSystem(new Configuration())
+    fs.delete(stagingPath, true)
+    ()
+  }
+}
+
+private class AvroDataWriterFactory(staging: String, avroSchemaJson: String,
+                                    sqlSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val avroSchema = new Schema.Parser().parse(avroSchemaJson)
+    val file = new Path(staging, f"part-$partitionId%05d-$taskId.avro")
+    val fs = file.getFileSystem(new Configuration())
+    val out = fs.create(file, true)
+    val writer = new DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](
+        avroSchema))
+    writer.create(avroSchema, out)
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+        var i = 0
+        while (i < sqlSchema.length) {
+          rec.put(i, AvroSource.toAvro(row.get(i, sqlSchema(i).dataType),
+            sqlSchema(i).dataType, avroSchema.getFields.get(i).schema()))
+          i += 1
+        }
+        writer.append(rec)
+        ()
+      }
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        writer.close()
+        AvroCommitMessage(Seq(file.toString))
+      }
+      override def abort(): Unit = {
+        try writer.close() catch { case _: Throwable => () }
+        if (fs.exists(file)) fs.delete(file, false)
+        ()
+      }
+      override def close(): Unit = ()
     }
   }
 }

@@ -127,6 +127,17 @@ object Tables {
   def avro(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft.sources.AvroSource").load(path)
 
+  /** Avro container-file batch sink — [[AvroSource]]'s write side
+    * (staged per-task files, job-commit move; overwrite truncates the
+    * existing `*.avro` data files first).
+    */
+  def avroWrite(df: DataFrame, path: String,
+                overwrite: Boolean = true): Unit =
+    df.write.format("graft.sources.AvroSource")
+      .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append)
+      .save(path)
+
   /** JSONL batch scan with explicit schema — the batch twin of the
     * streaming [[graft.stream.Pipeline.fileTextSource]] + from_json
     * path. Explicit schema for the same reason as [[csv]]: schema

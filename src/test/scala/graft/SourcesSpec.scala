@@ -75,6 +75,27 @@ class SourcesSpec extends AnyFunSuite {
       scanDesc.take(800))
   }
 
+  test("Avro write roundtrip through own reader: nested types, append and overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("avro-write").toString
+    val src = Seq(
+      (1L, Some("a"), Seq(1, 2), Map("k" -> 1.5), ("x", 7L)),
+      (2L, None, Seq.empty[Int], Map.empty[String, Double], ("y", 8L)))
+      .toDF("id", "tag", "xs", "m", "nested")
+    Tables.avroWrite(src, dir)
+    val back = Tables.avro(spark, dir)
+    assert(shape(back.schema) == shape(src.schema))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getSeq[Int](2),
+        r.getMap[String, Double](3).toMap, r.getStruct(4).toSeq)).toSeq
+    assert(rows(back) == rows(src))
+    // append adds rows; overwrite replaces them
+    Tables.avroWrite(src.filter(col("id") === 1L), dir, overwrite = false)
+    assert(Tables.avro(spark, dir).count() == 3L)
+    Tables.avroWrite(src.filter(col("id") === 2L), dir)
+    val after = Tables.avro(spark, dir)
+    assert(after.count() == 1L && after.head().getLong(0) == 2L)
+  }
+
   test("Avro sync-marker splitting: many byte-range partitions, rows exactly once") {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
