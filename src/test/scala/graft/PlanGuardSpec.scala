@@ -15,6 +15,33 @@ class PlanGuardSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("pack_global's cumsum window is bucket-partitioned, never global") {
+    // The operator exists to avoid the one-task global window: its
+    // single Window node must be partitioned by the quantile bucket id
+    // (a partition-less windowspecdefinition is the failure mode that
+    // funnels the corpus through one task).
+    val df = SparkEntry.queries("pack_global")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("__pid")),
+      s"window partition specs: $specs\n$p")
+  }
+
+  test("simhash_pairs runs the fingerprint aggregate once (reused exchange)") {
+    // The band self-join's two sides must share the one explode + vote
+    // aggregate via exchange reuse — the minhash joins' contract,
+    // asserted on the final adaptive plan.
+    val df = SparkEntry.queries("simhash_pairs")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p)
+    assert("Generate explode".r.findAllIn(p).length <= 2, p)
+  }
+
   test("top_events is a TakeOrderedAndProject, not a global sort") {
     val p = plan("top_events")
     assert(p.contains("TakeOrderedAndProject"), p)
