@@ -294,8 +294,22 @@ private class AvroTable(path: String, splitBytes: Long,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Reads always decode under the files' writer schema. A
+    // user-specified `.schema(...)` that differs would be silently
+    // ignored — fail loudly instead (the explicit-schema sources get
+    // their fail-on-drift contract from Spark; this one derives it
+    // from the container header).
+    provided.foreach { s =>
+      val derived = AvroSource.sqlSchemaOf(
+        AvroSource.writerSchema(AvroSource.listFiles(path)))
+      require(s == derived,
+        s"AvroSource reads with the files' writer schema " +
+          s"${derived.catalogString}; a different user schema " +
+          s"${s.catalogString} cannot override it — drop .schema(...)")
+    }
     new AvroScanBuilder(path, splitBytes)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =

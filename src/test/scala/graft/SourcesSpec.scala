@@ -126,6 +126,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(split.collect().map(_.toSeq).toSet == whole)
   }
 
+
+  test("Avro read rejects a conflicting user schema instead of ignoring it") {
+    val dir = java.nio.file.Files.createTempDirectory("avro-uschema").toString
+    Tables.avroWrite(Seq((1L, "a")).toDF("id", "tag"), dir)
+    val wrong = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType)))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.AvroSource")
+        .schema(wrong).load(dir).collect()
+    }
+    assert(e.getMessage.contains("writer schema"))
+  }
+
   test("ORC roundtrip preserves rows, schema, and nulls") {
     val dir = java.nio.file.Files.createTempDirectory("orc").toString
     df.write.mode("overwrite").orc(dir)
