@@ -1242,6 +1242,18 @@ object SparkEntry {
         k = 10)
     }),
 
+    // Two-stage retrieval — the production ANN SERVING pattern: the
+    // corpus-wide pass scores 8-byte PQ codes to a 50-candidate
+    // shortlist, exact cosine reranks only those 50 raw vectors
+    // (broadcast semi-join, never a second corpus scan). The oracle
+    // reproduces shortlist AND rerank.
+    "pq_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Quantization.pqRerank(emb,
+        Quantization.pqTrain(emb, m = 4, k = 16, iters = 3), queryId = 0L,
+        k = 10, kCand = 50)
+    }),
+
     // IVF × PQ: probe 2 coarse cells, ADC-score only their members —
     // the memory-and-pruning composition a 100 TB vector index runs
     // (cells partition-prune the scan, codes replace raw vectors).
@@ -2659,6 +2671,7 @@ object SparkEntry {
       // PQ codebook training + encoding + ADC reproduced in SQL — see
       // [[graft.oracle.PqSql]].
       "pq_topk" -> graft.oracle.PqSql.pqTopKSql,
+      "pq_rerank" -> graft.oracle.PqSql.pqRerankSql(),
       "pq_topk_ivf" -> graft.oracle.PqSql.pqTopKIvfSql,
       "pq_topk_indexed" -> graft.oracle.PqSql.pqTopKIvfSql,
       "pq_recall" -> graft.oracle.PqSql.pqRecallSql,

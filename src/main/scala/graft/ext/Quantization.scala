@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecSumAgg
-import graft.functions.VectorFunctions.vec_dot
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 
 /** Product quantization (PQ) — the memory side of the ANN stack: each
   * embedding splits into `m` subvectors, each subvector is replaced by
@@ -165,6 +165,33 @@ object Quantization {
     pqEncode(emb, books, dim).crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"), adcScore(books).as("adc_ip"))
       .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Two-stage retrieval — the production ANN SERVING pattern: PQ-ADC
+    * scores the CODES to shortlist `kCand` candidates (the only
+    * corpus-wide pass, over 8-byte codes instead of 256-byte raw
+    * vectors), then EXACT cosine reranks just those candidates against
+    * the raw table — a kCand-row broadcast semi-join, never a second
+    * corpus scan. Recall follows the shortlist (ADC's ranking error is
+    * absorbed by kCand ≫ k); latency follows the codes scan. Composes
+    * with the IVF prune and the persisted index exactly like
+    * [[pqTopK]]→[[pqTopKIvf]]→[[pqTopKIndexed]]; self-hit contract as
+    * [[pqTopK]] (the stored query vector reranks to cosine 1.0 and
+    * leads).
+    */
+  def pqRerank(emb: DataFrame, books: Seq[Seq[Seq[Float]]], queryId: Long,
+               k: Int, kCand: Int = 100, dim: Int = 64): DataFrame = {
+    val cand = pqTopK(emb, books, queryId, kCand, dim).select("vec_id")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"),
+        vec_norm(col("embedding")).as("q_norm"))
+    emb.join(cand, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(vec_dot(col("embedding"), col("q_embedding")) /
+          (vec_norm(col("embedding")) * col("q_norm")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
 

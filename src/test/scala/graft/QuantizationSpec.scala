@@ -105,6 +105,28 @@ class QuantizationSpec extends AnyFunSuite {
       s"ADC returned out-of-cluster ids: ${adc.filterNot(_ % 4 == 0).toSeq}")
   }
 
+  test("pqRerank: full shortlist equals the exact ranking; narrow shortlist stays ADC-bounded") {
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
+      dim = 8, seed = 11L)
+    val n = clustered.count().toInt
+    // kCand = corpus → the rerank IS the exact ranking (self-hit leads
+    // at cosine 1.0, then the exact top-(k−1))
+    val full = Quantization.pqRerank(clustered, trained, queryId = 0L,
+        k = 10, kCand = n, dim = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = 0L +: Similarity.cosineTopK(clustered, queryId = 0L, k = 9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === exact)
+    // narrow shortlist: every reranked hit must come from the ADC
+    // top-kCand (the rerank can reorder the shortlist, never leave it)
+    val cand = Quantization.pqTopK(clustered, trained, 0L, 20, dim = 8)
+      .collect().map(_.getLong(0)).toSet
+    val narrow = Quantization.pqRerank(clustered, trained, 0L, k = 10,
+        kCand = 20, dim = 8)
+      .collect().map(_.getLong(0))
+    assert(narrow.length == 10 && narrow.forall(cand))
+  }
+
   test("sampled PQ training is deterministic and equals the explicit-sample fit") {
     val a = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 3,
       dim = 8, seed = 11L, sampleCap = 64)
