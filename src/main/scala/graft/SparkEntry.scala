@@ -1280,6 +1280,20 @@ object SparkEntry {
       Quantization.pqTopKIndexed(s, idx, qVec, k = 10)
     }),
 
+    // Two-stage retrieval over the PERSISTED index — the deployment
+    // form: cell-pruned at-rest codes shortlist 50 candidates, exact
+    // cosine reranks only those against the raw table. Oracle = the
+    // probed-cell ADC shortlist + exact round-4 rerank.
+    "pq_rerank_indexed" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = Quantization.pqIndexPathFor(dir)
+      Quantization.ensurePqIndex(s, emb, idx, m = 4, k = 16, iters = 3,
+        sourcePath = Some(s"$dir/embeddings.parquet"))
+      val qVec = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Quantization.pqRerankIndexed(s, idx, emb, qVec, k = 10, kCand = 50)
+    }),
+
     // IVF over the PERSISTED index (cell = partition key): the scan reads
     // ONLY the probed cells' files (static partition pruning — the
     // repeated-query cost model at 100 TB), and returns exactly
@@ -2672,6 +2686,7 @@ object SparkEntry {
       // [[graft.oracle.PqSql]].
       "pq_topk" -> graft.oracle.PqSql.pqTopKSql,
       "pq_rerank" -> graft.oracle.PqSql.pqRerankSql(),
+      "pq_rerank_indexed" -> graft.oracle.PqSql.pqRerankIvfSql(),
       "pq_topk_ivf" -> graft.oracle.PqSql.pqTopKIvfSql,
       "pq_topk_indexed" -> graft.oracle.PqSql.pqTopKIvfSql,
       "pq_recall" -> graft.oracle.PqSql.pqRecallSql,

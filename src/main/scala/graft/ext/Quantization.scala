@@ -173,8 +173,13 @@ object Quantization {
     * corpus-wide pass, over 8-byte codes instead of 256-byte raw
     * vectors), then EXACT cosine reranks just those candidates against
     * the raw table — a kCand-row broadcast semi-join, never a second
-    * corpus scan. Recall follows the shortlist (ADC's ranking error is
-    * absorbed by kCand ≫ k); latency follows the codes scan. Composes
+    * corpus scan. Latency follows the codes scan; recall follows the
+    * shortlist, and the sizing rule is NOT "kCand ≫ k" alone: vectors
+    * in the same ADC code cell TIE, ranked only by id, so kCand must
+    * cover the query's code-cell population (PqDrill measures 0.10
+    * recall@10 at kCand = 100 under a ~4000-member tie class, 1.00 at
+    * 2× the class — see SCALE.md; finer codes, larger m·log₂k, shrink
+    * the class). Composes
     * with the IVF prune and the persisted index exactly like
     * [[pqTopK]]→[[pqTopKIvf]]→[[pqTopKIndexed]]; self-hit contract as
     * [[pqTopK]] (the stored query vector reranks to cosine 1.0 and
@@ -451,6 +456,31 @@ object Quantization {
             element_at(typedLit(t), col("codes").getItem(s) + 1) }
           .reduce(_ + _), 4).as("adc_ip"))
       .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[pqRerank]] over the PERSISTED index — the deployment form of
+    * two-stage retrieval: cell-pruned at-rest CODES generate the
+    * `kCand` shortlist ([[pqTopKIndexed]]; raw vectors never read),
+    * then exact cosine reranks only the shortlist against the raw
+    * `emb` table (kCand-row broadcast semi-join — at scale an
+    * id-keyed point lookup, never a corpus scan). The kCand sizing
+    * rule is [[pqRerank]]'s, tightened by the probe: candidates come
+    * only from the query's `nprobe` cells, so kCand bounds work
+    * WITHIN the probed population.
+    */
+  def pqRerankIndexed(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, emb: DataFrame,
+                      queryVec: Array[Float], k: Int, kCand: Int = 100,
+                      nprobe: Int = 2): DataFrame = {
+    val cand = pqTopKIndexed(spark, indexPath, queryVec, kCand, nprobe)
+      .select("vec_id")
+    val qNorm = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    emb.join(cand, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("label"),
+        round(vec_dot(col("embedding"), typedLit(queryVec.toSeq)) /
+          (vec_norm(col("embedding")) * lit(qNorm)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
 }

@@ -160,6 +160,26 @@ class QuantizationSpec extends AnyFunSuite {
     assert(hits.forall(full.contains))
   }
 
+  test("pqRerankIndexed with every cell probed equals the in-frame pqRerank") {
+    // nprobe = nlist → the at-rest shortlist IS the full ADC
+    // shortlist, so the two-stage indexed path must reproduce the
+    // in-frame two-stage ranker row-for-row.
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
+      dim = 8, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-rerank")
+      .toString + "/idx"
+    Quantization.buildPqIndex(clustered, dir, trained, dim = 8, nlist = 8)
+    val qVec = clustered.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val indexed = Quantization.pqRerankIndexed(spark, dir, clustered, qVec,
+      k = 10, kCand = 30, nprobe = 8).collect().toSeq
+    val inframe = Quantization.pqRerank(clustered, trained, queryId = 0L,
+      k = 10, kCand = 30, dim = 8).collect().toSeq
+    assert(indexed === inframe)
+    assert(indexed.head.getLong(0) == 0L &&
+      indexed.head.getDouble(2) == 1.0) // self-hit leads at cosine 1.0
+  }
+
   test("persisted PQ index: pruned driver-table ADC equals the in-frame ranker") {
     val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
       dim = 8, seed = 11L)
