@@ -1447,6 +1447,17 @@ object SparkEntry {
     "bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(T(s, dir, "documents"))),
 
+    // Cross-corpus LM scoring — CCNet-style perplexity filtering: the
+    // bigram LM trains on a TRUSTED reference slice (id < 250) and
+    // scores the rest under it; low scorers are out-of-distribution.
+    // Add-1 smoothing over the reference vocab keeps unseen grams
+    // finite (log(1/V) floor).
+    "bigram_logprob_ref" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.bigramLogProbAgainst(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    }),
+
     // Zipf rank-frequency slope over the top tokens: corpus-health
     // regression on ln(rank) vs ln(count).
     "zipf_slope" -> ((s, dir) =>
@@ -2316,6 +2327,20 @@ object SparkEntry {
           |SELECT doc_id, COUNT(*) AS n_bigrams,
           |  ROUND(CAST(SUM(CAST(LN(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
           |FROM b JOIN c2 USING (bg) JOIN c1 ON b.w1 = c1.w
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "bigram_logprob_ref" ->
+        """WITH ref AS (SELECT string_split_regex(TRIM(text), '\s+') AS toks FROM documents WHERE doc_id < 250),
+          |cand AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents WHERE doc_id >= 250),
+          |ru AS (SELECT UNNEST(toks) AS w FROM ref),
+          |c1 AS (SELECT w, COUNT(*) AS c1 FROM ru GROUP BY 1),
+          |v AS (SELECT COUNT(DISTINCT w) AS v FROM ru),
+          |rp AS (SELECT toks, UNNEST(generate_series(1, LEN(toks) - 1)) AS i FROM ref),
+          |c2 AS (SELECT bg, COUNT(*) AS c2 FROM (SELECT toks[i] || ' ' || toks[i + 1] AS bg FROM rp) GROUP BY 1),
+          |p AS (SELECT doc_id, toks, UNNEST(generate_series(1, LEN(toks) - 1)) AS i FROM cand),
+          |b AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg FROM p)
+          |SELECT doc_id, COUNT(*) AS n_bigrams,
+          |  ROUND(CAST(SUM(CAST(LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 1.0 * v.v)) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
+          |FROM b LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON b.w1 = c1.w CROSS JOIN v
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "zipf_slope" ->
         """WITH c AS (

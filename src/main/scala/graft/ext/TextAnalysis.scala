@@ -460,6 +460,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[bigramLogProb]] with the LM trained on a separate REFERENCE
+    * corpus — CCNet-style perplexity filtering, the curation form:
+    * counts come from a trusted slice (wiki-grade text, a curated
+    * dump), candidates score under THAT model, and low scorers are
+    * out-of-distribution (boilerplate, wrong language, gibberish) —
+    * one of the standard web-corpus quality screens.
+    *
+    * Add-k smoothing over the reference unigram vocabulary `V` keeps
+    * unseen grams finite instead of log(0):
+    * P(w₂|w₁) = (c₂ + k) / (c₁ + k·V); a fully-unseen prefix bottoms
+    * out at log(1/V). Same conventions as [[bigramLogProb]]: grams are
+    * collision-free 64-bit hashes, the per-doc mean sums through
+    * DECIMAL, docs under 2 tokens carry no bigrams and yield no row.
+    * At 100 TB the reference counts ARE the model — two hash-keyed
+    * aggregate tables the candidate stream left-joins by gram hash
+    * (broadcast when the reference is small); the candidate corpus is
+    * scanned once per n-gram order, reference once at train time.
+    */
+  def bigramLogProbAgainst(reference: DataFrame, docs: DataFrame,
+                           smoothK: Double = 1.0): DataFrame = {
+    val refUni = Dedup.hashedShingles(reference, 1)
+    val c1 = refUni.groupBy(col("h").as("h1")).agg(count(lit(1)).as("c1"))
+    val c2 = Dedup.hashedShingles(reference, 2)
+      .groupBy(col("h").as("h2")).agg(count(lit(1)).as("c2"))
+    val vocab = refUni.agg(countDistinct(col("h")).as("v"))
+    val uni = Dedup.hashedShingles(docs, 1)
+    val bi = Dedup.hashedShingles(docs, 2)
+    bi.select(col("doc_id"), col("pos"), col("h").as("h2"))
+      .join(uni.select(col("doc_id"), col("pos"), col("h").as("h1")),
+        Seq("doc_id", "pos"))
+      .join(c2, Seq("h2"), "left")
+      .join(c1, Seq("h1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + smoothK) /
+            (coalesce(col("c1"), lit(0L)) + lit(smoothK) * col("v")))
+          .cast("decimal(27,12)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4)
+          .as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Sketch rollup: per-language vocabulary sizes as mergeable HLL
     * sketches (Spark's DataSketches-backed `hll_sketch_agg`), plus the
     * all-languages union row computed by MERGING THE SKETCHES — not by

@@ -727,6 +727,27 @@ class ExtSpec extends AnyFunSuite {
     assert(df2.toSeq == Seq(("x y", 2L)))
   }
 
+  test("cross-corpus bigram LM: in-distribution scores higher; unseen grams floor at log(1/V)") {
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "the cat sat"), // in-distribution
+      (11L, "purple quantum blender")) // fully out-of-distribution
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbAgainst(ref, cand).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference: c1(the)=2, others 1; every bigram once; V = 5.
+    // doc 10: "the cat" → (1+1)/(2+5), "cat sat" → (1+1)/(1+5)
+    val exp10 = (math.log(2.0 / 7) + math.log(2.0 / 6)) / 2
+    assert(out(10L)._1 == 2L && math.abs(out(10L)._2 - round4(exp10)) < 1e-9)
+    // doc 11: both bigrams AND prefixes unseen → (0+1)/(0+5) each —
+    // the finite smoothing floor, not -inf
+    assert(out(11L)._1 == 2L &&
+      out(11L)._2 == round4(math.log(1.0 / 5)))
+    assert(out(10L)._2 > out(11L)._2)
+  }
+
   test("unigram log-prob: uniform corpus frequency → exact ln of the share") {
     val tiny = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
     val out = TextAnalysis.unigramLogProb(tiny).collect()
