@@ -28,6 +28,30 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Clamp telemetry surface (r11 verdict item 5): every capped
+    // candidate join exposes dropped_buckets / dropped_rows / max_bucket
+    // via Dataset.observe, but without a listener those metrics die with
+    // the query. Collect them here, keyed by OBSERVATION name (stable
+    // per operator — `Dedup.capBandBuckets` observeName, `itemPairs`'s
+    // basket clamp), because QueryExecutionListener delivery is async
+    // and per-bench-query attribution by a mutable var would be racy.
+    // Last-write-wins per name is right: cold and warm passes observe
+    // the same data, and a real drop fires in both.
+    val observedMetrics =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            observedMetrics.put(name,
+              row.schema.fieldNames.zip(row.toSeq).toMap); ()
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     // Warm the session (codegen compiler, parquet footer reader, shuffle
     // machinery) so JVM init isn't attributed to whichever query happens
     // to run first. Best-effort: a warmup failure must never kill the
@@ -222,7 +246,14 @@ object Bench {
       Double.box(indexWarmupSec))
     val fmt = (d: Double) =>
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":$warmTotal,"warm_failed":$warmFailedJson,"warm_anomalies":$warmAnomaliesJson,"steal_cold_sec":${fmt(stealCold)},"steal_warm_sec":${fmt(stealWarm)},"warmup_failed":$warmupFailedJson,"index_warmup_sec":$idxSec,"index_built":$indexBuiltJson,"sf":"$sfDir"}"""
+    // Fixed %.3f for the totals (not raw Double interpolation): the
+    // trend guard below re-parses warm_total from BENCH_LAST.json with a
+    // [0-9.]+ regex, and a raw Double can serialize as scientific
+    // notation (1.0E-4) which that regex would mis-parse as 1.0 — the
+    // formatting IS the parse contract.
+    val fmt3 = (d: Double) =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"warm_total":${fmt3(warmTotal)},"warm_failed":$warmFailedJson,"warm_anomalies":$warmAnomaliesJson,"steal_cold_sec":${fmt(stealCold)},"steal_warm_sec":${fmt(stealWarm)},"warmup_failed":$warmupFailedJson,"index_warmup_sec":$idxSec,"index_built":$indexBuiltJson,"sf":"$sfDir"}"""
     // Belt and braces: the line also lands in BENCH_LAST.json next to
     // the sources, immune to any log-tail truncation — EXTENDED with the
     // per-query warm timings (kept out of the stdout line so the
@@ -272,8 +303,43 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" +
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
         .mkString("{", ",", "}")
+    // Drain the async listener bus (QueryExecutionListener delivery is
+    // best-effort ordered, not synchronous) before reading the observed
+    // metrics; 1 s is orders of magnitude beyond the bus's drain time
+    // for this suite and costs nothing against a multi-second bench.
+    Thread.sleep(1000)
+    val obsSnapshot = {
+      import scala.jdk.CollectionConverters._
+      observedMetrics.asScala.toSeq.sortBy(_._1)
+    }
+    def obsValueJson(v: Any): String = v match {
+      case null => "null"
+      case n: Long => n.toString
+      case n: Int => n.toString
+      case n: Double => fmt3(n)
+      case n: Float => fmt3(n.toDouble)
+      case other => "\"" + other.toString.replace("\"", "'") + "\""
+    }
+    val obsJson = obsSnapshot.map { case (name, fields) =>
+      "\"" + name + "\":" + fields.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + obsValueJson(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    // Loud flag: any clamp actually dropping data on this corpus is a
+    // recall event the driver log must carry, not just a JSON field.
+    val clampFired = obsSnapshot.collect {
+      case (name, fields) if fields.exists {
+        case (k, v: Long) => k.startsWith("dropped") && v > 0L
+        case (k, v: Int) => k.startsWith("dropped") && v > 0
+        case _ => false
+      } => name
+    }
+    clampFired.foreach(n => System.err.println(
+      s"[bench] CLAMP DROPPED DATA on this corpus: observation '$n' — " +
+        "recall is bounded by the cap here; see observed_metrics in BENCH_LAST.json"))
+    val clampJson = clampFired.map("\"" + _ + "\"").mkString("[", ",", "]")
     val extended = line.dropRight(1) +
-      s""","warm_total_prev":$prevJson,"warm_queries":$warmQs,"steal_queries":${stealJson(stealByQuery)},"steal_queries_warm":${stealJson(stealByQueryWarm)}}"""
+      s""","warm_total_prev":$prevJson,"warm_queries":$warmQs,"steal_queries":${stealJson(stealByQuery)},"steal_queries_warm":${stealJson(stealByQueryWarm)},"observed_metrics":$obsJson,"clamp_dropped":$clampJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), extended + "\n")
     catch { case e: Throwable =>
