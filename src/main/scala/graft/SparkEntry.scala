@@ -1243,15 +1243,17 @@ object SparkEntry {
     }),
 
     // Two-stage retrieval — the production ANN SERVING pattern: the
-    // corpus-wide pass scores 8-byte PQ codes to a 50-candidate
-    // shortlist, exact cosine reranks only those 50 raw vectors
-    // (broadcast semi-join, never a second corpus scan). The oracle
-    // reproduces shortlist AND rerank.
+    // corpus-wide pass scores 8-byte PQ codes into an AUTO-SIZED
+    // shortlist (tie-class-complete ADC threshold — no hand-tuned
+    // kCand constant; the r11 sizing law executed, not documented),
+    // exact cosine reranks only those raw vectors (broadcast
+    // semi-join, never a second corpus scan). The oracle reproduces
+    // threshold, shortlist AND rerank.
     "pq_rerank" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Quantization.pqRerank(emb,
+      Quantization.pqRerankAuto(emb,
         Quantization.pqTrain(emb, m = 4, k = 16, iters = 3), queryId = 0L,
-        k = 10, kCand = 50)
+        k = 10)
     }),
 
     // IVF × PQ: probe 2 coarse cells, ADC-score only their members —
@@ -1281,9 +1283,10 @@ object SparkEntry {
     }),
 
     // Two-stage retrieval over the PERSISTED index — the deployment
-    // form: cell-pruned at-rest codes shortlist 50 candidates, exact
-    // cosine reranks only those against the raw table. Oracle = the
-    // probed-cell ADC shortlist + exact round-4 rerank.
+    // form: cell-pruned at-rest codes build the AUTO-SIZED shortlist
+    // (tie-class threshold WITHIN the probed population), exact cosine
+    // reranks only those against the raw table. Oracle = the
+    // probed-cell threshold shortlist + exact round-4 rerank.
     "pq_rerank_indexed" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val idx = Quantization.pqIndexPathFor(dir)
@@ -1291,7 +1294,7 @@ object SparkEntry {
         sourcePath = Some(s"$dir/embeddings.parquet"))
       val qVec = emb.filter(col("vec_id") === 0L)
         .select("embedding").head().getSeq[Float](0).toArray
-      Quantization.pqRerankIndexed(s, idx, emb, qVec, k = 10, kCand = 50)
+      Quantization.pqRerankIndexedAuto(s, idx, emb, qVec, k = 10)
     }),
 
     // IVF over the PERSISTED index (cell = partition key): the scan reads
@@ -2710,8 +2713,8 @@ object SparkEntry {
       // PQ codebook training + encoding + ADC reproduced in SQL — see
       // [[graft.oracle.PqSql]].
       "pq_topk" -> graft.oracle.PqSql.pqTopKSql,
-      "pq_rerank" -> graft.oracle.PqSql.pqRerankSql(),
-      "pq_rerank_indexed" -> graft.oracle.PqSql.pqRerankIvfSql(),
+      "pq_rerank" -> graft.oracle.PqSql.pqRerankAutoSql(),
+      "pq_rerank_indexed" -> graft.oracle.PqSql.pqRerankIvfAutoSql(),
       "pq_topk_ivf" -> graft.oracle.PqSql.pqTopKIvfSql,
       "pq_topk_indexed" -> graft.oracle.PqSql.pqTopKIvfSql,
       "pq_recall" -> graft.oracle.PqSql.pqRecallSql,

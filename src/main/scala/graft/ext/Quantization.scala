@@ -188,6 +188,15 @@ object Quantization {
   def pqRerank(emb: DataFrame, books: Seq[Seq[Seq[Float]]], queryId: Long,
                k: Int, kCand: Int = 100, dim: Int = 64): DataFrame = {
     val cand = pqTopK(emb, books, queryId, kCand, dim).select("vec_id")
+    exactRerankById(emb, cand, queryId, k)
+  }
+
+  /** The exact-cosine second stage shared by every rerank flavor: a
+    * candidate-row broadcast semi-join against the raw table — at
+    * scale an id-keyed point lookup, never a corpus scan.
+    */
+  private def exactRerankById(emb: DataFrame, cand: DataFrame,
+                              queryId: Long, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"),
         vec_norm(col("embedding")).as("q_norm"))
@@ -198,6 +207,62 @@ object Quantization {
           (vec_norm(col("embedding")) * col("q_norm")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The tie-class-complete shortlist threshold: the highest ADC score
+    * at which the cumulative tie-class population reaches `k` — every
+    * vector scoring at or above it is a candidate. Vectors tying on the
+    * rounded ADC score are ranked only by id, so any FIXED kCand that
+    * cuts inside a tie class silently drops members the exact stage
+    * never sees (PqDrill measured recall@10 = 0.10 at kCand=100 under a
+    * ~4,000-member tie class — the r11 verdict's sizing-law finding);
+    * thresholding at the class boundary makes the shortlist exactly as
+    * large as the corpus's score structure requires, with recall equal
+    * to the ADC tie-class ranking's — the best any ADC-scored shortlist
+    * can do. The histogram is over DISTINCT rounded scores — bounded by
+    * the code-cell count (kᵐ, 65,536 at m=4·k=16), never the corpus —
+    * so the single-partition running-sum window is bounded metadata,
+    * the [[graft.ext.Vocab]] 1-row-argmax rule. A corpus smaller than
+    * `k` thresholds at −∞ (everything shortlists).
+    */
+  private def adcThreshold(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("adc_ip").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.groupBy("adc_ip").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") >= k)
+      .agg(coalesce(max(col("adc_ip")), lit(Double.MinValue))
+        .as("adc_threshold"))
+  }
+
+  /** [[pqRerank]] with the shortlist AUTO-SIZED from the corpus's ADC
+    * score structure instead of a hand-tuned kCand: candidates are all
+    * vectors scoring at or above [[adcThreshold]], so the shortlist
+    * always covers whole tie classes and recall never silently degrades
+    * when a template-heavy corpus inflates a class past a constant
+    * (the r11 kCand sizing law, executed instead of documented). Costs
+    * one extra pass over the 8-byte CODES (the histogram) — still never
+    * a second raw-vector scan. The chosen size and threshold are
+    * observable (`Dataset.observe`: `kcand_effective`,
+    * `adc_threshold_observed`) under `observeName` — unique per plan,
+    * the [[Dedup.capBandBuckets]] rule.
+    */
+  def pqRerankAuto(emb: DataFrame, books: Seq[Seq[Seq[Float]]],
+                   queryId: Long, k: Int, dim: Int = 64,
+                   observeName: String = "pq_rerank_auto"): DataFrame = {
+    val dsub = dsubFor(books.length, dim)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(querySubs(books.length, dsub): _*)
+    val scored = pqEncode(emb, books, dim).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), adcScore(books).as("adc_ip"))
+    val cand = scored.crossJoin(broadcast(adcThreshold(scored, k)))
+      .filter(col("adc_ip") >= col("adc_threshold"))
+      .observe(observeName, count(lit(1)).as("kcand_effective"),
+        min(col("adc_ip")).as("adc_threshold_observed"))
+      .select("vec_id")
+    exactRerankById(emb, cand, queryId, k)
   }
 
   /** The production pairing: the IVF coarse quantizer prunes WHICH
@@ -426,7 +491,19 @@ object Quantization {
     */
   def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, queryVec: Array[Float], k: Int,
-                    nprobe: Int = 2): DataFrame = {
+                    nprobe: Int = 2): DataFrame =
+    pqScoredIndexed(spark, indexPath, queryVec, nprobe)
+      .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(k)
+
+  /** The probed-cell ADC scoring every indexed consumer ranks or
+    * thresholds: (vec_id, label, adc_ip) for the query's `nprobe`
+    * cells, scored by driver-precomputed lookup tables over the
+    * at-rest codes.
+    */
+  private def pqScoredIndexed(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, queryVec: Array[Float],
+                              nprobe: Int): DataFrame = {
     // A MISSING index fails loudly inside the gate; a committed empty
     // base (cold-start crash window: _books marker, zero ingest=
     // partitions) yields an empty ranking — but only AFTER the query
@@ -455,8 +532,6 @@ object Quantization {
         round(tables.zipWithIndex.map { case (t, s) =>
             element_at(typedLit(t), col("codes").getItem(s) + 1) }
           .reduce(_ + _), 4).as("adc_ip"))
-      .orderBy(col("adc_ip").desc, col("vec_id"))
-      .limit(k)
   }
 
   /** [[pqRerank]] over the PERSISTED index — the deployment form of
@@ -475,6 +550,11 @@ object Quantization {
                       nprobe: Int = 2): DataFrame = {
     val cand = pqTopKIndexed(spark, indexPath, queryVec, kCand, nprobe)
       .select("vec_id")
+    exactRerankByVec(emb, cand, queryVec, k)
+  }
+
+  private def exactRerankByVec(emb: DataFrame, cand: DataFrame,
+                               queryVec: Array[Float], k: Int): DataFrame = {
     val qNorm = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
     emb.join(cand, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("label"),
@@ -482,5 +562,27 @@ object Quantization {
           (vec_norm(col("embedding")) * lit(qNorm)), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** [[pqRerankIndexed]] with the [[pqRerankAuto]] auto-sized
+    * shortlist: the threshold histogram runs over the PROBED cells'
+    * at-rest codes (the same cell-pruned scan the shortlist reads —
+    * two passes over pruned 8-byte codes, never a raw-vector scan),
+    * so kCand covers whole tie classes WITHIN the probed population.
+    * Same observability contract (`kcand_effective`,
+    * `adc_threshold_observed` under `observeName`).
+    */
+  def pqRerankIndexedAuto(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, emb: DataFrame,
+                          queryVec: Array[Float], k: Int, nprobe: Int = 2,
+                          observeName: String = "pq_rerank_indexed_auto")
+      : DataFrame = {
+    val scored = pqScoredIndexed(spark, indexPath, queryVec, nprobe)
+    val cand = scored.crossJoin(broadcast(adcThreshold(scored, k)))
+      .filter(col("adc_ip") >= col("adc_threshold"))
+      .observe(observeName, count(lit(1)).as("kcand_effective"),
+        min(col("adc_ip")).as("adc_threshold_observed"))
+      .select("vec_id")
+    exactRerankByVec(emb, cand, queryVec, k)
   }
 }

@@ -160,6 +160,47 @@ p${s}c$i AS (SELECT c.code,
        |FROM ex e JOIN cand c ON c.vec_id = e.vec_id, q
        |ORDER BY cosine DESC, e.vec_id LIMIT $k""".stripMargin
 
+  /** Exact-rerank tail shared by the auto-threshold oracles. */
+  private def rerankTail(k: Int): String =
+    s"""ex AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+       |       sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+       |       FROM embeddings),
+       |q AS (SELECT emb_d AS qe, nrm AS qn FROM ex WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ROUND(list_dot_product(e.emb_d, q.qe)/(e.nrm*q.qn), 4) AS cosine
+       |FROM ex e JOIN cand c ON c.vec_id = e.vec_id, q
+       |ORDER BY cosine DESC, e.vec_id LIMIT $k""".stripMargin
+
+  /** Oracle for `pq_rerank` (auto-sized two-stage retrieval): the
+    * shortlist is every vector whose ADC score reaches the tie-class-
+    * complete threshold — the highest score at which the cumulative
+    * tie-class population reaches `k` (engine: `adcThreshold`). The
+    * window's default RANGE frame equals the engine's ROWS frame
+    * because the histogram rows are DISTINCT scores (no peers). A
+    * corpus smaller than `k` thresholds at −∞.
+    */
+  def pqRerankAutoSql(k: Int = 10): String =
+    s"""WITH ${common()},
+       |cum AS (SELECT adc_ip, SUM(n) OVER (ORDER BY adc_ip DESC) AS cum
+       |        FROM (SELECT adc_ip, COUNT(*) AS n FROM adc GROUP BY adc_ip)),
+       |thr AS (SELECT COALESCE(MAX(adc_ip), -1e308) AS t FROM cum WHERE cum >= $k),
+       |cand AS (SELECT vec_id FROM adc, thr WHERE adc_ip >= t),
+       |${rerankTail(k)}""".stripMargin
+
+  /** Oracle for `pq_rerank_indexed` (auto-sized, probed-cell form):
+    * the threshold histogram runs over the PROBED cells' ADC scores,
+    * matching the engine's cell-pruned scan.
+    */
+  def pqRerankIvfAutoSql(k: Int = 10): String =
+    s"""WITH ${common()},
+       |$coarse,
+       |adcp AS (SELECT a.* FROM adc a JOIN coarse c ON c.vec_id = a.vec_id
+       |         WHERE c.cell IN (SELECT pcell FROM qprobe)),
+       |cum AS (SELECT adc_ip, SUM(n) OVER (ORDER BY adc_ip DESC) AS cum
+       |        FROM (SELECT adc_ip, COUNT(*) AS n FROM adcp GROUP BY adc_ip)),
+       |thr AS (SELECT COALESCE(MAX(adc_ip), -1e308) AS t FROM cum WHERE cum >= $k),
+       |cand AS (SELECT vec_id FROM adcp, thr WHERE adc_ip >= t),
+       |${rerankTail(k)}""".stripMargin
+
   def pqRecallSql: String =
     s"""WITH ${common()},
        |$coarse,

@@ -127,6 +127,72 @@ class QuantizationSpec extends AnyFunSuite {
     assert(narrow.length == 10 && narrow.forall(cand))
   }
 
+  // Deterministic tie-class corpus for the auto-sized shortlist: class
+  // A vectors all encode to codes (0,0) (exact ADC tie at score 5.0)
+  // but their EXACT cosine to the query INCREASES with vec_id, so a
+  // fixed kCand = k shortlist (lowest ids of the tie class) misses the
+  // true top-k almost entirely — the PqDrill failure mode at spec
+  // scale. Class B encodes to (1,1) (ADC 0.0) and never shortlists.
+  private lazy val tieCorpus = {
+    val q = (0L, Seq(1f, 0f, 2f, 0f))
+    val classA = (1L to 25L).map { i =>
+      val eps = 0.02f * (26 - i) // higher id → less orthogonal noise
+      (i, Seq(1f, eps, 2f, eps): Seq[Float])
+    }
+    val classB = (30L to 34L).map(i => (i, Seq(0f, 1f, 0f, 2f): Seq[Float]))
+    vecs((q +: classA) ++ classB: _*)
+  }
+
+  test("pqRerankAuto covers whole ADC tie classes: exact top-k recovered where fixed kCand=k fails") {
+    // sanity: one tie class at 5.0 covering ids 0..25, one at 0.0
+    val scores = Quantization.pqTopK(tieCorpus, books, queryId = 0L,
+        k = 31, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert((0L to 25L).forall(scores(_) == 5.0))
+    assert((30L to 34L).forall(scores(_) == 0.0))
+    val exact = 0L +: Similarity.cosineTopK(tieCorpus, queryId = 0L, k = 9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == 0L +: (25L to 17L by -1L), exact) // top ids by design
+    // fixed kCand = k cuts inside the tie class: only the self-hit
+    // survives from the exact top-10
+    val fixed = Quantization.pqRerank(tieCorpus, books, queryId = 0L,
+        k = 10, kCand = 10, dim = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((fixed & exact.toSet) == Set(0L), fixed)
+    // auto thresholds at the class boundary → the whole 26-member class
+    // reranks exactly and the true top-10 comes back in exact order
+    val auto = Quantization.pqRerankAuto(tieCorpus, books, queryId = 0L,
+        k = 10, dim = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(auto == exact, auto)
+  }
+
+  test("pqRerankAuto edge: corpus smaller than k thresholds at -inf and reranks everything") {
+    val small = vecs((0L, Seq(1f, 0f, 2f, 0f)), (1L, Seq(1f, 0.2f, 2f, 0.2f)),
+      (2L, Seq(0f, 1f, 0f, 2f)))
+    val got = Quantization.pqRerankAuto(small, books, queryId = 0L,
+        k = 50, dim = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 2L)) // full corpus, exact cosine order
+  }
+
+  test("pqRerankIndexedAuto with every cell probed equals the in-frame pqRerankAuto") {
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
+      dim = 8, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-auto")
+      .toString + "/idx"
+    Quantization.buildPqIndex(clustered, dir, trained, dim = 8, nlist = 8)
+    val qVec = clustered.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val indexed = Quantization.pqRerankIndexedAuto(spark, dir, clustered,
+      qVec, k = 10, nprobe = 8).collect().toSeq
+    val inframe = Quantization.pqRerankAuto(clustered, trained,
+      queryId = 0L, k = 10, dim = 8).collect().toSeq
+    assert(indexed === inframe)
+    assert(indexed.head.getLong(0) == 0L &&
+      indexed.head.getDouble(2) == 1.0)
+  }
+
   test("sampled PQ training is deterministic and equals the explicit-sample fit") {
     val a = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 3,
       dim = 8, seed = 11L, sampleCap = 64)
