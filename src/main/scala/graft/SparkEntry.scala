@@ -1218,6 +1218,15 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(T(s, dir, "documents"))),
 
+    // The radius-7 form rides the multi-index layout (plain 16-bit
+    // blocks joined against single-bit-expanded blocks — pigeonhole
+    // puts some block at distance ≤ 1 for any pair within Hamming 7),
+    // still COMPLETE, so the same exhaustive oracle applies at the
+    // wider radius.
+    "simhash_pairs_r7" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(T(s, dir, "documents"), maxHamming = 7,
+        observeName = "simhash_bucket_clamp_r7")),
+
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
 
@@ -2723,6 +2732,7 @@ object SparkEntry {
       "semantic_novel" -> graft.oracle.KmeansSql.semanticNovelSql,
       "simhash_docs" -> graft.oracle.Xxh64Sql.simhashSql,
       "simhash_pairs" -> graft.oracle.Xxh64Sql.simhashPairsSql(),
+      "simhash_pairs_r7" -> graft.oracle.Xxh64Sql.simhashPairsSql(7),
       "doc_fingerprints" -> graft.oracle.Xxh64Sql.fingerprintSql,
       "doc_winnow" -> graft.oracle.Xxh64Sql.winnowSql,
       "span_dedup" -> graft.oracle.Xxh64Sql.spanDedupSql,

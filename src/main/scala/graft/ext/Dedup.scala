@@ -1074,26 +1074,45 @@ object Dedup {
     * digest — O(n) edges, no pair blowup, no per-group arrays — so
     * mega-clusters cost what they should. (Near-identical template
     * docs that differ by a token still rely on their non-hot bands —
-    * the documented clamp trade.)
+    * the documented clamp trade. A drop is never silent: the clamp
+    * observes `dropped_buckets`/`dropped_rows` under `observeName`,
+    * and the bench listener turns any non-zero drop into a loud
+    * driver-log flag + `clamp_dropped` in BENCH_LAST.json.)
+    *
+    * `normalizedStarEdges = true` additionally stars docs equal AFTER
+    * [[normalize]] (case/punctuation/whitespace variants). This is a
+    * SEMANTIC widening, not a free rescue: shingles run over raw
+    * tokens, so normalized-equal docs can sit BELOW the Jaccard
+    * threshold and would then cluster anyway — turn it on when the
+    * pipeline's duplicate notion is "normalized-equal OR near-dup"
+    * (the [[normalizedStats]] family's), e.g. template corpora run
+    * under aggressive caps where byte-identity is too narrow a
+    * rescue. Off by default: the default contract stays exactly
+    * "LSH pairs ∪ byte-exact duplicates".
     */
   def nearDupClusters(docs: DataFrame, shingleSize: Int = 3,
                       numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       shingles: Option[DataFrame] = None,
                       maxBucket: Int = DefaultMaxBucket,
-                      observeName: String = "lsh_bucket_clamp"): DataFrame = {
+                      observeName: String = "lsh_bucket_clamp",
+                      normalizedStarEdges: Boolean = false): DataFrame = {
     val lshEdges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
         threshold, shingles, maxBucket, observeName)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val digests = docs.select(col("doc_id"),
-      digest(col("text")).as("__dg"))
-    val reps = digests.groupBy("__dg")
-      .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__n"))
-      .filter(col("__n") > 1)
-    val starEdges = digests
-      .join(reps.select("__dg", "__rep"), Seq("__dg"))
-      .filter(col("doc_id") =!= col("__rep"))
-      .select(col("doc_id").as("src"), col("__rep").as("dst"))
+    def starsOver(key: Column): DataFrame = {
+      val digests = docs.select(col("doc_id"), key.as("__dg"))
+      val reps = digests.groupBy("__dg")
+        .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+      digests
+        .join(reps.select("__dg", "__rep"), Seq("__dg"))
+        .filter(col("doc_id") =!= col("__rep"))
+        .select(col("doc_id").as("src"), col("__rep").as("dst"))
+    }
+    val starEdges =
+      if (normalizedStarEdges) starsOver(digest(normalize(col("text"))))
+      else starsOver(digest(col("text")))
     val comps = connectedComponents(lshEdges.unionByName(starEdges))
     docs.select(col("doc_id"))
       .join(comps.select(col("id").as("doc_id"), col("comp")),
@@ -1156,29 +1175,31 @@ object Dedup {
                           maxBucket: Int = DefaultMaxBucket,
                           observeName: String = "simhash_bucket_clamp")
       : DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming $maxHamming outside [0, 3]: 4×16-bit banding " +
-        "guarantees recall only through Hamming distance 3")
-    // Arithmetic shift + low-16 mask == unsigned band extract (sign
-    // extension only ever reaches masked-away high bits).
-    val bandRows = capBandBuckets(
-      simhashRaw(docs).select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
-                .as("band_hash"))): _*)).as("bh"))
-        .select(col("doc_id"), col("simhash"),
-          col("bh.band").as("band"), col("bh.band_hash").as("band_hash")),
-      maxBucket, observeName)
-    // merge pin → both sides shuffle the same subtree on the same key
-    // and AQE reuses the one fingerprint pipeline (the MinHash joins'
-    // rationale).
-    val a = bandRows.as("a").hint("merge")
-    val b = bandRows.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming $maxHamming outside [0, 7]: 4×16-bit banding is " +
+        "complete through Hamming 3 and its single-bit-expanded " +
+        "multi-index form through 7; larger radii need a wider " +
+        "expansion this operator does not implement")
+    if (maxHamming <= 3) simhashPairsBanded(docs, maxHamming, maxBucket,
+      observeName)
+    else simhashPairsMih(docs, maxHamming, maxBucket, observeName)
+  }
+
+  /** Arithmetic shift + low-16 mask == unsigned band extract (sign
+    * extension only ever reaches masked-away high bits).
+    */
+  private def simhashBandRows(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+              .as("band_hash"))): _*)).as("bh"))
+      .select(col("doc_id"), col("simhash"),
+        col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+
+  private def simhashPairFilter(joined: DataFrame,
+                                maxHamming: Int): DataFrame =
+    joined
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
@@ -1186,5 +1207,55 @@ object Dedup {
       // A pair agreeing in several bands yields identical rows.
       .distinct()
       .orderBy("doc_a", "doc_b")
+
+  /** The radius ≤ 3 layout: exact match on any intact 16-bit band. */
+  private def simhashPairsBanded(docs: DataFrame, maxHamming: Int,
+                                 maxBucket: Int,
+                                 observeName: String): DataFrame = {
+    val bandRows = capBandBuckets(simhashBandRows(simhashRaw(docs)),
+      maxBucket, observeName)
+    // merge pin → both sides shuffle the same subtree on the same key
+    // and AQE reuses the one fingerprint pipeline (the MinHash joins'
+    // rationale).
+    val a = bandRows.as("a").hint("merge")
+    val b = bandRows.as("b")
+    simhashPairFilter(a.join(b,
+      col("a.band") === col("b.band") &&
+      col("a.band_hash") === col("b.band_hash") &&
+      col("a.doc_id") < col("b.doc_id")), maxHamming)
+  }
+
+  /** The radius 4–7 layout — multi-index hashing (the published
+    * large-scale Hamming-search design): pigeonhole over 4 blocks puts
+    * some block at distance ≤ ⌊7/4⌋ = 1 for any pair within Hamming 7,
+    * and a block pair at distance ≤ 1 ALWAYS matches plain-vs-expanded
+    * where the expanded side carries the block value plus its 16
+    * single-bit flips. Completeness therefore survives without
+    * narrowing the key: NOT the naive 8×8-bit banding, whose 256
+    * distinct buckets per band birthday-pack into corpus-scale
+    * monsters at ~10⁵ docs (the cap would then drop RANDOM collisions
+    * and silently break the radius guarantee) — here keys keep the
+    * full 16-bit entropy and cost is a 17× expansion of ONE join side.
+    * Both sides ride the same hot-bucket cap, observed under
+    * `observeName` (plain) and `observeName_x` (expanded).
+    */
+  private def simhashPairsMih(docs: DataFrame, maxHamming: Int,
+                              maxBucket: Int,
+                              observeName: String): DataFrame = {
+    val fp = simhashRaw(docs)
+    val plain = capBandBuckets(simhashBandRows(fp), maxBucket, observeName)
+    val flips = typedLit(0L +: (0 until 16).map(1L << _))
+    val expanded = capBandBuckets(
+      simhashBandRows(fp)
+        .select(col("doc_id"), col("simhash"), col("band"),
+          explode(transform(flips, f => col("band_hash").bitwiseXOR(f)))
+            .as("band_hash")),
+      maxBucket, observeName + "_x")
+    val a = plain.as("a")
+    val b = expanded.as("b")
+    simhashPairFilter(a.join(b,
+      col("a.band") === col("b.band") &&
+      col("a.band_hash") === col("b.band_hash") &&
+      col("a.doc_id") < col("b.doc_id")), maxHamming)
   }
 }

@@ -518,6 +518,36 @@ class ExtSpec extends AnyFunSuite {
     assert(byDoc(4L) === (4L, true))
   }
 
+  test("nearDupClusters normalizedStarEdges: case/punct template variants collapse only when opted in") {
+    // A template cluster whose members differ ONLY in case/punctuation:
+    // byte digests all differ, raw-token shingles all differ (lower()
+    // changes every token), so under a cap that drops its hot buckets
+    // the default contract honestly leaves them singletons — and the
+    // opt-in normalized star edges collapse them.
+    val variants = (100L until 112L).map { i =>
+      val t = boilerText
+      (i, if (i % 2 == 0) t.toUpperCase else t + "!!!")
+    }
+    val d = (variants ++ Seq(
+      (4L, "completely different content about spark query engines at scale")))
+      .toDF("doc_id", "text")
+    def clusters(flag: Boolean) =
+      Dedup.nearDupClusters(d, threshold = 0.4, maxBucket = 4,
+          observeName = if (flag) "ndc_norm" else "ndc_raw",
+          normalizedStarEdges = flag)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val on = clusters(true)
+    (100L until 112L).foreach(i => assert(on(i) == 100L, s"doc $i"))
+    assert(on(4L) == 4L)
+    // default: byte-exact stars only — the upper/lower halves cannot
+    // star together (different normalize-less digests); the UPPERCASE
+    // docs share one digest and the "!!!" docs share another, so two
+    // clusters survive rather than one
+    val off = clusters(false)
+    assert(off.values.toSet.intersect(Set(100L, 101L)).size == 2,
+      s"expected the two byte-digest groups to stay separate: $off")
+  }
+
   test("hot-bucket cap in the novelty screens: recompute, broadcast and merge index plans agree") {
     val corpus = ((100L until 112L).map(i => (i, boilerText)) ++ Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again")))
@@ -599,10 +629,48 @@ class ExtSpec extends AnyFunSuite {
     // must find EXACTLY the exhaustive set, not a subset.
     assert(pairs === brute)
     assert(pairs.exists(t => t._1 == 0L && t._2 == 1L && t._3 == 0))
-    // beyond the pigeonhole bound the operator refuses, never recalls < 1
+    // beyond the multi-index bound the operator refuses, never
+    // recalls < 1
     intercept[IllegalArgumentException] {
-      Dedup.simhashNearDupPairs(docs, maxHamming = 4)
+      Dedup.simhashNearDupPairs(docs, maxHamming = 8)
     }
+  }
+
+  test("simhashNearDupPairs radius 4-7 (multi-index hashing) equals the exhaustive enumeration") {
+    // A graded mutation ladder off one base text: fingerprints land at
+    // a spread of Hamming distances, so the 4..7 window the MIH layout
+    // exists for is actually exercised (asserted non-empty below).
+    val texts = (0 until 14).map { m =>
+      val words = (0 until 24).map { i =>
+        if (i < m) s"alt${m}x$i" else f"w$i%02d"
+      }
+      (m.toLong, words.mkString(" "))
+    }
+    val graded = texts.toDF("doc_id", "text")
+    val sh = Dedup.simhash(graded).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def brute(r: Int) = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= r
+    } yield (a, b, h)).toSet
+    for (r <- Seq(4, 5, 7)) {
+      val got = Dedup.simhashNearDupPairs(graded, maxHamming = r,
+          observeName = s"sim_r$r")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(got === brute(r), s"radius $r")
+    }
+    // the window is genuinely exercised: some true pair sits in (3, 7]
+    val mid = brute(7) -- brute(3)
+    assert(mid.nonEmpty, "fixture must produce pairs at Hamming 4..7; " +
+      s"distances seen: ${
+        (for { (a, ha) <- sh; (b, hb) <- sh if a < b }
+          yield java.lang.Long.bitCount(ha ^ hb)).sorted.mkString(",")}")
+    // and the MIH result at radius 3 degenerates to the banded result
+    // (two layouts, one contract)
+    assert(Dedup.simhashNearDupPairs(graded, maxHamming = 3,
+        observeName = "sim_r3")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      === brute(3))
   }
 
   test("token stats and fingerprints are deterministic") {
