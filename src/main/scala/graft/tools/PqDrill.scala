@@ -131,6 +131,48 @@ object PqDrill {
       f"${recallAt10(emb, books, kSmall)}%.2f (isotropic negative control)")
     assert(rBig >= 0.9,
       f"tie-class-covering shortlist must recall the exact top-k: $rBig%.2f")
+    // AUTO shortlist (r12): the tie-class-complete threshold must reach
+    // the same recall with NO hand-tuned kCand — the sizing law
+    // executed by the operator instead of applied by the caller. The
+    // observation listener surfaces the size it chose.
+    val autoObs = new java.util.concurrent.atomic.AtomicReference[String]("?")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit =
+          qe.observedMetrics.get("pq_drill_auto").foreach { row =>
+            autoObs.set(s"kcand_effective=${row.getAs[Long]("kcand_effective")}")
+          }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+    def recallAuto(corpus: org.apache.spark.sql.DataFrame,
+                   bks: Seq[Seq[Seq[Float]]]): Double = {
+      val exact = Similarity.cosineTopK(corpus, 42L, 10).collect()
+        .map(_.getLong(0)).toSet
+      val rr = Quantization.pqRerankAuto(corpus, bks, 42L, k = 11,
+          dim = dim, observeName = "pq_drill_auto")
+        .collect().map(_.getLong(0)).toSet - 42L
+      rr.count(exact) / 10.0
+    }
+    val rAuto = time("two-stage recall@10 (clustered, AUTO shortlist)") {
+      recallAuto(clustered, cbooks)
+    }
+    Thread.sleep(500) // listener delivery is async
+    println(f"auto-shortlist recall@10: clustered $rAuto%.2f " +
+      s"(${autoObs.get()}) — no kCand argument")
+    assert(rAuto >= 0.9,
+      f"auto shortlist must recall the exact top-k: $rAuto%.2f")
+    // The negative control stays honest under auto sizing: isotropic
+    // scores have near-unique tie classes, so auto picks a SMALL
+    // shortlist and recall stays ~0 — auto sizing fixes tie-class
+    // truncation, it cannot add signal 16-bit codes don't carry.
+    val rAutoUniform = recallAuto(emb, books)
+    Thread.sleep(500)
+    println(f"auto-shortlist recall@10: uniform $rAutoUniform%.2f " +
+      s"(${autoObs.get()}) — isotropic negative control")
     spark.stop()
   }
 }
