@@ -1470,6 +1470,16 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
 
+    // DSIR-style importance weights — data SELECTION by hashed-ngram
+    // likelihood RATIO (target slice vs the raw corpus itself): the
+    // bucketed histograms ARE the model, so the oracle reproduces the
+    // exact xxh64-chain + pmod bucketing, not word strings.
+    "dsir_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.dsirWeights(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    }),
+
     // Zipf rank-frequency slope over the top tokens: corpus-health
     // regression on ln(rank) vs ln(count).
     "zipf_slope" -> ((s, dir) =>
@@ -2354,6 +2364,7 @@ object SparkEntry {
           |  ROUND(CAST(SUM(CAST(LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 1.0 * v.v)) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
           |FROM b LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON b.w1 = c1.w CROSS JOIN v
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "dsir_weights" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
       "zipf_slope" ->
         """WITH c AS (
           |  SELECT token, COUNT(*) AS cnt FROM (

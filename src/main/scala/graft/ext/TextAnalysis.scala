@@ -504,6 +504,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights (hashed n-gram importance
+    * resampling — the published data-SELECTION pattern for pretraining
+    * mixes): each doc scores by how much more likely its hashed
+    * unigram+bigram features are under a TARGET corpus distribution
+    * than under the raw corpus's own — log w(x) = Σ_f c_f(x) ·
+    * [log p̂(f) − log q̂(f)] with add-k smoothing over `buckets` hash
+    * buckets. Selecting the top weights (or sampling ∝ w) tilts the
+    * raw corpus toward the target domain; unlike
+    * [[bigramLogProbAgainst]] (absolute in-distribution likelihood)
+    * this is a RATIO — features common everywhere cancel, so the
+    * score isolates domain signal rather than fluency.
+    *
+    * Feature hashing is the point, not a shortcut: grams fold into a
+    * fixed `buckets`-sized table via `pmod(xxhash64-chain, buckets)`
+    * (collisions by design — the model is the bucketed histogram, as
+    * in the paper), so BOTH distributions are `buckets`-row aggregate
+    * tables regardless of corpus size, the ratio table broadcasts to
+    * the scoring join, and the raw corpus is scanned once per n-gram
+    * order. Determinism: per-feature log-ratios truncate through
+    * DECIMAL(27,12) before the per-doc sum (fold-order-proof), output
+    * rounded 4dp; `buckets` must be a power of two for the DuckDB
+    * oracle's unsigned-mod to equal Spark's signed pmod (2⁶⁴ ≡ 0 mod
+    * 2^b). Docs under 1 token carry no features and yield no row.
+    */
+  def dsirWeights(target: DataFrame, docs: DataFrame, buckets: Int = 1024,
+                  smoothK: Double = 1.0): DataFrame = {
+    val b = lit(buckets.toLong)
+    def feats(df: DataFrame): DataFrame =
+      Dedup.hashedShingles(df, 1)
+        .select(col("doc_id"), pmod(col("h"), b).as("f"))
+        .unionByName(Dedup.hashedShingles(df, 2)
+          .select(col("doc_id"), pmod(col("h"), b).as("f")))
+    val tf = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
+    val sf = feats(docs).groupBy("f").agg(count(lit(1)).as("cs"))
+    val nt = tf.agg(sum(col("ct")).as("nt"))
+    val ns = sf.agg(sum(col("cs")).as("ns"))
+    val denom = smoothK * buckets
+    val ratio = tf.join(sf, Seq("f"), "full_outer")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+      .select(col("f"),
+        (log((coalesce(col("ct"), lit(0L)) + smoothK) /
+             (col("nt") + denom)) -
+         log((coalesce(col("cs"), lit(0L)) + smoothK) /
+             (col("ns") + denom))).as("lr"))
+    feats(docs)
+      .join(broadcast(ratio), Seq("f"))
+      .select(col("doc_id"), col("lr").cast("decimal(27,12)").as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lr")).cast("double"), 4).as("sum_log_ratio"),
+        round(sum(col("lr")).cast("double") / count(lit(1)), 4)
+          .as("mean_log_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Sketch rollup: per-language vocabulary sizes as mergeable HLL
     * sketches (Spark's DataSketches-backed `hll_sketch_agg`), plus the
     * all-languages union row computed by MERGING THE SKETCHES — not by

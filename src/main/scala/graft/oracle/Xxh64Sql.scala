@@ -295,4 +295,49 @@ object Xxh64Sql {
       s"FROM ($win) WHERE c < 4 OR rn <= c - 3) " +
       "ORDER BY doc_id, fingerprint"
   }
+
+  /** Oracle for `dsir_weights`
+    * ([[graft.ext.TextAnalysis.dsirWeights]]): unlike the
+    * `bigram_logprob*` oracles (which may use word STRINGS because
+    * their models are collision-free), the DSIR model IS the bucketed
+    * histogram — `pmod(hash, buckets)` collisions are semantic — so
+    * the oracle reproduces the engine's exact xxh64 chain (token hash
+    * → `hashLong` gram chain, the [[winnowSql]] pipeline) before the
+    * mod. Unsigned `% 2^b` equals Spark's signed `pmod` because
+    * 2⁶⁴ ≡ 0 (mod 2^b); `buckets` must be a power of two. Smoothed
+    * log-ratios truncate through DECIMAL(27,12) pre-sum, the
+    * established fold-order discipline.
+    */
+  def dsirWeightsSql(buckets: Int = 1024, split: Long = 250L): String = {
+    val inner = "SELECT doc_id, pos, " + bytesOf("tok") +
+      " AS bl, length(tok) AS n FROM (SELECT doc_id, " +
+      raw"unnest(string_split_regex(trim(text), '\s+')) AS tok, " +
+      raw"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents)"
+    val th = xxh64Select(inner, Seq("doc_id", "pos"), "bl", "n", "x", "th")
+    val uni = hashLongSelect(s"SELECT doc_id, pos, th FROM ($th)",
+      Seq("doc_id", "pos"), "th", Seed, "u1", "ug")
+    val pairs = s"SELECT doc_id, pos, th AS t0, " +
+      s"lead(th,1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1 FROM ($th)"
+    val b1 = hashLongSelect(s"SELECT * FROM ($pairs) WHERE t1 IS NOT NULL",
+      Seq("doc_id", "pos", "t0"), "t1", Seed, "b1", "hl1")
+    val b2 = hashLongSelect(b1, Seq("doc_id", "pos"), "t0", "hl1", "b2", "bg")
+    s"""WITH feats AS (
+       |  SELECT doc_id, ug % $buckets AS f FROM ($uni)
+       |  UNION ALL
+       |  SELECT doc_id, bg % $buckets AS f FROM ($b2)),
+       |tf AS (SELECT f, COUNT(*) AS ct FROM feats WHERE doc_id < $split GROUP BY 1),
+       |sf AS (SELECT f, COUNT(*) AS cs FROM feats WHERE doc_id >= $split GROUP BY 1),
+       |nt AS (SELECT SUM(ct) AS nt FROM tf),
+       |ns AS (SELECT SUM(cs) AS ns FROM sf),
+       |ratio AS (SELECT COALESCE(tf.f, sf.f) AS f,
+       |  LN((CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + $buckets.0)) -
+       |  LN((CAST(COALESCE(cs, 0) AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + $buckets.0)) AS lr
+       |  FROM tf FULL OUTER JOIN sf ON tf.f = sf.f CROSS JOIN nt CROSS JOIN ns),
+       |scored AS (SELECT doc_id, CAST(lr AS DECIMAL(27,12)) AS lr
+       |  FROM feats JOIN ratio USING (f) WHERE doc_id >= $split)
+       |SELECT doc_id, COUNT(*) AS n_feats,
+       |  ROUND(CAST(SUM(lr) AS DOUBLE), 4) AS sum_log_ratio,
+       |  ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) AS mean_log_ratio
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -673,6 +673,51 @@ class ExtSpec extends AnyFunSuite {
       === brute(3))
   }
 
+  test("dsirWeights: target-likely docs outrank target-unlike; values match an independent recomputation") {
+    val target = Seq(
+      (0L, "spark shuffle join spark shuffle join"),
+      (1L, "spark join agg shuffle"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "spark shuffle join"),        // pure target vocabulary
+      (11L, "llama vicuna alpaca"))       // disjoint from the target
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dsirWeights(target, cand).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(10L, 11L))
+    assert(got(10L)._1 == 5L && got(11L)._1 == 5L) // 3 uni + 2 bi each
+    // the ratio isolates domain signal: target vocabulary scores above,
+    // disjoint vocabulary below (its target probability is pure floor)
+    assert(got(10L)._3 > got(11L)._3)
+    assert(!got.values.exists(v => v._2.isNaN || v._2.isInfinite))
+
+    // Independent recomputation from the shared shingle stream (plain
+    // Scala math with the engine's decimal discipline) — pins the
+    // bucketing, smoothing, full-outer ratio and per-doc aggregation.
+    val B = 1024L
+    def feats(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      (Dedup.hashedShingles(df, 1).collect() ++
+        Dedup.hashedShingles(df, 2).collect())
+        .map(r => (r.getLong(0), ((r.getLong(2) % B) + B) % B)).toSeq
+    val tf = feats(target).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sfAll = feats(cand)
+    val sf = sfAll.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (nt, ns) = (tf.values.sum.toDouble, sf.values.sum.toDouble)
+    def lr(f: Long): BigDecimal = BigDecimal(
+      math.log((tf.getOrElse(f, 0L) + 1.0) / (nt + 1024.0)) -
+        math.log((sf.getOrElse(f, 0L) + 1.0) / (ns + 1024.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    sfAll.groupBy(_._1).foreach { case (doc, fs) =>
+      val s = fs.map(x => lr(x._2)).sum
+      val expSum = (s.setScale(4, BigDecimal.RoundingMode.HALF_UP)).toDouble
+      val expMean = (s / fs.size).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(doc)._2 - expSum) < 1e-9, s"doc $doc sum")
+      assert(math.abs(got(doc)._3 - expMean) < 1e-9, s"doc $doc mean")
+    }
+  }
+
   test("token stats and fingerprints are deterministic") {
     val t = TextAnalysis.tokenStats(docs).head()
     assert(t.getAs[Int]("n_tokens") == 12)
