@@ -1230,6 +1230,13 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprint(T(s, dir, "documents"))),
 
+    // Asymmetric containment over winnow fingerprints — the one-sided
+    // inclusion Jaccard misses (short doc quoted inside a long one).
+    // Inverted self-join on shared fingerprints (clamped); complete for
+    // threshold > 0, certified by the exhaustive oracle.
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"))),
+
     // 4 planes + Hamming-1 multiprobe: ~5/16 of the corpus scanned.
     "ann_topk_lsh" -> ((s, dir) => Similarity.annTopK(
       T(s, dir, "embeddings"), queryId = 0L, k = 10, numPlanes = 4)),
@@ -2744,6 +2751,7 @@ object SparkEntry {
       "simhash_docs" -> graft.oracle.Xxh64Sql.simhashSql,
       "simhash_pairs" -> graft.oracle.Xxh64Sql.simhashPairsSql(),
       "simhash_pairs_r7" -> graft.oracle.Xxh64Sql.simhashPairsSql(7),
+      "containment_pairs" -> graft.oracle.Xxh64Sql.containmentPairsSql(),
       "doc_fingerprints" -> graft.oracle.Xxh64Sql.fingerprintSql,
       "doc_winnow" -> graft.oracle.Xxh64Sql.winnowSql,
       "span_dedup" -> graft.oracle.Xxh64Sql.spanDedupSql,

@@ -958,7 +958,15 @@ object Dedup {
     * the compiled [[hashedShingles]] stream.
     */
   def winnowedFingerprints(docs: DataFrame, shingleSize: Int = 3,
-                           window: Int = 4): DataFrame = {
+                           window: Int = 4): DataFrame =
+    winnowedFingerprintsRaw(docs, shingleSize, window)
+      .orderBy("doc_id", "fingerprint")
+
+  /** [[winnowedFingerprints]] without the presentation sort — the
+    * composable form [[containmentPairs]] builds on.
+    */
+  private def winnowedFingerprintsRaw(docs: DataFrame, shingleSize: Int,
+                                      window: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     hashedShingles(docs, shingleSize).as[(Long, Int, Long)]
@@ -973,7 +981,55 @@ object Dedup {
           .distinct.sorted.iterator.map((id, _))
       }
       .toDF("doc_id", "fingerprint")
-      .orderBy("doc_id", "fingerprint")
+  }
+
+  /** Asymmetric CONTAINMENT pairs over the winnowed fingerprints:
+    * c(A in B) = |fp(A) ∩ fp(B)| / |fp(A)| — the near-dup flavor
+    * Jaccard misses by construction. A short doc fully quoted inside a
+    * long one (syndicated article + boilerplate, a passage lifted into
+    * a larger page) has high containment but LOW Jaccard (the union is
+    * dominated by the long doc), so a symmetric threshold never sees
+    * it; training-data curation wants exactly these one-sided
+    * inclusions. Output keeps BOTH directions per unordered pair and
+    * survives when either reaches `threshold`.
+    *
+    * Shape: candidates form by equality on shared fingerprints (an
+    * inverted self-join — cost tracks collisions, never n², with hot
+    * fingerprints clamped by [[capBandBuckets]] under `observeName`;
+    * boilerplate grams are exactly the hot case), then one pair-keyed
+    * count joins two broadcast-scale size tables. Sizes come from the
+    * UNCAPPED stream — the clamp prunes candidates, never the
+    * denominator. Complete for `threshold` > 0 absent clamp drops:
+    * any pair with a shared fingerprint meets the join.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
+                       shingleSize: Int = 3, window: Int = 4,
+                       maxBucket: Int = DefaultMaxBucket,
+                       observeName: String = "containment_fp_clamp")
+      : DataFrame = {
+    val fps = winnowedFingerprintsRaw(docs, shingleSize, window)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val capped = capBandBuckets(
+      fps.select(col("doc_id"), lit(0).as("band"),
+        col("fingerprint").as("band_hash")),
+      maxBucket, observeName)
+    // merge pin → both sides shuffle the same subtree on the same key
+    // and AQE reuses the one fingerprint pipeline.
+    val a = capped.select(col("doc_id").as("doc_a"), col("band_hash"))
+      .hint("merge")
+    val b = capped.select(col("doc_id").as("doc_b"), col("band_hash"))
+    a.join(b, Seq("band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared") / col("n_a"), 4).as("a_in_b"),
+        round(col("shared") / col("n_b"), 4).as("b_in_a"))
+      .filter(greatest(col("a_in_b"), col("b_in_a")) >= threshold)
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------------

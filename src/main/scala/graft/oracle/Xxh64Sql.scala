@@ -296,6 +296,29 @@ object Xxh64Sql {
       "ORDER BY doc_id, fingerprint"
   }
 
+  /** Oracle for `containment_pairs`: exhaustive asymmetric containment
+    * over the re-derived winnow fingerprints ([[winnowSql]]'s relation)
+    * — shared-fingerprint counts per pair against each side's FULL
+    * fingerprint-set size. The engine joins only docs sharing a
+    * fingerprint, which is complete for threshold > 0, so equality
+    * against the exhaustive form certifies both the fingerprints and
+    * that the inverted join lost nothing.
+    */
+  def containmentPairsSql(threshold: Double = 0.5): String =
+    s"""WITH fp AS (SELECT doc_id, fingerprint FROM (${winnowSql})),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY 1),
+       |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |       FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT sh.doc_a, sh.doc_b, sh.shared,
+       |  ROUND(CAST(sh.shared AS DOUBLE) / na.n, 4) AS a_in_b,
+       |  ROUND(CAST(sh.shared AS DOUBLE) / nb.n, 4) AS b_in_a
+       |FROM sh JOIN sz na ON na.doc_id = sh.doc_a
+       |        JOIN sz nb ON nb.doc_id = sh.doc_b
+       |WHERE GREATEST(ROUND(CAST(sh.shared AS DOUBLE) / na.n, 4),
+       |               ROUND(CAST(sh.shared AS DOUBLE) / nb.n, 4)) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
   /** Oracle for `dsir_weights`
     * ([[graft.ext.TextAnalysis.dsirWeights]]): unlike the
     * `bigram_logprob*` oracles (which may use word STRINGS because

@@ -673,6 +673,42 @@ class ExtSpec extends AnyFunSuite {
       === brute(3))
   }
 
+  test("containmentPairs: one-sided inclusion surfaces where Jaccard stays low") {
+    val short = (1 to 30).map(i => s"inner$i").mkString(" ")
+    val long = ((1 to 40).map(i => s"pre$i") ++ (1 to 30).map(i => s"inner$i")
+      ++ (1 to 40).map(i => s"post$i")).mkString(" ")
+    val d = Seq(
+      (0L, short),                                  // fully quoted inside 1
+      (1L, long),
+      (2L, (1 to 30).map(i => s"other$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 1)
+    val (a, b, aInB, bInA) = rows.head
+    assert((a, b) == (0L, 1L))
+    // most of the short doc's fingerprints appear in the long one
+    // (winnowing shares interior window minima; only the quoted span's
+    // boundary windows can differ)...
+    assert(aInB >= 0.6, s"a_in_b $aInB")
+    // ...while the symmetric direction (and so Jaccard) stays low
+    assert(bInA < 0.5, s"b_in_a $bInA")
+    assert(aInB > bInA)
+    // the unrelated doc pairs with nothing
+    assert(!rows.exists(t => t._1 == 2L || t._2 == 2L))
+    // independent check against the fingerprint sets themselves
+    val fps = Dedup.winnowedFingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val inter = (fps(0L) & fps(1L)).size
+    assert(aInB ==
+      BigDecimal(inter.toDouble / fps(0L).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(bInA ==
+      BigDecimal(inter.toDouble / fps(1L).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("dsirWeights: target-likely docs outrank target-unlike; values match an independent recomputation") {
     val target = Seq(
       (0L, "spark shuffle join spark shuffle join"),
