@@ -1385,6 +1385,14 @@ object SparkEntry {
     "kmeans_clusters" -> ((s, dir) =>
       Similarity.kmeansClusters(T(s, dir, "embeddings"), k = 8, iters = 4)),
 
+    // Embedding-space outliers: cosine-to-own-centroid more than 2σ
+    // below the cell mean (decimal-exact moments) — the curation screen
+    // for mis-embedded/garbage rows, the far-from-everything complement
+    // of semantic_dedup's too-close-to-something.
+    "semantic_outliers" -> ((s, dir) =>
+      Similarity.semanticOutliers(T(s, dir, "embeddings"), k = 8,
+        iters = 4)),
+
     // SemDeDup composite: k-means cells bound the pair space, cosine ≥ t
     // edges connect into semantic groups, min vec_id per group survives.
     // Threshold is low for the near-orthogonal testdata (see
@@ -2736,6 +2744,7 @@ object SparkEntry {
       // DuckDB SQL (fixed-point sums, float rounding, unrolled Lloyd
       // iterations) — see [[graft.oracle.KmeansSql]].
       "kmeans_clusters" -> graft.oracle.KmeansSql.kmeansClustersSql,
+      "semantic_outliers" -> graft.oracle.KmeansSql.semanticOutliersSql(),
       "ann_topk_indexed" -> graft.oracle.KmeansSql.annTopKIndexedSql,
       // PQ codebook training + encoding + ADC reproduced in SQL — see
       // [[graft.oracle.PqSql]].

@@ -776,4 +776,49 @@ object Similarity {
           .cast("double").as("mean_cos"))
       .orderBy("cell")
   }
+
+  /** Embedding-space OUTLIERS: vectors whose cosine to their own
+    * cluster centroid falls more than `z` standard deviations below
+    * the cluster's mean — the curation screen for embedding-space
+    * garbage (OCR noise, wrong-modality rows, mis-embedded docs),
+    * which sits far from every semantic cluster in a way per-TEXT
+    * quality scores cannot see. Complements [[semanticDedup]]: dedup
+    * drops what is too CLOSE to something, this drops what is too far
+    * from everything.
+    *
+    * Shape: one fit ([[kmeansFit]] — bounded sample), one full-corpus
+    * assignment pass, a k-row moments table (broadcast back), and a
+    * filtered second pass — no pairs, no windows. Determinism: the
+    * per-cell mean and second moment sum through DECIMAL(27,12) (fold
+    * -order-proof, the [[kmeansClusters]] discipline), the z cut
+    * compares UNROUNDED doubles derived from those exact moments
+    * (both engines compute bit-identical IEEE expressions — the
+    * [[semanticDedup]] threshold precedent), and degenerate cells
+    * (σ = 0) flag nothing rather than dividing by zero.
+    */
+  def semanticOutliers(emb: DataFrame, k: Int = 8, iters: Int = 4,
+                       dim: Int = 64, z: Double = 2.0,
+                       seed: Long = 7L): DataFrame = {
+    val cs = kmeansFit(emb, k, iters, dim, seed)
+    val centLit = typedLit(cs)
+    val scored = emb.select(col("vec_id"), col("label"),
+      cellFor(col("embedding"), cs).as("cell"),
+      (vec_dot(col("embedding"), element_at(centLit, col("cell") + 1)) /
+        vec_norm(col("embedding"))).as("cos"))
+    val moments = scored.groupBy("cell").agg(
+        (sum(col("cos").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("mu"),
+        (sum((col("cos") * col("cos")).cast("decimal(27,12)"))
+          .cast("double") / count(lit(1))).as("m2"))
+      .select(col("cell"), col("mu"),
+        sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0)))
+          .as("sigma"))
+    scored.join(broadcast(moments), Seq("cell"))
+      .filter(col("sigma") > 0 &&
+        col("cos") < col("mu") - lit(z) * col("sigma"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(col("cos"), 4).as("cos_centroid"),
+        round((col("cos") - col("mu")) / col("sigma"), 4).as("zscore"))
+      .orderBy("vec_id")
+  }
 }

@@ -199,4 +199,32 @@ ${pfx}c$i AS (SELECT c.cell,
        |SELECT o.vec_id, m.m IS NULL AS is_novel, m.m.c AS best_cos, m.m.idx_id AS match_id
        |FROM odds o LEFT JOIN matches m ON m.vec_id = o.vec_id
        |ORDER BY o.vec_id""".stripMargin
+
+  /** Oracle for `semantic_outliers` (k=8, iters=4, z=2): full-corpus
+    * assignment under the refit centroids, per-cell mean/second-moment
+    * through DECIMAL(27,12) (fold-order-proof), σ from the exact
+    * moments, UNROUNDED z cut (the `semantic_dedup` threshold
+    * precedent), σ = 0 cells flag nothing. Output cells are 0-based
+    * like the engine's IvfCellAssign.
+    */
+  def semanticOutliersSql(z: Double = 2.0): String =
+    s"""WITH ${corpusCte()},
+       |${sampleCte(2048)},
+       |${fitCtes(8, 4)},
+       |d AS (SELECT v.vec_id, v.emb_d, c.cell,
+       |      list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) AS s
+       |      FROM corpus v CROSS JOIN c4 c),
+       |fa AS (SELECT vec_id, cell, s / sqrt(list_dot_product(emb_d, emb_d)) AS cos FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn FROM d) WHERE rn = 1),
+       |mo AS (SELECT cell,
+       |      CAST(SUM(CAST(cos AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mu,
+       |      CAST(SUM(CAST(cos*cos AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m2
+       |      FROM fa GROUP BY 1),
+       |ms AS (SELECT cell, mu, sqrt(GREATEST(m2 - mu*mu, 0.0)) AS sigma FROM mo)
+       |SELECT fa.vec_id, e.label, fa.cell - 1 AS cell,
+       |  ROUND(cos, 4) AS cos_centroid,
+       |  ROUND((cos - mu) / sigma, 4) AS zscore
+       |FROM fa JOIN ms USING (cell) JOIN embeddings e ON e.vec_id = fa.vec_id
+       |WHERE sigma > 0 AND cos < mu - $z * sigma
+       |ORDER BY fa.vec_id""".stripMargin
 }

@@ -1197,6 +1197,30 @@ class ExtSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("semanticOutliers flags planted far-from-centroid vectors and only those") {
+    val rng = new scala.util.Random(5)
+    // two tight clusters + two planted garbage vectors pointing nowhere
+    val tight = (0 until 100).map { i =>
+      val base = Array.fill(8)(0f)
+      base(if (i % 2 == 0) 0 else 4) = 1f
+      (i.toLong, base.map(x => x + rng.nextGaussian().toFloat * 0.03f).toSeq,
+        i % 2)
+    }
+    val garbage = Seq(
+      (500L, Seq(0.4f, -0.5f, 0.6f, -0.2f, 0.4f, 0.3f, -0.6f, 0.2f), 9),
+      (501L, Seq(-0.3f, 0.6f, -0.4f, 0.5f, -0.2f, -0.6f, 0.3f, 0.4f), 9))
+    val emb = (tight ++ garbage).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticOutliers(emb, k = 2, iters = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(out.map(_._1).toSet == Set(500L, 501L),
+      s"flagged: ${out.map(_._1).toSeq}")
+    assert(out.forall(_._2 < -2.0)) // z below the cut by construction
+    // determinism across partitionings (decimal moments)
+    val again = Similarity.semanticOutliers(emb.repartition(13), k = 2,
+      iters = 4, dim = 8).collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(out.sameElements(again))
+  }
+
   test("sampled k-means training is deterministic and equals the explicit-sample fit") {
     // 300 vectors, cap 100 — sampling genuinely restricts the training
     // set; the fit must be a pure function of corpus CONTENTS.
