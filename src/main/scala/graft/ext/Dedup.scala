@@ -1007,24 +1007,33 @@ object Dedup {
                        maxBucket: Int = DefaultMaxBucket,
                        observeName: String = "containment_fp_clamp")
       : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fps = winnowedFingerprintsRaw(docs, shingleSize, window)
-    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    // The denominator rides each row instead of living in a separate
+    // sizes subtree: a count window over doc_id adds only a local sort
+    // (the flatMapGroups output is already hash-clustered by doc_id),
+    // where a groupBy-sizes branch + two post-join lookups would
+    // re-evaluate the whole shingle/winnow pipeline twice more (plan-
+    // measured: 4 parquet scans → 2). Window BEFORE the cap — sizes
+    // must come from the uncapped stream.
+    val withSize = fps.withColumn("n_fp",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val capped = capBandBuckets(
-      fps.select(col("doc_id"), lit(0).as("band"),
+      withSize.select(col("doc_id"), col("n_fp"), lit(0).as("band"),
         col("fingerprint").as("band_hash")),
       maxBucket, observeName)
     // merge pin → both sides shuffle the same subtree on the same key
     // and AQE reuses the one fingerprint pipeline.
-    val a = capped.select(col("doc_id").as("doc_a"), col("band_hash"))
-      .hint("merge")
-    val b = capped.select(col("doc_id").as("doc_b"), col("band_hash"))
+    val a = capped.select(col("doc_id").as("doc_a"),
+      col("n_fp").as("n_a"), col("band_hash")).hint("merge")
+    val b = capped.select(col("doc_id").as("doc_b"),
+      col("n_fp").as("n_b"), col("band_hash"))
     a.join(b, Seq("band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")),
-        Seq("doc_b"))
+      // n_a/n_b are functions of doc_a/doc_b — grouping on them adds
+      // no groups, just keeps the denominators in scope
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("shared"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         round(col("shared") / col("n_a"), 4).as("a_in_b"),
         round(col("shared") / col("n_b"), 4).as("b_in_a"))

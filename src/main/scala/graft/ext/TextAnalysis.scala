@@ -536,18 +536,23 @@ object TextAnalysis {
         .select(col("doc_id"), pmod(col("h"), b).as("f"))
         .unionByName(Dedup.hashedShingles(df, 2)
           .select(col("doc_id"), pmod(col("h"), b).as("f")))
+    // Corpus totals as an UNPARTITIONED window over the histogram —
+    // the histogram is ≤ `buckets` rows (bounded metadata, the 1-row-
+    // argmax rule), and a separate `.agg(sum)` branch would re-evaluate
+    // the whole shingle pipeline a second time per distribution
+    // (plan-measured: 10 parquet scans → 6).
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
     val tf = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
+      .withColumn("nt", sum(col("ct")).over(all))
     val sf = feats(docs).groupBy("f").agg(count(lit(1)).as("cs"))
-    val nt = tf.agg(sum(col("ct")).as("nt"))
-    val ns = sf.agg(sum(col("cs")).as("ns"))
+      .withColumn("ns", sum(col("cs")).over(all))
     val denom = smoothK * buckets
     val ratio = tf.join(sf, Seq("f"), "full_outer")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
       .select(col("f"),
         (log((coalesce(col("ct"), lit(0L)) + smoothK) /
-             (col("nt") + denom)) -
+             (max(col("nt")).over(all) + denom)) -
          log((coalesce(col("cs"), lit(0L)) + smoothK) /
-             (col("ns") + denom))).as("lr"))
+             (max(col("ns")).over(all) + denom))).as("lr"))
     feats(docs)
       .join(broadcast(ratio), Seq("f"))
       .select(col("doc_id"), col("lr").cast("decimal(27,12)").as("lr"))
