@@ -28,6 +28,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("total_docs") == 0)
   }
 
+  test("round-12 operators on empty/degenerate inputs") {
+    // containment: empty corpus, and a corpus with no shareable
+    // fingerprints (single doc) both yield empty — never throw
+    assert(Dedup.containmentPairs(emptyDocs).isEmpty)
+    assert(Dedup.containmentPairs(someDocs).isEmpty)
+    // simhash MIH path on empty/single-doc corpora
+    assert(Dedup.simhashNearDupPairs(emptyDocs, maxHamming = 7).isEmpty)
+    assert(Dedup.simhashNearDupPairs(someDocs, maxHamming = 7).isEmpty)
+    // DSIR: empty candidate side → empty. An empty TEXT is one empty
+    // token under the shared tokenizer (split('') = [''] in BOTH
+    // engines — the oracle's string_split_regex agrees), so a blank
+    // doc scores finitely on its single unigram feature instead of
+    // vanishing or throwing.
+    assert(TextAnalysis.dsirWeights(someDocs, emptyDocs).isEmpty)
+    val blank = Seq((5L, "")).toDF("doc_id", "text")
+    val blankRow = TextAnalysis.dsirWeights(someDocs, blank).head()
+    assert(blankRow.getLong(1) == 1L &&
+      !blankRow.getDouble(3).isNaN && !blankRow.getDouble(3).isInfinite)
+    // semantic outliers: an empty embedding corpus flags nothing, and
+    // a degenerate all-identical corpus (σ = 0) flags nothing
+    val emptyEmb = Seq.empty[(Long, Int, Seq[Float])]
+      .toDF("vec_id", "label", "embedding")
+    assert(graft.ext.Similarity.semanticOutliers(emptyEmb, k = 2,
+      iters = 1, dim = 4).isEmpty)
+    val same = (0L until 10L).map(i => (i, 0, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(graft.ext.Similarity.semanticOutliers(same, k = 2,
+      iters = 1, dim = 4).isEmpty)
+  }
+
   test("contamination with an empty side") {
     assert(Contamination.ngramOverlap(emptyDocs, someDocs).isEmpty)
     assert(Contamination.ngramOverlap(someDocs, emptyDocs).isEmpty)
