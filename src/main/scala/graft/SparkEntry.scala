@@ -108,6 +108,10 @@ object SparkEntry {
       "minhash" -> Dedup.ensureMinhashIndex(s,
         T(s, dir, "documents").filter(col("doc_id") < 450),
         Dedup.minhashIndexPathFor(dir),
+        sourcePath = Some(s"$dir/documents.parquet")),
+      "dsir" -> TextAnalysis.ensureDsirIndex(s,
+        T(s, dir, "documents").filter(col("doc_id") < 250),
+        TextAnalysis.dsirIndexPathFor(dir),
         sourcePath = Some(s"$dir/documents.parquet"))
     ).collect { case (name, built) if built => name }
   }
@@ -1495,6 +1499,19 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
 
+    // The PERSISTED-model form: the target histogram lives as a
+    // buckets-row index table (built once, source-stamped) and scoring
+    // never rescans the target — row-identical to the in-frame form,
+    // same oracle.
+    "dsir_weights_indexed" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val idx = TextAnalysis.dsirIndexPathFor(dir)
+      TextAnalysis.ensureDsirIndex(s, docs.filter(col("doc_id") < 250),
+        idx, sourcePath = Some(s"$dir/documents.parquet"))
+      TextAnalysis.dsirWeightsIndexed(s, idx,
+        docs.filter(col("doc_id") >= 250))
+    }),
+
     // Zipf rank-frequency slope over the top tokens: corpus-health
     // regression on ln(rank) vs ln(count).
     "zipf_slope" -> ((s, dir) =>
@@ -2380,6 +2397,7 @@ object SparkEntry {
           |FROM b LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON b.w1 = c1.w CROSS JOIN v
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "dsir_weights" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
+      "dsir_weights_indexed" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
       "zipf_slope" ->
         """WITH c AS (
           |  SELECT token, COUNT(*) AS cnt FROM (

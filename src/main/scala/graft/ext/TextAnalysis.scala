@@ -530,12 +530,7 @@ object TextAnalysis {
     */
   def dsirWeights(target: DataFrame, docs: DataFrame, buckets: Int = 1024,
                   smoothK: Double = 1.0): DataFrame = {
-    val b = lit(buckets.toLong)
-    def feats(df: DataFrame): DataFrame =
-      Dedup.hashedShingles(df, 1)
-        .select(col("doc_id"), pmod(col("h"), b).as("f"))
-        .unionByName(Dedup.hashedShingles(df, 2)
-          .select(col("doc_id"), pmod(col("h"), b).as("f")))
+    def feats(df: DataFrame): DataFrame = dsirFeatures(df, buckets)
     // Corpus totals as an UNPARTITIONED window over the histogram —
     // the histogram is ≤ `buckets` rows (bounded metadata, the 1-row-
     // argmax rule), and a separate `.agg(sum)` branch would re-evaluate
@@ -554,6 +549,94 @@ object TextAnalysis {
          log((coalesce(col("cs"), lit(0L)) + smoothK) /
              (max(col("ns")).over(all) + denom))).as("lr"))
     feats(docs)
+      .join(broadcast(ratio), Seq("f"))
+      .select(col("doc_id"), col("lr").cast("decimal(27,12)").as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lr")).cast("double"), 4).as("sum_log_ratio"),
+        round(sum(col("lr")).cast("double") / count(lit(1)), 4)
+          .as("mean_log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The hashed unigram+bigram feature stream shared by the in-frame
+    * and indexed DSIR forms — one definition so the two cannot drift.
+    */
+  private def dsirFeatures(df: DataFrame, buckets: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    Dedup.hashedShingles(df, 1)
+      .select(col("doc_id"), pmod(col("h"), b).as("f"))
+      .unionByName(Dedup.hashedShingles(df, 2)
+        .select(col("doc_id"), pmod(col("h"), b).as("f")))
+  }
+
+  /** Deterministic DSIR-model directory for a testdata dir, its own
+    * family under [[graft.ext.IndexStamp.indexRoot]].
+    */
+  def dsirIndexPathFor(sfDir: String): String =
+    graft.ext.IndexStamp.pathUnderRoot(
+      "graft-dsir1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Persist the DSIR TARGET model: the bucketed feature histogram
+    * (`f`, `ct`) with the corpus total and bucket count riding as
+    * constant meta columns — ≤ `buckets` rows in one small file, the
+    * whole model. The target corpus is scanned once at build time and
+    * never again: every later scoring batch reads this table instead
+    * (the [[graft.ext.Quantization.buildPqIndex]] `_books` discipline —
+    * build parameters ride WITH the model so callers cannot
+    * mis-repeat them).
+    */
+  def buildDsirIndex(target: DataFrame, path: String,
+                     buckets: Int = 1024): Unit = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    dsirFeatures(target, buckets).groupBy("f")
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("nt", sum(col("ct")).over(all))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Build the DSIR model only when absent or source-stale — the
+    * shared [[graft.ext.IndexStamp]] lifecycle.
+    */
+  def ensureDsirIndex(spark: org.apache.spark.sql.SparkSession,
+                      target: => DataFrame, path: String,
+                      buckets: Int = 1024,
+                      sourcePath: Option[String] = None): Boolean =
+    graft.ext.IndexStamp.ensureFresh(spark, s"$path/_SUCCESS", path,
+      sourcePath) {
+      buildDsirIndex(target, path, buckets)
+    }
+
+  /** [[dsirWeights]] against the PERSISTED target model: scoring reads
+    * the `buckets`-row model table (broadcast) plus the raw-corpus
+    * feature stream — the target corpus is never rescanned. `buckets`
+    * comes FROM the model, never the caller (the stored-parameter
+    * rule); output is row-identical to the in-frame form over the same
+    * target (spec-pinned), so the registered query keeps the same
+    * oracle.
+    */
+  def dsirWeightsIndexed(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, docs: DataFrame,
+                         smoothK: Double = 1.0): DataFrame = {
+    val model = spark.read.parquet(indexPath)
+    // bounded metadata read: one row of a ≤ buckets-row table
+    val meta = model.select(col("nt"), col("buckets")).head()
+    val (nt, buckets) = (meta.getLong(0), meta.getInt(1))
+    val denom = smoothK * buckets
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val sf = dsirFeatures(docs, buckets).groupBy("f")
+      .agg(count(lit(1)).as("cs"))
+      .withColumn("ns", sum(col("cs")).over(all))
+    val ratio = sf
+      .join(model.select(col("f"), col("ct")), Seq("f"), "left_outer")
+      .select(col("f"),
+        (log((coalesce(col("ct"), lit(0L)) + smoothK) /
+             (lit(nt) + denom)) -
+         log((col("cs") + smoothK) /
+             (max(col("ns")).over(all) + denom))).as("lr"))
+    dsirFeatures(docs, buckets)
       .join(broadcast(ratio), Seq("f"))
       .select(col("doc_id"), col("lr").cast("decimal(27,12)").as("lr"))
       .groupBy("doc_id")

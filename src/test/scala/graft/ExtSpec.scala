@@ -754,6 +754,29 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirWeightsIndexed equals the in-frame form over the same target") {
+    val target = Seq(
+      (0L, "spark shuffle join spark shuffle join"),
+      (1L, "spark join agg shuffle"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "spark shuffle join"),
+      (11L, "llama vicuna alpaca"),
+      (12L, "spark llama shuffle vicuna"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir")
+      .toString + "/idx"
+    TextAnalysis.buildDsirIndex(target, dir)
+    val indexed = TextAnalysis.dsirWeightsIndexed(spark, dir, cand)
+      .collect().toSeq
+    val inframe = TextAnalysis.dsirWeights(target, cand).collect().toSeq
+    assert(indexed === inframe)
+    // the model is genuinely bounded: one row per observed bucket
+    val model = spark.read.parquet(dir)
+    assert(model.count() <= 1024 &&
+      model.select("buckets").head().getInt(0) == 1024)
+  }
+
   test("token stats and fingerprints are deterministic") {
     val t = TextAnalysis.tokenStats(docs).head()
     assert(t.getAs[Int]("n_tokens") == 12)

@@ -65,9 +65,10 @@ class MaintenanceSpec extends AnyFunSuite {
       val paths = Seq(Similarity.ivfIndexPathFor("/x/sf9"),
         Quantization.pqIndexPathFor("/x/sf9"),
         Retrieval.bm25IndexPathFor("/x/sf9"),
-        Dedup.minhashIndexPathFor("/x/sf9"))
+        Dedup.minhashIndexPathFor("/x/sf9"),
+        graft.ext.TextAnalysis.dsirIndexPathFor("/x/sf9"))
       paths.foreach(p => assert(p.startsWith(root), p))
-      assert(paths.distinct.size == 4) // families stay distinct
+      assert(paths.distinct.size == 5) // families stay distinct
       // and an index actually built through the convention lands there
       val docs = Seq((0L, "the quick brown fox jumps over the lazy dog"))
         .toDF("doc_id", "text")
