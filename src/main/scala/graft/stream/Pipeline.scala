@@ -523,6 +523,47 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming DSIR quality screen — the streaming twin of
+    * [[graft.ext.TextAnalysis.dsirWeightsIndexed]], and the
+    * data-selection member of the streaming curation family: each
+    * micro-batch of documents scores against the PERSISTED target
+    * model (the ≤ buckets-row histogram index —
+    * [[graft.ext.TextAnalysis.buildDsirIndex]]), gets a
+    * `keep = mean_log_ratio ≥ minScore` verdict, and lands in
+    * `verdictDir/batch_id=N` (bounded retention via
+    * `retainVerdictBatches`, the shared [[pruneVerdictDirs]]
+    * contract). Unlike the dedup streams the model is FROZEN — a
+    * selection model that absorbed the stream it filters would drift
+    * toward whatever arrives — so there is no index mutation, no
+    * cross-batch state at all, and replays are trivially idempotent
+    * (the per-batch dir overwrite IS the whole effect). Retraining the
+    * target model is [[graft.ext.TextAnalysis.buildDsirIndex]] offline,
+    * never in-stream.
+    */
+  def dsirScreenStream(docStream: DataFrame, indexPath: String,
+                       verdictDir: String, checkpointDir: String,
+                       minScore: Double = 0.0,
+                       retainVerdictBatches: Int = 0,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val spark = batch.sparkSession
+          graft.ext.TextAnalysis.dsirWeightsIndexed(spark, indexPath, batch)
+            .withColumn("keep", col("mean_log_ratio") >= minScore)
+            .write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+          pruneVerdictDirs(spark, verdictDir, batchId,
+            retainVerdictBatches)
+        }
+      }
+      .start()
+
   /** Streaming k-means scoring — the streaming twin of
     * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
     * assigned to their nearest FITTED centroid (the same opaque

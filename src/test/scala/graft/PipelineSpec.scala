@@ -416,6 +416,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed.toSeq === Seq(0L, 1L, 11L))
   }
 
+  test("streaming DSIR screen scores batches against the frozen persisted model") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("dsir-stream").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    // the frozen target model: spark-vocabulary text
+    graft.ext.TextAnalysis.buildDsirIndex(Seq(
+        (0L, "spark shuffle join spark shuffle join"),
+        (1L, "spark join agg shuffle broadcast exchange"))
+      .toDF("doc_id", "text"), idx)
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.dsirScreenStream(docs, idx, verdicts, ckpt,
+      minScore = 0.0, retainVerdictBatches = 2,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      source.addData(
+        (10L, "spark shuffle join broadcast"), // in-distribution
+        (11L, "llama vicuna alpaca gguf"))     // out-of-distribution
+      query.processAllAvailable()
+      source.addData((20L, "spark join exchange"))
+      query.processAllAvailable()
+      source.addData((30L, "quantized weights chat template"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // retention 2: batch 0 pruned after batch 2 landed
+    val dirs = new java.io.File(verdicts).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("batch_id=1", "batch_id=2"), dirs.toSeq)
+    val v = spark.read.parquet(s"$verdicts/batch_id=1")
+      .unionByName(spark.read.parquet(s"$verdicts/batch_id=2"))
+      .select("doc_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v(20L)) // target vocabulary scores above the floor
+    assert(!v(30L)) // disjoint vocabulary scores below
+    // the surviving batch-1/2 verdicts match a direct indexed scoring —
+    // the stream adds delivery, not semantics
+    val direct = graft.ext.TextAnalysis.dsirWeightsIndexed(spark, idx,
+        Seq((20L, "spark join exchange")).toDF("doc_id", "text"))
+      .head()
+    val streamed = spark.read.parquet(s"$verdicts/batch_id=1")
+      .select("doc_id", "n_feats", "sum_log_ratio", "mean_log_ratio")
+      .head()
+    assert(streamed.toSeq == direct.toSeq)
+  }
+
   test("streaming minhash dedup survives a checkpointed restart without rescreening or duplicating") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
