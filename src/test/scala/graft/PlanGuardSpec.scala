@@ -42,6 +42,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Generate explode".r.findAllIn(p).length <= 2, p)
   }
 
+  test("containment_pairs runs the winnow pipeline once per side (reused exchange)") {
+    // The inverted self-join's two sides are byte-identical capped
+    // fingerprint subtrees lined up by the merge pin — the final
+    // adaptive plan must reuse the exchange instead of running the
+    // shingle → groupByKey → winnow pipeline twice; and the per-doc
+    // size must ride the rows (no separate sizes aggregate joins —
+    // exactly one SMJ, the band join, in the whole plan).
+    val df = SparkEntry.queries("containment_pairs")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p)
+    assert("MapGroups".r.findAllIn(p).length <= 1, p)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1, p)
+  }
+
   test("top_events is a TakeOrderedAndProject, not a global sort") {
     val p = plan("top_events")
     assert(p.contains("TakeOrderedAndProject"), p)
