@@ -1489,6 +1489,13 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
 
+    // C4-style blocklist gate: token-fraction screen against a
+    // blocklist literal — row-local, scan-bound, the classic badwords
+    // curation rule with a tolerance knob.
+    "blocklist_gate" -> ((s, dir) =>
+      TextAnalysis.blocklistGate(T(s, dir, "documents"),
+        Seq("dup", "skew", "spill"), maxFraction = 0.05)),
+
     // DSIR-style importance weights — data SELECTION by hashed-ngram
     // likelihood RATIO (target slice vs the raw corpus itself): the
     // bucketed histograms ARE the model, so the oracle reproduces the
@@ -2396,6 +2403,14 @@ object SparkEntry {
           |  ROUND(CAST(SUM(CAST(LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 1.0 * v.v)) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
           |FROM b LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON b.w1 = c1.w CROSS JOIN v
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "blocklist_gate" ->
+        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+          |b AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+          |  CAST(LEN(list_filter(toks, t -> list_contains(['dup','skew','spill'], lower(t)))) AS BIGINT) AS n_blocked FROM d)
+          |SELECT doc_id, n_tokens, n_blocked,
+          |  ROUND(CAST(n_blocked AS DOUBLE) / n_tokens, 4) AS blocked_frac,
+          |  CAST(n_blocked AS DOUBLE) / n_tokens <= 0.05 AS keep
+          |FROM b ORDER BY doc_id""".stripMargin,
       "dsir_weights" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
       "dsir_weights_indexed" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
       "zipf_slope" ->

@@ -559,6 +559,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4-style blocklist gate: per-doc count and fraction of tokens on
+    * a blocklist (case-insensitive), `keep` while the UNROUNDED
+    * fraction stays ≤ `maxFraction` (0 = the C4 rule: any hit drops).
+    * Row-local end to end — the blocklist rides as an array literal
+    * inside one codegen'd `filter` lambda, no explode, no join, no
+    * shuffle beyond the presentation sort — so at 100 TB this is
+    * scan-bound like every P-layer screen. For blocklists past a few
+    * thousand entries, switch the membership probe to a broadcast join
+    * on exploded tokens; at the classic badwords-list size (hundreds)
+    * the literal wins.
+    */
+  def blocklistGate(docs: DataFrame, blocklist: Seq[String],
+                    maxFraction: Double = 0.0): DataFrame = {
+    val bl = typedLit(blocklist.map(_.toLowerCase))
+    val toks = split(trim(col("text")), "\\s+")
+    val blocked = size(filter(toks, t => array_contains(bl, lower(t))))
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      blocked.cast("long").as("n_blocked"),
+      round(blocked.cast("double") / size(toks), 4).as("blocked_frac"),
+      (blocked.cast("double") / size(toks) <= maxFraction).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The hashed unigram+bigram feature stream shared by the in-frame
     * and indexed DSIR forms — one definition so the two cannot drift.
     */

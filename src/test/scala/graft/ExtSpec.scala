@@ -754,6 +754,27 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("blocklistGate: case-insensitive token fractions, tolerance boundary inclusive") {
+    val d = Seq(
+      (0L, "clean words only here"),
+      (1L, "one BAD word in twenty tokens a b c d e f g h i j k l m n"),
+      (2L, "bad bad bad good"),
+      (3L, "badge embedded stays unflagged"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistGate(d, Seq("bad"), maxFraction = 0.05)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(0L) == (4L, 0L, 0.0, true))
+    // exactly at the 0.05 boundary: 1/20 — kept (inclusive), and the
+    // uppercase hit counts (case-insensitive)
+    assert(out(1L) == (20L, 1L, 0.05, true))
+    assert(out(2L) == (4L, 3L, 0.75, false))
+    // whole-token membership — substrings never match
+    assert(out(3L) == (4L, 0L, 0.0, true))
+  }
+
   test("dsirWeightsIndexed equals the in-frame form over the same target") {
     val target = Seq(
       (0L, "spark shuffle join spark shuffle join"),
