@@ -192,6 +192,24 @@ class AvroLayoutSpec extends AnyFunSuite {
     assert(Tables.avro(spark, flat).count() == 2L)
   }
 
+  test("overwrite with an empty frame is a truncate: version flips, table reads empty with schema") {
+    val dir = tmp("avro-empty")
+    val src = Seq((1L, "a")).toDF("id", "tag")
+    Tables.avroWrite(src, dir)
+    assert(Tables.avro(spark, dir).count() == 1L)
+    // overwrite with zero rows: the publish still flips the version and
+    // sweeps the old data (truncate semantics), and because every task
+    // writes its container header even with no records, the empty
+    // table stays READABLE with its schema — zero rows, not an error
+    Tables.avroWrite(src.filter($"id" < 0L), dir)
+    val versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("data_v")).toSeq
+    assert(versions == Seq("data_v2"), versions)
+    val back = Tables.avro(spark, dir)
+    assert(back.count() == 0L)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
+  }
+
   test("schema drift across files: missing nullable column resolves to null, extra column is skipped") {
     val dir = tmp("avro-drift")
     // the alphabetically-first file carries the table schema (id, tag, v)
