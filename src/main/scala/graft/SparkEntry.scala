@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.agg.{Analytics, Behavior, Profile, Stats}
 import graft.agg.Analytics.{davg, dsum}
 import graft.etl.{Enrich, Quality, Skew}
-import graft.ext.{Contamination, Dedup, Multimodal, Quantization, Relations, Retrieval, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.ext.{Classifier, Contamination, Dedup, Multimodal, Quantization, Relations, Retrieval, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.operators.Temporal
 import graft.sources.Tables
 
@@ -1519,6 +1519,19 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250))
     }),
 
+    // TRAINED quality classifier — the discriminative sibling of
+    // dsir_weights: a logistic probe over hashed token counts is fit
+    // by 16 rounds of preconditioned batch gradient descent INSIDE the
+    // engine (exact fixed-point weights, algebraic sigmoid), then every
+    // doc is scored under the learned model. The oracle replays the
+    // whole training run, not just the scoring pass.
+    "quality_classifier" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      Classifier.trainAndScore(T(s, dir, "documents"),
+        size(filter(toks, t => t === "fast")) >
+          size(filter(toks, t => t === "slow")))
+    }),
+
     // Zipf rank-frequency slope over the top tokens: corpus-health
     // regression on ln(rank) vs ln(count).
     "zipf_slope" -> ((s, dir) =>
@@ -2413,6 +2426,7 @@ object SparkEntry {
           |FROM b ORDER BY doc_id""".stripMargin,
       "dsir_weights" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
       "dsir_weights_indexed" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
+      "quality_classifier" -> graft.oracle.LogRegSql.trainScoreSql(),
       "zipf_slope" ->
         """WITH c AS (
           |  SELECT token, COUNT(*) AS cnt FROM (
