@@ -305,9 +305,17 @@ object Bench {
         .mkString("{", ",", "}")
     // Drain the async listener bus (QueryExecutionListener delivery is
     // best-effort ordered, not synchronous) before reading the observed
-    // metrics; 1 s is orders of magnitude beyond the bus's drain time
-    // for this suite and costs nothing against a multi-second bench.
-    Thread.sleep(1000)
+    // metrics — deterministically, via the mechanism Spark's own tests
+    // use (waitUntilEmpty), so a loaded host can't slip a late delivery
+    // past the snapshot and make clamp_dropped read clean when it
+    // isn't. The sleep stays only as a fallback if the bus fails to
+    // drain inside 30 s (then flagged: the snapshot may be incomplete).
+    if (!org.apache.spark.graftbridge.ListenerDrain.drain(
+        spark.sparkContext, 30000L)) {
+      System.err.println("[bench] listener bus failed to drain in 30 s — " +
+        "observed_metrics may be incomplete")
+      Thread.sleep(1000)
+    }
     val obsSnapshot = {
       import scala.jdk.CollectionConverters._
       observedMetrics.asScala.toSeq.sortBy(_._1)

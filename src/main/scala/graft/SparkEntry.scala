@@ -112,6 +112,10 @@ object SparkEntry {
       "dsir" -> TextAnalysis.ensureDsirIndex(s,
         T(s, dir, "documents").filter(col("doc_id") < 250),
         TextAnalysis.dsirIndexPathFor(dir),
+        sourcePath = Some(s"$dir/documents.parquet")),
+      "contain" -> Dedup.ensureContainmentIndex(s,
+        T(s, dir, "documents").filter(col("doc_id") < 450),
+        Dedup.containIndexPathFor(dir),
         sourcePath = Some(s"$dir/documents.parquet"))
     ).collect { case (name, built) if built => name }
   }
@@ -1144,15 +1148,47 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50)))
     }),
 
+    // The composite with every round-12 screen wired in: blocklist gate
+    // as a stage-1 row-local verdict, containment edges widening the
+    // cluster graph (a quoted passage joins its container's cluster),
+    // and the semantic outlier screen on the embedding side — the
+    // staged-survivor rules unchanged, so a blocklisted doc's near-dup
+    // survivor falls to the next eligible copy (ExtSpec pins the
+    // interaction).
+    "corpus_prep_v2" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.CorpusPrep.report(graft.ext.CorpusPrep.prepare(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        blocklist = Seq("dup", "skew", "spill"),
+        blocklistMaxFraction = 0.05,
+        containmentThreshold = Some(0.5),
+        embeddings = Some(T(s, dir, "embeddings"))))
+    }),
+
     // The whole pretraining shard path as one plan: curation survivors →
     // en ×2 mixture → 32/24 chunking → 256-token packing per lang.
-    // Rows-only (the curation stage has no ANSI twin).
     "train_prep" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       graft.ext.CorpusPrep.trainPrep(
         docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
         weights = Map("en" -> 2.0), chunkTokens = 32, strideTokens = 24,
         maxTokens = 256)
+    }),
+
+    // train_prep with the DSIR selection stage between curation and
+    // mixture: survivors score against the corpus' own English slice
+    // (tilt the mix toward the en distribution) and only
+    // mean_log_ratio >= 0 proceeds to chunking/packing — the mixture
+    // stage driven by the data-selection signal.
+    "train_prep_dsir" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.CorpusPrep.trainPrep(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        weights = Map("en" -> 2.0), chunkTokens = 32, strideTokens = 24,
+        maxTokens = 256,
+        dsirTarget = Some(docs.filter(
+          col("doc_id") >= 50 && col("lang") === "en")),
+        dsirMinScore = 0.0)
     }),
 
     // Sketch quantiles (KLL-style percentile_approx) — the 100 TB path
@@ -1240,6 +1276,20 @@ object SparkEntry {
     // threshold > 0, certified by the exhaustive oracle.
     "containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(T(s, dir, "documents"))),
+
+    // The cross-corpus form: batch docs screened against the PERSISTED
+    // winnow-fingerprint index (corpus text never re-scanned) — the
+    // streaming-ingest question "is this new doc already contained in
+    // the standing corpus". Same 450 split as minhash_novel_indexed;
+    // broadcastBatch = false for the same backfill-shaped reason.
+    "containment_novel" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Dedup.containIndexPathFor(dir)
+      Dedup.ensureContainmentIndex(s, docs.filter(col("doc_id") < 450), path,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      Dedup.containmentAgainstIndex(docs.filter(col("doc_id") >= 450), path,
+        broadcastBatch = false)
+    }),
 
     // 4 planes + Hamming-1 multiprobe: ~5/16 of the corpus scanned.
     "ann_topk_lsh" -> ((s, dir) => Similarity.annTopK(
@@ -2417,12 +2467,12 @@ object SparkEntry {
           |FROM b LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON b.w1 = c1.w CROSS JOIN v
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "blocklist_gate" ->
-        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+        """WITH d AS (SELECT doc_id, list_filter(string_split_regex(TRIM(text), '\s+'), t -> LEN(t) > 0) AS toks FROM documents),
           |b AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
           |  CAST(LEN(list_filter(toks, t -> list_contains(['dup','skew','spill'], lower(t)))) AS BIGINT) AS n_blocked FROM d)
           |SELECT doc_id, n_tokens, n_blocked,
-          |  ROUND(CAST(n_blocked AS DOUBLE) / n_tokens, 4) AS blocked_frac,
-          |  CAST(n_blocked AS DOUBLE) / n_tokens <= 0.05 AS keep
+          |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_blocked AS DOUBLE) / n_tokens END, 4) AS blocked_frac,
+          |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_blocked AS DOUBLE) / n_tokens END <= 0.05 AS keep
           |FROM b ORDER BY doc_id""".stripMargin,
       "dsir_weights" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
       "dsir_weights_indexed" -> graft.oracle.Xxh64Sql.dsirWeightsSql(),
@@ -2756,6 +2806,55 @@ object SparkEntry {
          |    min(CASE WHEN quality_ok AND NOT is_contaminated THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
          |    min(CASE WHEN quality_ok AND NOT is_contaminated THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
          |  FROM flagged)""".stripMargin
+    // The v2 composite: blocklist verdict (row-local), containment
+    // edges widening the cluster graph (the engine's winnow xxh64 chain
+    // via containmentPairsSql — string 3-grams can't reproduce which
+    // shingle wins a window minimum), and the semantic outlier screen
+    // (the kmeans oracle, embedded as a WITH-subquery); eligibility
+    // AND-s all four verdicts, survivors staged exactly as v1.
+    val curationCteV2 =
+      s"""corpus AS (SELECT * FROM documents WHERE doc_id >= 50),
+         |eval_docs AS (SELECT * FROM documents WHERE doc_id < 50),
+         |${shingleCte("corpus")},
+         |${shingleCte("eval_docs", "e")},
+         |trainrare AS (SELECT doc_id, g FROM
+         |  (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM sh) WHERE df <= 20),
+         |contam AS (SELECT DISTINCT tr.doc_id FROM esh e JOIN trainrare tr ON e.g = tr.g
+         |           GROUP BY e.doc_id, tr.doc_id HAVING count(*) >= 5),
+         |$jaccardCte,
+         |cont AS (SELECT doc_a AS da, doc_b AS db FROM
+         |  (${graft.oracle.Xxh64Sql.containmentPairsSql(0.5, "corpus")})),
+         |edges AS (SELECT da, db FROM jac WHERE j >= 0.5
+         |          UNION SELECT da, db FROM cont),
+         |sym AS (SELECT da AS s, db AS d FROM edges UNION SELECT db, da FROM edges),
+         |reach(s, d) AS (SELECT s, d FROM sym UNION SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+         |comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+         |bl AS (SELECT doc_id,
+         |  CASE WHEN LEN(btoks) = 0 THEN FALSE ELSE
+         |    CAST(LEN(list_filter(btoks, t -> list_contains(['dup','skew','spill'], lower(t)))) AS DOUBLE) / LEN(btoks) > 0.05 END AS is_blocked
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(TRIM(text), '\\s+'), t -> LEN(t) > 0) AS btoks FROM corpus)),
+         |outl AS (SELECT vec_id AS doc_id FROM
+         |  (${graft.oracle.KmeansSql.semanticOutliersSql()})),
+         |flagged AS (
+         |  SELECT c.doc_id, md5(c.text) AS content_digest,
+         |    COALESCE(cm.doc_id IS NOT NULL, FALSE) AS is_contaminated,
+         |    (LEN(string_split_regex(TRIM(c.text), '\\s+')) >= 5
+         |     AND LENGTH(REGEXP_REPLACE(c.text, '[^A-Za-z]', '', 'g')) / LENGTH(c.text) > 0.6) AS quality_ok,
+         |    bl.is_blocked,
+         |    COALESCE(o.doc_id IS NOT NULL, FALSE) AS is_outlier,
+         |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN contam cm ON cm.doc_id = c.doc_id
+         |  LEFT JOIN comp cp ON cp.doc_id = c.doc_id
+         |  JOIN bl ON bl.doc_id = c.doc_id
+         |  LEFT JOIN outl o ON o.doc_id = c.doc_id),
+         |s3 AS (
+         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier,
+         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier) AS eligible,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY content_digest) AS is_exact_dup,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY cluster_id) AS is_near_dup,
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
+         |  FROM flagged)""".stripMargin
     val extOracles = Map(
       // xxhash64-derived outputs, oracled by reproducing Spark's XXH64 in
       // DuckDB SQL (wrapping-64-bit HUGEINT arithmetic, staged subquery
@@ -2808,6 +2907,7 @@ object SparkEntry {
       "simhash_pairs" -> graft.oracle.Xxh64Sql.simhashPairsSql(),
       "simhash_pairs_r7" -> graft.oracle.Xxh64Sql.simhashPairsSql(7),
       "containment_pairs" -> graft.oracle.Xxh64Sql.containmentPairsSql(),
+      "containment_novel" -> graft.oracle.Xxh64Sql.containmentNovelSql(),
       "doc_fingerprints" -> graft.oracle.Xxh64Sql.fingerprintSql,
       "doc_winnow" -> graft.oracle.Xxh64Sql.winnowSql,
       "span_dedup" -> graft.oracle.Xxh64Sql.spanDedupSql,
@@ -2951,14 +3051,60 @@ object SparkEntry {
         s"""WITH RECURSIVE $curationCte
            |SELECT count(*) AS total_docs,
            |  CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS low_quality,
+           |  CAST(0 AS BIGINT) AS blocked,
            |  CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups,
            |  CAST(sum(CASE WHEN is_near_dup THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
            |  CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+           |  CAST(0 AS BIGINT) AS outliers,
+           |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+           |FROM s3""".stripMargin,
+      "corpus_prep_v2" ->
+        s"""WITH RECURSIVE $curationCteV2
+           |SELECT count(*) AS total_docs,
+           |  CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS low_quality,
+           |  CAST(sum(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS blocked,
+           |  CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups,
+           |  CAST(sum(CASE WHEN is_near_dup THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
+           |  CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+           |  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
       "train_prep" ->
         s"""WITH RECURSIVE $curationCte,
            |kept AS (SELECT doc_id FROM s3 WHERE eligible AND doc_id = dig_surv AND doc_id = clu_surv),
+           |kc AS (SELECT c.doc_id, c.lang, string_split_regex(trim(c.text), '\\s+') AS toks
+           |       FROM corpus c JOIN kept k ON k.doc_id = c.doc_id),
+           |chunks AS (
+           |  SELECT doc_id, i AS chunk_id, least(i*24 + 32, len(toks)) - i*24 AS n_tokens
+           |  FROM kc, UNNEST(range(0, greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT)) + 1)) AS u(i)),
+           |mixed AS (
+           |  SELECT doc_id, lang, epoch FROM kc,
+           |    UNNEST(range(1, CASE WHEN lang = 'en' THEN 3 ELSE 2 END)) AS e(epoch)),
+           |expanded AS (
+           |  SELECT c.doc_id, c.chunk_id, c.n_tokens, m.lang, m.epoch
+           |  FROM chunks c JOIN mixed m ON c.doc_id = m.doc_id),
+           |packed AS (
+           |  SELECT lang, CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+           |    ORDER BY doc_id, epoch, chunk_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 256) AS BIGINT) AS seq_id,
+           |    n_tokens
+           |  FROM expanded)
+           |SELECT lang, seq_id, count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+           |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // train_prep with the DSIR selection stage: curation survivors
+      // score against the corpus' en slice (the engine's exact xxh64
+      // feature chain — dsirFeatsSql — over DYNAMIC relations), only
+      // mean_log_ratio >= 0 rides into chunking/packing.
+      "train_prep_dsir" ->
+        s"""WITH RECURSIVE $curationCte,
+           |kept0 AS (SELECT doc_id FROM s3 WHERE eligible AND doc_id = dig_surv AND doc_id = clu_surv),
+           |survivors AS (SELECT c.* FROM corpus c JOIN kept0 k ON k.doc_id = c.doc_id),
+           |dsir_target AS (SELECT * FROM corpus WHERE lang = 'en'),
+           |tfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("dsir_target")}),
+           |sfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("survivors")}),
+           |${graft.oracle.Xxh64Sql.dsirScoreCtes()},
+           |dw AS (${graft.oracle.Xxh64Sql.dsirScoreSelect}),
+           |kept AS (SELECT doc_id FROM dw WHERE mean_log_ratio >= 0.0),
            |kc AS (SELECT c.doc_id, c.lang, string_split_regex(trim(c.text), '\\s+') AS toks
            |       FROM corpus c JOIN kept k ON k.doc_id = c.doc_id),
            |chunks AS (

@@ -40,16 +40,44 @@ object CorpusPrep {
     *                 reference; pass an empty frame to skip
     * @param shareShingles materialize one shingle pass for the near-dup
     *                 and contamination consumers (see object scaladoc)
-    * @return one row per doc: quality_ok, is_exact_dup (non-canonical
-    *         copy, independent verdict), is_near_dup (cluster
-    *         non-survivor, independent verdict), is_contaminated, and
-    *         `kept` = eligible AND the minimum eligible doc of both its
-    *         digest group and its near-dup cluster
+    * @param blocklist stage-1 row-local blocklist screen
+    *                 ([[TextAnalysis.blocklistGate]]): docs whose
+    *                 blocked-token fraction exceeds
+    *                 `blocklistMaxFraction` become ineligible. Empty
+    *                 (default) = screen off, `is_blocked` all-false.
+    * @param containmentThreshold widen the near-dup cluster graph with
+    *                 asymmetric containment edges
+    *                 ([[Dedup.containmentPairs]] at this threshold): a
+    *                 quoted passage and its container rarely clear a
+    *                 Jaccard threshold but are the same content for
+    *                 survivor purposes. None (default) = Jaccard-only
+    *                 graph. (The winnow pipeline needs shingle
+    *                 POSITIONS, which the shared pos-pruned checkpoint
+    *                 deliberately drops, so this runs its own compiled
+    *                 hash pass.)
+    * @param embeddings embedding table (vec_id aligned with doc_id) for
+    *                 the semantic outlier screen
+    *                 ([[Similarity.semanticOutliers]]): flagged docs
+    *                 become ineligible — embedding-space garbage text
+    *                 screens can't see. None (default) = screen off,
+    *                 `is_outlier` all-false.
+    * @param outlierZ z-cut for the outlier screen
+    * @return one row per doc: quality_ok, is_blocked, is_exact_dup
+    *         (non-canonical copy, independent verdict), is_near_dup
+    *         (cluster non-survivor, independent verdict),
+    *         is_contaminated, is_outlier, and `kept` = eligible AND the
+    *         minimum eligible doc of both its digest group and its
+    *         (possibly containment-widened) cluster
     */
   def prepare(docs: DataFrame, evalDocs: DataFrame,
               nearDupThreshold: Double = 0.5,
               contaminationMinShared: Int = 5,
-              shareShingles: Boolean = true): DataFrame = {
+              shareShingles: Boolean = true,
+              blocklist: Seq[String] = Seq.empty,
+              blocklistMaxFraction: Double = 0.0,
+              containmentThreshold: Option[Double] = None,
+              embeddings: Option[DataFrame] = None,
+              outlierZ: Double = 2.0): DataFrame = {
     // One compiled shingle pass, shared by the near-dup clustering and
     // the contamination screen (hashedShingles' pos column is pruned
     // before the checkpoint; neither consumer needs it). Lazy checkpoint
@@ -68,29 +96,55 @@ object CorpusPrep {
     // Stage 1 — row-local verdicts.
     val quality = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), (col("quality") === "good").as("quality_ok"))
+    val blocked =
+      if (blocklist.isEmpty) None
+      else Some(TextAnalysis
+        .blocklistGateRaw(docs, blocklist, blocklistMaxFraction)
+        .select(col("doc_id"), (!col("keep")).as("is_blocked")))
     val contaminated = Contamination
       .ngramOverlap(evalDocs, docs, minShared = contaminationMinShared,
         trainShingles = sharedShingles, trainShinglesN = Some(3))
       .select(col("train_id").as("doc_id")).distinct()
       .withColumn("is_contaminated", lit(true))
+    // Embedding-side verdict (flagged rows only — a tiny frame).
+    val outliers = embeddings.map(emb =>
+      Similarity.semanticOutliers(emb, k = 8, iters = 4, z = outlierZ)
+        .select(col("vec_id").as("doc_id"))
+        .withColumn("is_outlier", lit(true)))
 
     // Stage 2 — group structure (content-based, over the FULL corpus:
     // similarity does not depend on eligibility).
     val digests = docs.select(col("doc_id"),
       Dedup.digest(col("text")).as("content_digest"))
+    val containEdges = containmentThreshold.map(t =>
+      Dedup.containmentPairsRaw(docs, threshold = t, shingleSize = 3,
+          window = 4, maxBucket = Dedup.DefaultMaxBucket,
+          observeName = "prep_containment_clamp")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val clusters = Dedup.nearDupClusters(docs, threshold = nearDupThreshold,
-        shingles = sharedShingles)
+        shingles = sharedShingles, extraEdges = containEdges)
       .select(col("doc_id"), col("cluster_id"))
 
-    val flagged = docs.select("doc_id")
+    val withBlocked = blocked.foldLeft(docs.select("doc_id")) {
+      (acc, b) => acc.join(b, Seq("doc_id"), "left_outer")
+    }
+    val withOutliers = outliers.foldLeft(withBlocked) {
+      (acc, o) => acc.join(o, Seq("doc_id"), "left_outer")
+    }
+    val flagged = withOutliers
       .join(quality, Seq("doc_id"), "left_outer")
       .join(contaminated, Seq("doc_id"), "left_outer")
       .join(digests, Seq("doc_id"))
       .join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("content_digest"), col("cluster_id"),
         coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
-        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
-      .withColumn("eligible", col("quality_ok") && !col("is_contaminated"))
+        (if (blocked.isDefined) coalesce(col("is_blocked"), lit(false))
+         else lit(false)).as("is_blocked"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"),
+        (if (outliers.isDefined) coalesce(col("is_outlier"), lit(false))
+         else lit(false)).as("is_outlier"))
+      .withColumn("eligible", col("quality_ok") && !col("is_blocked") &&
+        !col("is_contaminated") && !col("is_outlier"))
 
     // Stage 3 — survivors: minimum eligible doc per digest group and per
     // cluster (null when a group has no eligible member). Windows reuse
@@ -107,9 +161,11 @@ object CorpusPrep {
       .select(
         col("doc_id"),
         col("quality_ok"),
+        col("is_blocked"),
         (col("doc_id") =!= col("__digest_min")).as("is_exact_dup"),
         (col("doc_id") =!= col("__cluster_min")).as("is_near_dup"),
         col("is_contaminated"),
+        col("is_outlier"),
         (col("eligible") &&
           col("doc_id") === col("__digest_survivor") &&
           col("doc_id") === col("__cluster_survivor")).as("kept"))
@@ -122,9 +178,11 @@ object CorpusPrep {
   def report(prepared: DataFrame): DataFrame = prepared.agg(
     count(lit(1)).as("total_docs"),
     sum(when(!col("quality_ok"), 1L).otherwise(0L)).as("low_quality"),
+    sum(when(col("is_blocked"), 1L).otherwise(0L)).as("blocked"),
     sum(when(col("is_exact_dup"), 1L).otherwise(0L)).as("exact_dups"),
     sum(when(col("is_near_dup"), 1L).otherwise(0L)).as("near_dups"),
     sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("contaminated"),
+    sum(when(col("is_outlier"), 1L).otherwise(0L)).as("outliers"),
     sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
 
   /** The full pretraining shard path in one declarative plan: curation
@@ -139,12 +197,36 @@ object CorpusPrep {
     * Every stage is an independently verified operator — the composite
     * is plumbing, which is the point: the whole data path is one plan
     * Catalyst optimizes end to end.
+    *
+    * `dsirTarget` adds the DSIR data-SELECTION stage between curation
+    * and mixture: curation survivors are scored by
+    * [[TextAnalysis.dsirWeights]] against the target distribution
+    * (raw side = the survivors themselves) and only docs with
+    * `mean_log_ratio >= dsirMinScore` proceed — the threshold form,
+    * matching the streaming screen's semantics
+    * ([[graft.stream.Pipeline.dsirScreenStream]]) so batch and stream
+    * select identically. Row-local once the broadcast ratio table is
+    * built, so it adds no selection shuffle. A survivor carrying NO
+    * features (null/whitespace-free-token-less text) has no score and
+    * fails the screen — degenerate docs don't ride into the mixture.
     */
   def trainPrep(docs: DataFrame, evalDocs: DataFrame,
                 weights: Map[String, Double] = Map.empty,
                 chunkTokens: Int = 64, strideTokens: Int = 48,
-                maxTokens: Int = 512): DataFrame = {
-    val kept = prepare(docs, evalDocs).filter(col("kept")).select("doc_id")
+                maxTokens: Int = 512,
+                dsirTarget: Option[DataFrame] = None,
+                dsirMinScore: Double = 0.0): DataFrame = {
+    val kept0 = prepare(docs, evalDocs).filter(col("kept")).select("doc_id")
+    val kept = dsirTarget match {
+      case Some(target) =>
+        val survivors = docs.join(kept0, Seq("doc_id"))
+        kept0.join(
+          TextAnalysis.dsirWeights(target, survivors)
+            .filter(col("mean_log_ratio") >= dsirMinScore)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => kept0
+    }
     val corpus = docs.join(kept, Seq("doc_id"))
     val mixed = Sampling.mixtureSample(corpus, col("lang"), col("doc_id"),
       weights)

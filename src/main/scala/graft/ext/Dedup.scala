@@ -1006,7 +1006,18 @@ object Dedup {
                        shingleSize: Int = 3, window: Int = 4,
                        maxBucket: Int = DefaultMaxBucket,
                        observeName: String = "containment_fp_clamp")
-      : DataFrame = {
+      : DataFrame =
+    containmentPairsRaw(docs, threshold, shingleSize, window, maxBucket,
+      observeName).orderBy("doc_a", "doc_b")
+
+  /** [[containmentPairs]] without the presentation sort — the
+    * composable form [[CorpusPrep.prepare]]'s cluster-edge widening
+    * builds on.
+    */
+  private[ext] def containmentPairsRaw(docs: DataFrame, threshold: Double,
+                                       shingleSize: Int, window: Int,
+                                       maxBucket: Int,
+                                       observeName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fps = winnowedFingerprintsRaw(docs, shingleSize, window)
     // The denominator rides each row instead of living in a separate
@@ -1038,7 +1049,139 @@ object Dedup {
         round(col("shared") / col("n_a"), 4).as("a_in_b"),
         round(col("shared") / col("n_b"), 4).as("b_in_a"))
       .filter(greatest(col("a_in_b"), col("b_in_a")) >= threshold)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted winnow-fingerprint index — the cross-corpus containment
+  // screen ("is this new batch contained in the standing corpus", the
+  // streaming-ingest question [[containmentPairs]] can't answer without
+  // rescanning the corpus). Same lifecycle skeleton as the MinHash
+  // index: IndexStamp marker + stored build params + broadcast probe
+  // pruning; corpus text is never touched at screen time.
+  // ---------------------------------------------------------------------
+
+  private def containMarker(path: String) = s"$path/fps/_SUCCESS"
+
+  /** Canonical per-corpus containment-index location (the
+    * [[minhashIndexPathFor]] convention).
+    */
+  def containIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-contain1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Shingle/window parameters ride IN the index (1-row `params`
+    * table) — the stored-parameter rule: screens derive batch
+    * fingerprints with the stored values, so a caller can't silently
+    * mix segmentations.
+    */
+  private def containParams(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/params").head()
+    (r.getAs[Int]("shingle_size"), r.getAs[Int]("window"))
+  }
+
+  /** Full build: the corpus' winnow fingerprints become the at-rest
+    * probe table — (doc_id, fingerprint) rows, 16 bytes each, a
+    * fraction of corpus text size. Marker dropped first (the
+    * buildMinhashIndex rebuild discipline: params and fps are sibling
+    * writes, so a crash between them must not leave corpus-A params
+    * marker-valid over corpus-B fingerprints).
+    */
+  def buildContainmentIndex(docs: DataFrame, path: String,
+                            shingleSize: Int = 3, window: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    IndexStamp.dropMarker(spark, containMarker(path))
+    Seq((shingleSize, window)).toDF("shingle_size", "window")
+      .write.mode("overwrite").parquet(s"$path/params")
+    winnowedFingerprintsRaw(docs, shingleSize, window)
+      .write.mode("overwrite").parquet(s"$path/fps")
+  }
+
+  /** Build only when absent or source-stale ([[IndexStamp.ensureFresh]]).
+    * Returns true iff the build ran.
+    */
+  def ensureContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                             docs: => DataFrame, path: String,
+                             shingleSize: Int = 3, window: Int = 4,
+                             sourcePath: Option[String] = None): Boolean =
+    IndexStamp.ensureFresh(spark, containMarker(path), path, sourcePath) {
+      buildContainmentIndex(docs, path, shingleSize, window)
+    }
+
+  /** Per-doc containment verdicts against the persisted corpus index:
+    * (doc_id, is_novel, best_containment, match_id) where the score is
+    * c(new in corpus) = |fp(new) ∩ fp(C)| / |fp(new)| maximized over
+    * corpus docs C — the one-sided "is this batch doc already inside
+    * something we hold" question (a quoted passage scores ~1 against
+    * its container regardless of the container's size). No index at
+    * all means every doc is novel (the [[minhashNovelAgainstIndex]]
+    * cold-start gate).
+    *
+    * Join strategy mirrors the MinHash screen: default
+    * (`broadcastBatch`) broadcasts the per-trigger-sized batch
+    * fingerprints into a streamed scan of the at-rest table — zero
+    * corpus-sized exchanges — with the hot-fingerprint cap applied
+    * AFTER a broadcast semi-join prune to the probed fingerprints
+    * (per-bucket size over a semi-join equals the true bucket size, so
+    * verdicts match the merge plan's corpus-wide window). Backfill-
+    * sized batches pass `broadcastBatch = false` for the
+    * co-partitioned merge plan. The batch-side denominator |fp(new)|
+    * rides the rows via a count window over the winnow output's
+    * existing doc clustering — sizes always come from the uncapped
+    * stream.
+    */
+  def containmentAgainstIndex(newDocs: DataFrame, path: String,
+                              threshold: Double = 0.5,
+                              broadcastBatch: Boolean = true,
+                              maxBucket: Int = DefaultMaxBucket,
+                              observeName: String = "containment_idx_clamp")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDocs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(containMarker(path))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      return newDocs.select(col("doc_id"), lit(true).as("is_novel"),
+        lit(null).cast("double").as("best_containment"),
+        lit(null).cast("long").as("match_id"))
+        .orderBy("doc_id")
+    val (shingleSize, window) = containParams(spark, path)
+    val bfp = winnowedFingerprintsRaw(newDocs, shingleSize, window)
+      .withColumn("n_fp",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val idx = spark.read.parquet(s"$path/fps")
+      .select(col("doc_id").as("corpus_id"),
+        lit(0).as("band"), col("fingerprint").as("band_hash"))
+    val cSide =
+      if (maxBucket <= 0) idx
+      else if (broadcastBatch)
+        capBandBuckets(
+          idx.join(
+            broadcast(bfp.select(lit(0).as("band"),
+              col("fingerprint").as("band_hash")).distinct()),
+            Seq("band", "band_hash"), "left_semi"),
+          maxBucket, observeName)
+      else capBandBuckets(idx, maxBucket, observeName)
+    val nSide0 = bfp.select(col("doc_id"), col("n_fp"),
+      col("fingerprint").as("band_hash"))
+    val nSide = if (broadcastBatch) broadcast(nSide0) else nSide0.hint("merge")
+    val matches = nSide.as("n")
+      .join(cSide.as("c"), col("n.band_hash") === col("c.band_hash"))
+      .groupBy(col("n.doc_id").as("doc_id"), col("corpus_id"), col("n_fp"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("doc_id"),
+        round(col("shared") / col("n_fp"), 4).as("cont"), col("corpus_id"))
+      .filter(col("cont") >= threshold)
+      .groupBy("doc_id")
+      .agg(max(struct(col("cont"), col("corpus_id"))).as("m"))
+      .select(col("doc_id"), col("m.cont").as("best_containment"),
+        col("m.corpus_id").as("match_id"))
+    newDocs.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("best_containment").isNull.as("is_novel"),
+        col("best_containment"), col("match_id"))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------------
@@ -1161,7 +1304,14 @@ object Dedup {
                       shingles: Option[DataFrame] = None,
                       maxBucket: Int = DefaultMaxBucket,
                       observeName: String = "lsh_bucket_clamp",
-                      normalizedStarEdges: Boolean = false): DataFrame = {
+                      normalizedStarEdges: Boolean = false,
+                      extraEdges: Option[DataFrame] = None): DataFrame = {
+    // `extraEdges` (src/dst long columns) widen the similarity graph
+    // with edges from OTHER detectors — [[containmentPairs]] in the
+    // curation composite (a quoted passage and its container rarely
+    // clear a Jaccard threshold, but they are the same content for
+    // survivor purposes). Like normalizedStarEdges this is an opt-in
+    // semantic widening, not a default.
     val lshEdges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
         threshold, shingles, maxBucket, observeName)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -1178,7 +1328,10 @@ object Dedup {
     val starEdges =
       if (normalizedStarEdges) starsOver(digest(normalize(col("text"))))
       else starsOver(digest(col("text")))
-    val comps = connectedComponents(lshEdges.unionByName(starEdges))
+    val allEdges = extraEdges.foldLeft(lshEdges.unionByName(starEdges)) {
+      (acc, e) => acc.unionByName(e.select(col("src"), col("dst")))
+    }
+    val comps = connectedComponents(allEdges)
     docs.select(col("doc_id"))
       .join(comps.select(col("id").as("doc_id"), col("comp")),
         Seq("doc_id"), "left_outer")
@@ -1303,11 +1456,21 @@ object Dedup {
     * full 16-bit entropy and cost is a 17× expansion of ONE join side.
     * Both sides ride the same hot-bucket cap, observed under
     * `observeName` (plain) and `observeName_x` (expanded).
+    *
+    * The (doc_id, simhash) frame is `localCheckpoint`ed (16 bytes/doc,
+    * lazy) and both join sides derive from it: the fingerprint
+    * aggregate — explode tokens + 64 bit-vote columns, the
+    * corpus-linear expensive stage — runs ONCE. Exchange reuse cannot
+    * save it here the way it does for the banded form (the sides'
+    * keys differ: plain vs bit-flipped), so the checkpoint is the
+    * single-pass mechanism (the CorpusPrep.shareShingles precedent);
+    * PlanGuardSpec pins the shape. On a cluster, swap for reliable
+    * `checkpoint()` to also survive executor loss.
     */
   private def simhashPairsMih(docs: DataFrame, maxHamming: Int,
                               maxBucket: Int,
                               observeName: String): DataFrame = {
-    val fp = simhashRaw(docs)
+    val fp = simhashRaw(docs).localCheckpoint(eager = false)
     val plain = capBandBuckets(simhashBandRows(fp), maxBucket, observeName)
     val flips = typedLit(0L +: (0 until 16).map(1L << _))
     val expanded = capBandBuckets(

@@ -537,9 +537,24 @@ object TextAnalysis {
     // the whole shingle pipeline a second time per distribution
     // (plan-measured: 10 parquet scans → 6).
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    val tf = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
-      .withColumn("nt", sum(col("ct")).over(all))
-    val sf = feats(docs).groupBy("f").agg(count(lit(1)).as("cs"))
+    // Eager checkpoint of the ≤ buckets-row target histogram: it feeds
+    // the guard below and the ratio join without re-running the target
+    // feature pass.
+    val tfHist = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
+    // A feature-less target would make every max(nt) — and so every
+    // log-ratio — silently null; fail loudly instead (the trainLogReg
+    // 'no documents carry features' discipline).
+    require(!tfHist.isEmpty,
+      "dsirWeights: target corpus carries no features — every log-ratio " +
+        "would be null; pass a non-empty target")
+    val tf = tfHist.withColumn("nt", sum(col("ct")).over(all))
+    // ONE candidate-corpus feature pass, shared by the histogram and the
+    // scoring join (16 bytes/feature local checkpoint — the CorpusPrep
+    // shareShingles precedent): without it the uni+bi stream evaluates
+    // twice, i.e. 4 candidate-corpus scans where 2 suffice.
+    val docFeats = feats(docs).localCheckpoint(eager = false)
+    val sf = docFeats.groupBy("f").agg(count(lit(1)).as("cs"))
       .withColumn("ns", sum(col("cs")).over(all))
     val denom = smoothK * buckets
     val ratio = tf.join(sf, Seq("f"), "full_outer")
@@ -548,7 +563,7 @@ object TextAnalysis {
              (max(col("nt")).over(all) + denom)) -
          log((coalesce(col("cs"), lit(0L)) + smoothK) /
              (max(col("ns")).over(all) + denom))).as("lr"))
-    feats(docs)
+    docFeats
       .join(broadcast(ratio), Seq("f"))
       .select(col("doc_id"), col("lr").cast("decimal(27,12)").as("lr"))
       .groupBy("doc_id")
@@ -571,15 +586,30 @@ object TextAnalysis {
     * the literal wins.
     */
   def blocklistGate(docs: DataFrame, blocklist: Seq[String],
-                    maxFraction: Double = 0.0): DataFrame = {
+                    maxFraction: Double = 0.0): DataFrame =
+    blocklistGateRaw(docs, blocklist, maxFraction).orderBy("doc_id")
+
+  /** [[blocklistGate]] without the presentation sort — the composable
+    * form [[CorpusPrep.prepare]]'s stage-1 screen builds on.
+    */
+  private[ext] def blocklistGateRaw(docs: DataFrame, blocklist: Seq[String],
+                                    maxFraction: Double): DataFrame = {
     val bl = typedLit(blocklist.map(_.toLowerCase))
-    val toks = split(trim(col("text")), "\\s+")
+    // Zero-length tokens are filtered (the tokenStats idiom): split on a
+    // blank string yields [""], which would otherwise count a phantom
+    // token. Blank docs are n_tokens = 0, blocked_frac = 0.0, keep —
+    // nothing on a blocklist can appear in an empty doc, and explicit
+    // zeros beat a 0/0 null surprising downstream arithmetic.
+    val toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+    val nt = size(toks)
     val blocked = size(filter(toks, t => array_contains(bl, lower(t))))
+    val frac = when(nt === 0, lit(0.0))
+      .otherwise(blocked.cast("double") / nt)
     docs.select(col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
+      nt.cast("long").as("n_tokens"),
       blocked.cast("long").as("n_blocked"),
-      round(blocked.cast("double") / size(toks), 4).as("blocked_frac"),
-      (blocked.cast("double") / size(toks) <= maxFraction).as("keep"))
+      round(frac, 4).as("blocked_frac"),
+      (frac <= maxFraction).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -613,8 +643,16 @@ object TextAnalysis {
   def buildDsirIndex(target: DataFrame, path: String,
                      buckets: Int = 1024): Unit = {
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    dsirFeatures(target, buckets).groupBy("f")
+    // Checkpoint the ≤ buckets-row histogram so the emptiness guard and
+    // the write share one target pass; a 0-row model would crash every
+    // later dsirWeightsIndexed call — fail at build time instead.
+    val hist = dsirFeatures(target, buckets).groupBy("f")
       .agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
+    require(!hist.isEmpty,
+      "buildDsirIndex: target corpus carries no features — a 0-row " +
+        "model scores nothing; pass a non-empty target")
+    hist
       .withColumn("nt", sum(col("ct")).over(all))
       .withColumn("buckets", lit(buckets))
       .coalesce(1)
@@ -645,12 +683,22 @@ object TextAnalysis {
                          indexPath: String, docs: DataFrame,
                          smoothK: Double = 1.0): DataFrame = {
     val model = spark.read.parquet(indexPath)
-    // bounded metadata read: one row of a ≤ buckets-row table
-    val meta = model.select(col("nt"), col("buckets")).head()
+    // bounded metadata read: one row of a ≤ buckets-row table. headOption
+    // shape — a 0-row model must fail with the contract named, not a
+    // bare NoSuchElementException from head().
+    val metaRows = model.select(col("nt"), col("buckets")).limit(1).collect()
+    require(metaRows.nonEmpty,
+      s"dsirWeightsIndexed: empty DSIR model at $indexPath — " +
+        "buildDsirIndex rejects feature-less targets, so an empty model " +
+        "table means a corrupt or foreign write; rebuild the index")
+    val meta = metaRows.head
     val (nt, buckets) = (meta.getLong(0), meta.getInt(1))
     val denom = smoothK * buckets
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    val sf = dsirFeatures(docs, buckets).groupBy("f")
+    // ONE candidate-corpus feature pass shared by the histogram and the
+    // scoring join (the dsirWeights rationale).
+    val docFeats = dsirFeatures(docs, buckets).localCheckpoint(eager = false)
+    val sf = docFeats.groupBy("f")
       .agg(count(lit(1)).as("cs"))
       .withColumn("ns", sum(col("cs")).over(all))
     val ratio = sf
@@ -660,7 +708,7 @@ object TextAnalysis {
              (lit(nt) + denom)) -
          log((col("cs") + smoothK) /
              (max(col("ns")).over(all) + denom))).as("lr"))
-    dsirFeatures(docs, buckets)
+    docFeats
       .join(broadcast(ratio), Seq("f"))
       .select(col("doc_id"), col("lr").cast("decimal(27,12)").as("lr"))
       .groupBy("doc_id")

@@ -269,11 +269,18 @@ object Xxh64Sql {
     * the engine's right-to-left hashLong chain → window-4 sliding minima
     * (SIGNED comparison — Scala's Array[Long].min) → distinct per doc.
     */
-  def winnowSql: String = {
+  def winnowSql: String = winnowSqlFrom("documents")
+
+  /** [[winnowSql]] over an arbitrary (doc_id, text) relation — the
+    * composable form the containment-screen and curation-composite
+    * oracles build on (their corpora are doc_id slices, not the whole
+    * table).
+    */
+  def winnowSqlFrom(rel: String): String = {
     val inner = "SELECT doc_id, pos, " + bytesOf("tok") +
       " AS bl, length(tok) AS n FROM (SELECT doc_id, " +
       raw"unnest(string_split_regex(trim(text), '\s+')) AS tok, " +
-      raw"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents)"
+      raw"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM $rel)"
     val th = xxh64Select(inner, Seq("doc_id", "pos"), "bl", "n", "x", "th")
     val sh0 = s"SELECT doc_id, pos, th AS t0, lead(th,1) OVER w AS t1, " +
       s"lead(th,2) OVER w AS t2 FROM ($th) " +
@@ -304,8 +311,9 @@ object Xxh64Sql {
     * against the exhaustive form certifies both the fingerprints and
     * that the inverted join lost nothing.
     */
-  def containmentPairsSql(threshold: Double = 0.5): String =
-    s"""WITH fp AS (SELECT doc_id, fingerprint FROM (${winnowSql})),
+  def containmentPairsSql(threshold: Double = 0.5,
+                          rel: String = "documents"): String =
+    s"""WITH fp AS (SELECT doc_id, fingerprint FROM (${winnowSqlFrom(rel)})),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY 1),
        |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
        |       FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
@@ -318,6 +326,40 @@ object Xxh64Sql {
        |WHERE GREATEST(ROUND(CAST(sh.shared AS DOUBLE) / na.n, 4),
        |               ROUND(CAST(sh.shared AS DOUBLE) / nb.n, 4)) >= $threshold
        |ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for `containment_novel`
+    * ([[graft.ext.Dedup.containmentAgainstIndex]]): exhaustive
+    * one-sided containment of every batch doc (doc_id >= `split`) in
+    * every standing-corpus doc (doc_id < `split`) over the re-derived
+    * winnow fingerprints; the verdict keeps the best (rounded score,
+    * corpus id) match at-or-above `threshold`, or null + is_novel. The
+    * engine joins only docs sharing a fingerprint — complete for
+    * threshold > 0 — so equality against the exhaustive form certifies
+    * the persisted-index probe end to end.
+    */
+  def containmentNovelSql(threshold: Double = 0.5,
+                          split: Long = 450L): String =
+    s"""WITH fp AS (SELECT doc_id, fingerprint FROM (${winnowSql})),
+       |bfp AS (SELECT * FROM fp WHERE doc_id >= $split),
+       |cfp AS (SELECT * FROM fp WHERE doc_id < $split),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM bfp GROUP BY 1),
+       |cand AS (SELECT b.doc_id, c.doc_id AS corpus_id, COUNT(*) AS shared
+       |         FROM bfp b JOIN cfp c ON b.fingerprint = c.fingerprint
+       |         GROUP BY 1, 2),
+       |scored AS (SELECT cand.doc_id,
+       |             ROUND(CAST(shared AS DOUBLE) / sz.n, 4) AS cont,
+       |             corpus_id
+       |           FROM cand JOIN sz USING (doc_id)
+       |           WHERE ROUND(CAST(shared AS DOUBLE) / sz.n, 4) >= $threshold),
+       |best AS (SELECT doc_id, cont AS best_containment,
+       |           corpus_id AS match_id
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                 ORDER BY cont DESC, corpus_id DESC) AS rn
+       |               FROM scored) WHERE rn = 1)
+       |SELECT n.doc_id, best_containment IS NULL AS is_novel,
+       |  best_containment, match_id
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $split) n
+       |LEFT JOIN best USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
   /** Oracle for `dsir_weights`
     * ([[graft.ext.TextAnalysis.dsirWeights]]): unlike the
@@ -332,10 +374,23 @@ object Xxh64Sql {
     * established fold-order discipline.
     */
   def dsirWeightsSql(buckets: Int = 1024, split: Long = 250L): String = {
+    s"""WITH feats AS (${dsirFeatsSql("documents", buckets)}),
+       |tfe AS (SELECT * FROM feats WHERE doc_id < $split),
+       |sfe AS (SELECT * FROM feats WHERE doc_id >= $split),
+       |${dsirScoreCtes(buckets)}
+       |$dsirScoreSelect""".stripMargin
+  }
+
+  /** The hashed unigram+bigram feature stream of a (doc_id, text)
+    * relation — the composable half of [[dsirWeightsSql]], so the
+    * curation-composite oracle can score dynamic corpora (e.g. kept
+    * docs) against dynamic targets.
+    */
+  def dsirFeatsSql(rel: String, buckets: Int = 1024): String = {
     val inner = "SELECT doc_id, pos, " + bytesOf("tok") +
       " AS bl, length(tok) AS n FROM (SELECT doc_id, " +
       raw"unnest(string_split_regex(trim(text), '\s+')) AS tok, " +
-      raw"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM documents)"
+      raw"generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM $rel)"
     val th = xxh64Select(inner, Seq("doc_id", "pos"), "bl", "n", "x", "th")
     val uni = hashLongSelect(s"SELECT doc_id, pos, th FROM ($th)",
       Seq("doc_id", "pos"), "th", Seed, "u1", "ug")
@@ -344,12 +399,18 @@ object Xxh64Sql {
     val b1 = hashLongSelect(s"SELECT * FROM ($pairs) WHERE t1 IS NOT NULL",
       Seq("doc_id", "pos", "t0"), "t1", Seed, "b1", "hl1")
     val b2 = hashLongSelect(b1, Seq("doc_id", "pos"), "t0", "hl1", "b2", "bg")
-    s"""WITH feats AS (
-       |  SELECT doc_id, ug % $buckets AS f FROM ($uni)
+    s"""SELECT doc_id, ug % $buckets AS f FROM ($uni)
        |  UNION ALL
-       |  SELECT doc_id, bg % $buckets AS f FROM ($b2)),
-       |tf AS (SELECT f, COUNT(*) AS ct FROM feats WHERE doc_id < $split GROUP BY 1),
-       |sf AS (SELECT f, COUNT(*) AS cs FROM feats WHERE doc_id >= $split GROUP BY 1),
+       |  SELECT doc_id, bg % $buckets AS f FROM ($b2)""".stripMargin
+  }
+
+  /** Smoothed log-ratio scoring CTEs over feature relations `tfe`
+    * (target) and `sfe` (candidate) — [[dsirWeightsSql]]'s tail,
+    * reusable against any pair of feature streams.
+    */
+  def dsirScoreCtes(buckets: Int = 1024): String =
+    s"""tf AS (SELECT f, COUNT(*) AS ct FROM tfe GROUP BY 1),
+       |sf AS (SELECT f, COUNT(*) AS cs FROM sfe GROUP BY 1),
        |nt AS (SELECT SUM(ct) AS nt FROM tf),
        |ns AS (SELECT SUM(cs) AS ns FROM sf),
        |ratio AS (SELECT COALESCE(tf.f, sf.f) AS f,
@@ -357,10 +418,12 @@ object Xxh64Sql {
        |  LN((CAST(COALESCE(cs, 0) AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + $buckets.0)) AS lr
        |  FROM tf FULL OUTER JOIN sf ON tf.f = sf.f CROSS JOIN nt CROSS JOIN ns),
        |scored AS (SELECT doc_id, CAST(lr AS DECIMAL(27,12)) AS lr
-       |  FROM feats JOIN ratio USING (f) WHERE doc_id >= $split)
-       |SELECT doc_id, COUNT(*) AS n_feats,
-       |  ROUND(CAST(SUM(lr) AS DOUBLE), 4) AS sum_log_ratio,
-       |  ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) AS mean_log_ratio
-       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
+       |  FROM sfe JOIN ratio USING (f))""".stripMargin
+
+  /** The per-doc rollup select over [[dsirScoreCtes]]'s `scored`. */
+  def dsirScoreSelect: String =
+    """SELECT doc_id, COUNT(*) AS n_feats,
+      |  ROUND(CAST(SUM(lr) AS DOUBLE), 4) AS sum_log_ratio,
+      |  ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) AS mean_log_ratio
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

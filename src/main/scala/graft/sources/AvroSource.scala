@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,8 +57,10 @@ import org.apache.spark.util.SerializableConfiguration
   *    `key=value` directories recurse (any depth), their keys become
   *    typed partition columns appended after the data columns (int →
   *    long → double → string inference, `__HIVE_DEFAULT_PARTITION__`
-  *    → null), and `EqualTo`/`In` filters on partition columns are
-  *    accepted in `SupportsPushDownFilters` and applied to the FILE
+  *    → null), and `EqualTo`/`In`/range
+  *    (`GreaterThan[OrEqual]`/`LessThan[OrEqual]`)/null-test filters
+  *    on partition columns are accepted in `SupportsPushDownFilters`
+  *    and applied to the FILE
   *    LIST — a pruned directory's files are never opened, listed
   *    lengths are reused for split planning (no second FS pass).
   *    Unexpected non-partition subdirectories fail loudly rather than
@@ -236,8 +238,29 @@ object AvroSource {
       case other => partValueExternal(raw, other)
     }
 
+  /** SQL comparison of a partition value against a pushed filter value.
+    * Both sides carry the inferred partition type (Spark casts the
+    * literal to the column type before translation), so numeric pairs
+    * compare through BigDecimal — exact for int/long/double alike — and
+    * strings lexicographically, matching the post-scan semantics the
+    * claimed pushdown replaces. A shape this method can't order is a
+    * bug in [[AvroScanBuilder.pushFilters]]'s accept list: fail loudly.
+    */
+  private def partCompare(pv: Any, v: Any): Int = (pv, v) match {
+    case (a: Number, b: Number) =>
+      new java.math.BigDecimal(a.toString)
+        .compareTo(new java.math.BigDecimal(b.toString))
+    case (a: String, b: String) => a.compareTo(b)
+    case _ => throw new IllegalStateException(
+      s"unorderable pushed partition comparison: $pv vs $v " +
+        s"(${pv.getClass.getName} vs ${v.getClass.getName})")
+  }
+
   /** Does `f` survive the pushed partition filters? Only the filter
-    * shapes [[AvroScanBuilder.pushFilters]] accepts appear here.
+    * shapes [[AvroScanBuilder.pushFilters]] accepts appear here. A null
+    * partition value (`__HIVE_DEFAULT_PARTITION__`) fails every
+    * comparison — SQL's null-predicate-filters-out semantics — and
+    * matches only `IsNull`.
     */
   private[sources] def partitionMatch(f: AvroFile, keys: Seq[String],
       partSchema: StructType, filters: Seq[Filter]): Boolean = {
@@ -245,9 +268,18 @@ object AvroSource {
       val i = keys.indexOf(col)
       partValueExternal(f.partValues(i), partSchema(col).dataType)
     }
+    def cmp(a: String, v: Any)(ok: Int => Boolean): Boolean = {
+      val pv = valueOf(a); pv != null && ok(partCompare(pv, v))
+    }
     filters.forall {
       case EqualTo(a, v) => val pv = valueOf(a); pv != null && pv == v
       case In(a, vs) => val pv = valueOf(a); pv != null && vs.contains(pv)
+      case GreaterThan(a, v) => cmp(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
+      case LessThan(a, v) => cmp(a, v)(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v)(_ <= 0)
+      case IsNull(a) => valueOf(a) == null
+      case IsNotNull(a) => valueOf(a) != null
       case _ => true
     }
   }
@@ -519,16 +551,24 @@ private class AvroScanBuilder(path: String, splitBytes: Long,
   private var required: StructType = full
   private var pushedPart: Array[Filter] = Array.empty
 
-  // Partition pruning at the LISTING layer: EqualTo/In on partition
-  // columns are fully answered by the directory values, so they are
-  // claimed as pushed (Spark drops them post-scan) and the matching
-  // directories' files are the only ones planned or opened. Everything
+  // Partition pruning at the LISTING layer: equality, IN, range, and
+  // null-test filters on partition columns are fully answered by the
+  // directory values, so they are claimed as pushed (Spark drops them
+  // post-scan) and the matching directories' files are the only ones
+  // planned or opened — a `day >= X` retention scan over a date-
+  // partitioned lake prunes exactly like an equality probe. Everything
   // else stays with Spark.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val partCols = partSchema.fieldNames.toSet
     val (acc, rest) = filters.partition {
       case EqualTo(a, _) => partCols(a)
       case In(a, _) => partCols(a)
+      case GreaterThan(a, _) => partCols(a)
+      case GreaterThanOrEqual(a, _) => partCols(a)
+      case LessThan(a, _) => partCols(a)
+      case LessThanOrEqual(a, _) => partCols(a)
+      case IsNull(a) => partCols(a)
+      case IsNotNull(a) => partCols(a)
       case _ => false
     }
     pushedPart = acc
@@ -721,6 +761,24 @@ private class AvroBatchWrite(path: String, schema: StructType,
       val next = AvroSource.currentVersion(root, fs).getOrElse(0L) + 1
       fs.mkdirs(commitStagePath)
       committed.foreach(f => move(new Path(f), commitStagePath))
+      // A zero-PARTITION frame (spark.emptyDataFrame-derived) runs no
+      // write tasks at all, so `committed` is empty and the published
+      // version would hold no container files — after which every read
+      // fails "no .avro files". A truncate must stay readable-empty:
+      // stage one schema-carrying header-only file so the new version
+      // reads as an empty table with the written schema (a FILTERED
+      // empty frame already gets this for free from its header-writing
+      // tasks).
+      if (committed.isEmpty) {
+        val avroSchema = AvroSource.avroSchemaOf(schema)
+        val empty = new Path(commitStagePath,
+          s"part-empty-${queryId.take(8)}.avro")
+        val w = new DataFileWriter[GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](
+            avroSchema))
+        w.create(avroSchema, fs.create(empty, true))
+        w.close()
+      }
       val dest = new Path(root, s"data_v$next")
       // the atomic publish: one directory rename flips readers from
       // data_v<next-1> (or the flat root) to data_v<next>

@@ -564,6 +564,41 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming blocklist gate — the streaming twin of
+    * [[graft.ext.TextAnalysis.blocklistGate]], completing the row-local
+    * half of the streaming curation family next to [[dsirScreenStream]]:
+    * each micro-batch gets per-doc token counts, blocked fraction, and
+    * a `keep` verdict against a FIXED blocklist (a plan literal inside
+    * one codegen'd filter lambda — no state, no join, no shuffle), and
+    * lands in `verdictDir/batch_id=N` with the shared bounded-retention
+    * contract. Like the DSIR screen the reference data is frozen: a
+    * blocklist is policy, never derived from the stream it filters, so
+    * replays are trivially idempotent (the per-batch dir overwrite IS
+    * the whole effect). PipelineSpec pins batch equivalence — the
+    * stream adds delivery, not semantics.
+    */
+  def blocklistScreenStream(docStream: DataFrame, blocklist: Seq[String],
+                            verdictDir: String, checkpointDir: String,
+                            maxFraction: Double = 0.0,
+                            retainVerdictBatches: Int = 0,
+                            trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ext.TextAnalysis.blocklistGate(batch, blocklist, maxFraction)
+            .write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+          pruneVerdictDirs(spark, verdictDir, batchId,
+            retainVerdictBatches)
+        }
+      }
+      .start()
+
   /** Streaming k-means scoring — the streaming twin of
     * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
     * assigned to their nearest FITTED centroid (the same opaque

@@ -45,9 +45,14 @@ object ContainDrill {
 
     // Token streams keyed by (seed, salt, position) over a huge space →
     // cross-doc shingle collisions are negligible except where planted.
+    // The salt term is spaced BEYOND the position range (salt*100000,
+    // positions < 100): with `i + salt` the streams of adjacent salts
+    // overlapped shifted by one (toks(id,2,40)[i] == toks(id,3,40)[i-1]),
+    // quietly handing a container doc's prefix and suffix 39 shared
+    // tokens.
     def toks(seed: org.apache.spark.sql.Column, salt: Long, n: Int) =
       transform(sequence(lit(0), lit(n - 1)), i =>
-        concat(lit("t"), pmod(xxhash64(seed * 977 + i + lit(salt)),
+        concat(lit("t"), pmod(xxhash64(seed * 977 + i + lit(salt * 100000L)),
           lit(1000000000L))))
     val boiler = concat_ws(" ",
       (0 until 16).map(i => lit(s"boilerplate$i")): _*)
@@ -68,7 +73,9 @@ object ContainDrill {
     val pairs = Dedup.containmentPairs(docs, threshold = 0.5)
       .select("doc_a", "doc_b", "a_in_b").collect()
     val sec = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(1000) // listener delivery is async
+    // deterministic listener drain (the Bench discipline)
+    org.apache.spark.graftbridge.ListenerDrain.drain(
+      spark.sparkContext, 30000L)
 
     val planted = (1L until rows by 100L).filter(_ + 1 < rows)
       .map(i => (i, i + 1)).toSet
@@ -95,6 +102,49 @@ object ContainDrill {
       .getOrElse(0L)
     assert(dropped > 0, "expected the boilerplate fingerprint buckets " +
       s"to exceed the cap; observed: $clamp")
+
+    // Phase 2 — the persisted-index screen (containment_novel's
+    // operator) at the same scale: standing corpus = everything except
+    // the planted passages; batch = the passages (must flag contained,
+    // matched to their containers) + fresh docs (must stay novel). The
+    // broadcast plan here complements the registered query's merge
+    // plan, so both join strategies carry drill evidence.
+    val standing = docs.filter(col("doc_id") % 100 =!= 1)
+    val passages = docs.filter(col("doc_id") % 100 === 1)
+    val freshN = 1000L
+    val fresh = spark.range(rows, rows + freshN)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", toks(col("id"), 5L, 60)).as("text"))
+    val batch = passages.unionByName(fresh).localCheckpoint()
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("contain-drill-idx").toString
+    val tb = System.nanoTime()
+    graft.ext.Dedup.buildContainmentIndex(standing, idxPath)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    val ts = System.nanoTime()
+    val verdicts = graft.ext.Dedup
+      .containmentAgainstIndex(batch, idxPath, threshold = 0.5)
+      .collect()
+    val screenSec = (System.nanoTime() - ts) / 1e9
+    org.apache.spark.graftbridge.ListenerDrain.drain(
+      spark.sparkContext, 30000L)
+    val byId = verdicts.map(r => r.getLong(0) ->
+      (r.getBoolean(1), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    val passageIds = (1L until rows by 100L).filter(_ + 1 < rows)
+    val contained = passageIds.count(id => !byId(id)._1)
+    val matchedRight = passageIds.count(id => byId(id)._2.contains(id + 1))
+    val novelFresh = (rows until rows + freshN).count(id => byId(id)._1)
+    val idxClamp = Option(observed.get("containment_idx_clamp"))
+      .map(_.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString(", ")).getOrElse("?")
+    println(f"containmentAgainstIndex: build ${buildSec}%.1f s, screen " +
+      f"${batch.count()}%d docs in ${screenSec}%.1f s; contained recall " +
+      f"${contained.toDouble / passageIds.size}%.4f " +
+      f"($contained/${passageIds.size}, exact match $matchedRight), " +
+      f"fresh novel $novelFresh/$freshN; clamp: $idxClamp")
+    assert(contained.toDouble / passageIds.size >= 0.98,
+      "indexed containment recall below 0.98")
+    assert(novelFresh == freshN, "fresh docs must all be novel")
     spark.stop()
   }
 }

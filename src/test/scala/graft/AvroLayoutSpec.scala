@@ -114,6 +114,52 @@ class AvroLayoutSpec extends AnyFunSuite {
     assert(df.filter($"year" >= 2025).select("id").head().getLong(0) == 2L)
   }
 
+  test("range filters on partition columns prune at the listing layer") {
+    // the retention-scan shape: day-partitioned lake, `day >= X` must
+    // prune directories like an equality probe (r12 verdict: equality-
+    // only pruning left date ranges scanning everything)
+    val root = tmp("avro-range")
+    for ((day, id) <- Seq("2024-01-01" -> 1L, "2024-02-01" -> 2L,
+        "2024-03-01" -> 3L))
+      writeAvroFile(s"$root/day=$day", s"d$id.avro",
+        Seq((id, 1.0)).toDF("id", "v"))
+    writeAvroFile(s"$root/day=__HIVE_DEFAULT_PARTITION__", "dn.avro",
+      Seq((9L, 9.0)).toDF("id", "v"))
+    val df = Tables.avro(spark, root)
+    assert(df.rdd.getNumPartitions == 4)
+    // string partition: lexicographic range — a null partition value
+    // fails every comparison (SQL semantics), so it prunes too
+    val recent = df.filter($"day" >= "2024-02-01")
+    assert(recent.rdd.getNumPartitions == 2)
+    assert(recent.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    val window = df.filter($"day" > "2024-01-01" && $"day" < "2024-03-01")
+    assert(window.rdd.getNumPartitions == 1)
+    assert(window.select("id").head().getLong(0) == 2L)
+    assert(window.queryExecution.executedPlan.toString
+      .contains("PartitionedFiles: 1"))
+    // null tests answered by the directory names
+    assert(df.filter($"day".isNull).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    assert(df.filter($"day".isNotNull).rdd.getNumPartitions == 3)
+
+    // numeric partition: NUMERIC ordering, not lexicographic — year=9
+    // must survive year >= 10 being false and year <= 2024 being true
+    val nroot = tmp("avro-range-num")
+    for (y <- Seq(9, 2024, 2025))
+      writeAvroFile(s"$nroot/year=$y", s"y$y.avro",
+        Seq((y.toLong, 1.0)).toDF("id", "v"))
+    val ndf = Tables.avro(spark, nroot)
+    assert(ndf.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val le = ndf.filter($"year" <= 2024)
+    assert(le.rdd.getNumPartitions == 2)
+    assert(le.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(9L, 2024L))
+    assert(ndf.filter($"year" > 2024).select("id").head().getLong(0)
+      == 2025L)
+  }
+
   test("partition edge cases: __HIVE_DEFAULT_PARTITION__ is null; layout inconsistencies fail loudly") {
     val root = tmp("avro-part-null")
     writeAvroFile(s"$root/region=EU", "a.avro", Seq((1L, 1.0)).toDF("id", "v"))
@@ -208,6 +254,22 @@ class AvroLayoutSpec extends AnyFunSuite {
     val back = Tables.avro(spark, dir)
     assert(back.count() == 0L)
     assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
+
+    // a zero-PARTITION frame runs no write tasks at all (no header-
+    // writing tasks to lean on) — commit itself must stage the
+    // schema-carrying file, or the published version directory is
+    // empty and every later read fails "no .avro files"
+    val zp = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      src.schema)
+    assert(zp.rdd.getNumPartitions == 0)
+    Tables.avroWrite(zp, dir)
+    val v3 = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("data_v")).toSeq
+    assert(v3 == Seq("data_v3"), v3)
+    val empty = Tables.avro(spark, dir)
+    assert(empty.count() == 0L)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "tag"))
   }
 
   test("schema drift across files: missing nullable column resolves to null, extra column is skipped") {

@@ -42,6 +42,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     // doc scores finitely on its single unigram feature instead of
     // vanishing or throwing.
     assert(TextAnalysis.dsirWeights(someDocs, emptyDocs).isEmpty)
+    // A feature-less TARGET would make every log-ratio silently null —
+    // the operator fails loudly instead (build path too).
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(emptyDocs, someDocs)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.buildDsirIndex(emptyDocs,
+        java.nio.file.Files.createTempDirectory("dsir_empty").toString)
+    }
     val blank = Seq((5L, "")).toDF("doc_id", "text")
     val blankRow = TextAnalysis.dsirWeights(someDocs, blank).head()
     assert(blankRow.getLong(1) == 1L &&
@@ -56,6 +65,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       .toDF("vec_id", "label", "embedding")
     assert(graft.ext.Similarity.semanticOutliers(same, k = 2,
       iters = 1, dim = 4).isEmpty)
+  }
+
+  test("blocklist gate on blank docs: zero tokens, zero frac, keep") {
+    // split('') = [''] — without the zero-length filter a blank doc
+    // would report a phantom token (n_tokens = 1). Pinned: blank and
+    // whitespace-only docs are n_tokens = 0 with an explicit 0.0
+    // fraction (no 0/0 null) and keep = true.
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "clean text here"),
+      (4L, "dup dup clean")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistGate(docs, Seq("dup"), maxFraction = 0.5)
+      .collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byId(1L) == ((0L, 0L, 0.0, true)))
+    assert(byId(2L) == ((0L, 0L, 0.0, true)))
+    assert(byId(3L) == ((3L, 0L, 0.0, true)))
+    assert(byId(4L) == ((3L, 2L, 0.6667, false)))
   }
 
   test("contamination with an empty side") {

@@ -145,9 +145,11 @@ class ExtSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val prepared = graft.ext.CorpusPrep.prepare(corpus, evalSet)
     val out = prepared
-      .collect().map(r => r.getLong(0) ->
-        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
-          r.getBoolean(5))).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("quality_ok"), r.getAs[Boolean]("is_exact_dup"),
+          r.getAs[Boolean]("is_near_dup"),
+          r.getAs[Boolean]("is_contaminated"),
+          r.getAs[Boolean]("kept"))).toMap
     // (quality_ok, is_exact_dup, is_near_dup, is_contaminated, kept)
     assert(out(10L) == ((true, false, false, false, true)))
     assert(out(11L)._2 || out(11L)._3) // flagged as a duplicate either way
@@ -155,9 +157,13 @@ class ExtSpec extends AnyFunSuite {
     assert(out(12L)._1 == false && !out(12L)._5)
     assert(out(13L)._4 == true && !out(13L)._5)
     assert(out(14L) == ((true, false, false, false, true)))
+    // screens off → the new audit columns are uniformly false
+    assert(prepared.filter(col("is_blocked") || col("is_outlier")).isEmpty)
     val rep = graft.ext.CorpusPrep.report(prepared).head()
     assert(rep.getAs[Long]("total_docs") == 5)
     assert(rep.getAs[Long]("kept_docs") == 2)
+    assert(rep.getAs[Long]("blocked") == 0)
+    assert(rep.getAs[Long]("outliers") == 0)
   }
 
   test("staged survivors: clean near-dup copy survives a tainted canonical") {
@@ -175,11 +181,90 @@ class ExtSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val out = graft.ext.CorpusPrep
       .prepare(corpus, evalSet, contaminationMinShared = 3)
-      .collect().map(r => r.getLong(0) ->
-        (r.getBoolean(4), r.getBoolean(5))).toMap // (is_contaminated, kept)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_contaminated"), r.getAs[Boolean]("kept"))).toMap
     assert(out(20L) == ((true, false)))
     assert(out(21L) == ((false, true))) // near-dup, but the clean survivor
     assert(out(22L) == ((false, true)))
+  }
+
+  test("staged survivors: blocklisted canonical falls to the next eligible copy") {
+    // 30/31 near-dups (one token apart); the cluster minimum carries a
+    // blocklisted token, its copy is clean. Independent AND-ing would
+    // delete the content; staged promotion keeps 31. The audit flags
+    // stay independent: 30 is is_blocked, 31 is is_near_dup (cluster
+    // non-minimum) yet kept.
+    val corpus = Seq(
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota badword"),
+      (31L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (32L, "completely unrelated training document about engines and physics"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = graft.ext.CorpusPrep
+      .prepare(corpus, evalSet, blocklist = Seq("badword"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_blocked"), r.getAs[Boolean]("is_near_dup"),
+          r.getAs[Boolean]("kept"))).toMap
+    assert(out(30L) == ((true, false, false)))
+    assert(out(31L) == ((false, true, true)))
+    assert(out(32L) == ((false, false, true)))
+  }
+
+  test("containment edges widen the cluster graph: quoted passage joins its container") {
+    // The passage (40) is fully quoted inside the much longer container
+    // (41): Jaccard is far below 0.5 (the union is container-sized) so
+    // the default graph keeps BOTH; with containment edges they share a
+    // cluster and one survivor remains.
+    // filler stays ALPHABETIC: digit-heavy tokens would fail the
+    // quality screen's alpha-ratio bar and mask the clustering change
+    val filler = (0 until 40).map(i =>
+      s"filler${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (40L, passage),
+      (41L, s"$filler $passage"),
+      (42L, "completely unrelated training document about engines and physics"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val without = graft.ext.CorpusPrep.prepare(corpus, evalSet)
+      .filter(col("kept")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(without == Set(40L, 41L, 42L))
+    val withEdges = graft.ext.CorpusPrep.prepare(corpus, evalSet,
+        containmentThreshold = Some(0.5))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_near_dup"), r.getAs[Boolean]("kept"))).toMap
+    assert(withEdges(40L) == ((false, true))) // cluster minimum survives
+    assert(withEdges(41L) == ((true, false)))
+    assert(withEdges(42L) == ((false, true)))
+  }
+
+  test("semantic outlier screen feeds eligibility in the composite") {
+    // Over the real sf0.001 tables (the detection itself is certified
+    // by the semantic_outliers oracle + its own specs): every doc the
+    // screen flags must carry is_outlier in prepare's audit, be
+    // ineligible (never kept), and the report's outliers count must
+    // equal the screen's flag count over corpus docs.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") >= 50)
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val flagged = graft.ext.Similarity
+      .semanticOutliers(emb, k = 8, iters = 4, z = 2.0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(flagged.nonEmpty) // the fixture actually exercises the screen
+    val prepared = graft.ext.CorpusPrep.prepare(docs, evalSet,
+      embeddings = Some(emb))
+    val audit = prepared.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Boolean]("is_outlier"), r.getAs[Boolean]("kept"))).toMap
+    val corpusFlagged = flagged.filter(_ >= 50L)
+    assert(corpusFlagged.nonEmpty)
+    corpusFlagged.foreach { id =>
+      assert(audit(id)._1 && !audit(id)._2, s"doc $id")
+    }
+    assert(audit.count(_._2._1) == corpusFlagged.size)
+    val rep = graft.ext.CorpusPrep.report(prepared).head()
+    assert(rep.getAs[Long]("outliers") == corpusFlagged.size.toLong)
   }
 
   test("set_overlap skips null elements instead of reading them as 0") {
@@ -707,6 +792,49 @@ class ExtSpec extends AnyFunSuite {
     assert(bInA ==
       BigDecimal(inter.toDouble / fps(1L).size)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("containmentAgainstIndex: persisted screen matches in-corpus semantics; cold start is all-novel") {
+    val short = (1 to 30).map(i => s"inner$i").mkString(" ")
+    val long = ((1 to 40).map(i => s"pre$i") ++ (1 to 30).map(i => s"inner$i")
+      ++ (1 to 40).map(i => s"post$i")).mkString(" ")
+    val corpus = Seq(
+      (0L, long),
+      (1L, (1 to 30).map(i => s"corpusonly$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, short),                                   // quoted inside 0
+      (11L, (1 to 30).map(i => s"fresh$i").mkString(" "))) // novel
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("contain-idx").toString
+    // cold start: no index at all → every doc novel, not an error
+    val cold = Dedup.containmentAgainstIndex(batch, s"$path/missing")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(cold.toSeq == Seq((10L, true), (11L, true)))
+    Dedup.buildContainmentIndex(corpus, path)
+    for (bb <- Seq(true, false)) {
+      val v = Dedup.containmentAgainstIndex(batch, path,
+          broadcastBatch = bb)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+      assert(!v(10L)._1 && v(10L)._3 == Some(0L), s"bb=$bb: ${v(10L)}")
+      assert(v(10L)._2.get >= 0.6)
+      assert(v(11L) == ((true, None, None)), s"bb=$bb")
+      // the screen's score equals the in-corpus containmentPairs value
+      // over the union frame — index vs recompute agree
+      val pairScore = Dedup.containmentPairs(
+          corpus.unionByName(batch), threshold = 0.5)
+        .filter(col("doc_a") === 0L && col("doc_b") === 10L)
+        .head().getAs[Double]("b_in_a")
+      assert(v(10L)._2.get == pairScore)
+    }
+    // stored-parameter rule: the screen derives batch fingerprints with
+    // the INDEX's shingle/window values, not caller-supplied ones
+    val params = spark.read.parquet(s"$path/params").head()
+    assert(params.getAs[Int]("shingle_size") == 3 &&
+      params.getAs[Int]("window") == 4)
   }
 
   test("dsirWeights: target-likely docs outrank target-unlike; values match an independent recomputation") {

@@ -465,6 +465,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.toSeq == direct.toSeq)
   }
 
+  test("streaming blocklist screen equals the batch gate, with bounded verdict retention") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("blocklist-stream").toString
+    val (verdicts, ckpt) = (s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.blocklistScreenStream(docs, Seq("bad", "worse"),
+      verdicts, ckpt, maxFraction = 0.25, retainVerdictBatches = 2,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    val batch1 = Seq((10L, "clean text all the way down"),
+      (11L, "bad bad text here"))
+    val batch2 = Seq((20L, "one BAD token in eight clean words total"),
+      (21L, ""))
+    try {
+      source.addData((0L, "seed batch"))
+      query.processAllAvailable()
+      source.addData(batch1: _*)
+      query.processAllAvailable()
+      source.addData(batch2: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // retention 2: batch 0 pruned after batch 2 landed
+    val dirs = new java.io.File(verdicts).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("batch_id=1", "batch_id=2"), dirs.toSeq)
+    // batch equivalence: the stream adds delivery, not semantics —
+    // every surviving verdict row equals the batch operator's on the
+    // same docs (case-insensitivity, blank-doc zeros, threshold edge)
+    for ((dir, data) <- Seq("batch_id=1" -> batch1, "batch_id=2" -> batch2)) {
+      val streamed = spark.read.parquet(s"$verdicts/$dir")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val direct = graft.ext.TextAnalysis.blocklistGate(
+        data.toDF("doc_id", "text"), Seq("bad", "worse"),
+        maxFraction = 0.25).collect().map(_.toSeq)
+      assert(streamed.toSeq == direct.toSeq, dir)
+    }
+    val v = spark.read.parquet(s"$verdicts/batch_id=1")
+      .unionByName(spark.read.parquet(s"$verdicts/batch_id=2"))
+      .select("doc_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v == Map(10L -> true, 11L -> false, 20L -> true, 21L -> true))
+  }
+
   test("streaming minhash dedup survives a checkpointed restart without rescreening or duplicating") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

@@ -42,6 +42,40 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Generate explode".r.findAllIn(p).length <= 2, p)
   }
 
+  test("simhash_pairs_r7 runs the fingerprint aggregate once (checkpointed frame)") {
+    // The MIH sides join on DIFFERENT keys (plain vs bit-flipped), so
+    // exchange reuse can't deduplicate the fingerprint pipeline the way
+    // it does for the banded form — the (doc_id, simhash) frame is
+    // checkpointed instead, and both sides must scan it: the final
+    // adaptive plan reads the checkpoint (ExistingRDD) on both sides
+    // and never re-runs the token explode + 64 bit-vote aggregate
+    // (that ran once, in the checkpoint job) — the surviving Generates
+    // are the cheap 4-element band-struct explodes + the 17-flip
+    // expansion, all over 16-byte rows.
+    val df = SparkEntry.queries("simhash_pairs_r7")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan ExistingRDD".r.findAllIn(p).length == 2, p)
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("split(trim"), p)
+  }
+
+  test("dsir_weights shares one candidate feature pass (checkpointed)") {
+    // The histogram and the scoring join both consume the candidate
+    // corpus' uni+bi feature stream; a shared localCheckpoint makes
+    // that ONE evaluation (and the target histogram is its own eager
+    // checkpoint), so the final adaptive plan reads only checkpoint
+    // blocks — zero parquet scans, zero token explodes.
+    val df = SparkEntry.queries("dsir_weights")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p)
+    assert("Generate explode".r.findAllIn(p).isEmpty, p)
+  }
+
   test("containment_pairs runs the winnow pipeline once per side (reused exchange)") {
     // The inverted self-join's two sides are byte-identical capped
     // fingerprint subtrees lined up by the merge pin — the final
