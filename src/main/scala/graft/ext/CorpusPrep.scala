@@ -216,7 +216,20 @@ object CorpusPrep {
                 maxTokens: Int = 512,
                 dsirTarget: Option[DataFrame] = None,
                 dsirMinScore: Double = 0.0): DataFrame = {
+    // The survivor id-list is consumed by several downstream subtrees
+    // (the DSIR scoring pass, the final corpus join feeding both the
+    // chunker and the mixture expansion) — checkpoint it (8 bytes/doc,
+    // lazy) so the whole curation plan (clusters + contamination +
+    // windows) is GUARANTEED to run once regardless of how many
+    // consumers reference it: at sf0.1 AQE exchange reuse already
+    // dedupes most of it (QBench A/B: train_prep 4.24 → 3.80 s warm,
+    // train_prep_dsir within noise), but reuse is a best-effort
+    // optimizer property while the checkpoint is a contract — at
+    // 100 TB a silently-duplicated curation pass is the bigger risk.
+    // Same localCheckpoint-vs-recompute trade as prepare's own
+    // shareShingles.
     val kept0 = prepare(docs, evalDocs).filter(col("kept")).select("doc_id")
+      .localCheckpoint(eager = false)
     val kept = dsirTarget match {
       case Some(target) =>
         val survivors = docs.join(kept0, Seq("doc_id"))
