@@ -1037,6 +1037,14 @@ object SparkEntry {
 
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(T(s, dir, "documents"))),
 
+    // Per-source caps: within each source keep the `cap` longest docs
+    // (n_chars desc, doc_id tie-break) — the no-domain-dominates rule;
+    // survivors only, so the rank<=cap filter plans a partial
+    // WindowGroupLimit (hot-domain skew armor, PlanGuard-pinned).
+    "source_caps" -> ((s, dir) =>
+      Sampling.sourceCaps(T(s, dir, "documents"), cap = 10,
+        preference = col("n_chars"))),
+
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(T(s, dir, "documents"))),
 
     "quality_score" -> ((s, dir) =>
@@ -2253,6 +2261,13 @@ object SparkEntry {
         s"""SELECT doc_id, CAST($nTokens AS INTEGER) AS n_tokens, CAST(LEN(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS bpe_tokens, CAST(LENGTH(text) AS INTEGER) AS n_chars_calc FROM documents ORDER BY doc_id""",
       "lang_stats" ->
         s"""SELECT lang, COUNT(*) AS n_docs, AVG($nTokens) AS avg_tokens, AVG(n_chars) AS avg_chars FROM documents GROUP BY lang ORDER BY lang""",
+      "source_caps" ->
+        """SELECT doc_id, source, src_rank FROM (
+          |  SELECT doc_id, source,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS INTEGER) AS src_rank
+          |  FROM documents)
+          |WHERE src_rank <= 10 ORDER BY source, src_rank""".stripMargin,
       "quality_score" ->
         s"""SELECT doc_id, CAST($nTokens AS INTEGER) AS n_tokens, ROUND($alphaLen / LENGTH(text), 4) AS alpha_ratio, ROUND((LENGTH(text) - $noSpaceLen) / LENGTH(text), 4) AS space_ratio, ROUND($noSpaceLen / $nTokens, 4) AS avg_token_len, CASE WHEN $nTokens >= 5 AND $alphaLen / LENGTH(text) > 0.6 THEN 'good' ELSE 'poor' END AS quality FROM documents ORDER BY doc_id""",
       "lang_confusion" ->

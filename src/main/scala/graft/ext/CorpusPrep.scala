@@ -93,14 +93,27 @@ object CorpusPrep {
           .localCheckpoint(eager = false))
       else None
 
-    // Stage 1 — row-local verdicts.
-    val quality = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), (col("quality") === "good").as("quality_ok"))
-    val blocked =
-      if (blocklist.isEmpty) None
-      else Some(TextAnalysis
-        .blocklistGateRaw(docs, blocklist, blocklistMaxFraction)
-        .select(col("doc_id"), (!col("keep")).as("is_blocked")))
+    // Stage 1 — row-local verdicts + content digest, FUSED into one
+    // corpus scan: quality, blocklist, and the digest are all per-row
+    // expressions, so projecting them together replaces three separate
+    // corpus scans + two joins (plan-measured below in PlanGuardSpec;
+    // at 100 TB every avoided corpus scan is the win).
+    val blockedCol =
+      if (blocklist.isEmpty) lit(false)
+      else {
+        val (_, _, frac) = TextAnalysis.blocklistCols(col("text"), blocklist)
+        frac > blocklistMaxFraction
+      }
+    // Lazy checkpoint (~33 bytes/doc): the frame feeds BOTH the flagged
+    // join and the exact-dup star edges inside the clustering, and a
+    // recompute would re-read the full text column from parquet for
+    // each consumer.
+    val stage1 = docs.select(
+      col("doc_id"),
+      TextAnalysis.qualityOkCol(col("text")).as("quality_ok"),
+      blockedCol.as("is_blocked"),
+      Dedup.digest(col("text")).as("content_digest"))
+      .localCheckpoint(eager = false)
     val contaminated = Contamination
       .ngramOverlap(evalDocs, docs, minShared = contaminationMinShared,
         trainShingles = sharedShingles, trainShinglesN = Some(3))
@@ -114,32 +127,25 @@ object CorpusPrep {
 
     // Stage 2 — group structure (content-based, over the FULL corpus:
     // similarity does not depend on eligibility).
-    val digests = docs.select(col("doc_id"),
-      Dedup.digest(col("text")).as("content_digest"))
     val containEdges = containmentThreshold.map(t =>
       Dedup.containmentPairsRaw(docs, threshold = t, shingleSize = 3,
           window = 4, maxBucket = Dedup.DefaultMaxBucket,
           observeName = "prep_containment_clamp")
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val clusters = Dedup.nearDupClusters(docs, threshold = nearDupThreshold,
-        shingles = sharedShingles, extraEdges = containEdges)
+        shingles = sharedShingles, extraEdges = containEdges,
+        digests = Some(stage1.select(col("doc_id"),
+          col("content_digest").as("__dg"))))
       .select(col("doc_id"), col("cluster_id"))
 
-    val withBlocked = blocked.foldLeft(docs.select("doc_id")) {
-      (acc, b) => acc.join(b, Seq("doc_id"), "left_outer")
-    }
-    val withOutliers = outliers.foldLeft(withBlocked) {
+    val withOutliers = outliers.foldLeft(stage1) {
       (acc, o) => acc.join(o, Seq("doc_id"), "left_outer")
     }
     val flagged = withOutliers
-      .join(quality, Seq("doc_id"), "left_outer")
       .join(contaminated, Seq("doc_id"), "left_outer")
-      .join(digests, Seq("doc_id"))
       .join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("content_digest"), col("cluster_id"),
-        coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
-        (if (blocked.isDefined) coalesce(col("is_blocked"), lit(false))
-         else lit(false)).as("is_blocked"),
+        col("quality_ok"), col("is_blocked"),
         coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"),
         (if (outliers.isDefined) coalesce(col("is_outlier"), lit(false))
          else lit(false)).as("is_outlier"))

@@ -1305,34 +1305,46 @@ object Dedup {
                       maxBucket: Int = DefaultMaxBucket,
                       observeName: String = "lsh_bucket_clamp",
                       normalizedStarEdges: Boolean = false,
-                      extraEdges: Option[DataFrame] = None): DataFrame = {
+                      extraEdges: Option[DataFrame] = None,
+                      digests: Option[DataFrame] = None): DataFrame = {
     // `extraEdges` (src/dst long columns) widen the similarity graph
     // with edges from OTHER detectors — [[containmentPairs]] in the
     // curation composite (a quoted passage and its container rarely
     // clear a Jaccard threshold, but they are the same content for
     // survivor purposes). Like normalizedStarEdges this is an opt-in
-    // semantic widening, not a default.
+    // semantic widening, not a default. `digests` lets a caller that
+    // already computed the raw content digests (CorpusPrep's fused
+    // stage-1 scan) feed the star edges without a second corpus scan —
+    // (doc_id, __dg) columns; ignored under normalizedStarEdges, whose
+    // key is a different function of the text.
     val lshEdges = minhashNearDupPairs(docs, shingleSize, numHashes, bands,
         threshold, shingles, maxBucket, observeName)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    def starsOver(key: Column): DataFrame = {
-      val digests = docs.select(col("doc_id"), key.as("__dg"))
-      val reps = digests.groupBy("__dg")
+    def starsOverFrame(dg: DataFrame): DataFrame = {
+      val reps = dg.groupBy("__dg")
         .agg(min(col("doc_id")).as("__rep"), count(lit(1)).as("__n"))
         .filter(col("__n") > 1)
-      digests
+      dg
         .join(reps.select("__dg", "__rep"), Seq("__dg"))
         .filter(col("doc_id") =!= col("__rep"))
         .select(col("doc_id").as("src"), col("__rep").as("dst"))
     }
+    def starsOver(key: Column): DataFrame =
+      starsOverFrame(docs.select(col("doc_id"), key.as("__dg")))
     val starEdges =
       if (normalizedStarEdges) starsOver(digest(normalize(col("text"))))
-      else starsOver(digest(col("text")))
+      else digests.map(dg => starsOverFrame(dg.select(col("doc_id"),
+          col("__dg"))))
+        .getOrElse(starsOver(digest(col("text"))))
     val allEdges = extraEdges.foldLeft(lshEdges.unionByName(starEdges)) {
       (acc, e) => acc.unionByName(e.select(col("src"), col("dst")))
     }
     val comps = connectedComponents(allEdges)
-    docs.select(col("doc_id"))
+    // Singleton assignment needs every doc id; a provided digest frame
+    // already carries them all, saving the id-column scan.
+    val allIds = digests.map(_.select("doc_id"))
+      .getOrElse(docs.select(col("doc_id")))
+    allIds
       .join(comps.select(col("id").as("doc_id"), col("comp")),
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -106,6 +106,29 @@ object Sampling {
     * Shape: a codegen'd projection + explode(sequence) — scan-bound, no
     * shuffle; downstream shuffles see the already-reweighted stream.
     */
+  /** Per-source document caps — the C4/RefinedWeb-style "no domain may
+    * dominate the mix" rule: within each source, rank docs by
+    * `preference` (descending; ties broken by ascending doc_id — a
+    * total order, so the kept set is deterministic) and keep the top
+    * `cap`. Returns the SURVIVORS (doc_id, source, src_rank) — the
+    * materializing form — because emitting keep-flags for every row
+    * would force the full window over each source, while the rank ≤ cap
+    * filter lets Spark plan a partial WindowGroupLimit: each map task
+    * ships AT MOST `cap` candidates per source into the shuffle, so a
+    * billion-doc hot domain costs the shuffle `cap` rows, not a
+    * billion (the negative_samples skew armor; PlanGuardSpec pins the
+    * Partial node).
+    */
+  def sourceCaps(docs: DataFrame, cap: Int,
+                 preference: Column): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(preference.desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        row_number().over(w).as("src_rank"))
+      .filter(col("src_rank") <= cap)
+      .orderBy("source", "src_rank")
+  }
+
   def mixtureSample(df: DataFrame, stratum: Column, key: Column,
                     weights: Map[String, Double],
                     default: Double = 1.0): DataFrame = {

@@ -63,10 +63,18 @@ object TextAnalysis {
         round(alphaRatio, 4).as("alpha_ratio"),
         round(spaceRatio, 4).as("space_ratio"),
         round(noSpaceLen(text) / nTokens, 4).as("avg_token_len"),
-        when(nTokens >= 5 && alphaRatio > 0.6, lit("good"))
+        when(qualityOkCol(text), lit("good"))
           .otherwise(lit("poor")).as("quality"))
       .orderBy("doc_id")
   }
+
+  /** The row-local quality verdict as a bare Column (unrounded ratios —
+    * the exact decision boundary [[qualityScore]] renders as
+    * good/poor): the fusable form [[CorpusPrep.prepare]]'s single
+    * stage-1 corpus scan builds on.
+    */
+  private[ext] def qualityOkCol(text: Column): Column =
+    tokenCount(text) >= 5 && alphaLen(text) / length(text) > 0.6
 
   private val EnStopwords = "\\b(the|and|of|to|in|is|a)\\b"
 
@@ -594,23 +602,33 @@ object TextAnalysis {
     */
   private[ext] def blocklistGateRaw(docs: DataFrame, blocklist: Seq[String],
                                     maxFraction: Double): DataFrame = {
-    val bl = typedLit(blocklist.map(_.toLowerCase))
-    // Zero-length tokens are filtered (the tokenStats idiom): split on a
-    // blank string yields [""], which would otherwise count a phantom
-    // token. Blank docs are n_tokens = 0, blocked_frac = 0.0, keep —
-    // nothing on a blocklist can appear in an empty doc, and explicit
-    // zeros beat a 0/0 null surprising downstream arithmetic.
-    val toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
-    val nt = size(toks)
-    val blocked = size(filter(toks, t => array_contains(bl, lower(t))))
-    val frac = when(nt === 0, lit(0.0))
-      .otherwise(blocked.cast("double") / nt)
+    val (nt, blocked, frac) = blocklistCols(col("text"), blocklist)
     docs.select(col("doc_id"),
       nt.cast("long").as("n_tokens"),
       blocked.cast("long").as("n_blocked"),
       round(frac, 4).as("blocked_frac"),
       (frac <= maxFraction).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** The row-local blocklist measurements as bare Columns
+    * (n_tokens, n_blocked, unrounded fraction) — one definition feeds
+    * [[blocklistGate]] and [[CorpusPrep.prepare]]'s fused stage-1 scan
+    * so the two can't drift. Zero-length tokens are filtered (the
+    * tokenStats idiom): split on a blank string yields [""], which
+    * would otherwise count a phantom token. Blank docs are
+    * n_tokens = 0, fraction = 0.0 (explicit zeros beat a 0/0 null
+    * surprising downstream arithmetic).
+    */
+  private[ext] def blocklistCols(text: Column, blocklist: Seq[String])
+      : (Column, Column, Column) = {
+    val bl = typedLit(blocklist.map(_.toLowerCase))
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nt = size(toks)
+    val blocked = size(filter(toks, t => array_contains(bl, lower(t))))
+    val frac = when(nt === 0, lit(0.0))
+      .otherwise(blocked.cast("double") / nt)
+    (nt, blocked, frac)
   }
 
   /** The hashed unigram+bigram feature stream shared by the in-frame

@@ -794,6 +794,21 @@ class ExtSpec extends AnyFunSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("sourceCaps keeps the top-cap docs per source by the preference order") {
+    val docs = (1L to 10L).map(i => (i, if (i <= 7) "a" else "b", i * 10))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Sampling.sourceCaps(docs, cap = 3, preference = col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // source a: longest three are 7,6,5; source b: all three survive
+    assert(out.toSeq == Seq((7L, "a", 1), (6L, "a", 2), (5L, "a", 3),
+      (10L, "b", 1), (9L, "b", 2), (8L, "b", 3)))
+    // deterministic tie-break: equal lengths rank by ascending doc_id
+    val tied = Seq((1L, "s", 100L), (2L, "s", 100L), (3L, "s", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    assert(Sampling.sourceCaps(tied, 2, col("n_chars")).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("containmentAgainstIndex: persisted screen matches in-corpus semantics; cold start is all-novel") {
     val short = (1 to 30).map(i => s"inner$i").mkString(" ")
     val long = ((1 to 40).map(i => s"pre$i") ++ (1 to 30).map(i => s"inner$i")

@@ -76,6 +76,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Generate explode".r.findAllIn(p).isEmpty, p)
   }
 
+  test("corpus_prep's final plan reads the corpus only through checkpoints") {
+    // Stage-1 (quality + blocklist + digest) is ONE fused corpus scan
+    // checkpointed once; the shingle pass is the other checkpoint. The
+    // final report plan must therefore read corpus text from NO parquet
+    // scan at all — the only documents FileScan allowed is the eval
+    // slice feeding the contamination screen (doc_id < 50).
+    val df = SparkEntry.queries("corpus_prep")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Scan ExistingRDD"), p)
+    val docScans = "FileScan parquet".r.findAllIn(p).length
+    assert(docScans <= 1, s"$docScans parquet scans:\n$p")
+    if (docScans == 1) assert(p.contains("LessThan(doc_id,50)"), p)
+  }
+
   test("containment_pairs runs the winnow pipeline once per side (reused exchange)") {
     // The inverted self-join's two sides are byte-identical capped
     // fingerprint subtrees lined up by the merge pin — the final
@@ -439,6 +455,16 @@ class PlanGuardSpec extends AnyFunSuite {
     // WindowGroupLimit Partial BEFORE the exchange: each partition
     // ships only its own k candidates per anchor, not the full
     // |anchors|×|pool| pair frame.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("WindowGroupLimit [^\n]*Partial".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("source_caps plans a partial WindowGroupLimit (hot-domain skew armor)") {
+    // The rank <= cap filter must push a Partial WindowGroupLimit below
+    // the source exchange: each map task ships at most `cap` candidates
+    // per source, so a billion-doc hot domain costs the shuffle `cap`
+    // rows, not a billion.
+    val p = plan("source_caps")
     assert(p.contains("WindowGroupLimit"), p)
     assert("WindowGroupLimit [^\n]*Partial".r.findFirstIn(p).isDefined, p)
   }
