@@ -116,6 +116,10 @@ object SparkEntry {
       "contain" -> Dedup.ensureContainmentIndex(s,
         T(s, dir, "documents").filter(col("doc_id") < 450),
         Dedup.containIndexPathFor(dir),
+        sourcePath = Some(s"$dir/documents.parquet")),
+      "simhash" -> Dedup.ensureSimhashIndex(s,
+        T(s, dir, "documents").filter(col("doc_id") < 450),
+        Dedup.simhashIndexPathFor(dir),
         sourcePath = Some(s"$dir/documents.parquet"))
     ).collect { case (name, built) if built => name }
   }
@@ -1297,6 +1301,30 @@ object SparkEntry {
         sourcePath = Some(s"$dir/documents.parquet"))
       Dedup.containmentAgainstIndex(docs.filter(col("doc_id") >= 450), path,
         broadcastBatch = false)
+    }),
+
+    // The SimHash family's indexed twin: Hamming-radius novelty against
+    // the persisted 16-byte-row fingerprint index. Two registered forms
+    // split the coverage DELIBERATELY: radius 3 runs the plain banded
+    // probe on the merge (backfill) plan; radius 5 runs the
+    // single-bit-expanded multi-index probe on the default broadcast
+    // plan (semi-join prune included) — between them every probe path ×
+    // join strategy the operator has carries oracle evidence.
+    "simhash_novel" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Dedup.simhashIndexPathFor(dir)
+      Dedup.ensureSimhashIndex(s, docs.filter(col("doc_id") < 450), path,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      Dedup.simhashNovelAgainstIndex(docs.filter(col("doc_id") >= 450), path,
+        broadcastBatch = false)
+    }),
+    "simhash_novel_r5" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Dedup.simhashIndexPathFor(dir)
+      Dedup.ensureSimhashIndex(s, docs.filter(col("doc_id") < 450), path,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      Dedup.simhashNovelAgainstIndex(docs.filter(col("doc_id") >= 450), path,
+        maxHamming = 5, observeName = "simhash_clamp_novel_r5")
     }),
 
     // 4 planes + Hamming-1 multiprobe: ~5/16 of the corpus scanned.
@@ -2923,6 +2951,8 @@ object SparkEntry {
       "simhash_pairs_r7" -> graft.oracle.Xxh64Sql.simhashPairsSql(7),
       "containment_pairs" -> graft.oracle.Xxh64Sql.containmentPairsSql(),
       "containment_novel" -> graft.oracle.Xxh64Sql.containmentNovelSql(),
+      "simhash_novel" -> graft.oracle.Xxh64Sql.simhashNovelSql(),
+      "simhash_novel_r5" -> graft.oracle.Xxh64Sql.simhashNovelSql(5),
       "doc_fingerprints" -> graft.oracle.Xxh64Sql.fingerprintSql,
       "doc_winnow" -> graft.oracle.Xxh64Sql.winnowSql,
       "span_dedup" -> graft.oracle.Xxh64Sql.spanDedupSql,

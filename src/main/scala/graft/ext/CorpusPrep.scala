@@ -52,9 +52,9 @@ object CorpusPrep {
     *                 Jaccard threshold but are the same content for
     *                 survivor purposes. None (default) = Jaccard-only
     *                 graph. (The winnow pipeline needs shingle
-    *                 POSITIONS, which the shared pos-pruned checkpoint
-    *                 deliberately drops, so this runs its own compiled
-    *                 hash pass.)
+    *                 POSITIONS, so turning this on keeps `pos` in the
+    *                 shared shingle checkpoint and all three shingle
+    *                 consumers ride one corpus pass.)
     * @param embeddings embedding table (vec_id aligned with doc_id) for
     *                 the semantic outlier screen
     *                 ([[Similarity.semanticOutliers]]): flagged docs
@@ -87,11 +87,18 @@ object CorpusPrep {
     // GC-reclaimed on the driver (ContextCleaner), so repeated prepare()
     // calls in one session release earlier passes as their plans go out
     // of scope rather than pinning them for the session's lifetime.
+    // With the containment screen on, the winnow stage needs shingle
+    // POSITIONS (window minima depend on document order), so the
+    // checkpoint keeps `pos` (+4 bytes/shingle) and feeds THREE
+    // consumers — near-dup, contamination, containment — from one
+    // corpus pass; otherwise pos is pruned as before.
     val sharedShingles =
-      if (shareShingles)
-        Some(Dedup.hashedShingles(docs, 3).select("doc_id", "h")
+      if (shareShingles) {
+        val base = Dedup.hashedShingles(docs, 3)
+        Some((if (containmentThreshold.isDefined) base
+              else base.select("doc_id", "h"))
           .localCheckpoint(eager = false))
-      else None
+      } else None
 
     // Stage 1 — row-local verdicts + content digest, FUSED into one
     // corpus scan: quality, blocklist, and the digest are all per-row
@@ -130,7 +137,8 @@ object CorpusPrep {
     val containEdges = containmentThreshold.map(t =>
       Dedup.containmentPairsRaw(docs, threshold = t, shingleSize = 3,
           window = 4, maxBucket = Dedup.DefaultMaxBucket,
-          observeName = "prep_containment_clamp")
+          observeName = "prep_containment_clamp",
+          shingles = sharedShingles, shinglesN = sharedShingles.map(_ => 3))
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val clusters = Dedup.nearDupClusters(docs, threshold = nearDupThreshold,
         shingles = sharedShingles, extraEdges = containEdges,

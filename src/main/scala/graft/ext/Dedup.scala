@@ -966,10 +966,16 @@ object Dedup {
     * composable form [[containmentPairs]] builds on.
     */
   private def winnowedFingerprintsRaw(docs: DataFrame, shingleSize: Int,
-                                      window: Int): DataFrame = {
+                                      window: Int,
+                                      shingles: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    hashedShingles(docs, shingleSize).as[(Long, Int, Long)]
+    // A provided stream must carry POSITIONS (the window minima depend
+    // on document order) — the (doc_id, h)-only checkpoint the minhash
+    // consumers share is not enough here.
+    shingles.getOrElse(hashedShingles(docs, shingleSize))
+      .select(col("doc_id"), col("pos"), col("h")).as[(Long, Int, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (id: Long, rows: Iterator[(Long, Int, Long)]) =>
         // Sort by the emitted shingle position — row arrival order inside
@@ -1012,14 +1018,30 @@ object Dedup {
 
   /** [[containmentPairs]] without the presentation sort — the
     * composable form [[CorpusPrep.prepare]]'s cluster-edge widening
-    * builds on.
+    * builds on. `shingles` lets a caller feed one materialized
+    * POSITIONAL [[hashedShingles]] stream (doc_id, pos, h) instead of
+    * a fresh corpus pass; like [[Contamination.ngramOverlap]]'s
+    * trainShingles, the stream's gram size must be DECLARED
+    * (`shinglesN`) and match `shingleSize` — a mismatch would silently
+    * change fingerprint semantics, the worst failure mode for a
+    * hygiene screen.
     */
   private[ext] def containmentPairsRaw(docs: DataFrame, threshold: Double,
                                        shingleSize: Int, window: Int,
                                        maxBucket: Int,
-                                       observeName: String): DataFrame = {
+                                       observeName: String,
+                                       shingles: Option[DataFrame] = None,
+                                       shinglesN: Option[Int] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fps = winnowedFingerprintsRaw(docs, shingleSize, window)
+    shingles.foreach { _ =>
+      val sn = shinglesN.getOrElse(throw new IllegalArgumentException(
+        "shingles supplied without shinglesN: declare the gram size " +
+          "the stream was built with (must equal shingleSize)"))
+      require(sn == shingleSize, s"shingles built with n=$sn but " +
+        s"fingerprints requested over n=$shingleSize grams")
+    }
+    val fps = winnowedFingerprintsRaw(docs, shingleSize, window, shingles)
     // The denominator rides each row instead of living in a separate
     // sizes subtree: a count window over doc_id adds only a local sort
     // (the flatMapGroups output is already hash-clustered by doc_id),
@@ -1067,7 +1089,9 @@ object Dedup {
     */
   def containIndexPathFor(sfDir: String): String =
     IndexStamp.pathUnderRoot(
-      "graft-contain1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      // v2: fps gained the ingest partitioning (append/compact
+      // lifecycle) — bump so a pre-partitioning dir can't be served
+      "graft-contain2-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** Shingle/window parameters ride IN the index (1-row `params`
     * table) — the stored-parameter rule: screens derive batch
@@ -1082,21 +1106,69 @@ object Dedup {
 
   /** Full build: the corpus' winnow fingerprints become the at-rest
     * probe table — (doc_id, fingerprint) rows, 16 bytes each, a
-    * fraction of corpus text size. Marker dropped first (the
-    * buildMinhashIndex rebuild discipline: params and fps are sibling
-    * writes, so a crash between them must not leave corpus-A params
-    * marker-valid over corpus-B fingerprints).
+    * fraction of corpus text size, as ingest 0 of the partitioned
+    * layout (the shared append/compact lifecycle's namespace). Marker
+    * dropped first (the buildMinhashIndex rebuild discipline: params
+    * and fps are sibling writes, so a crash between them must not
+    * leave corpus-A params marker-valid over corpus-B fingerprints),
+    * and the compaction fold record reset with the id namespace.
     */
   def buildContainmentIndex(docs: DataFrame, path: String,
                             shingleSize: Int = 3, window: Int = 4): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     IndexStamp.dropMarker(spark, containMarker(path))
+    IndexStamp.dropCompactionRecord(spark, path)
     Seq((shingleSize, window)).toDF("shingle_size", "window")
       .write.mode("overwrite").parquet(s"$path/params")
     winnowedFingerprintsRaw(docs, shingleSize, window)
-      .write.mode("overwrite").parquet(s"$path/fps")
+      .withColumn("ingest", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest").parquet(s"$path/fps")
   }
+
+  /** Append a batch under `ingestId` (batchId-idempotent: a replayed id
+    * dynamically overwrites its own partition; a compacted-away id
+    * no-ops) — the [[IndexStamp.appendLifecycle]] contract the MinHash
+    * index shares. Fingerprints derive with the STORED shingle/window
+    * params, never caller-supplied ones.
+    */
+  def appendContainmentIndex(docs: DataFrame, path: String,
+                             ingestId: Long = -1L): Unit = {
+    val spark = docs.sparkSession
+    IndexStamp.appendLifecycle(spark, path, containMarker(path),
+        s"$path/fps", ingestId) {
+      buildContainmentIndex(docs, path)
+    } {
+      buildContainmentIndex(docs.limit(0), path)
+    } { id =>
+      val (shingleSize, window) = containParams(spark, path)
+      winnowedFingerprintsRaw(docs, shingleSize, window)
+        .withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest").parquet(s"$path/fps")
+    }
+  }
+
+  /** Compact: fold every ingest partition into the base (ingest 0).
+    * Rows are independent, so the fold is pure re-layout —
+    * [[containmentAgainstIndex]] over the compacted index equals the
+    * appended index exactly; folded-id replays no-op.
+    */
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Boolean =
+    IndexStamp.compactLifecycle(spark, path, containMarker(path),
+        Seq(s"$path/fps")) {
+      case Seq(stgFps) =>
+        spark.read.parquet(s"$path/fps")
+          .select(col("doc_id"), col("fingerprint"))
+          .withColumn("ingest", lit(0L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ingest").parquet(stgFps)
+    }
 
   /** Build only when absent or source-stale ([[IndexStamp.ensureFresh]]).
     * Returns true iff the build ran.
@@ -1139,9 +1211,12 @@ object Dedup {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(containMarker(path))
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    val dir = new org.apache.hadoop.fs.Path(s"$path/fps")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Gate on DATA partitions, not the marker: a committed empty base
+    // (stream cold-start) has a marker but zero ingest dirs, and
+    // reading it as parquet would fail schema inference.
+    if (!IndexStamp.hasIngestData(fs, dir))
       return newDocs.select(col("doc_id"), lit(true).as("is_novel"),
         lit(null).cast("double").as("best_containment"),
         lit(null).cast("long").as("match_id"))
@@ -1497,5 +1572,192 @@ object Dedup {
       col("a.band") === col("b.band") &&
       col("a.band_hash") === col("b.band_hash") &&
       col("a.doc_id") < col("b.doc_id")), maxHamming)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted SimHash corpus index — the standing-corpus side of the
+  // Hamming-radius novelty question materialized once at ingest:
+  // `path/fps` holds each corpus doc's 64-bit fingerprint (16 bytes a
+  // row — doc_id + simhash — the smallest at-rest footprint of any
+  // index family here). Band rows are NOT stored: they derive from a
+  // fingerprint with four shift-and-mask projections, so persisting
+  // them would 4× the index for work the scan does for free — and
+  // keeping the at-rest side radius-agnostic lets one index serve both
+  // the plain (≤ 3) and MIH (4–7) probes. No `params` table either:
+  // unlike shingle/banding/bucket choices, [[simhash]] has no knobs
+  // (tokenizer and 64-bit width are fixed), and `maxHamming` is a
+  // SCREEN-time parameter by design. Same lifecycle verbs and
+  // crash-safety contract as the MinHash/containment indexes
+  // ([[IndexStamp.appendLifecycle]] / [[IndexStamp.compactLifecycle]]).
+  // ---------------------------------------------------------------------
+
+  private def simhashMarker(path: String) = s"$path/fps/_SUCCESS"
+
+  /** Canonical per-corpus index location ([[minhashIndexPathFor]]'s
+    * convention; bump the version segment on layout changes).
+    */
+  def simhashIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-simhash1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Full build: the corpus' fingerprints become ingest 0. Marker
+    * dropped first and the compaction fold record reset with the id
+    * namespace (the [[buildMinhashIndex]] rebuild discipline).
+    */
+  def buildSimhashIndex(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    IndexStamp.dropMarker(spark, simhashMarker(path))
+    IndexStamp.dropCompactionRecord(spark, path)
+    simhashRaw(docs)
+      .withColumn("ingest", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest").parquet(s"$path/fps")
+  }
+
+  /** Append a batch under `ingestId` (batchId-idempotent: a replayed id
+    * dynamically overwrites its own partition; a compacted-away id
+    * no-ops) — the [[IndexStamp.appendLifecycle]] contract.
+    */
+  def appendSimhashIndex(docs: DataFrame, path: String,
+                         ingestId: Long = -1L): Unit = {
+    val spark = docs.sparkSession
+    IndexStamp.appendLifecycle(spark, path, simhashMarker(path),
+        s"$path/fps", ingestId) {
+      buildSimhashIndex(docs, path)
+    } {
+      buildSimhashIndex(docs.limit(0), path)
+    } { id =>
+      simhashRaw(docs)
+        .withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest").parquet(s"$path/fps")
+    }
+  }
+
+  /** Compact: fold every ingest partition into the base (ingest 0).
+    * Rows are independent, so the fold is pure re-layout —
+    * [[simhashNovelAgainstIndex]] over the compacted index equals the
+    * appended index exactly; folded-id replays no-op.
+    */
+  def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Boolean =
+    IndexStamp.compactLifecycle(spark, path, simhashMarker(path),
+        Seq(s"$path/fps")) {
+      case Seq(stgFps) =>
+        spark.read.parquet(s"$path/fps")
+          .select(col("doc_id"), col("simhash"))
+          .withColumn("ingest", lit(0L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ingest").parquet(stgFps)
+    }
+
+  /** Build only when absent or source-stale ([[IndexStamp.ensureFresh]]).
+    * Returns true iff the build ran.
+    */
+  def ensureSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         docs: => DataFrame, path: String,
+                         sourcePath: Option[String] = None): Boolean =
+    IndexStamp.ensureFresh(spark, simhashMarker(path), path, sourcePath) {
+      buildSimhashIndex(docs, path)
+    }
+
+  /** Per-doc Hamming-radius novelty verdicts against the persisted
+    * fingerprint index — "does the standing corpus already hold a doc
+    * within `maxHamming` bits of this one": (doc_id, is_novel,
+    * best_hamming, match_id), best = the SMALLEST Hamming distance
+    * (ties to the smallest corpus id — one deterministic winner). The
+    * verdict-shape sibling of [[minhashNovelAgainstIndex]] /
+    * [[containmentAgainstIndex]], completing the indexed twin for the
+    * SimHash family. No index data means every doc is novel (the
+    * shared cold-start gate).
+    *
+    * Candidates form inside shared 16-bit band buckets with the SAME
+    * completeness arguments as [[simhashNearDupPairs]] — plain
+    * plain-vs-plain probe through radius 3 (pigeonhole: one intact
+    * band), single-bit-expanded multi-index probe through 7 (some band
+    * carries ≤ 1 error) — but the 17× MIH expansion lands on the BATCH
+    * side, never the at-rest corpus: per-trigger batches are the small
+    * side by this operator's contract, so the corpus scan stays 4
+    * shift-derived band rows per doc at any radius. Join strategy
+    * mirrors the sibling screens: default (`broadcastBatch`) the
+    * batch's band rows broadcast into a streamed corpus scan first
+    * PRUNED to the probed buckets (broadcast semi-join on the batch's
+    * distinct band keys — so [[capBandBuckets]]'s window never runs
+    * corpus-wide); backfill-sized batches pass `broadcastBatch = false`
+    * for the co-partitioned merge plan.
+    */
+  def simhashNovelAgainstIndex(newDocs: DataFrame, path: String,
+                               maxHamming: Int = 3,
+                               broadcastBatch: Boolean = true,
+                               maxBucket: Int = DefaultMaxBucket,
+                               observeName: String = "simhash_clamp_novel")
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming $maxHamming outside [0, 7]: the banded probe is " +
+        "complete through 3 and its expanded multi-index form through 7")
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/fps")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexStamp.hasIngestData(fs, dir))
+      return newDocs.select(col("doc_id"), lit(true).as("is_novel"),
+        lit(null).cast("int").as("best_hamming"),
+        lit(null).cast("long").as("match_id"))
+        .orderBy("doc_id")
+    val batchBands0 = simhashBandRows(simhashRaw(newDocs))
+    // Radius 4–7: expand the batch's band keys with all 16 single-bit
+    // flips (+ the identity) — [[simhashPairsMih]]'s layout with the
+    // expansion pinned to the cheap side.
+    val batchBands =
+      if (maxHamming <= 3) batchBands0
+      else {
+        val flips = typedLit(0L +: (0 until 16).map(1L << _))
+        batchBands0.select(col("doc_id"), col("simhash"), col("band"),
+          explode(transform(flips, f => col("band_hash").bitwiseXOR(f)))
+            .as("band_hash"))
+      }
+    val idxBands = simhashBandRows(
+      spark.read.parquet(s"$path/fps")
+        .select(col("doc_id").as("doc_id"), col("simhash")))
+      .select(col("doc_id").as("corpus_id"), col("simhash").as("c_simhash"),
+        col("band"), col("band_hash"))
+    // Hot-bucket ceiling on the corpus side, pruned to the probed
+    // buckets first under the broadcast plan so the cap's window never
+    // becomes a corpus-wide exchange ([[minhashNovelAgainstIndex]]'s
+    // rationale; per-bucket size over the semi-join equals the true
+    // corpus bucket size, so verdicts match the merge plan's).
+    val cSide =
+      if (maxBucket <= 0) idxBands
+      else if (broadcastBatch)
+        capBandBuckets(
+          idxBands.join(
+            broadcast(batchBands.select("band", "band_hash").distinct()),
+            Seq("band", "band_hash"), "left_semi"),
+          maxBucket, observeName)
+      else capBandBuckets(idxBands, maxBucket, observeName)
+    val nSide =
+      if (broadcastBatch) broadcast(batchBands) else batchBands.hint("merge")
+    val matches = nSide.as("n")
+      .join(cSide.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(col("n.doc_id").as("doc_id"),
+        bit_count(col("n.simhash").bitwiseXOR(col("c_simhash")))
+          .as("hamming"), col("corpus_id"))
+      .filter(col("hamming") <= maxHamming)
+      // A pair agreeing in several bands (or several flips) yields
+      // duplicate rows; the min-struct absorbs them.
+      .groupBy("doc_id")
+      .agg(min(struct(col("hamming").cast("int").as("hamming"),
+        col("corpus_id"))).as("m"))
+      .select(col("doc_id"), col("m.hamming").as("best_hamming"),
+        col("m.corpus_id").as("match_id"))
+    newDocs.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("best_hamming").isNull.as("is_novel"),
+        col("best_hamming"), col("match_id"))
+      .orderBy("doc_id")
   }
 }

@@ -210,6 +210,36 @@ object Xxh64Sql {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY 1, 2""".stripMargin
 
+  /** Oracle for `simhash_novel` / `simhash_novel_r5`
+    * ([[graft.ext.Dedup.simhashNovelAgainstIndex]]): exhaustive
+    * batch-vs-corpus Hamming over the re-derived simhash, keeping each
+    * batch doc's best (smallest-distance, ties to the smallest corpus
+    * id) match within `maxHamming`, or null + is_novel. The engine
+    * probes banded candidates only — complete through radius 3 plain
+    * and radius 7 via the single-bit-expanded multi-index form — so
+    * equality against the exhaustive verdict certifies the persisted
+    * probe (including the broadcast plan's semi-join prune) end to end.
+    */
+  def simhashNovelSql(maxHamming: Int = 3, split: Long = 450L): String =
+    s"""WITH sh AS ($simhashCore),
+       |bsh AS (SELECT * FROM sh WHERE doc_id >= $split),
+       |csh AS (SELECT * FROM sh WHERE doc_id < $split),
+       |scored AS (SELECT b.doc_id,
+       |    CAST(bit_count(xor(b.simhash, c.simhash)) AS INTEGER)
+       |      AS hamming,
+       |    c.doc_id AS corpus_id
+       |  FROM bsh b JOIN csh c
+       |    ON bit_count(xor(b.simhash, c.simhash)) <= $maxHamming),
+       |best AS (SELECT doc_id, hamming AS best_hamming,
+       |    corpus_id AS match_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY hamming ASC, corpus_id ASC) AS rn
+       |        FROM scored) WHERE rn = 1)
+       |SELECT n.doc_id, best_hamming IS NULL AS is_novel,
+       |  best_hamming, match_id
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $split) n
+       |LEFT JOIN best USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
   /** Oracle for `doc_fingerprints`: xxh64 of the whole normalized text
     * (lower, whitespace-collapsed) — exercises the ≥32-byte stripe path.
     */

@@ -564,6 +564,106 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming containment screen — the cross-corpus containment
+    * question at ingest time: each micro-batch screens against the
+    * persisted winnow-fingerprint index
+    * ([[graft.ext.Dedup.containmentAgainstIndex]] — "is this new doc
+    * already contained in something the corpus holds"), verdicts land
+    * in `verdictDir/batch_id=N`, and the docs NOT contained
+    * (is_novel) append into the index under `ingest = batchId + 1` —
+    * the [[minhashDedupStream]] skeleton: batchId-keyed idempotent
+    * replays, optional in-stream compaction, bounded verdict
+    * retention. A contained doc never enters the index (admitting it
+    * would let near-copies of held content accrete); novel docs grow
+    * the standing corpus so later quotes of them ARE caught.
+    */
+  def containmentDedupStream(docStream: DataFrame, indexPath: String,
+                             verdictDir: String, checkpointDir: String,
+                             threshold: Double = 0.5,
+                             compactEvery: Int = 0,
+                             retainVerdictBatches: Int = 0,
+                             trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val spark = batch.sparkSession
+          val once = batch.persist()
+          try {
+            val verdicts = graft.ext.Dedup.containmentAgainstIndex(
+              once, indexPath, threshold)
+            val outDir = s"$verdictDir/batch_id=$batchId"
+            verdicts.write.mode("overwrite").parquet(outDir)
+            val novel = spark.read.parquet(outDir)
+              .filter(col("is_novel")).select("doc_id")
+            graft.ext.Dedup.appendContainmentIndex(
+              once.join(novel, Seq("doc_id"), "left_semi"),
+              indexPath, ingestId = batchId + 1)
+            if (compactEvery > 0 && batchId > 0 &&
+                batchId % compactEvery == 0) {
+              graft.ext.Dedup.compactContainmentIndex(spark, indexPath); ()
+            }
+            pruneVerdictDirs(spark, verdictDir, batchId,
+              retainVerdictBatches)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
+  /** Streaming SimHash dedup — the Hamming-radius novelty question at
+    * ingest time, completing the indexed streaming family
+    * ([[minhashDedupStream]] Jaccard, [[containmentDedupStream]]
+    * one-sided containment, semantic-vector [[semanticDedupStream]]):
+    * each micro-batch screens against the persisted fingerprint index
+    * ([[graft.ext.Dedup.simhashNovelAgainstIndex]]), verdicts land in
+    * `verdictDir/batch_id=N`, and novel docs append their 16-byte
+    * fingerprints under `ingest = batchId + 1` — the same
+    * batchId-idempotent replays, optional in-stream compaction, and
+    * bounded verdict retention. A matched doc never enters the index
+    * (near-copies of held content must not accrete); novel docs grow
+    * the standing corpus so later near-copies of THEM are caught.
+    */
+  def simhashDedupStream(docStream: DataFrame, indexPath: String,
+                         verdictDir: String, checkpointDir: String,
+                         maxHamming: Int = 3,
+                         compactEvery: Int = 0,
+                         retainVerdictBatches: Int = 0,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val spark = batch.sparkSession
+          val once = batch.persist()
+          try {
+            val verdicts = graft.ext.Dedup.simhashNovelAgainstIndex(
+              once, indexPath, maxHamming)
+            val outDir = s"$verdictDir/batch_id=$batchId"
+            verdicts.write.mode("overwrite").parquet(outDir)
+            val novel = spark.read.parquet(outDir)
+              .filter(col("is_novel")).select("doc_id")
+            graft.ext.Dedup.appendSimhashIndex(
+              once.join(novel, Seq("doc_id"), "left_semi"),
+              indexPath, ingestId = batchId + 1)
+            if (compactEvery > 0 && batchId > 0 &&
+                batchId % compactEvery == 0) {
+              graft.ext.Dedup.compactSimhashIndex(spark, indexPath); ()
+            }
+            pruneVerdictDirs(spark, verdictDir, batchId,
+              retainVerdictBatches)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Streaming blocklist gate — the streaming twin of
     * [[graft.ext.TextAnalysis.blocklistGate]], completing the row-local
     * half of the streaming curation family next to [[dsirScreenStream]]:

@@ -64,6 +64,61 @@ object PrepDrill {
       .localCheckpoint()
     ab(s"synthetic ${rows / 1000}k docs", big, evalBig)
 
+    // Full-composite (v2) drill at the same synthetic scale: all four
+    // screens on — blocklist (planted: every 500th doc carries a
+    // blocked token), containment edges (planted: every 200th doc is a
+    // 12-token span quoted from its successor's 30), semantic outliers
+    // (synthetic 64-dim embeddings; every 1000th is garbage far from
+    // its cell) — asserting the staged plants actually land in the
+    // report, plus wall time for SCALE.md.
+    val planted = spark.range(rows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 200 === 1,
+            concat_ws(" ", transform(sequence(lit(10), lit(21)),
+              i => concat(lit("tok"),
+                pmod(xxhash64((col("id") + 1) * 31 + i), lit(5000))))))
+          .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(29)),
+            i => concat(lit("tok"),
+              pmod(xxhash64(col("id") * 31 + i), lit(5000)))))),
+          when(col("id") % 500 === 4, lit("badtok")).otherwise(lit("")))
+          .as("text"))
+      .localCheckpoint()
+    // One tight 64-dim cloud along e0; every 1000th vector keeps the
+    // alignment but carries 300× the noise — low cosine to ANY centroid
+    // of the cloud (mutually dissimilar, so the garbage can't claim a
+    // stable centroid of its own the way an identical-garbage plant
+    // would, which is the σ=0-never-flags trap).
+    val mkEmb = udf((id: Long) => {
+      val r = new scala.util.Random(id)
+      val noise = if (id % 1000 == 5) 3f else 0.01f
+      Array.tabulate(64)(j => (if (j == 0) 10f else 0f) +
+        (r.nextFloat() * 2 - 1) * noise)
+    })
+    val emb = spark.range(rows).select(col("id").as("vec_id"),
+        lit(0).as("label"), mkEmb(col("id")).as("embedding"))
+      .localCheckpoint()
+    val screenFlags = graft.ext.Similarity
+      .semanticOutliers(emb, k = 8, iters = 4, z = 2.0).count()
+    val t0 = System.nanoTime()
+    val prepared = CorpusPrep.prepare(planted, evalBig,
+        blocklist = Seq("badtok"), containmentThreshold = Some(0.5),
+        embeddings = Some(emb))
+      .localCheckpoint()
+    val rep = CorpusPrep.report(prepared).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"v2 composite over $rows%d docs: $sec%.1f s; report: " +
+      rep.schema.fieldNames.zip(rep.toSeq)
+        .map { case (k, v) => s"$k=$v" }.mkString(", ") +
+      s"; standalone outlier screen flagged $screenFlags")
+    assert(rep.getAs[Long]("blocked") >= rows / 500 - 1, "plants missing")
+    // composite == screen: whatever the z-cut flags lands in the audit
+    assert(screenFlags > 0 &&
+      rep.getAs[Long]("outliers") == screenFlags, rep.toString)
+    // the containment plants widen the cluster graph: each quoted span
+    // clusters with its container (one non-survivor per planted pair)
+    assert(rep.getAs[Long]("near_dups") >= rows / 200 - 2, rep.toString)
+
     spark.stop()
   }
 }

@@ -850,6 +850,95 @@ class ExtSpec extends AnyFunSuite {
     val params = spark.read.parquet(s"$path/params").head()
     assert(params.getAs[Int]("shingle_size") == 3 &&
       params.getAs[Int]("window") == 4)
+    // append lifecycle: a new corpus doc lands in its own ingest
+    // partition; a quote of IT now flags; a replayed ingest id no-ops
+    val addition = Seq((2L, ((1 to 10).map(i => s"addpre$i") ++
+      (1 to 12).map(i => s"quote$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.appendContainmentIndex(addition, path, ingestId = 7L)
+    Dedup.appendContainmentIndex(addition, path, ingestId = 7L) // replay
+    val probe = Seq((12L, (2 to 11).map(i => s"quote$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val after = Dedup.containmentAgainstIndex(probe, path).head()
+    assert(!after.getBoolean(1) && after.getLong(3) == 2L, after.toString)
+    assert(spark.read.parquet(s"$path/fps")
+      .filter(col("doc_id") === 2L)
+      .select(col("ingest").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // compaction is pure re-layout: identical verdicts, one base dir
+    assert(Dedup.compactContainmentIndex(spark, path))
+    val afterFold = Dedup.containmentAgainstIndex(probe, path).head()
+    assert(afterFold.toSeq == after.toSeq)
+    val ingests = new java.io.File(s"$path/fps").listFiles()
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).toSeq
+    assert(ingests == Seq("ingest=0"), ingests.toString)
+  }
+
+  test("simhashNovelAgainstIndex: both probe paths match the exhaustive verdict; lifecycle is idempotent") {
+    // Corpus/batch over seeded token streams: batch 10 is byte-identical
+    // to corpus 3 (Hamming 0), batch 11 perturbs two of corpus 5's
+    // tokens (small but data-dependent distance), batch 12 is fresh.
+    // The assertions never guess distances — every radius is checked
+    // against a brute-force verdict computed from [[Dedup.simhash]]
+    // itself, so the test certifies the banded probe (≤ 3), the
+    // expanded multi-index probe (4–7), and both join plans.
+    def text(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = (0L to 7L).map(i => (i, text(s"c${i}_tok", 30))).toDF(
+      "doc_id", "text")
+    val batch = Seq(
+      (10L, text("c3_tok", 30)),
+      (11L, text("c5_tok", 28) + " zz1 zz2"),
+      (12L, text("fresh", 30))).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("simhash-idx").toString
+    // cold start: no index at all → every doc novel, not an error
+    val cold = Dedup.simhashNovelAgainstIndex(batch, s"$path/missing")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(cold.toSeq == Seq((10L, true), (11L, true), (12L, true)))
+    Dedup.buildSimhashIndex(corpus, path)
+    val cfp = Dedup.simhash(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bfp = Dedup.simhash(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def brute(maxHamming: Int) = bfp.map { case (id, f) =>
+      val best = cfp.map { case (cid, cf) =>
+        (java.lang.Long.bitCount(f ^ cf), cid)
+      }.filter(_._1 <= maxHamming).sorted.headOption
+      (id, best.isEmpty, best.map(_._1), best.map(_._2))
+    }.toSeq
+    for (r <- Seq(0, 3, 5, 7); bb <- Seq(true, false)) {
+      val got = Dedup.simhashNovelAgainstIndex(batch, path,
+          maxHamming = r, broadcastBatch = bb)
+        .collect().map(x => (x.getLong(0), x.getBoolean(1),
+          Option(x.get(2)).map(_.asInstanceOf[Int]),
+          Option(x.get(3)).map(_.asInstanceOf[Long]))).toSeq
+      assert(got == brute(r), s"radius $r bb=$bb")
+    }
+    // the identical doc matches its twin at distance 0
+    val r0 = Dedup.simhashNovelAgainstIndex(batch, path, maxHamming = 0)
+      .filter(col("doc_id") === 10L).head()
+    assert(!r0.getBoolean(1) && r0.getInt(2) == 0 && r0.getLong(3) == 3L)
+    // append lifecycle: replayed ingest id no-ops; the admitted doc is
+    // then caught at radius 0 by a byte-identical probe
+    val addition = Seq((8L, text("added", 25))).toDF("doc_id", "text")
+    Dedup.appendSimhashIndex(addition, path, ingestId = 4L)
+    Dedup.appendSimhashIndex(addition, path, ingestId = 4L) // replay
+    assert(spark.read.parquet(s"$path/fps")
+      .filter(col("doc_id") === 8L)
+      .select(col("ingest").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    val probe8 = Seq((20L, text("added", 25))).toDF("doc_id", "text")
+    val v8 = Dedup.simhashNovelAgainstIndex(probe8, path, maxHamming = 0)
+      .head()
+    assert(!v8.getBoolean(1) && v8.getLong(3) == 8L)
+    // compaction is pure re-layout: identical verdicts, one base dir
+    assert(Dedup.compactSimhashIndex(spark, path))
+    assert(Dedup.simhashNovelAgainstIndex(probe8, path, maxHamming = 0)
+      .head().toSeq == v8.toSeq)
+    val ingests = new java.io.File(s"$path/fps").listFiles()
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).toSeq
+    assert(ingests == Seq("ingest=0"), ingests.toString)
   }
 
   test("dsirWeights: target-likely docs outrank target-unlike; values match an independent recomputation") {

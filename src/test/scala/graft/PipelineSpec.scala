@@ -416,6 +416,102 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed.toSeq === Seq(0L, 1L, 11L))
   }
 
+  test("streaming containment screen catches quoted spans against the growing index") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("contain-stream").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.containmentDedupStream(docs, idx, verdicts, ckpt,
+      compactEvery = 2, trigger = Trigger.ProcessingTime("0 seconds"))
+    val container = ((1 to 20).map(i => s"pre$i") ++
+      (1 to 15).map(i => s"core$i") ++ (1 to 20).map(i => s"post$i"))
+      .mkString(" ")
+    try {
+      // cold start: no index — both docs novel, they seed the base
+      source.addData(
+        (0L, container),
+        (1L, (1 to 15).map(i => s"other$i").mkString(" ")))
+      query.processAllAvailable()
+      // batch 1: a passage QUOTED inside doc 0 (contained — the case
+      // Jaccard streams miss) and a fresh doc
+      source.addData(
+        (10L, (1 to 15).map(i => s"core$i").mkString(" ")),
+        (11L, (1 to 15).map(i => s"fresh$i").mkString(" ")))
+      query.processAllAvailable()
+      // batch 2 (post-compaction namespace): a quote of batch-1's
+      // ADMITTED doc — the index grew, so it is caught
+      source.addData(
+        (20L, (3 to 12).map(i => s"fresh$i").mkString(" ")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("doc_id", "is_novel", "match_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+    assert(v.toSeq === Seq((0L, true, None), (1L, true, None),
+      (10L, false, Some(0L)), (11L, true, None), (20L, false, Some(11L))))
+    // the index holds exactly the admitted (novel) docs' fingerprints
+    val indexed = spark.read.parquet(s"$idx/fps").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 1L, 11L))
+    // in-stream compaction folded the earlier ingests into the base
+    val ingests = new java.io.File(s"$idx/fps").listFiles()
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).sorted.toSeq
+    assert(ingests.head == "ingest=0" && !ingests.contains("ingest=1"),
+      ingests.toString)
+  }
+
+  test("streaming simhash dedup flags near-copies against the growing fingerprint index") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("simhash-stream").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.simhashDedupStream(docs, idx, verdicts, ckpt,
+      maxHamming = 3, compactEvery = 2,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    def text(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    try {
+      // cold start: no index — both docs novel, they seed the base
+      source.addData((0L, text("alpha", 30)), (1L, text("beta", 30)))
+      query.processAllAvailable()
+      // batch 1: a byte-identical copy of doc 0 (Hamming 0 ≤ radius)
+      // and a fresh doc
+      source.addData((10L, text("alpha", 30)), (11L, text("gamma", 30)))
+      query.processAllAvailable()
+      // batch 2 (post-compaction namespace): a copy of batch-1's
+      // ADMITTED doc — the index grew, so it is caught
+      source.addData((20L, text("gamma", 30)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("doc_id", "is_novel", "best_hamming", "match_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+    assert(v.toSeq === Seq((0L, true, None, None), (1L, true, None, None),
+      (10L, false, Some(0), Some(0L)), (11L, true, None, None),
+      (20L, false, Some(0), Some(11L))))
+    // the index holds exactly the admitted (novel) docs' fingerprints
+    val indexed = spark.read.parquet(s"$idx/fps").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 1L, 11L))
+    // in-stream compaction folded the earlier ingests into the base
+    val ingests = new java.io.File(s"$idx/fps").listFiles()
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).sorted.toSeq
+    assert(ingests.head == "ingest=0" && !ingests.contains("ingest=1"),
+      ingests.toString)
+  }
+
   test("streaming DSIR screen scores batches against the frozen persisted model") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
