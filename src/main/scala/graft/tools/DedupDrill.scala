@@ -210,6 +210,48 @@ object DedupDrill {
           s"expected ≥ ${boilerDocs - 1 + skewRows / 1000}")
       nonKeep
     }
+
+    // -------------------------------------------------------------------
+    // SimHash indexed screen at the same scale: the Hamming-radius
+    // sibling of the minhash screen above — 16 bytes/doc at rest, band
+    // rows derived at scan. The batch re-uses the minhash drill's
+    // half-copies/half-fresh plant: copies are byte-identical (Hamming
+    // 0 — caught at ANY radius by construction), fresh docs are random
+    // token streams (fingerprints ~uniform, so a radius-3 chance hit
+    // needs P ≈ 43745/2⁶⁴ ≈ 2.4e-15 per pair — asserting exact novel
+    // counts is sound even at 2e10 pairs). Radius 7 runs the 17×
+    // batch-side multi-index expansion on the broadcast plan; its
+    // chance-collision expectation is ~7e8/2⁶⁴ per pair (≈ 0.8 hits at
+    // this scale), so the copies' catch is asserted and the novel
+    // count reported.
+    // -------------------------------------------------------------------
+    val shPath = java.nio.file.Files
+      .createTempDirectory("dedup-drill-simhash").toString + "/idx"
+    time("simhash index build (full corpus)") {
+      Dedup.buildSimhashIndex(docs, shPath)
+      spark.read.parquet(s"$shPath/fps").count()
+    }
+    val shNovelR3 = time("simhash novel r3 (broadcast probe)") {
+      Dedup.simhashNovelAgainstIndex(batch, shPath, maxHamming = 3)
+        .filter(col("is_novel")).count()
+    }
+    assert(shNovelR3 == expectedNovel,
+      s"radius-3 screen: $shNovelR3 novel of $batchN, expected " +
+        s"$expectedNovel (copies Hamming 0, fresh beyond chance radius)")
+    val shNovelR3m = time("simhash novel r3 (merge plan)") {
+      Dedup.simhashNovelAgainstIndex(batch, shPath, maxHamming = 3,
+        broadcastBatch = false).filter(col("is_novel")).count()
+    }
+    assert(shNovelR3m == shNovelR3,
+      s"join plans must agree: $shNovelR3m != $shNovelR3")
+    val shCaughtR7 = time("simhash novel r7 (MIH probe)") {
+      Dedup.simhashNovelAgainstIndex(batch, shPath, maxHamming = 7)
+        .filter(!col("is_novel") && col("best_hamming") === 0).count()
+    }
+    assert(shCaughtR7 >= batchN / 2,
+      s"radius-7 must catch every planted copy at distance 0: " +
+        s"$shCaughtR7 < ${batchN / 2}")
+    println(f"  simhash r7 caught-at-0: $shCaughtR7%d of ${batchN / 2}%d planted copies")
     spark.stop()
   }
 }

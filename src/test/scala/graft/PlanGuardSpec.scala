@@ -303,6 +303,40 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(pi.contains("graft-minhash1-"), pi)
   }
 
+  test("simhash_novel screens read fingerprints at rest, never corpus text") {
+    // The property the persisted index exists for: the standing corpus
+    // appears ONLY as the 16-byte-row fps parquet — no corpus-side
+    // document scan (the doc_id<450 filter), at either radius or join
+    // plan. The batch side scans documents once (its own fingerprint
+    // aggregate — batch-sized by contract).
+    for (name <- Seq("simhash_novel", "simhash_novel_r5")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("graft-simhash1-"), s"$name:\n$p")
+      assert(!p.contains("LessThan(doc_id,450)"), s"$name:\n$p")
+      assert("GreaterThanOrEqual\\(doc_id,450\\)".r.findAllIn(p).length <= 2,
+        s"$name:\n$p")
+    }
+    // The broadcast (per-trigger) plan additionally prunes the at-rest
+    // scan to the probed buckets BEFORE the hot-bucket cap's window —
+    // a LeftSemi against the batch's distinct band keys — so the cap
+    // never costs a corpus-wide exchange.
+    val r5 = SparkEntry.queries("simhash_novel_r5")(spark, dir)
+    r5.collect()
+    val p5 = r5.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p5.contains("LeftSemi"), p5)
+    // Same at-rest property for the containment screen's merge plan.
+    val cn = SparkEntry.queries("containment_novel")(spark, dir)
+    cn.collect()
+    val pc = cn.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(pc.contains("graft-contain2-"), pc)
+    assert(!pc.contains("LessThan(doc_id,450)"), pc)
+  }
+
   test("boilerplate_grams joins survivor text back via broadcast") {
     // Gram STRINGS must never enter a wide shuffle: the df-thresholded
     // hash list broadcasts and the string stream filters against it.
