@@ -1177,6 +1177,35 @@ object SparkEntry {
         embeddings = Some(T(s, dir, "embeddings"))))
     }),
 
+    // The INCREMENTAL curation composite: a new batch (doc_id >= 450)
+    // against the standing corpus' persisted state — row-local quality
+    // + blocklist, MinHash novelty vs the standing index, DSIR
+    // selection vs the frozen 250-doc target model, intra-batch
+    // near-dup clustering among the eligible. Full per-screen audit
+    // columns; the oracle re-derives all four screens (xxh64 DSIR
+    // chain, exact-Jaccard novelty with best-match tie order, the
+    // recursive component CTE for the intra-batch clusters).
+    "curation_screen" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val mh = Dedup.minhashIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 450), mh,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ds = TextAnalysis.dsirIndexPathFor(dir)
+      TextAnalysis.ensureDsirIndex(s, docs.filter(col("doc_id") < 250), ds,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      // broadcastBatch = false: at this fixed split the "batch" is most
+      // of the corpus — backfill-shaped, so the registered form pins
+      // the merge plan (containment_novel's rationale); the per-trigger
+      // broadcast plan carries its own evidence in ScreenDrill +
+      // PipelineSpec's curationStream.
+      graft.ext.CorpusPrep.screenIncremental(
+        docs.filter(col("doc_id") >= 450), mh,
+        blocklist = Seq("dup", "skew", "spill"),
+        blocklistMaxFraction = 0.05,
+        dsirIndexPath = Some(ds),
+        broadcastBatch = false)
+    }),
+
     // The whole pretraining shard path as one plan: curation survivors →
     // en ×2 mixture → 32/24 chunking → 256-token packing per lang.
     "train_prep" -> ((s, dir) => {
@@ -1482,6 +1511,19 @@ object SparkEntry {
     "semantic_outliers" -> ((s, dir) =>
       Similarity.semanticOutliers(T(s, dir, "embeddings"), k = 8,
         iters = 4)),
+
+    // The frozen-model form: centroids + per-cell moments fit ONCE on
+    // the training half and persisted; the screened half gets verdicts
+    // for every row against the frozen boundary — the streaming outlier
+    // screen's exact semantics, so batch and stream flag identically.
+    "semantic_outliers_indexed" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val path = Similarity.outlierIndexPathFor(dir)
+      Similarity.ensureOutlierIndex(s, emb.filter(col("vec_id") < 450),
+        path, sourcePath = Some(s"$dir/embeddings.parquet"))
+      Similarity.outliersAgainstIndex(emb.filter(col("vec_id") >= 450),
+        path)
+    }),
 
     // SemDeDup composite: k-means cells bound the pair space, cosine ≥ t
     // edges connect into semantic groups, min vec_id per group survives.
@@ -2934,6 +2976,8 @@ object SparkEntry {
       // iterations) — see [[graft.oracle.KmeansSql]].
       "kmeans_clusters" -> graft.oracle.KmeansSql.kmeansClustersSql,
       "semantic_outliers" -> graft.oracle.KmeansSql.semanticOutliersSql(),
+      "semantic_outliers_indexed" ->
+        graft.oracle.KmeansSql.semanticOutliersIndexedSql(),
       "ann_topk_indexed" -> graft.oracle.KmeansSql.annTopKIndexedSql,
       // PQ codebook training + encoding + ADC reproduced in SQL — see
       // [[graft.oracle.PqSql]].
@@ -3103,6 +3147,67 @@ object SparkEntry {
            |  CAST(0 AS BIGINT) AS outliers,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
+      // The incremental composite: every screen re-derived — row-local
+      // quality/blocklist SQL, exact-Jaccard novelty vs the standing
+      // half with the engine's max(struct(j, corpus_id)) tie order,
+      // the xxh64 DSIR chain vs the 250-doc target, and the recursive
+      // component CTE over the eligible batch docs' similarity graph.
+      "curation_screen" ->
+        s"""WITH RECURSIVE
+           |batch AS (SELECT * FROM documents WHERE doc_id >= 450),
+           |standing AS (SELECT * FROM documents WHERE doc_id < 450),
+           |rl AS (SELECT doc_id,
+           |  (LEN(string_split_regex(TRIM(text), '\\s+')) >= 5
+           |   AND LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) > 0.6) AS quality_ok,
+           |  CASE WHEN LEN(btoks) = 0 THEN 0.0
+           |       ELSE CAST(LEN(list_filter(btoks, t -> list_contains(['dup','skew','spill'], lower(t)))) AS DOUBLE) / LEN(btoks)
+           |  END AS bfrac
+           |  FROM (SELECT doc_id, text,
+           |          list_filter(string_split_regex(TRIM(text), '\\s+'), t -> LEN(t) > 0) AS btoks
+           |        FROM batch)),
+           |${shingleCte("batch", "b")},
+           |${shingleCte("standing", "c")},
+           |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+           |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+           |ninter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+           |           FROM bsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2),
+           |novscored AS (SELECT da AS doc_id, ROUND(ov/(na.n+nb.n-ov), 4) AS j, db AS corpus_id
+           |  FROM ninter JOIN bsz na ON na.doc_id = da JOIN csz nb ON nb.doc_id = db
+           |  WHERE ov/(na.n+nb.n-ov) >= 0.5),
+           |best AS (SELECT doc_id, j AS best_jaccard, corpus_id AS match_id FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |     ORDER BY j DESC, corpus_id DESC) AS rn FROM novscored) WHERE rn = 1),
+           |dsir_target AS (SELECT * FROM documents WHERE doc_id < 250),
+           |tfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("dsir_target")}),
+           |sfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("batch")}),
+           |${graft.oracle.Xxh64Sql.dsirScoreCtes()},
+           |dw AS (${graft.oracle.Xxh64Sql.dsirScoreSelect}),
+           |v AS (SELECT b.doc_id, rl.quality_ok,
+           |  ROUND(rl.bfrac, 4) AS blocked_frac,
+           |  rl.bfrac <= 0.05 AS blocklist_ok,
+           |  dw.mean_log_ratio,
+           |  COALESCE(dw.mean_log_ratio >= 0.0, FALSE) AS dsir_ok,
+           |  best.best_jaccard IS NULL AS is_novel,
+           |  best.best_jaccard, best.match_id
+           |  FROM batch b JOIN rl ON rl.doc_id = b.doc_id
+           |  LEFT JOIN best ON best.doc_id = b.doc_id
+           |  LEFT JOIN dw ON dw.doc_id = b.doc_id),
+           |flagged AS MATERIALIZED (SELECT *,
+           |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok) AS eligible
+           |  FROM v),
+           |edocs AS (SELECT b.doc_id, b.text FROM batch b
+           |  JOIN flagged f ON f.doc_id = b.doc_id AND f.eligible),
+           |${shingleCte("edocs")},
+           |$jaccardCte,
+           |${componentCte("0.5")},
+           |surv AS (SELECT e.doc_id, COALESCE(cp.cluster_id, e.doc_id) AS cluster_id
+           |  FROM edocs e LEFT JOIN comp cp ON cp.doc_id = e.doc_id)
+           |SELECT f.doc_id, f.quality_ok, f.blocked_frac, f.blocklist_ok,
+           |  f.mean_log_ratio, f.dsir_ok, f.is_novel, f.best_jaccard, f.match_id,
+           |  COALESCE(f.doc_id = s.cluster_id, FALSE) AS batch_survivor,
+           |  (f.eligible AND COALESCE(f.doc_id = s.cluster_id, FALSE)) AS kept
+           |FROM flagged f LEFT JOIN surv s ON s.doc_id = f.doc_id
+           |ORDER BY f.doc_id""".stripMargin,
       "corpus_prep_v2" ->
         s"""WITH RECURSIVE $curationCteV2
            |SELECT count(*) AS total_docs,

@@ -268,4 +268,102 @@ object CorpusPrep {
         sum(col("n_tokens").cast("long")).as("seq_tokens"))
       .orderBy("lang", "seq_id")
   }
+
+  /** The INCREMENTAL curation composite — [[prepare]]'s sibling for the
+    * ingest-time question: given a new batch and the STANDING corpus'
+    * persisted state (a MinHash index, optionally a DSIR target model),
+    * which batch docs survive every screen? One verdict row per batch
+    * doc, screens in the order a 100-TB ingest wants them:
+    *
+    *   1. row-local: `quality_ok` ([[TextAnalysis.qualityScore]]'s
+    *      boundary) and the blocklist gate (`blocked_frac`,
+    *      `blocklist_ok`) — one codegen'd projection, no shuffle;
+    *   2. standing-corpus novelty: `is_novel`/`best_jaccard`/`match_id`
+    *      from [[Dedup.minhashNovelAgainstIndex]] — corpus text never
+    *      re-scanned, cost batch-proportional;
+    *   3. data selection (optional): `mean_log_ratio`/`dsir_ok` against
+    *      the FROZEN persisted target model
+    *      ([[TextAnalysis.dsirWeightsIndexed]], threshold form — the
+    *      [[graft.stream.Pipeline.dsirScreenStream]] semantics, so
+    *      batch and stream select identically); a doc with no features
+    *      has a null score and fails the screen;
+    *   4. intra-batch near-dup clustering among the docs passing 1–3
+    *      ([[Dedup.nearDupClusters]] at `nearDupThreshold`, batch-sized
+    *      by this operator's contract): `batch_survivor` keeps one doc
+    *      per cluster — without it, two copies of the same NEW doc in
+    *      one trigger would both pass the standing screen and both be
+    *      admitted.
+    *
+    * `kept = eligible ∧ batch_survivor`. The caller admits kept docs to
+    * the standing indexes ([[graft.stream.Pipeline.curationStream]]
+    * wires this as one foreachBatch); a rejected doc never enters, so
+    * held content cannot accrete near-copies.
+    */
+  def screenIncremental(batch: DataFrame, minhashIndexPath: String,
+                        blocklist: Seq[String] = Nil,
+                        blocklistMaxFraction: Double = 0.0,
+                        nearDupThreshold: Double = 0.5,
+                        dsirIndexPath: Option[String] = None,
+                        dsirMinScore: Double = 0.0,
+                        broadcastBatch: Boolean = true,
+                        observeName: String = "screen_incremental_clamp")
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val (_, _, frac) = TextAnalysis.blocklistCols(col("text"), blocklist)
+    val rowLocal = batch.select(col("doc_id"),
+      TextAnalysis.qualityOkCol(col("text")).as("quality_ok"),
+      round(frac, 4).as("blocked_frac"),
+      (frac <= blocklistMaxFraction).as("blocklist_ok"))
+    // `broadcastBatch` passes straight to the novelty screen — the one
+    // stage whose join plan depends on batch size (per-trigger batches
+    // broadcast; a backfill-sized "batch" wants the co-partitioned
+    // merge plan, the minhashNovelAgainstIndex contract).
+    val novelty = Dedup.minhashNovelAgainstIndex(batch, minhashIndexPath,
+      nearDupThreshold, broadcastBatch = broadcastBatch,
+      observeName = observeName)
+    val withDsir = dsirIndexPath match {
+      case Some(p) =>
+        rowLocal.join(novelty, Seq("doc_id"))
+          .join(TextAnalysis.dsirWeightsIndexed(spark, p, batch)
+            .select(col("doc_id"), col("mean_log_ratio")),
+            Seq("doc_id"), "left_outer")
+          .withColumn("dsir_ok",
+            coalesce(col("mean_log_ratio") >= dsirMinScore, lit(false)))
+      case None =>
+        rowLocal.join(novelty, Seq("doc_id"))
+          .withColumn("mean_log_ratio", lit(null).cast("double"))
+          .withColumn("dsir_ok", lit(true))
+    }
+    // Stages 1–3 land in one batch-sized verdict frame consumed by
+    // FOUR subtrees (the eligibility semi-join feeding the clusterer's
+    // pair/star/singleton scans, plus the final output join) — and the
+    // clusterer's convergence loop adds count() probes on top.
+    // Checkpoint it (the trainPrep survivor-list contract: the
+    // novelty + DSIR screens are GUARANTEED to run once, not
+    // best-effort-reused): ~60 bytes/doc, batch-sized by this
+    // operator's contract. The remaining warm cost is the sum of the
+    // audited parts (stage probe at sf0.1's 4550-doc batch: clustering
+    // 2.1 s, DSIR 0.9, novelty 0.5, row-local 0.1).
+    val flagged = withDsir.withColumn("eligible",
+      col("quality_ok") && col("blocklist_ok") && col("is_novel") &&
+        col("dsir_ok"))
+      .localCheckpoint(eager = false)
+    // Clustering only the eligible docs keeps stage 4 minimal AND makes
+    // survivor semantics match [[prepare]]'s staged rule: an ineligible
+    // copy never "uses up" a cluster's survivor slot.
+    val eligDocs = batch.join(
+      flagged.filter(col("eligible")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val clusters = Dedup.nearDupClusters(eligDocs,
+        threshold = nearDupThreshold, observeName = observeName + "_batch")
+      .select(col("doc_id"), col("keep").as("batch_survivor"))
+    flagged.join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("quality_ok"), col("blocked_frac"),
+        col("blocklist_ok"), col("mean_log_ratio"), col("dsir_ok"),
+        col("is_novel"), col("best_jaccard"), col("match_id"),
+        coalesce(col("batch_survivor"), lit(false)).as("batch_survivor"),
+        (col("eligible") && coalesce(col("batch_survivor"), lit(false)))
+          .as("kept"))
+      .orderBy("doc_id")
+  }
 }

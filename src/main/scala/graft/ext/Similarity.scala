@@ -821,4 +821,98 @@ object Similarity {
         round((col("cos") - col("mu")) / col("sigma"), 4).as("zscore"))
       .orderBy("vec_id")
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted outlier model — [[semanticOutliers]]'s screen split into
+  // an offline fit (centroids + per-cell cosine moments, both k-row
+  // side tables) and a frozen-model verdict pass, so a stream can
+  // screen embedding batches without refitting: the
+  // [[graft.ext.TextAnalysis.buildDsirIndex]] discipline on the
+  // embedding side. The model is deliberately NOT mutated by screened
+  // batches — an outlier boundary that absorbed the stream it filters
+  // would drift toward whatever garbage arrives.
+  // ---------------------------------------------------------------------
+
+  private def outlierMarker(path: String) = s"$path/moments/_SUCCESS"
+
+  /** Canonical per-corpus model location (the shared index-path
+    * convention; bump the version segment on layout changes).
+    */
+  def outlierIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-outlier1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Fit on the training corpus and persist: `centroids` (k rows) and
+    * `moments` (per-cell DECIMAL-exact mean/σ of cosine-to-centroid
+    * over the FULL training corpus' assignment). Moments written LAST —
+    * the marker lives there, so a crash between the writes leaves no
+    * servable model (the IVF `_centroids` rule).
+    */
+  def buildOutlierIndex(emb: DataFrame, path: String, k: Int = 8,
+                        iters: Int = 4, dim: Int = 64,
+                        seed: Long = 7L): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    IndexStamp.dropMarker(spark, outlierMarker(path))
+    val cs = kmeansFit(emb, k, iters, dim, seed)
+    cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val centLit = typedLit(cs)
+    emb.select(cellFor(col("embedding"), cs).as("cell"),
+        (vec_dot(col("embedding"), element_at(centLit, col("cell") + 1)) /
+          vec_norm(col("embedding"))).as("cos"))
+      .groupBy("cell").agg(
+        (sum(col("cos").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("mu"),
+        (sum((col("cos") * col("cos")).cast("decimal(27,12)"))
+          .cast("double") / count(lit(1))).as("m2"))
+      .select(col("cell"), col("mu"),
+        sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0)))
+          .as("sigma"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/moments")
+  }
+
+  /** Build only when absent or source-stale ([[IndexStamp.ensureFresh]]).
+    * Returns true iff the build ran.
+    */
+  def ensureOutlierIndex(spark: org.apache.spark.sql.SparkSession,
+                         emb: => DataFrame, path: String, k: Int = 8,
+                         iters: Int = 4,
+                         sourcePath: Option[String] = None): Boolean =
+    IndexStamp.ensureFresh(spark, outlierMarker(path), path, sourcePath) {
+      buildOutlierIndex(emb, path, k, iters)
+    }
+
+  /** Frozen-model outlier verdicts for EVERY batch row — unlike
+    * [[semanticOutliers]] (which returns only the flagged rows of its
+    * own fit), the screen shape: (vec_id, label, cell, cos_centroid,
+    * zscore, is_outlier), assignment and z-cut against the PERSISTED
+    * centroids/moments. A cell empty at training time carries no
+    * moments row → its batch rows get null zscore and are never
+    * flagged (the σ = 0 rule's missing-data analog: no boundary, no
+    * verdict). Bounded metadata reads only — the model is 2k rows.
+    */
+  def outliersAgainstIndex(emb: DataFrame, path: String,
+                           z: Double = 2.0): DataFrame = {
+    val spark = emb.sparkSession
+    val cs: Seq[Seq[Float]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").select("centroid").collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val centLit = typedLit(cs)
+    val scored = emb.select(col("vec_id"), col("label"),
+      cellFor(col("embedding"), cs).as("cell"),
+      (vec_dot(col("embedding"), element_at(centLit, col("cell") + 1)) /
+        vec_norm(col("embedding"))).as("cos"))
+    scored
+      .join(broadcast(spark.read.parquet(s"$path/moments")),
+        Seq("cell"), "left_outer")
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(col("cos"), 4).as("cos_centroid"),
+        when(col("sigma") > 0,
+          round((col("cos") - col("mu")) / col("sigma"), 4)).as("zscore"),
+        coalesce(col("sigma") > 0 &&
+          col("cos") < col("mu") - lit(z) * col("sigma"), lit(false))
+          .as("is_outlier"))
+      .orderBy("vec_id")
+  }
 }

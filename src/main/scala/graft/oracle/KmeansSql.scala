@@ -227,4 +227,42 @@ ${pfx}c$i AS (SELECT c.cell,
        |FROM fa JOIN ms USING (cell) JOIN embeddings e ON e.vec_id = fa.vec_id
        |WHERE sigma > 0 AND cos < mu - $z * sigma
        |ORDER BY fa.vec_id""".stripMargin
+
+  /** Oracle for `semantic_outliers_indexed`
+    * ([[graft.ext.Similarity.outliersAgainstIndex]]): centroids AND
+    * per-cell moments refit on the TRAINING half (vec_id < `split`,
+    * sample cap 256·k over it), then every screened row (vec_id ≥
+    * `split`) gets the frozen-model verdict — assignment, rounded
+    * cosine/z-score, and the COALESCE(FALSE) outlier flag; a cell
+    * empty at training time has no moments row, so its batch rows get
+    * null zscore and are never flagged.
+    */
+  def semanticOutliersIndexedSql(z: Double = 2.0,
+                                 split: Long = 450L): String =
+    s"""WITH ${corpusCte(s"vec_id < $split")},
+       |${sampleCte(2048)},
+       |${fitCtes(8, 4)},
+       |d AS (SELECT v.vec_id, v.emb_d, c.cell,
+       |      list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) AS s
+       |      FROM corpus v CROSS JOIN c4 c),
+       |fa AS (SELECT vec_id, cell, s / sqrt(list_dot_product(emb_d, emb_d)) AS cos FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn FROM d) WHERE rn = 1),
+       |mo AS (SELECT cell,
+       |      CAST(SUM(CAST(cos AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mu,
+       |      CAST(SUM(CAST(cos*cos AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m2
+       |      FROM fa GROUP BY 1),
+       |ms AS (SELECT cell, mu, sqrt(GREATEST(m2 - mu*mu, 0.0)) AS sigma FROM mo),
+       |scr AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+       |      FROM embeddings WHERE vec_id >= $split),
+       |sd AS (SELECT v.vec_id, v.label, v.emb_d, c.cell,
+       |      list_dot_product(v.emb_d, list_transform(c.cf, x -> CAST(x AS DOUBLE))) AS s
+       |      FROM scr v CROSS JOIN c4 c),
+       |sa AS (SELECT vec_id, label, cell, s / sqrt(list_dot_product(emb_d, emb_d)) AS cos FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn FROM sd) WHERE rn = 1)
+       |SELECT sa.vec_id, sa.label, sa.cell - 1 AS cell,
+       |  ROUND(cos, 4) AS cos_centroid,
+       |  CASE WHEN ms.sigma > 0 THEN ROUND((cos - mu) / sigma, 4) END AS zscore,
+       |  COALESCE(ms.sigma > 0 AND cos < mu - $z * sigma, FALSE) AS is_outlier
+       |FROM sa LEFT JOIN ms USING (cell)
+       |ORDER BY sa.vec_id""".stripMargin
 }

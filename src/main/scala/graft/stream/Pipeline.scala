@@ -614,6 +614,100 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming semantic-outlier screen — the embedding-side member of
+    * the frozen-model streaming family
+    * ([[graft.ext.Similarity.outliersAgainstIndex]] per micro-batch
+    * against the PERSISTED centroids + per-cell cosine moments):
+    * verdict rows with assignment, z-score, and the outlier flag land
+    * in `verdictDir/batch_id=N`. Like [[dsirScreenStream]] the model
+    * is FROZEN — an outlier boundary that absorbed the stream it
+    * filters would drift toward whatever garbage arrives — so there is
+    * no cross-batch state and replays are trivially idempotent;
+    * refitting is [[graft.ext.Similarity.buildOutlierIndex]] offline.
+    */
+  def outlierScreenStream(embStream: DataFrame, indexPath: String,
+                          verdictDir: String, checkpointDir: String,
+                          z: Double = 2.0,
+                          retainVerdictBatches: Int = 0,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    embStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ext.Similarity.outliersAgainstIndex(batch, indexPath, z)
+            .write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+          pruneVerdictDirs(spark, verdictDir, batchId,
+            retainVerdictBatches)
+        }
+      }
+      .start()
+
+  /** Streaming curation composite — the whole incremental screen
+    * ([[graft.ext.CorpusPrep.screenIncremental]]: row-local quality +
+    * blocklist, standing-corpus MinHash novelty, optional frozen-model
+    * DSIR selection, intra-batch near-dup clustering) as ONE
+    * foreachBatch: verdicts with full per-screen audit columns land in
+    * `verdictDir/batch_id=N`, and exactly the `kept` docs are admitted
+    * to the standing MinHash index under `ingest = batchId + 1` — so
+    * the next trigger's novelty screen already sees them. The
+    * [[minhashDedupStream]] skeleton throughout: batchId-keyed
+    * idempotent replays (the verdict dir overwrite + the lifecycle's
+    * dynamic partition overwrite), optional in-stream compaction,
+    * bounded verdict retention. The DSIR model stays FROZEN
+    * ([[dsirScreenStream]]'s rationale — a selection model that
+    * absorbed the stream it filters would drift); only the dedup index
+    * grows. A rejected doc never enters the index: quality/blocklist/
+    * selection failures don't deserve to suppress future copies, and
+    * near-dups of held content must not accrete.
+    */
+  def curationStream(docStream: DataFrame, minhashIndexPath: String,
+                     verdictDir: String, checkpointDir: String,
+                     blocklist: Seq[String] = Nil,
+                     blocklistMaxFraction: Double = 0.0,
+                     nearDupThreshold: Double = 0.5,
+                     dsirIndexPath: Option[String] = None,
+                     dsirMinScore: Double = 0.0,
+                     compactEvery: Int = 0,
+                     retainVerdictBatches: Int = 0,
+                     trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val spark = batch.sparkSession
+          val once = batch.persist()
+          try {
+            val verdicts = graft.ext.CorpusPrep.screenIncremental(
+              once, minhashIndexPath, blocklist, blocklistMaxFraction,
+              nearDupThreshold, dsirIndexPath, dsirMinScore)
+            val outDir = s"$verdictDir/batch_id=$batchId"
+            verdicts.write.mode("overwrite").parquet(outDir)
+            val kept = spark.read.parquet(outDir)
+              .filter(col("kept")).select("doc_id")
+            graft.ext.Dedup.appendMinhashIndex(
+              once.join(kept, Seq("doc_id"), "left_semi"),
+              minhashIndexPath, ingestId = batchId + 1)
+            if (compactEvery > 0 && batchId > 0 &&
+                batchId % compactEvery == 0) {
+              graft.ext.Dedup.compactMinhashIndex(spark, minhashIndexPath)
+              ()
+            }
+            pruneVerdictDirs(spark, verdictDir, batchId,
+              retainVerdictBatches)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Streaming SimHash dedup — the Hamming-radius novelty question at
     * ingest time, completing the indexed streaming family
     * ([[minhashDedupStream]] Jaccard, [[containmentDedupStream]]

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Contamination, CorpusPrep, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star extensions on hand-built corpora. */
 class ExtSpec extends AnyFunSuite {
@@ -939,6 +939,100 @@ class ExtSpec extends AnyFunSuite {
     val ingests = new java.io.File(s"$path/fps").listFiles()
       .filter(_.getName.startsWith("ingest=")).map(_.getName).toSeq
     assert(ingests == Seq("ingest=0"), ingests.toString)
+  }
+
+  test("screenIncremental: each screen vetoes independently; intra-batch dups keep one survivor") {
+    // 8-letter tags keep the alpha ratio comfortably above the 0.6
+    // quality boundary (4-letter tags + digits land exactly ON it).
+    def text(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val standing = Seq(
+      (0L, text("heldtext", 30)),
+      (1L, text("corptext", 30))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("screen-idx").toString + "/mh"
+    Dedup.buildMinhashIndex(standing, idx)
+    val batch = Seq(
+      (10L, text("heldtext", 30)),              // standing near-dup (J=1)
+      (11L, text("freshdoc", 30)),              // survives everything
+      (12L, "short doc"),                       // fails quality (< 5 toks)
+      (13L, text("okaydocs", 20) + " badword"), // blocklisted
+      (14L, text("twindocs", 30)),              // intra-batch pair ...
+      (15L, text("twindocs", 30)))              // ... one survivor
+      .toDF("doc_id", "text")
+    val v = CorpusPrep.screenIncremental(batch, idx,
+        blocklist = Seq("badword"), blocklistMaxFraction = 0.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def kept(id: Long) = v(id).getAs[Boolean]("kept")
+    assert(!kept(10L) && !v(10L).getAs[Boolean]("is_novel") &&
+      v(10L).getAs[Long]("match_id") == 0L &&
+      v(10L).getAs[Double]("best_jaccard") == 1.0, v(10L).toString)
+    assert(kept(11L) && v(11L).getAs[Boolean]("batch_survivor"))
+    assert(!kept(12L) && !v(12L).getAs[Boolean]("quality_ok"))
+    assert(!kept(13L) && !v(13L).getAs[Boolean]("blocklist_ok") &&
+      v(13L).getAs[Boolean]("quality_ok"))
+    // the twins both pass screens 1-3 but only the min doc survives 4
+    assert(kept(14L) && !kept(15L) &&
+      v(15L).getAs[Boolean]("is_novel") &&
+      !v(15L).getAs[Boolean]("batch_survivor"), s"${v(14L)} / ${v(15L)}")
+    // no DSIR model passed: score null, screen vacuously true
+    assert(v(11L).isNullAt(v(11L).fieldIndex("mean_log_ratio")) &&
+      v(11L).getAs[Boolean]("dsir_ok"))
+    // with a DSIR model: a target-unlike doc is vetoed by selection
+    // alone (every other screen green), and a featureless doc would
+    // fail rather than pass silently
+    val dsirIdx = java.nio.file.Files
+      .createTempDirectory("screen-dsir").toString + "/model"
+    TextAnalysis.buildDsirIndex(
+      Seq((100L, text("ontopics", 40))).toDF("doc_id", "text"), dsirIdx)
+    val v2 = CorpusPrep.screenIncremental(
+        Seq((20L, text("ontopics", 30)), (21L, text("offtopic", 30)))
+          .toDF("doc_id", "text"),
+        idx, dsirIndexPath = Some(dsirIdx))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v2(20L).getAs[Boolean]("dsir_ok") &&
+      v2(20L).getAs[Boolean]("kept"))
+    assert(!v2(21L).getAs[Boolean]("dsir_ok") &&
+      !v2(21L).getAs[Boolean]("kept") &&
+      v2(21L).getAs[Boolean]("is_novel"), v2(21L).toString)
+  }
+
+  test("outliersAgainstIndex: frozen-model verdicts match the in-frame screen; new garbage flags without moving the boundary") {
+    // One tight 64-dim cloud along e0; ids ≡ 7 (mod 50) carry 300× the
+    // noise — low cosine to any centroid, mutually dissimilar (the
+    // identical-garbage σ=0 trap doesn't apply).
+    val mkEmb = udf((id: Long) => {
+      val r = new scala.util.Random(id)
+      val noise = if (id % 50 == 7) 3f else 0.01f
+      Array.tabulate(64)(j => (if (j == 0) 10f else 0f) +
+        (r.nextFloat() * 2 - 1) * noise)
+    })
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+        lit(0).as("label"), mkEmb(col("id")).as("embedding"))
+      .localCheckpoint()
+    val path = java.nio.file.Files
+      .createTempDirectory("outlier-idx").toString + "/model"
+    Similarity.buildOutlierIndex(emb, path)
+    // the frozen screen over the TRAINING corpus flags exactly what the
+    // in-frame fit flags (same centroids, same moments, same z-cut)
+    val inFrame = Similarity.semanticOutliers(emb, k = 8, iters = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fromIdx = Similarity.outliersAgainstIndex(emb, path)
+      .filter(col("is_outlier"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(inFrame.nonEmpty && fromIdx == inFrame,
+      s"in-frame $inFrame vs indexed $fromIdx")
+    // screen shape: every row gets a verdict, clean rows unflagged
+    val all = Similarity.outliersAgainstIndex(emb, path)
+    assert(all.count() == 200 &&
+      all.filter(!col("is_outlier")).count() == 200 - inFrame.size)
+    // frozen boundary: a batch of NEW garbage (same construction,
+    // unseen ids) is flagged wholesale — the model didn't absorb it
+    val garbage = spark.range(3).select(
+      (col("id") * 50 + 1007L).as("vec_id"), lit(0).as("label"),
+      mkEmb(col("id") * 50 + 1007L).as("embedding"))
+    val gv = Similarity.outliersAgainstIndex(garbage, path)
+    assert(gv.filter(col("is_outlier")).count() == 3, gv.collect().toSeq)
   }
 
   test("dsirWeights: target-likely docs outrank target-unlike; values match an independent recomputation") {

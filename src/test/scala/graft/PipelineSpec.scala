@@ -466,6 +466,55 @@ class PipelineSpec extends AnyFunSuite {
       ingests.toString)
   }
 
+  test("streaming curation composite screens each batch and admits only kept docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("curation-stream").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    // seed the standing corpus
+    def text(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    graft.ext.Dedup.buildMinhashIndex(
+      Seq((0L, text("heldtext", 30))).toDF("doc_id", "text"), idx)
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text")
+    val query = Pipeline.curationStream(docs, idx, verdicts, ckpt,
+      blocklist = Seq("badword"), compactEvery = 2,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      // batch 0: a standing dup, a blocklisted doc, a low-quality doc,
+      // an intra-batch twin pair, and a clean doc
+      source.addData(
+        (10L, text("heldtext", 30)),
+        (11L, text("cleandoc", 30)),
+        (12L, "too short"),
+        (13L, text("okaydocs", 20) + " badword"),
+        (14L, text("twindocs", 30)),
+        (15L, text("twindocs", 30)))
+      query.processAllAvailable()
+      // batch 1: a near-copy of batch-0's ADMITTED doc is now caught
+      // (the index grew); a copy of the REJECTED blocklisted doc is
+      // novel (rejects never enter the index) but still blocklisted
+      source.addData(
+        (20L, text("cleandoc", 30)),
+        (21L, text("okaydocs", 20) + " badword"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("doc_id", "kept", "is_novel").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).sortBy(_._1)
+    assert(v.toSeq === Seq(
+      (10L, false, false), (11L, true, true), (12L, false, true),
+      (13L, false, true), (14L, true, true), (15L, false, true),
+      (20L, false, false), (21L, false, true)), v.toSeq.toString)
+    // index membership = seed + exactly the kept docs
+    val indexed = spark.read.parquet(s"$idx/sets").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 11L, 14L))
+  }
+
   test("streaming simhash dedup flags near-copies against the growing fingerprint index") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
@@ -510,6 +559,55 @@ class PipelineSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("ingest=")).map(_.getName).sorted.toSeq
     assert(ingests.head == "ingest=0" && !ingests.contains("ingest=1"),
       ingests.toString)
+  }
+
+  test("streaming outlier screen flags embedding batches against the frozen model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, udf}
+    import org.apache.spark.sql.streaming.Trigger
+    val mkEmb = (id: Long) => {
+      val r = new scala.util.Random(id)
+      val noise = if (id % 50 == 7) 3f else 0.01f
+      Array.tabulate(64)(j => (if (j == 0) 10f else 0f) +
+        (r.nextFloat() * 2 - 1) * noise)
+    }
+    val mkEmbU = udf(mkEmb)
+    val train = spark.range(200).select(col("id").as("vec_id"),
+      lit(0).as("label"), mkEmbU(col("id")).as("embedding"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("outlier-stream").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/model", s"$tmp/verdicts", s"$tmp/ckpt")
+    graft.ext.Similarity.buildOutlierIndex(train, idx)
+    val source = MemoryStream[(Long, Int, Array[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Int, Array[Float])]],
+      spark.sqlContext)
+    val emb = source.toDF().toDF("vec_id", "label", "embedding")
+    val query = Pipeline.outlierScreenStream(emb, idx, verdicts, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      // batch 0: two clean vectors and one garbage (id ≡ 7 mod 50)
+      source.addData((1000L, 0, mkEmb(1000L)), (1001L, 0, mkEmb(1001L)),
+        (1057L, 0, mkEmb(1057L)))
+      query.processAllAvailable()
+      // batch 1: garbage again — the model is frozen, same verdict
+      source.addData((2007L, 0, mkEmb(2007L)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("vec_id", "is_outlier").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    assert(v.toSeq === Seq((1000L, false), (1001L, false),
+      (1057L, true), (2007L, true)), v.toSeq.toString)
+    // stream ≡ batch: the verdict rows equal outliersAgainstIndex over
+    // the same rows (the frozen-model equivalence the family pins)
+    val batchForm = graft.ext.Similarity.outliersAgainstIndex(
+        Seq((1057L, 0, mkEmb(1057L))).toDF("vec_id", "label", "embedding"),
+        idx).head()
+    val streamed = spark.read.parquet(verdicts)
+      .filter(col("vec_id") === 1057L)
+      .select("vec_id", "label", "cell", "cos_centroid", "zscore",
+        "is_outlier").head()
+    assert(streamed.toSeq == batchForm.toSeq)
   }
 
   test("streaming DSIR screen scores batches against the frozen persisted model") {
