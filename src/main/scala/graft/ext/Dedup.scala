@@ -1282,7 +1282,8 @@ object Dedup {
     * [[Checkpoints.truncate]]).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          driverEdgeLimit: Long = 200000L): DataFrame = {
     val ckpt = (df: DataFrame) => Checkpoints.truncate(df, reliable)
     // Checkpoint the symmetrized edge list once: it is consumed by every
     // iteration's join (plus the vertex derivation), and a lazy `edges`
@@ -1290,13 +1291,49 @@ object Dedup {
     // recomputed from the source per iteration.
     val symRaw = ckpt(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    // Right-size the loop to the GRAPH, not the corpus: the near-dup
-    // graph is usually orders of magnitude smaller than its corpus, and
-    // running each iteration at the corpus' partition count schedules
-    // mostly-empty tasks. ~50k edges per partition keeps small graphs on
-    // few tasks while a billion-edge graph still fans out fully.
+    val edgeCount = symRaw.count()
+    // Small-graph fast path: a near-dup graph is usually orders of
+    // magnitude smaller than its corpus — a few thousand edges over a
+    // billion docs — and the distributed loop's cost there is pure
+    // fixed overhead (repartition + per-iteration join/agg/convergence
+    // jobs, ~1–2 s even when the data fits in one task). Below
+    // `driverEdgeLimit` SYMMETRIZED edges the labels compute on the
+    // driver by union-find instead: bounded METADATA, not corpus data —
+    // the default cap is 200k × 16 B ≈ 3 MB, far under a routine
+    // broadcast — and the result is identical by construction (min
+    // reachable id per vertex; EqualitySpec-pinned against the loop).
+    // The distributed loop below remains the scale path; 0 disables.
+    if (driverEdgeLimit > 0 && edgeCount <= driverEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = symRaw.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // Root labels are already component minima (unions always attach
+      // the larger root under the smaller).
+      val labels = parent.keysIterator.map(v => (v, find(v))).toSeq
+      return labels.toDF("id", "comp")
+    }
+    // Right-size the loop to the GRAPH, not the corpus: running each
+    // iteration at the corpus' partition count schedules mostly-empty
+    // tasks. ~50k edges per partition keeps mid-size graphs on few
+    // tasks while a billion-edge graph still fans out fully.
     val parts = math.max(1L, math.min(
-      symRaw.rdd.getNumPartitions.toLong, symRaw.count() / 50000L + 1L)).toInt
+      symRaw.rdd.getNumPartitions.toLong, edgeCount / 50000L + 1L)).toInt
     val sym = ckpt(symRaw.repartition(parts))
     // Seed with iteration 1 computed DIRECTLY off the edge list: with
     // labels initialized to ids, the first propagation's label-join is

@@ -286,7 +286,10 @@ class ExtSpec extends AnyFunSuite {
   test("connected components fail loudly when maxIter is too small") {
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 2).collect()
+      // force the distributed loop: the driver fast path has no
+      // iteration count to exhaust
+      Dedup.connectedComponents(chain, maxIter = 2, driverEdgeLimit = 0)
+        .collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -300,6 +303,17 @@ class ExtSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(got === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
       (10L, 10L), (11L, 10L)))
+    // the driver fast path and the distributed loop are the same
+    // function: identical labels on a graph with chains, a clique, and
+    // singleton-free components in arbitrary edge directions
+    val r = new scala.util.Random(11)
+    val big = (1 to 400).map(_ => (r.nextInt(300).toLong, r.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val fast = Dedup.connectedComponents(big).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted
+    val loop = Dedup.connectedComponents(big, driverEdgeLimit = 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    assert(fast === loop)
   }
 
   test("near-dup clusters: dups share a cluster, canonical keeps min id") {

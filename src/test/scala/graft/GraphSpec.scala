@@ -71,9 +71,12 @@ class GraphSpec extends AnyFunSuite {
       val durable = Graph.pageRank(edges, iters = 6, reliable = true)
         .collect().toSeq
       assert(local === durable)
-      val ccLocal = Dedup.connectedComponents(edges).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      val ccDurable = Dedup.connectedComponents(edges, reliable = true)
+      // driverEdgeLimit = 0: the point here is the durable-checkpoint
+      // machinery inside the LOOP, which the small-graph fast path skips
+      val ccLocal = Dedup.connectedComponents(edges, driverEdgeLimit = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val ccDurable = Dedup.connectedComponents(edges, reliable = true,
+          driverEdgeLimit = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(ccLocal === ccDurable)
       assert(ccLocal === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
