@@ -1193,6 +1193,12 @@ object SparkEntry {
       val ds = TextAnalysis.dsirIndexPathFor(dir)
       TextAnalysis.ensureDsirIndex(s, docs.filter(col("doc_id") < 250), ds,
         sourcePath = Some(s"$dir/documents.parquet"))
+      val cn = Dedup.containIndexPathFor(dir)
+      Dedup.ensureContainmentIndex(s, docs.filter(col("doc_id") < 450), cn,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val sh = Dedup.simhashIndexPathFor(dir)
+      Dedup.ensureSimhashIndex(s, docs.filter(col("doc_id") < 450), sh,
+        sourcePath = Some(s"$dir/documents.parquet"))
       // broadcastBatch = false: at this fixed split the "batch" is most
       // of the corpus — backfill-shaped, so the registered form pins
       // the merge plan (containment_novel's rationale); the per-trigger
@@ -1203,6 +1209,8 @@ object SparkEntry {
         blocklist = Seq("dup", "skew", "spill"),
         blocklistMaxFraction = 0.05,
         dsirIndexPath = Some(ds),
+        containmentIndexPath = Some(cn),
+        simhashIndexPath = Some(sh),
         broadcastBatch = false)
     }),
 
@@ -3182,18 +3190,27 @@ object SparkEntry {
            |sfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("batch")}),
            |${graft.oracle.Xxh64Sql.dsirScoreCtes()},
            |dw AS (${graft.oracle.Xxh64Sql.dsirScoreSelect}),
+           |cnv AS (${graft.oracle.Xxh64Sql.containmentNovelSql()}),
+           |snv AS (${graft.oracle.Xxh64Sql.simhashNovelSql()}),
            |v AS (SELECT b.doc_id, rl.quality_ok,
            |  ROUND(rl.bfrac, 4) AS blocked_frac,
            |  rl.bfrac <= 0.05 AS blocklist_ok,
            |  dw.mean_log_ratio,
            |  COALESCE(dw.mean_log_ratio >= 0.0, FALSE) AS dsir_ok,
            |  best.best_jaccard IS NULL AS is_novel,
-           |  best.best_jaccard, best.match_id
+           |  best.best_jaccard, best.match_id,
+           |  NOT cnv.is_novel AS is_contained,
+           |  cnv.best_containment, cnv.match_id AS container_id,
+           |  NOT snv.is_novel AS is_hamming_dup,
+           |  snv.best_hamming, snv.match_id AS hamming_match_id
            |  FROM batch b JOIN rl ON rl.doc_id = b.doc_id
            |  LEFT JOIN best ON best.doc_id = b.doc_id
-           |  LEFT JOIN dw ON dw.doc_id = b.doc_id),
+           |  LEFT JOIN dw ON dw.doc_id = b.doc_id
+           |  JOIN cnv ON cnv.doc_id = b.doc_id
+           |  JOIN snv ON snv.doc_id = b.doc_id),
            |flagged AS MATERIALIZED (SELECT *,
-           |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok) AS eligible
+           |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok
+           |   AND NOT is_contained AND NOT is_hamming_dup) AS eligible
            |  FROM v),
            |edocs AS (SELECT b.doc_id, b.text FROM batch b
            |  JOIN flagged f ON f.doc_id = b.doc_id AND f.eligible),
@@ -3204,6 +3221,8 @@ object SparkEntry {
            |  FROM edocs e LEFT JOIN comp cp ON cp.doc_id = e.doc_id)
            |SELECT f.doc_id, f.quality_ok, f.blocked_frac, f.blocklist_ok,
            |  f.mean_log_ratio, f.dsir_ok, f.is_novel, f.best_jaccard, f.match_id,
+           |  f.is_contained, f.best_containment, f.container_id,
+           |  f.is_hamming_dup, f.best_hamming, f.hamming_match_id,
            |  COALESCE(f.doc_id = s.cluster_id, FALSE) AS batch_survivor,
            |  (f.eligible AND COALESCE(f.doc_id = s.cluster_id, FALSE)) AS kept
            |FROM flagged f LEFT JOIN surv s ON s.doc_id = f.doc_id

@@ -305,6 +305,10 @@ object CorpusPrep {
                         nearDupThreshold: Double = 0.5,
                         dsirIndexPath: Option[String] = None,
                         dsirMinScore: Double = 0.0,
+                        containmentIndexPath: Option[String] = None,
+                        containmentThreshold: Double = 0.5,
+                        simhashIndexPath: Option[String] = None,
+                        maxHamming: Int = 3,
                         broadcastBatch: Boolean = true,
                         observeName: String = "screen_incremental_clamp")
       : DataFrame = {
@@ -314,8 +318,8 @@ object CorpusPrep {
       TextAnalysis.qualityOkCol(col("text")).as("quality_ok"),
       round(frac, 4).as("blocked_frac"),
       (frac <= blocklistMaxFraction).as("blocklist_ok"))
-    // `broadcastBatch` passes straight to the novelty screen — the one
-    // stage whose join plan depends on batch size (per-trigger batches
+    // `broadcastBatch` passes straight to the index screens — the
+    // stages whose join plan depends on batch size (per-trigger batches
     // broadcast; a backfill-sized "batch" wants the co-partitioned
     // merge plan, the minhashNovelAgainstIndex contract).
     val novelty = Dedup.minhashNovelAgainstIndex(batch, minhashIndexPath,
@@ -344,9 +348,47 @@ object CorpusPrep {
     // operator's contract. The remaining warm cost is the sum of the
     // audited parts (stage probe at sf0.1's 4550-doc batch: clustering
     // 2.1 s, DSIR 0.9, novelty 0.5, row-local 0.1).
-    val flagged = withDsir.withColumn("eligible",
+    // Optional asymmetric-containment screen: "is this new doc a QUOTE
+    // of something the corpus holds" — the Jaccard screen's blind spot
+    // (a passage inside a long container never clears a symmetric
+    // threshold). Verdict columns renamed so the three index screens'
+    // audits coexist.
+    val withContain = containmentIndexPath match {
+      case Some(p) =>
+        withDsir.join(
+          Dedup.containmentAgainstIndex(batch, p, containmentThreshold,
+              broadcastBatch = broadcastBatch)
+            .select(col("doc_id"), (!col("is_novel")).as("is_contained"),
+              col("best_containment"),
+              col("match_id").as("container_id")),
+          Seq("doc_id"))
+      case None =>
+        withDsir
+          .withColumn("is_contained", lit(false))
+          .withColumn("best_containment", lit(null).cast("double"))
+          .withColumn("container_id", lit(null).cast("long"))
+    }
+    // Optional Hamming screen: near-copies whose shingle overlap dodges
+    // the Jaccard threshold (heavy token-level edits) but whose SimHash
+    // stays within `maxHamming` bits of a held fingerprint.
+    val withSimhash = simhashIndexPath match {
+      case Some(p) =>
+        withContain.join(
+          Dedup.simhashNovelAgainstIndex(batch, p, maxHamming,
+              broadcastBatch = broadcastBatch)
+            .select(col("doc_id"), (!col("is_novel")).as("is_hamming_dup"),
+              col("best_hamming"),
+              col("match_id").as("hamming_match_id")),
+          Seq("doc_id"))
+      case None =>
+        withContain
+          .withColumn("is_hamming_dup", lit(false))
+          .withColumn("best_hamming", lit(null).cast("int"))
+          .withColumn("hamming_match_id", lit(null).cast("long"))
+    }
+    val flagged = withSimhash.withColumn("eligible",
       col("quality_ok") && col("blocklist_ok") && col("is_novel") &&
-        col("dsir_ok"))
+        col("dsir_ok") && !col("is_contained") && !col("is_hamming_dup"))
       .localCheckpoint(eager = false)
     // Clustering only the eligible docs keeps stage 4 minimal AND makes
     // survivor semantics match [[prepare]]'s staged rule: an ineligible
@@ -361,6 +403,8 @@ object CorpusPrep {
       .select(col("doc_id"), col("quality_ok"), col("blocked_frac"),
         col("blocklist_ok"), col("mean_log_ratio"), col("dsir_ok"),
         col("is_novel"), col("best_jaccard"), col("match_id"),
+        col("is_contained"), col("best_containment"), col("container_id"),
+        col("is_hamming_dup"), col("best_hamming"), col("hamming_match_id"),
         coalesce(col("batch_survivor"), lit(false)).as("batch_survivor"),
         (col("eligible") && coalesce(col("batch_survivor"), lit(false)))
           .as("kept"))

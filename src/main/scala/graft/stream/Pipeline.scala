@@ -672,6 +672,10 @@ object Pipeline {
                      nearDupThreshold: Double = 0.5,
                      dsirIndexPath: Option[String] = None,
                      dsirMinScore: Double = 0.0,
+                     containmentIndexPath: Option[String] = None,
+                     containmentThreshold: Double = 0.5,
+                     simhashIndexPath: Option[String] = None,
+                     maxHamming: Int = 3,
                      compactEvery: Int = 0,
                      retainVerdictBatches: Int = 0,
                      trigger: Trigger = Trigger.AvailableNow())
@@ -688,17 +692,32 @@ object Pipeline {
           try {
             val verdicts = graft.ext.CorpusPrep.screenIncremental(
               once, minhashIndexPath, blocklist, blocklistMaxFraction,
-              nearDupThreshold, dsirIndexPath, dsirMinScore)
+              nearDupThreshold, dsirIndexPath, dsirMinScore,
+              containmentIndexPath, containmentThreshold,
+              simhashIndexPath, maxHamming)
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val kept = spark.read.parquet(outDir)
               .filter(col("kept")).select("doc_id")
+            // Kept docs enter EVERY configured standing index under the
+            // same batchId-keyed ingest, so all screens see them next
+            // trigger; each append is independently replay-idempotent.
+            val keptDocs = once.join(kept, Seq("doc_id"), "left_semi")
             graft.ext.Dedup.appendMinhashIndex(
-              once.join(kept, Seq("doc_id"), "left_semi"),
-              minhashIndexPath, ingestId = batchId + 1)
+              keptDocs, minhashIndexPath, ingestId = batchId + 1)
+            containmentIndexPath.foreach(p =>
+              graft.ext.Dedup.appendContainmentIndex(keptDocs, p,
+                ingestId = batchId + 1))
+            simhashIndexPath.foreach(p =>
+              graft.ext.Dedup.appendSimhashIndex(keptDocs, p,
+                ingestId = batchId + 1))
             if (compactEvery > 0 && batchId > 0 &&
                 batchId % compactEvery == 0) {
               graft.ext.Dedup.compactMinhashIndex(spark, minhashIndexPath)
+              containmentIndexPath.foreach(p =>
+                graft.ext.Dedup.compactContainmentIndex(spark, p))
+              simhashIndexPath.foreach(p =>
+                graft.ext.Dedup.compactSimhashIndex(spark, p))
               ()
             }
             pruneVerdictDirs(spark, verdictDir, batchId,

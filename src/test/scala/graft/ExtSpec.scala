@@ -1009,6 +1009,36 @@ class ExtSpec extends AnyFunSuite {
     assert(!v2(21L).getAs[Boolean]("dsir_ok") &&
       !v2(21L).getAs[Boolean]("kept") &&
       v2(21L).getAs[Boolean]("is_novel"), v2(21L).toString)
+    // with containment + simhash indexes configured: a short QUOTE of
+    // held content dodges the Jaccard screen (J ≈ 0.36 < 0.5) but the
+    // containment screen vetoes it and names the container; a byte
+    // copy trips Jaccard AND Hamming at distance 0; fresh content
+    // passes all five screens
+    val cidx = java.nio.file.Files
+      .createTempDirectory("screen-cidx").toString + "/contain"
+    val sidx = java.nio.file.Files
+      .createTempDirectory("screen-sidx").toString + "/simhash"
+    Dedup.buildContainmentIndex(standing, cidx)
+    Dedup.buildSimhashIndex(standing, sidx)
+    val batch3 = Seq(
+      (30L, (5 to 16).map(i => s"heldtext$i").mkString(" ")),
+      (31L, text("corptext", 30)),
+      (32L, text("brandnew", 30))).toDF("doc_id", "text")
+    val v3 = CorpusPrep.screenIncremental(batch3, idx,
+        containmentIndexPath = Some(cidx), simhashIndexPath = Some(sidx))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v3(30L).getAs[Boolean]("is_novel") &&
+      v3(30L).getAs[Boolean]("is_contained") &&
+      v3(30L).getAs[Long]("container_id") == 0L &&
+      !v3(30L).getAs[Boolean]("kept"), v3(30L).toString)
+    assert(!v3(31L).getAs[Boolean]("is_novel") &&
+      v3(31L).getAs[Boolean]("is_hamming_dup") &&
+      v3(31L).getAs[Int]("best_hamming") == 0 &&
+      v3(31L).getAs[Long]("hamming_match_id") == 1L &&
+      !v3(31L).getAs[Boolean]("kept"), v3(31L).toString)
+    assert(v3(32L).getAs[Boolean]("kept") &&
+      !v3(32L).getAs[Boolean]("is_contained") &&
+      !v3(32L).getAs[Boolean]("is_hamming_dup"), v3(32L).toString)
   }
 
   test("outliersAgainstIndex: frozen-model verdicts match the in-frame screen; new garbage flags without moving the boundary") {

@@ -474,14 +474,19 @@ class PipelineSpec extends AnyFunSuite {
     val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
     // seed the standing corpus
     def text(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
-    graft.ext.Dedup.buildMinhashIndex(
-      Seq((0L, text("heldtext", 30))).toDF("doc_id", "text"), idx)
+    val seed = Seq((0L, text("heldtext", 30))).toDF("doc_id", "text")
+    graft.ext.Dedup.buildMinhashIndex(seed, idx)
+    val (cidx, sidx) = (s"$tmp/cidx", s"$tmp/sidx")
+    graft.ext.Dedup.buildContainmentIndex(seed, cidx)
+    graft.ext.Dedup.buildSimhashIndex(seed, sidx)
     val source = MemoryStream[(Long, String)](
       implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
       spark.sqlContext)
     val docs = source.toDF().toDF("doc_id", "text")
     val query = Pipeline.curationStream(docs, idx, verdicts, ckpt,
-      blocklist = Seq("badword"), compactEvery = 2,
+      blocklist = Seq("badword"),
+      containmentIndexPath = Some(cidx), simhashIndexPath = Some(sidx),
+      compactEvery = 2,
       trigger = Trigger.ProcessingTime("0 seconds"))
     try {
       // batch 0: a standing dup, a blocklisted doc, a low-quality doc,
@@ -501,6 +506,12 @@ class PipelineSpec extends AnyFunSuite {
         (20L, text("cleandoc", 30)),
         (21L, text("okaydocs", 20) + " badword"))
       query.processAllAvailable()
+      // batch 2: a short QUOTE of batch-0's ADMITTED doc — too little
+      // shingle overlap for the Jaccard screen, but kept docs entered
+      // the containment index too, so the quote is caught there
+      source.addData(
+        (30L, (5 to 16).map(i => s"cleandoc$i").mkString(" ")))
+      query.processAllAvailable()
     } finally query.stop()
     val v = spark.read.parquet(verdicts)
       .select("doc_id", "kept", "is_novel").collect()
@@ -508,11 +519,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(v.toSeq === Seq(
       (10L, false, false), (11L, true, true), (12L, false, true),
       (13L, false, true), (14L, true, true), (15L, false, true),
-      (20L, false, false), (21L, false, true)), v.toSeq.toString)
-    // index membership = seed + exactly the kept docs
+      (20L, false, false), (21L, false, true),
+      (30L, false, true)), v.toSeq.toString)
+    // the quote was vetoed by the CONTAINMENT screen, naming its
+    // container — the admitted batch-0 doc
+    val quote = spark.read.parquet(verdicts)
+      .filter(col("doc_id") === 30L)
+      .select("is_contained", "container_id").head()
+    assert(quote.getBoolean(0) && quote.getLong(1) == 11L, quote.toString)
+    // index membership = seed + exactly the kept docs, in ALL indexes
     val indexed = spark.read.parquet(s"$idx/sets").select("doc_id")
       .distinct().collect().map(_.getLong(0)).sorted
     assert(indexed.toSeq === Seq(0L, 11L, 14L))
+    val cIndexed = spark.read.parquet(s"$cidx/fps").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(cIndexed.toSeq === Seq(0L, 11L, 14L))
+    val sIndexed = spark.read.parquet(s"$sidx/fps").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(sIndexed.toSeq === Seq(0L, 11L, 14L))
   }
 
   test("streaming simhash dedup flags near-copies against the growing fingerprint index") {
