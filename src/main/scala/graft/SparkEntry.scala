@@ -893,6 +893,22 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // The contamination screen's frozen-model form: the eval suite's
+    // hashed-3-gram postings persisted ONCE (stop-gram df cap stored in
+    // the index), every batch doc verdicted against them — the eval
+    // suite is never re-tokenized at screen time. Full-verdict shape
+    // (one row per batch doc, best match named) rather than the batch
+    // form's pair report; stop-grams prune on EVAL-side df, so a doc's
+    // verdict never depends on what else arrived in its trigger.
+    "contamination_indexed" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Contamination.evalIndexPathFor(dir)
+      Contamination.ensureEvalIndex(s, docs.filter(col("doc_id") < 50),
+        path, sourcePath = Some(s"$dir/documents.parquet"))
+      Contamination.contaminationAgainstIndex(
+        docs.filter(col("doc_id") >= 450), path)
+    }),
+
     // Edit-distance verify (the character-level near-dup metric):
     // adjacent-id pairs over 200-char prefixes — pairwise DP cost is
     // bounded by pair count × prefix², exactly how a candidate-pair
@@ -1211,6 +1227,48 @@ object SparkEntry {
         dsirIndexPath = Some(ds),
         containmentIndexPath = Some(cn),
         simhashIndexPath = Some(sh),
+        broadcastBatch = false)
+    }),
+
+    // The incremental composite with EVERY screen family configured —
+    // curation_screen plus the persisted eval-gram contamination index
+    // (eval suite = doc_id < 50, the batch composite's split) and the
+    // frozen embedding-outlier model (fit on vec_id < 450) — making the
+    // incremental screen a strict superset of the batch composite's
+    // screen set: nothing `prepare` would reject rides in through the
+    // ingest path. The oracle re-derives all EIGHT verdicts, including
+    // the eval-df stop-gram chain and the unrolled k-means moments.
+    "curation_screen_v2" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val mh = Dedup.minhashIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 450), mh,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ds = TextAnalysis.dsirIndexPathFor(dir)
+      TextAnalysis.ensureDsirIndex(s, docs.filter(col("doc_id") < 250), ds,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val cn = Dedup.containIndexPathFor(dir)
+      Dedup.ensureContainmentIndex(s, docs.filter(col("doc_id") < 450), cn,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val sh = Dedup.simhashIndexPathFor(dir)
+      Dedup.ensureSimhashIndex(s, docs.filter(col("doc_id") < 450), sh,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ev = Contamination.evalIndexPathFor(dir)
+      Contamination.ensureEvalIndex(s, docs.filter(col("doc_id") < 50), ev,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ol = Similarity.outlierIndexPathFor(dir)
+      Similarity.ensureOutlierIndex(s, emb.filter(col("vec_id") < 450), ol,
+        sourcePath = Some(s"$dir/embeddings.parquet"))
+      graft.ext.CorpusPrep.screenIncremental(
+        docs.filter(col("doc_id") >= 450), mh,
+        blocklist = Seq("dup", "skew", "spill"),
+        blocklistMaxFraction = 0.05,
+        dsirIndexPath = Some(ds),
+        containmentIndexPath = Some(cn),
+        simhashIndexPath = Some(sh),
+        contamIndexPath = Some(ev),
+        embeddings = Some(emb.filter(col("vec_id") >= 450)),
+        outlierIndexPath = Some(ol),
         broadcastBatch = false)
     }),
 
@@ -2948,6 +3006,114 @@ object SparkEntry {
          |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
          |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
          |  FROM flagged)""".stripMargin
+    // The incremental-composite oracle, shared by curation_screen (base
+    // screens; contamination/outlier columns pinned to the engine's
+    // screen-off constants) and curation_screen_v2 (full = true: the
+    // eval-gram contamination verdict — string 3-grams with the
+    // EVAL-side df-cap stop-gram rule — and the frozen-model outlier
+    // verdict via the unrolled k-means chain fit on vec_id < 450).
+    def incrementalScreenSql(full: Boolean): String = {
+      val contamCtes = if (!full) "" else
+        s"""evals AS (SELECT * FROM documents WHERE doc_id < 50),
+           |${shingleCte("evals", "v")},
+           |vrare AS (SELECT doc_id, g FROM
+           |  (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM vsh) WHERE df <= 20),
+           |ccand AS (SELECT b.doc_id, v.doc_id AS eval_id, count(*) AS shared
+           |          FROM bsh b JOIN vrare v ON b.g = v.g GROUP BY 1, 2
+           |          HAVING count(*) >= 5),
+           |cbest AS (SELECT doc_id, shared AS contam_shared, eval_id AS contam_match_id FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |     ORDER BY shared DESC, eval_id DESC) AS rn FROM ccand) WHERE rn = 1),
+           |outv AS (SELECT vec_id, zscore, is_outlier FROM
+           |  (${graft.oracle.KmeansSql.semanticOutliersIndexedSql()})),
+           |""".stripMargin
+      val verdictCols = if (full)
+        """cbest.doc_id IS NOT NULL AS is_contaminated,
+          |  cbest.contam_shared, cbest.contam_match_id,
+          |  COALESCE(o.is_outlier, FALSE) AS is_outlier,
+          |  o.zscore AS outlier_zscore""".stripMargin
+      else
+        """FALSE AS is_contaminated,
+          |  CAST(NULL AS BIGINT) AS contam_shared,
+          |  CAST(NULL AS BIGINT) AS contam_match_id,
+          |  FALSE AS is_outlier, CAST(NULL AS DOUBLE) AS outlier_zscore""".stripMargin
+      val verdictJoins = if (full)
+        """
+          |  LEFT JOIN cbest ON cbest.doc_id = b.doc_id
+          |  LEFT JOIN outv o ON o.vec_id = b.doc_id""".stripMargin
+      else ""
+      s"""WITH RECURSIVE
+         |batch AS (SELECT * FROM documents WHERE doc_id >= 450),
+         |standing AS (SELECT * FROM documents WHERE doc_id < 450),
+         |rl AS (SELECT doc_id,
+         |  (LEN(string_split_regex(TRIM(text), '\\s+')) >= 5
+         |   AND LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) > 0.6) AS quality_ok,
+         |  CASE WHEN LEN(btoks) = 0 THEN 0.0
+         |       ELSE CAST(LEN(list_filter(btoks, t -> list_contains(['dup','skew','spill'], lower(t)))) AS DOUBLE) / LEN(btoks)
+         |  END AS bfrac
+         |  FROM (SELECT doc_id, text,
+         |          list_filter(string_split_regex(TRIM(text), '\\s+'), t -> LEN(t) > 0) AS btoks
+         |        FROM batch)),
+         |${shingleCte("batch", "b")},
+         |${shingleCte("standing", "c")},
+         |$contamCtes
+         |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+         |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+         |ninter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+         |           FROM bsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2),
+         |novscored AS (SELECT da AS doc_id, ROUND(ov/(na.n+nb.n-ov), 4) AS j, db AS corpus_id
+         |  FROM ninter JOIN bsz na ON na.doc_id = da JOIN csz nb ON nb.doc_id = db
+         |  WHERE ov/(na.n+nb.n-ov) >= 0.5),
+         |best AS (SELECT doc_id, j AS best_jaccard, corpus_id AS match_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY j DESC, corpus_id DESC) AS rn FROM novscored) WHERE rn = 1),
+         |dsir_target AS (SELECT * FROM documents WHERE doc_id < 250),
+         |tfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("dsir_target")}),
+         |sfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("batch")}),
+         |${graft.oracle.Xxh64Sql.dsirScoreCtes()},
+         |dw AS (${graft.oracle.Xxh64Sql.dsirScoreSelect}),
+         |cnv AS (${graft.oracle.Xxh64Sql.containmentNovelSql()}),
+         |snv AS (${graft.oracle.Xxh64Sql.simhashNovelSql()}),
+         |v AS (SELECT b.doc_id, rl.quality_ok,
+         |  ROUND(rl.bfrac, 4) AS blocked_frac,
+         |  rl.bfrac <= 0.05 AS blocklist_ok,
+         |  dw.mean_log_ratio,
+         |  COALESCE(dw.mean_log_ratio >= 0.0, FALSE) AS dsir_ok,
+         |  best.best_jaccard IS NULL AS is_novel,
+         |  best.best_jaccard, best.match_id,
+         |  NOT cnv.is_novel AS is_contained,
+         |  cnv.best_containment, cnv.match_id AS container_id,
+         |  NOT snv.is_novel AS is_hamming_dup,
+         |  snv.best_hamming, snv.match_id AS hamming_match_id,
+         |  $verdictCols
+         |  FROM batch b JOIN rl ON rl.doc_id = b.doc_id
+         |  LEFT JOIN best ON best.doc_id = b.doc_id
+         |  LEFT JOIN dw ON dw.doc_id = b.doc_id
+         |  JOIN cnv ON cnv.doc_id = b.doc_id
+         |  JOIN snv ON snv.doc_id = b.doc_id$verdictJoins),
+         |flagged AS MATERIALIZED (SELECT *,
+         |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok
+         |   AND NOT is_contained AND NOT is_hamming_dup
+         |   AND NOT is_contaminated AND NOT is_outlier) AS eligible
+         |  FROM v),
+         |edocs AS (SELECT b.doc_id, b.text FROM batch b
+         |  JOIN flagged f ON f.doc_id = b.doc_id AND f.eligible),
+         |${shingleCte("edocs")},
+         |$jaccardCte,
+         |${componentCte("0.5")},
+         |surv AS (SELECT e.doc_id, COALESCE(cp.cluster_id, e.doc_id) AS cluster_id
+         |  FROM edocs e LEFT JOIN comp cp ON cp.doc_id = e.doc_id)
+         |SELECT f.doc_id, f.quality_ok, f.blocked_frac, f.blocklist_ok,
+         |  f.mean_log_ratio, f.dsir_ok, f.is_novel, f.best_jaccard, f.match_id,
+         |  f.is_contained, f.best_containment, f.container_id,
+         |  f.is_hamming_dup, f.best_hamming, f.hamming_match_id,
+         |  f.is_contaminated, f.contam_shared, f.contam_match_id,
+         |  f.is_outlier, f.outlier_zscore,
+         |  COALESCE(f.doc_id = s.cluster_id, FALSE) AS batch_survivor,
+         |  (f.eligible AND COALESCE(f.doc_id = s.cluster_id, FALSE)) AS kept
+         |FROM flagged f LEFT JOIN surv s ON s.doc_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin
+    }
     val extOracles = Map(
       // xxhash64-derived outputs, oracled by reproducing Spark's XXH64 in
       // DuckDB SQL (wrapping-64-bit HUGEINT arithmetic, staged subquery
@@ -3160,73 +3326,33 @@ object SparkEntry {
       // half with the engine's max(struct(j, corpus_id)) tie order,
       // the xxh64 DSIR chain vs the 250-doc target, and the recursive
       // component CTE over the eligible batch docs' similarity graph.
-      "curation_screen" ->
-        s"""WITH RECURSIVE
-           |batch AS (SELECT * FROM documents WHERE doc_id >= 450),
-           |standing AS (SELECT * FROM documents WHERE doc_id < 450),
-           |rl AS (SELECT doc_id,
-           |  (LEN(string_split_regex(TRIM(text), '\\s+')) >= 5
-           |   AND LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) > 0.6) AS quality_ok,
-           |  CASE WHEN LEN(btoks) = 0 THEN 0.0
-           |       ELSE CAST(LEN(list_filter(btoks, t -> list_contains(['dup','skew','spill'], lower(t)))) AS DOUBLE) / LEN(btoks)
-           |  END AS bfrac
-           |  FROM (SELECT doc_id, text,
-           |          list_filter(string_split_regex(TRIM(text), '\\s+'), t -> LEN(t) > 0) AS btoks
-           |        FROM batch)),
-           |${shingleCte("batch", "b")},
-           |${shingleCte("standing", "c")},
-           |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
-           |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
-           |ninter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
-           |           FROM bsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2),
-           |novscored AS (SELECT da AS doc_id, ROUND(ov/(na.n+nb.n-ov), 4) AS j, db AS corpus_id
-           |  FROM ninter JOIN bsz na ON na.doc_id = da JOIN csz nb ON nb.doc_id = db
-           |  WHERE ov/(na.n+nb.n-ov) >= 0.5),
-           |best AS (SELECT doc_id, j AS best_jaccard, corpus_id AS match_id FROM
+      // `full = true` (curation_screen_v2) additionally re-derives the
+      // contamination verdict (string 3-grams of the eval suite with
+      // the EVAL-side df-cap stop-gram rule) and the frozen-model
+      // outlier verdict (the unrolled k-means chain fit on the
+      // training half); the base form pins those columns to the
+      // engine's screen-off constants.
+      "curation_screen" -> incrementalScreenSql(full = false),
+      "curation_screen_v2" -> incrementalScreenSql(full = true),
+      // The indexed contamination screen standalone: same split as the
+      // composite (eval = doc_id < 50, batch = doc_id >= 450), full
+      // verdict shape with the max(shared, eval_id) tie rule.
+      "contamination_indexed" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "b")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
+           |vrare AS (SELECT doc_id, g FROM
+           |  (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM vsh) WHERE df <= 20),
+           |ccand AS (SELECT b.doc_id, v.doc_id AS eval_id, count(*) AS shared
+           |          FROM bsh b JOIN vrare v ON b.g = v.g GROUP BY 1, 2
+           |          HAVING count(*) >= 5),
+           |cbest AS (SELECT doc_id, shared AS shared_ngrams, eval_id AS match_id FROM
            |  (SELECT *, row_number() OVER (PARTITION BY doc_id
-           |     ORDER BY j DESC, corpus_id DESC) AS rn FROM novscored) WHERE rn = 1),
-           |dsir_target AS (SELECT * FROM documents WHERE doc_id < 250),
-           |tfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("dsir_target")}),
-           |sfe AS (${graft.oracle.Xxh64Sql.dsirFeatsSql("batch")}),
-           |${graft.oracle.Xxh64Sql.dsirScoreCtes()},
-           |dw AS (${graft.oracle.Xxh64Sql.dsirScoreSelect}),
-           |cnv AS (${graft.oracle.Xxh64Sql.containmentNovelSql()}),
-           |snv AS (${graft.oracle.Xxh64Sql.simhashNovelSql()}),
-           |v AS (SELECT b.doc_id, rl.quality_ok,
-           |  ROUND(rl.bfrac, 4) AS blocked_frac,
-           |  rl.bfrac <= 0.05 AS blocklist_ok,
-           |  dw.mean_log_ratio,
-           |  COALESCE(dw.mean_log_ratio >= 0.0, FALSE) AS dsir_ok,
-           |  best.best_jaccard IS NULL AS is_novel,
-           |  best.best_jaccard, best.match_id,
-           |  NOT cnv.is_novel AS is_contained,
-           |  cnv.best_containment, cnv.match_id AS container_id,
-           |  NOT snv.is_novel AS is_hamming_dup,
-           |  snv.best_hamming, snv.match_id AS hamming_match_id
-           |  FROM batch b JOIN rl ON rl.doc_id = b.doc_id
-           |  LEFT JOIN best ON best.doc_id = b.doc_id
-           |  LEFT JOIN dw ON dw.doc_id = b.doc_id
-           |  JOIN cnv ON cnv.doc_id = b.doc_id
-           |  JOIN snv ON snv.doc_id = b.doc_id),
-           |flagged AS MATERIALIZED (SELECT *,
-           |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok
-           |   AND NOT is_contained AND NOT is_hamming_dup) AS eligible
-           |  FROM v),
-           |edocs AS (SELECT b.doc_id, b.text FROM batch b
-           |  JOIN flagged f ON f.doc_id = b.doc_id AND f.eligible),
-           |${shingleCte("edocs")},
-           |$jaccardCte,
-           |${componentCte("0.5")},
-           |surv AS (SELECT e.doc_id, COALESCE(cp.cluster_id, e.doc_id) AS cluster_id
-           |  FROM edocs e LEFT JOIN comp cp ON cp.doc_id = e.doc_id)
-           |SELECT f.doc_id, f.quality_ok, f.blocked_frac, f.blocklist_ok,
-           |  f.mean_log_ratio, f.dsir_ok, f.is_novel, f.best_jaccard, f.match_id,
-           |  f.is_contained, f.best_containment, f.container_id,
-           |  f.is_hamming_dup, f.best_hamming, f.hamming_match_id,
-           |  COALESCE(f.doc_id = s.cluster_id, FALSE) AS batch_survivor,
-           |  (f.eligible AND COALESCE(f.doc_id = s.cluster_id, FALSE)) AS kept
-           |FROM flagged f LEFT JOIN surv s ON s.doc_id = f.doc_id
-           |ORDER BY f.doc_id""".stripMargin,
+           |     ORDER BY shared DESC, eval_id DESC) AS rn FROM ccand) WHERE rn = 1)
+           |SELECT n.doc_id, cbest.doc_id IS NOT NULL AS is_contaminated,
+           |  shared_ngrams, match_id
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) n
+           |LEFT JOIN cbest ON cbest.doc_id = n.doc_id
+           |ORDER BY n.doc_id""".stripMargin,
       "corpus_prep_v2" ->
         s"""WITH RECURSIVE $curationCteV2
            |SELECT count(*) AS total_docs,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark-contamination detection: which training documents share
@@ -86,5 +87,176 @@ object Contamination {
     val flagged = ngramOverlap(eval, train, n, minShared, dfCap)
       .select(col("train_id").as("doc_id")).distinct()
     train.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted eval-gram index — the contamination screen's frozen-model
+  // form: the evaluation suite's hashed n-gram postings are built ONCE
+  // and every later ingest batch screens against them without the eval
+  // suite ever being re-tokenized. The same IndexStamp lifecycle as the
+  // MinHash/containment/SimHash screen families (marker, stored params,
+  // batchId-idempotent appends when a new benchmark lands, fold-to-base
+  // compaction), with one polarity flip: here the INDEX is the small
+  // side (an eval suite is benchmarks, not a corpus), so the screen
+  // broadcasts the postings into the batch's gram stream instead of
+  // pruning a corpus-sized at-rest table.
+  // ---------------------------------------------------------------------
+
+  private def evalMarker(path: String) = s"$path/grams/_SUCCESS"
+
+  /** Canonical per-corpus eval-gram index location (the shared
+    * `*PathFor` convention under [[IndexStamp.indexRoot]]).
+    */
+  def evalIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-contam1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Gram size and the eval-side stop-gram cap ride IN the index (1-row
+    * `params` table) — the stored-parameter rule: the screen derives
+    * batch grams with the stored `n` (a mismatched gram size silently
+    * yields zero overlap, [[ngramOverlap]]'s documented worst failure
+    * mode), and the df cap is part of the screen's SEMANTICS (which
+    * grams count as signal), so it must not drift per caller.
+    */
+  private def evalParams(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/params").head()
+    (r.getAs[Int]("n"), r.getAs[Int]("df_cap"))
+  }
+
+  /** Full build: the eval suite's DISTINCT (eval_id, gram-hash) postings
+    * as ingest 0 of the partitioned layout. The stop-gram df cap is
+    * applied at SCREEN time over the at-rest postings (a count window
+    * over an eval-suite-sized table — metadata scale), not at build
+    * time, so appended benchmarks correctly raise a gram's df and
+    * silence grams that stop being discriminative.
+    */
+  def buildEvalIndex(evalDocs: DataFrame, path: String, n: Int = 3,
+                     dfCap: Int = 20): Unit = {
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    IndexStamp.dropMarker(spark, evalMarker(path))
+    IndexStamp.dropCompactionRecord(spark, path)
+    Seq((n, dfCap)).toDF("n", "df_cap")
+      .write.mode("overwrite").parquet(s"$path/params")
+    Dedup.hashedShingles(evalDocs, n)
+      .select(col("doc_id").as("eval_id"), col("h").as("g")).distinct()
+      .withColumn("ingest", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest").parquet(s"$path/grams")
+  }
+
+  /** Append a new benchmark's postings under `ingestId` — the shared
+    * [[IndexStamp.appendLifecycle]] contract (replayed ids overwrite
+    * their own partition; compacted-away ids no-op). Grams derive with
+    * the STORED `n`, never a caller-supplied one.
+    */
+  def appendEvalIndex(evalDocs: DataFrame, path: String,
+                      ingestId: Long = -1L): Unit = {
+    val spark = evalDocs.sparkSession
+    IndexStamp.appendLifecycle(spark, path, evalMarker(path),
+        s"$path/grams", ingestId) {
+      buildEvalIndex(evalDocs, path)
+    } {
+      buildEvalIndex(evalDocs.limit(0), path)
+    } { id =>
+      val (n, _) = evalParams(spark, path)
+      Dedup.hashedShingles(evalDocs, n)
+        .select(col("doc_id").as("eval_id"), col("h").as("g")).distinct()
+        .withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest").parquet(s"$path/grams")
+    }
+  }
+
+  /** Compact: fold every ingest partition into the base. Postings rows
+    * are independent, so the fold is pure re-layout —
+    * [[contaminationAgainstIndex]] over the compacted index equals the
+    * appended index exactly (screen-time df cap included, since df
+    * counts rows, not partitions).
+    */
+  def compactEvalIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean =
+    IndexStamp.compactLifecycle(spark, path, evalMarker(path),
+        Seq(s"$path/grams")) {
+      case Seq(stg) =>
+        spark.read.parquet(s"$path/grams")
+          .select(col("eval_id"), col("g"))
+          .withColumn("ingest", lit(0L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ingest").parquet(stg)
+    }
+
+  /** Build only when absent or source-stale ([[IndexStamp.ensureFresh]]).
+    * Returns true iff the build ran.
+    */
+  def ensureEvalIndex(spark: org.apache.spark.sql.SparkSession,
+                      evalDocs: => DataFrame, path: String, n: Int = 3,
+                      dfCap: Int = 20,
+                      sourcePath: Option[String] = None): Boolean =
+    IndexStamp.ensureFresh(spark, evalMarker(path), path, sourcePath) {
+      buildEvalIndex(evalDocs, path, n, dfCap)
+    }
+
+  /** Per-doc contamination verdicts against the persisted eval-gram
+    * index: (doc_id, is_contaminated, shared_ngrams, match_id) where a
+    * batch doc is contaminated when it shares at least `minShared`
+    * distinct rare grams (eval-suite df ≤ the stored cap) with SOME
+    * single eval doc, and the reported match is the best one —
+    * max(shared count, then eval id), the screen family's tie rule.
+    * An index with no postings yet (committed empty base) flags
+    * nothing. Unlike [[ngramOverlap]]'s batch form (whose stop-grams
+    * are TRAINING-side df — a corpus-wide statistic), the frozen screen
+    * prunes on EVAL-side df: batch-independent, so a doc's verdict
+    * never depends on what else arrived in its trigger.
+    *
+    * Shape at 100 TB: postings are eval-suite-sized — the small side —
+    * so they broadcast (after the window that drops stop-grams) into
+    * the batch's distinct-gram stream; the only batch-proportional
+    * shuffle is the per-doc gram dedup, and the (doc, eval) aggregate
+    * runs over matched rows only. `broadcastIndex = false` switches to
+    * a shuffled join for eval suites past broadcast size.
+    */
+  def contaminationAgainstIndex(newDocs: DataFrame, path: String,
+                                minShared: Int = 5,
+                                broadcastIndex: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexStamp.hasIngestData(fs, dir))
+      return newDocs.select(col("doc_id"),
+        lit(false).as("is_contaminated"),
+        lit(null).cast("long").as("shared_ngrams"),
+        lit(null).cast("long").as("match_id"))
+        .orderBy("doc_id")
+    val (n, dfCap) = evalParams(spark, path)
+    // Postings rows are distinct (eval_id, g), so count-per-gram IS the
+    // eval-suite document frequency; the window runs over the tiny
+    // at-rest table, never anything batch- or corpus-sized.
+    val rare0 = spark.read.parquet(s"$path/grams")
+      .select(col("eval_id"), col("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    val rare = if (broadcastIndex) broadcast(rare0) else rare0
+    val bGrams = Dedup.hashedShingles(newDocs, n)
+      .select(col("doc_id"), col("h").as("g")).distinct()
+    val matches = bGrams.join(rare, Seq("g"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy("doc_id")
+      .agg(max(struct(col("shared"), col("eval_id"))).as("m"))
+      .select(col("doc_id"), col("m.shared").as("shared_ngrams"),
+        col("m.eval_id").as("match_id"))
+    newDocs.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        col("shared_ngrams").isNotNull.as("is_contaminated"),
+        col("shared_ngrams"), col("match_id"))
+      .orderBy("doc_id")
   }
 }

@@ -62,6 +62,12 @@ object CorpusPrep {
     *                 screens can't see. None (default) = screen off,
     *                 `is_outlier` all-false.
     * @param outlierZ z-cut for the outlier screen
+    * @param sorted   order the verdict frame by doc_id (deterministic
+    *                 presentation — the oracle queries' contract). A
+    *                 production caller writing verdicts onward passes
+    *                 false and skips the corpus-wide range shuffle the
+    *                 sort costs; every verdict is already final at the
+    *                 window stage.
     * @return one row per doc: quality_ok, is_blocked, is_exact_dup
     *         (non-canonical copy, independent verdict), is_near_dup
     *         (cluster non-survivor, independent verdict),
@@ -77,7 +83,8 @@ object CorpusPrep {
               blocklistMaxFraction: Double = 0.0,
               containmentThreshold: Option[Double] = None,
               embeddings: Option[DataFrame] = None,
-              outlierZ: Double = 2.0): DataFrame = {
+              outlierZ: Double = 2.0,
+              sorted: Boolean = true): DataFrame = {
     // One compiled shingle pass, shared by the near-dup clustering and
     // the contamination screen (hashedShingles' pos column is pruned
     // before the checkpoint; neither consumer needs it). Lazy checkpoint
@@ -167,7 +174,7 @@ object CorpusPrep {
     val eligibleId = when(col("eligible"), col("doc_id"))
     val wd = Window.partitionBy("content_digest")
     val wc = Window.partitionBy("cluster_id")
-    flagged
+    val out = flagged
       .withColumn("__digest_survivor", min(eligibleId).over(wd))
       .withColumn("__cluster_survivor", min(eligibleId).over(wc))
       .withColumn("__digest_min", min(col("doc_id")).over(wd))
@@ -183,7 +190,7 @@ object CorpusPrep {
         (col("eligible") &&
           col("doc_id") === col("__digest_survivor") &&
           col("doc_id") === col("__cluster_survivor")).as("kept"))
-      .orderBy("doc_id")
+    if (sorted) out.orderBy("doc_id") else out
   }
 
   /** The curation report: per-filter removal counts plus the final
@@ -287,17 +294,40 @@ object CorpusPrep {
     *      [[graft.stream.Pipeline.dsirScreenStream]] semantics, so
     *      batch and stream select identically); a doc with no features
     *      has a null score and fails the screen;
-    *   4. intra-batch near-dup clustering among the docs passing 1–3
+    *   4. benchmark contamination (optional): `is_contaminated`/
+    *      `contam_shared`/`contam_match_id` against the persisted
+    *      eval-gram index ([[Contamination.contaminationAgainstIndex]]
+    *      — eval suite never re-tokenized, stop-gram pruning frozen on
+    *      eval-side df so verdicts are batch-independent);
+    *   5. embedding-space outliers (optional): `is_outlier`/
+    *      `outlier_zscore` for the batch's embeddings against the
+    *      persisted frozen model ([[Similarity.outliersAgainstIndex]]);
+    *      a doc with NO embedding row has no verdict and is never
+    *      flagged (the model's empty-cell rule's missing-data analog);
+    *   6. intra-batch near-dup clustering among the docs passing 1–5
     *      ([[Dedup.nearDupClusters]] at `nearDupThreshold`, batch-sized
     *      by this operator's contract): `batch_survivor` keeps one doc
     *      per cluster — without it, two copies of the same NEW doc in
     *      one trigger would both pass the standing screen and both be
     *      admitted.
     *
+    * With the contamination and outlier screens configured, this is a
+    * strict SUPERSET of the batch composite's screen set ([[prepare]])
+    * — the property a streaming-ingest caller assumes: nothing the
+    * batch path would reject rides in through the incremental path.
+    *
     * `kept = eligible ∧ batch_survivor`. The caller admits kept docs to
     * the standing indexes ([[graft.stream.Pipeline.curationStream]]
     * wires this as one foreachBatch); a rejected doc never enters, so
-    * held content cannot accrete near-copies.
+    * held content cannot accrete near-copies. The eval-gram index and
+    * the outlier model stay FROZEN — reference state, not corpus state.
+    *
+    * Batch text is read ONCE: the (doc_id, text) frame is checkpointed
+    * up front and every screen derives from it, so a backfill-shaped
+    * "batch" (corpus-sized) costs one source scan, not one per screen.
+    * `sorted = false` drops the trailing presentation sort — the oracle
+    * queries keep the default; a production caller piping verdicts into
+    * a write needs no corpus-wide range shuffle.
     */
   def screenIncremental(batch: DataFrame, minhashIndexPath: String,
                         blocklist: Seq[String] = Nil,
@@ -309,12 +339,31 @@ object CorpusPrep {
                         containmentThreshold: Double = 0.5,
                         simhashIndexPath: Option[String] = None,
                         maxHamming: Int = 3,
+                        contamIndexPath: Option[String] = None,
+                        contamMinShared: Int = 5,
+                        embeddings: Option[DataFrame] = None,
+                        outlierIndexPath: Option[String] = None,
+                        outlierZ: Double = 2.0,
                         broadcastBatch: Boolean = true,
+                        sorted: Boolean = true,
                         observeName: String = "screen_incremental_clamp")
       : DataFrame = {
+    require(embeddings.isDefined == outlierIndexPath.isDefined,
+      "outlier screen needs BOTH the batch embeddings and the persisted " +
+        "model path — supplying one without the other silently skips " +
+        "the screen the caller asked for")
     val spark = batch.sparkSession
+    // ONE batch-text scan for the whole composite: every screen below
+    // (row-local, MinHash, DSIR, containment, SimHash, contamination,
+    // plus the eligible-doc clustering) consumes this checkpointed
+    // frame instead of re-planning its own source scan — ~5 source
+    // reads saved, which is the difference between trigger-noise and
+    // corpus-sized cost on a backfill (lazy checkpoint: the first
+    // screen's action materializes it).
+    val once = batch.select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = false)
     val (_, _, frac) = TextAnalysis.blocklistCols(col("text"), blocklist)
-    val rowLocal = batch.select(col("doc_id"),
+    val rowLocal = once.select(col("doc_id"),
       TextAnalysis.qualityOkCol(col("text")).as("quality_ok"),
       round(frac, 4).as("blocked_frac"),
       (frac <= blocklistMaxFraction).as("blocklist_ok"))
@@ -322,13 +371,13 @@ object CorpusPrep {
     // stages whose join plan depends on batch size (per-trigger batches
     // broadcast; a backfill-sized "batch" wants the co-partitioned
     // merge plan, the minhashNovelAgainstIndex contract).
-    val novelty = Dedup.minhashNovelAgainstIndex(batch, minhashIndexPath,
+    val novelty = Dedup.minhashNovelAgainstIndex(once, minhashIndexPath,
       nearDupThreshold, broadcastBatch = broadcastBatch,
       observeName = observeName)
     val withDsir = dsirIndexPath match {
       case Some(p) =>
         rowLocal.join(novelty, Seq("doc_id"))
-          .join(TextAnalysis.dsirWeightsIndexed(spark, p, batch)
+          .join(TextAnalysis.dsirWeightsIndexed(spark, p, once)
             .select(col("doc_id"), col("mean_log_ratio")),
             Seq("doc_id"), "left_outer")
           .withColumn("dsir_ok",
@@ -356,7 +405,7 @@ object CorpusPrep {
     val withContain = containmentIndexPath match {
       case Some(p) =>
         withDsir.join(
-          Dedup.containmentAgainstIndex(batch, p, containmentThreshold,
+          Dedup.containmentAgainstIndex(once, p, containmentThreshold,
               broadcastBatch = broadcastBatch)
             .select(col("doc_id"), (!col("is_novel")).as("is_contained"),
               col("best_containment"),
@@ -374,7 +423,7 @@ object CorpusPrep {
     val withSimhash = simhashIndexPath match {
       case Some(p) =>
         withContain.join(
-          Dedup.simhashNovelAgainstIndex(batch, p, maxHamming,
+          Dedup.simhashNovelAgainstIndex(once, p, maxHamming,
               broadcastBatch = broadcastBatch)
             .select(col("doc_id"), (!col("is_novel")).as("is_hamming_dup"),
               col("best_hamming"),
@@ -386,28 +435,69 @@ object CorpusPrep {
           .withColumn("best_hamming", lit(null).cast("int"))
           .withColumn("hamming_match_id", lit(null).cast("long"))
     }
-    val flagged = withSimhash.withColumn("eligible",
+    // Benchmark-contamination screen vs the frozen eval-gram index —
+    // what [[prepare]] checks via its in-frame overlap join, here
+    // without ever re-reading the eval suite.
+    val withContam = contamIndexPath match {
+      case Some(p) =>
+        withSimhash.join(
+          Contamination.contaminationAgainstIndex(once, p,
+              minShared = contamMinShared)
+            .select(col("doc_id"), col("is_contaminated"),
+              col("shared_ngrams").as("contam_shared"),
+              col("match_id").as("contam_match_id")),
+          Seq("doc_id"))
+      case None =>
+        withSimhash
+          .withColumn("is_contaminated", lit(false))
+          .withColumn("contam_shared", lit(null).cast("long"))
+          .withColumn("contam_match_id", lit(null).cast("long"))
+    }
+    // Embedding-side screen vs the frozen outlier model. left_outer +
+    // coalesce(false): a batch doc with no embedding row gets no
+    // verdict and is never flagged.
+    val withOutlier = (embeddings, outlierIndexPath) match {
+      case (Some(emb), Some(p)) =>
+        val embL =
+          if (emb.columns.contains("label")) emb
+          else emb.withColumn("label", lit(null).cast("string"))
+        withContam.join(
+          Similarity.outliersAgainstIndex(embL, p, outlierZ)
+            .select(col("vec_id").as("doc_id"),
+              col("zscore").as("outlier_zscore"), col("is_outlier")),
+          Seq("doc_id"), "left_outer")
+          .withColumn("is_outlier",
+            coalesce(col("is_outlier"), lit(false)))
+      case _ =>
+        withContam
+          .withColumn("is_outlier", lit(false))
+          .withColumn("outlier_zscore", lit(null).cast("double"))
+    }
+    val flagged = withOutlier.withColumn("eligible",
       col("quality_ok") && col("blocklist_ok") && col("is_novel") &&
-        col("dsir_ok") && !col("is_contained") && !col("is_hamming_dup"))
+        col("dsir_ok") && !col("is_contained") && !col("is_hamming_dup") &&
+        !col("is_contaminated") && !col("is_outlier"))
       .localCheckpoint(eager = false)
-    // Clustering only the eligible docs keeps stage 4 minimal AND makes
-    // survivor semantics match [[prepare]]'s staged rule: an ineligible
-    // copy never "uses up" a cluster's survivor slot.
-    val eligDocs = batch.join(
+    // Clustering only the eligible docs keeps the last stage minimal
+    // AND makes survivor semantics match [[prepare]]'s staged rule: an
+    // ineligible copy never "uses up" a cluster's survivor slot.
+    val eligDocs = once.join(
       flagged.filter(col("eligible")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val clusters = Dedup.nearDupClusters(eligDocs,
         threshold = nearDupThreshold, observeName = observeName + "_batch")
       .select(col("doc_id"), col("keep").as("batch_survivor"))
-    flagged.join(clusters, Seq("doc_id"), "left_outer")
+    val out = flagged.join(clusters, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("quality_ok"), col("blocked_frac"),
         col("blocklist_ok"), col("mean_log_ratio"), col("dsir_ok"),
         col("is_novel"), col("best_jaccard"), col("match_id"),
         col("is_contained"), col("best_containment"), col("container_id"),
         col("is_hamming_dup"), col("best_hamming"), col("hamming_match_id"),
+        col("is_contaminated"), col("contam_shared"), col("contam_match_id"),
+        col("is_outlier"), col("outlier_zscore"),
         coalesce(col("batch_survivor"), lit(false)).as("batch_survivor"),
         (col("eligible") && coalesce(col("batch_survivor"), lit(false)))
           .as("kept"))
-      .orderBy("doc_id")
+    if (sorted) out.orderBy("doc_id") else out
   }
 }

@@ -658,12 +658,13 @@ object Pipeline {
     * [[minhashDedupStream]] skeleton throughout: batchId-keyed
     * idempotent replays (the verdict dir overwrite + the lifecycle's
     * dynamic partition overwrite), optional in-stream compaction,
-    * bounded verdict retention. The DSIR model stays FROZEN
-    * ([[dsirScreenStream]]'s rationale — a selection model that
-    * absorbed the stream it filters would drift); only the dedup index
-    * grows. A rejected doc never enters the index: quality/blocklist/
-    * selection failures don't deserve to suppress future copies, and
-    * near-dups of held content must not accrete.
+    * bounded verdict retention. The DSIR model, the eval-gram
+    * contamination index, and the outlier model stay FROZEN
+    * ([[dsirScreenStream]]'s rationale — reference state that absorbed
+    * the stream it filters would drift); only the dedup indexes grow.
+    * A rejected doc never enters an index: quality/blocklist/selection
+    * failures don't deserve to suppress future copies, and near-dups
+    * of held content must not accrete.
     */
   def curationStream(docStream: DataFrame, minhashIndexPath: String,
                      verdictDir: String, checkpointDir: String,
@@ -676,6 +677,10 @@ object Pipeline {
                      containmentThreshold: Double = 0.5,
                      simhashIndexPath: Option[String] = None,
                      maxHamming: Int = 3,
+                     contamIndexPath: Option[String] = None,
+                     contamMinShared: Int = 5,
+                     outlierIndexPath: Option[String] = None,
+                     outlierZ: Double = 2.0,
                      compactEvery: Int = 0,
                      retainVerdictBatches: Int = 0,
                      trigger: Trigger = Trigger.AvailableNow())
@@ -690,11 +695,24 @@ object Pipeline {
           val spark = batch.sparkSession
           val once = batch.persist()
           try {
+            // Outlier screen rides the stream's own `embedding` column
+            // (the doc and its vector arrive together at ingest); the
+            // model — like the eval-gram and DSIR indexes — stays
+            // frozen, so screened batches never move the boundary.
+            val emb = outlierIndexPath.map { _ =>
+              require(once.columns.contains("embedding"),
+                "curationStream: outlierIndexPath set but the stream " +
+                  "carries no `embedding` column — the outlier screen " +
+                  "scores the batch's own vectors")
+              once.select(col("doc_id").as("vec_id"), col("embedding"))
+            }
             val verdicts = graft.ext.CorpusPrep.screenIncremental(
               once, minhashIndexPath, blocklist, blocklistMaxFraction,
               nearDupThreshold, dsirIndexPath, dsirMinScore,
               containmentIndexPath, containmentThreshold,
-              simhashIndexPath, maxHamming)
+              simhashIndexPath, maxHamming,
+              contamIndexPath, contamMinShared,
+              emb, outlierIndexPath, outlierZ)
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val kept = spark.read.parquet(outDir)

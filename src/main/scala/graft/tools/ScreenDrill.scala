@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Streaming-curation scale drill (`runMain graft.tools.ScreenDrill
-  * [standingDocs] [triggers] [batchSize]`, default 200k / 6 / 1000):
-  * builds the standing MinHash index once, then drives
+  * [standingDocs] [triggers] [batchSize] [full]`, default 200k / 6 /
+  * 1000): builds the standing MinHash index once, then drives
   * [[graft.stream.Pipeline.curationStream]] through repeated triggers
   * of planted batches — per trigger: 10% byte-identical copies of
   * standing docs (must be caught by the novelty screen), 5%
@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * counts per trigger and prints per-trigger wall — the number that
   * matters at 100 TB is that trigger cost tracks the BATCH, not the
   * standing corpus, and stays flat as the index absorbs survivors.
+  *
+  * `full` additionally configures the r14 screens: a persisted
+  * eval-gram contamination index (1,000 benchmark docs) and a frozen
+  * embedding-outlier model (fit on a 50k clean cloud), with two more
+  * plant families per trigger — 5% verbatim eval-benchmark copies
+  * (novel to every dedup index; ONLY the contamination screen can
+  * catch them) and 5% fresh-text docs carrying garbage embeddings
+  * (ONLY the outlier screen can catch them) — asserted per trigger.
   * Not part of the driver contract.
   */
 object ScreenDrill {
@@ -20,6 +28,7 @@ object ScreenDrill {
     val standingN = if (args.length > 0) args(0).toLong else 200000L
     val triggers = if (args.length > 1) args(1).toInt else 6
     val batchN = if (args.length > 2) args(2).toInt else 1000
+    val full = args.length > 3 && args(3) == "full"
     val spark = ToolSession.local(32)
     import spark.implicits._
 
@@ -40,50 +49,121 @@ object ScreenDrill {
     graft.ext.Dedup.buildMinhashIndex(standing, idx)
     println(f"index build ($standingN%d docs): ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
-      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
-      spark.sqlContext)
-    val query = graft.stream.Pipeline.curationStream(
-      source.toDF().toDF("doc_id", "text"), idx,
-      s"$tmp/verdicts", s"$tmp/ckpt", blocklist = Seq("plantbad"),
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+    // Full mode: the frozen reference state the r14 screens consume.
+    val evalN = 1000
+    val evalSeed = 3333333333L
+    def mkEmb(id: Long, noise: Float): Array[Float] = {
+      val r = new scala.util.Random(id)
+      Array.tabulate(64)(j => (if (j == 0) 10f else 0f) +
+        (r.nextFloat() * 2 - 1) * noise)
+    }
+    val (evIdx, oIdx) = (s"$tmp/evidx", s"$tmp/oidx")
+    if (full) {
+      val te = System.nanoTime()
+      graft.ext.Contamination.buildEvalIndex(
+        spark.range(evalN).select(col("id").as("doc_id"),
+          tokens(col("id") + evalSeed).as("text")), evIdx)
+      println(f"eval-gram index build ($evalN%d docs): ${(System.nanoTime() - te) / 1e9}%.1f s")
+      val to = System.nanoTime()
+      graft.ext.Similarity.buildOutlierIndex(
+        spark.range(50000).select(col("id").as("vec_id")).as[Long]
+          .map(i => (i, mkEmb(i, 0.01f))).toDF("vec_id", "embedding"),
+        oIdx)
+      println(f"outlier model fit (50000 vecs): ${(System.nanoTime() - to) / 1e9}%.1f s")
+    }
 
     val copies = batchN / 10      // planted standing dups
     val blocked = batchN / 20     // planted blocklist hits
     val twinPairs = batchN / 20   // planted intra-batch twin PAIRS
-    val fresh = batchN - copies - blocked - 2 * twinPairs
-    try {
-      (0 until triggers).foreach { trig =>
-        val base = standingN * 10L + trig.toLong * batchN
-        // copies replay standing seeds; twins share a per-pair seed in
-        // the fresh space; everything else gets a never-seen seed.
-        val batch = spark.range(base, base + batchN).select(
-            col("id").as("doc_id"),
-            (col("id") - base).as("k"))
-          .select(col("doc_id"),
-            when(col("k") < copies, tokens(pmod(col("doc_id"), lit(standingN))))
-            .when(col("k") < copies + blocked,
-              concat(tokens(col("doc_id")), lit(" plantbad")))
-            .when(col("k") < copies + blocked + 2 * twinPairs,
-              tokens(lit(-1) - col("doc_id") + pmod(col("k") - copies - blocked, lit(2))))
-            .otherwise(tokens(col("doc_id") + 7777777L)).as("text"))
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-        val tb = System.nanoTime()
-        source.addData(batch: _*)
-        query.processAllAvailable()
-        val sec = (System.nanoTime() - tb) / 1e9
-        val v = spark.read.parquet(s"$tmp/verdicts/batch_id=$trig")
-        val kept = v.filter(col("kept")).count()
-        val caught = v.filter(!col("is_novel")).count()
-        val gated = v.filter(!col("blocklist_ok")).count()
-        println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d")
-        assert(caught == copies, s"trigger $trig: caught $caught != $copies")
-        assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
-        // fresh docs + one survivor per twin pair
-        assert(kept == fresh + twinPairs,
-          s"trigger $trig: kept $kept != ${fresh + twinPairs}")
-      }
-    } finally query.stop()
+    val contam = if (full) batchN / 20 else 0   // planted eval copies
+    val outliers = if (full) batchN / 20 else 0 // planted garbage embs
+    val fresh = batchN - copies - blocked - 2 * twinPairs - contam - outliers
+
+    // One generator for both modes; the embedding column is ignored by
+    // the 2-column stream.
+    def mkBatch(trig: Int): Seq[(Long, String, Array[Float])] = {
+      val base = standingN * 10L + trig.toLong * batchN
+      spark.range(base, base + batchN).select(
+          col("id").as("doc_id"),
+          (col("id") - base).as("k"))
+        .select(col("doc_id"), col("k"),
+          when(col("k") < copies, tokens(pmod(col("doc_id"), lit(standingN))))
+          .when(col("k") < copies + blocked,
+            concat(tokens(col("doc_id")), lit(" plantbad")))
+          .when(col("k") < copies + blocked + 2 * twinPairs,
+            tokens(lit(-1) - col("doc_id") + pmod(col("k") - copies - blocked, lit(2))))
+          .when(col("k") < copies + blocked + 2 * twinPairs + contam,
+            tokens(pmod(col("k") + lit(trig.toLong * contam), lit(evalN))
+              + evalSeed))
+          .otherwise(tokens(col("doc_id") + 7777777L)).as("text"))
+        .collect().map { r =>
+          val (id, k) = (r.getLong(0), r.getLong(1))
+          val garbage = k >= copies + blocked + 2 * twinPairs + contam &&
+            k < copies + blocked + 2 * twinPairs + contam + outliers
+          (id, r.getString(2), mkEmb(id, if (garbage) 3f else 0.01f))
+        }.toSeq
+    }
+
+    if (full) {
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Array[Float])](
+          implicitly[org.apache.spark.sql.Encoder[(Long, String, Array[Float])]],
+          spark.sqlContext)
+      val query = graft.stream.Pipeline.curationStream(
+        source.toDF().toDF("doc_id", "text", "embedding"), idx,
+        s"$tmp/verdicts", s"$tmp/ckpt", blocklist = Seq("plantbad"),
+        contamIndexPath = Some(evIdx), outlierIndexPath = Some(oIdx),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      try {
+        (0 until triggers).foreach { trig =>
+          val batch = mkBatch(trig)
+          val tb = System.nanoTime()
+          source.addData(batch: _*)
+          query.processAllAvailable()
+          val sec = (System.nanoTime() - tb) / 1e9
+          val v = spark.read.parquet(s"$tmp/verdicts/batch_id=$trig")
+          val kept = v.filter(col("kept")).count()
+          val caught = v.filter(!col("is_novel")).count()
+          val gated = v.filter(!col("blocklist_ok")).count()
+          val cont = v.filter(col("is_contaminated")).count()
+          val outl = v.filter(col("is_outlier")).count()
+          println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d outliers=$outl%d")
+          assert(caught == copies, s"trigger $trig: caught $caught != $copies")
+          assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
+          assert(cont == contam, s"trigger $trig: contaminated $cont != $contam")
+          assert(outl == outliers, s"trigger $trig: outliers $outl != $outliers")
+          assert(kept == fresh + twinPairs,
+            s"trigger $trig: kept $kept != ${fresh + twinPairs}")
+        }
+      } finally query.stop()
+    } else {
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](
+          implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+          spark.sqlContext)
+      val query = graft.stream.Pipeline.curationStream(
+        source.toDF().toDF("doc_id", "text"), idx,
+        s"$tmp/verdicts", s"$tmp/ckpt", blocklist = Seq("plantbad"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      try {
+        (0 until triggers).foreach { trig =>
+          val batch = mkBatch(trig).map(t => (t._1, t._2))
+          val tb = System.nanoTime()
+          source.addData(batch: _*)
+          query.processAllAvailable()
+          val sec = (System.nanoTime() - tb) / 1e9
+          val v = spark.read.parquet(s"$tmp/verdicts/batch_id=$trig")
+          val kept = v.filter(col("kept")).count()
+          val caught = v.filter(!col("is_novel")).count()
+          val gated = v.filter(!col("blocklist_ok")).count()
+          println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d")
+          assert(caught == copies, s"trigger $trig: caught $caught != $copies")
+          assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
+          assert(kept == fresh + twinPairs,
+            s"trigger $trig: kept $kept != ${fresh + twinPairs}")
+        }
+      } finally query.stop()
+    }
     spark.stop()
   }
 }

@@ -132,6 +132,70 @@ class ExtSpec extends AnyFunSuite {
       .columns.toSeq == train.columns.toSeq)
   }
 
+  test("contaminationAgainstIndex: frozen eval-gram screen, full index lifecycle") {
+    val evalSuite = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("contam-idx").toString + "/evalgrams"
+    // Cold start: no index at all means nothing can be flagged.
+    val cold = Contamination.contaminationAgainstIndex(
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), path)
+    assert(cold.filter(col("is_contaminated")).isEmpty)
+    Contamination.buildEvalIndex(evalSuite, path)
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim
+      (101L, "alpha beta gamma something else entirely here now"), // 2 < 5
+      (102L, "unrelated training text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val v = Contamination.contaminationAgainstIndex(batch, path)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v(100L).getAs[Boolean]("is_contaminated") &&
+      v(100L).getAs[Long]("shared_ngrams") == 6L &&
+      v(100L).getAs[Long]("match_id") == 1L, v(100L).toString)
+    assert(!v(101L).getAs[Boolean]("is_contaminated") &&
+      v(101L).isNullAt(v(101L).fieldIndex("shared_ngrams")))
+    assert(!v(102L).getAs[Boolean]("is_contaminated"))
+    // Append a new benchmark (replayed ingest id no-ops), then a copy
+    // of IT is flagged with the new eval id as the match.
+    val bench2 = Seq((2L, "omega psi chi phi upsilon tau sigma rho nu mu"))
+      .toDF("doc_id", "text")
+    Contamination.appendEvalIndex(bench2, path, ingestId = 5L)
+    Contamination.appendEvalIndex(bench2, path, ingestId = 5L) // replay
+    assert(spark.read.parquet(s"$path/grams")
+      .filter(col("eval_id") === 2L)
+      .select(col("ingest").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    val probe2 = Seq((200L, "omega psi chi phi upsilon tau sigma rho nu mu"))
+      .toDF("doc_id", "text")
+    val v2 = Contamination.contaminationAgainstIndex(probe2, path).head()
+    assert(v2.getBoolean(1) && v2.getLong(3) == 2L, v2.toString)
+    // Compaction is pure re-layout: identical verdicts, one base dir.
+    assert(Contamination.compactEvalIndex(spark, path))
+    assert(Contamination.contaminationAgainstIndex(probe2, path)
+      .head().toSeq == v2.toSeq)
+    val ingests = new java.io.File(s"$path/grams").listFiles()
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).toSeq
+    assert(ingests == Seq("ingest=0"), ingests.toString)
+    // Stop-gram pruning is EVAL-side df with the stored cap: a gram in
+    // 31 of 31 eval docs carries no signal even at minShared = 1.
+    val spamEval = (300L to 330L).map(i => (i, s"common phrase here plus-$i"))
+      .toDF("doc_id", "text")
+    val path2 = java.nio.file.Files
+      .createTempDirectory("contam-idx2").toString + "/evalgrams"
+    Contamination.buildEvalIndex(spamEval, path2, dfCap = 20)
+    val vs = Contamination.contaminationAgainstIndex(
+      Seq((400L, "common phrase here")).toDF("doc_id", "text"),
+      path2, minShared = 1).head()
+    assert(!vs.getBoolean(1), vs.toString)
+    // ... while a rare gram from the same suite still flags.
+    val vr = Contamination.contaminationAgainstIndex(
+      Seq((401L, "common phrase here plus-305")).toDF("doc_id", "text"),
+      path2, minShared = 1).head()
+    assert(vr.getBoolean(1) && vr.getLong(3) == 305L, vr.toString)
+  }
+
   test("corpus prep composes the filters and audits each verdict") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -164,6 +228,12 @@ class ExtSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("kept_docs") == 2)
     assert(rep.getAs[Long]("blocked") == 0)
     assert(rep.getAs[Long]("outliers") == 0)
+    // sorted = false drops only the presentation sort — same verdicts
+    val unsorted = graft.ext.CorpusPrep.prepare(corpus, evalSet,
+        sorted = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(unsorted ==
+      prepared.collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap)
   }
 
   test("staged survivors: clean near-dup copy survives a tainted canonical") {
@@ -1039,6 +1109,64 @@ class ExtSpec extends AnyFunSuite {
     assert(v3(32L).getAs[Boolean]("kept") &&
       !v3(32L).getAs[Boolean]("is_contained") &&
       !v3(32L).getAs[Boolean]("is_hamming_dup"), v3(32L).toString)
+    // with the contamination + outlier screens configured the
+    // incremental screen is a strict superset of the batch composite:
+    // an eval-suite copy (novel to every dedup index!) and an
+    // embedding-space garbage doc are each vetoed by exactly their
+    // screen; a doc with no embedding row gets no outlier verdict
+    val evIdx = java.nio.file.Files
+      .createTempDirectory("screen-evidx").toString + "/evalgrams"
+    Contamination.buildEvalIndex(
+      Seq((900L, text("benchline", 30))).toDF("doc_id", "text"), evIdx)
+    val mkEmb = udf((id: Long, noise: Float) => {
+      val r = new scala.util.Random(id)
+      Array.tabulate(64)(j => (if (j == 0) 10f else 0f) +
+        (r.nextFloat() * 2 - 1) * noise)
+    })
+    val trainEmb = spark.range(100).select(col("id").as("vec_id"),
+        mkEmb(col("id"), lit(0.01f)).as("embedding"))
+      .localCheckpoint()
+    val oIdx = java.nio.file.Files
+      .createTempDirectory("screen-oidx").toString + "/model"
+    Similarity.buildOutlierIndex(trainEmb, oIdx)
+    val batch4 = Seq(
+      (40L, text("cleandocs", 30)),   // clean text, clean embedding
+      (41L, text("tidydocum", 30)),   // clean text, garbage embedding
+      (42L, text("plaindocs", 30)),   // clean text, NO embedding row
+      (43L, text("benchline", 30)))   // copies the eval benchmark
+      .toDF("doc_id", "text")
+    val emb4 = Seq(40L -> 0.01f, 41L -> 3f).toDF("vec_id", "noise")
+      .select(col("vec_id"), mkEmb(col("vec_id"), col("noise")).as("embedding"))
+    val v4 = CorpusPrep.screenIncremental(batch4, idx,
+        contamIndexPath = Some(evIdx),
+        embeddings = Some(emb4), outlierIndexPath = Some(oIdx))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v4(40L).getAs[Boolean]("kept") &&
+      !v4(40L).getAs[Boolean]("is_outlier") &&
+      !v4(40L).getAs[Boolean]("is_contaminated"), v4(40L).toString)
+    assert(!v4(41L).getAs[Boolean]("kept") &&
+      v4(41L).getAs[Boolean]("is_outlier") &&
+      v4(41L).getAs[Double]("outlier_zscore") < -2.0 &&
+      v4(41L).getAs[Boolean]("is_novel"), v4(41L).toString)
+    assert(v4(42L).getAs[Boolean]("kept") &&
+      !v4(42L).getAs[Boolean]("is_outlier") &&
+      v4(42L).isNullAt(v4(42L).fieldIndex("outlier_zscore")), v4(42L).toString)
+    assert(!v4(43L).getAs[Boolean]("kept") &&
+      v4(43L).getAs[Boolean]("is_contaminated") &&
+      v4(43L).getAs[Long]("contam_match_id") == 900L &&
+      v4(43L).getAs[Boolean]("is_novel"), v4(43L).toString)
+    // half-configured outlier screen fails loudly instead of silently
+    // skipping
+    intercept[IllegalArgumentException] {
+      CorpusPrep.screenIncremental(batch4, idx, embeddings = Some(emb4))
+    }
+    // sorted = false drops only the presentation sort — same verdicts
+    val unsorted = CorpusPrep.screenIncremental(batch4, idx,
+        contamIndexPath = Some(evIdx),
+        embeddings = Some(emb4), outlierIndexPath = Some(oIdx),
+        sorted = false)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(unsorted == v4.map { case (k, r) => k -> r.toSeq })
   }
 
   test("outliersAgainstIndex: frozen-model verdicts match the in-frame screen; new garbage flags without moving the boundary") {

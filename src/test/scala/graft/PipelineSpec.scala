@@ -539,6 +539,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(sIndexed.toSeq === Seq(0L, 11L, 14L))
   }
 
+  test("streaming curation with contamination + outlier screens equals the batch screen") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("curation-stream-full").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    def text(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    graft.ext.Dedup.buildMinhashIndex(
+      Seq((0L, text("heldtext", 30))).toDF("doc_id", "text"), idx)
+    val evIdx = s"$tmp/evidx"
+    graft.ext.Contamination.buildEvalIndex(
+      Seq((900L, text("benchline", 30))).toDF("doc_id", "text"), evIdx)
+    def mkEmb(id: Long, noise: Float): Array[Float] = {
+      val r = new scala.util.Random(id)
+      Array.tabulate(64)(j => (if (j == 0) 10f else 0f) +
+        (r.nextFloat() * 2 - 1) * noise)
+    }
+    val oIdx = s"$tmp/oidx"
+    graft.ext.Similarity.buildOutlierIndex(
+      spark.range(100).select(col("id").as("vec_id"))
+        .as[Long].map(i => (i, mkEmb(i, 0.01f)))
+        .toDF("vec_id", "embedding"), oIdx)
+    // one trigger: a clean doc, an eval-benchmark copy (novel to every
+    // dedup index, caught only by the contamination screen), and a doc
+    // whose embedding is garbage (caught only by the outlier screen)
+    val rows = Seq(
+      (10L, text("cleandoc", 30), mkEmb(10L, 0.01f)),
+      (11L, text("benchline", 30), mkEmb(11L, 0.01f)),
+      (12L, text("tidydocum", 30), mkEmb(12L, 3f)))
+    // batch ≡ stream: the batch screen's verdicts computed FIRST (the
+    // stream mutates the dedup index after screening)
+    val batchDf = rows.toDF("doc_id", "text", "embedding")
+    val expected = graft.ext.CorpusPrep.screenIncremental(
+        batchDf, idx,
+        contamIndexPath = Some(evIdx),
+        embeddings = Some(batchDf.select(col("doc_id").as("vec_id"),
+          col("embedding"))),
+        outlierIndexPath = Some(oIdx))
+      .collect().map(_.toSeq).toSeq
+    val source = MemoryStream[(Long, String, Array[Float])](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Array[Float])]],
+      spark.sqlContext)
+    val docs = source.toDF().toDF("doc_id", "text", "embedding")
+    val query = Pipeline.curationStream(docs, idx, verdicts, ckpt,
+      contamIndexPath = Some(evIdx), outlierIndexPath = Some(oIdx),
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(verdicts)
+      .drop("batch_id").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected, s"stream $got\nbatch $expected")
+    // the verdicts themselves: clean doc kept, benchmark copy vetoed by
+    // contamination alone, garbage embedding vetoed by the outlier
+    // screen alone — both NOVEL to every dedup index
+    val byId = spark.read.parquet(verdicts).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(10L).getAs[Boolean]("kept"))
+    assert(!byId(11L).getAs[Boolean]("kept") &&
+      byId(11L).getAs[Boolean]("is_contaminated") &&
+      byId(11L).getAs[Long]("contam_match_id") == 900L &&
+      byId(11L).getAs[Boolean]("is_novel"), byId(11L).toString)
+    assert(!byId(12L).getAs[Boolean]("kept") &&
+      byId(12L).getAs[Boolean]("is_outlier") &&
+      byId(12L).getAs[Boolean]("is_novel"), byId(12L).toString)
+    // only the kept doc entered the standing index; the frozen eval
+    // and outlier models are untouched
+    val indexed = spark.read.parquet(s"$idx/sets").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 10L))
+    assert(spark.read.parquet(s"$evIdx/grams")
+      .select("eval_id").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(900L))
+  }
+
   test("streaming simhash dedup flags near-copies against the growing fingerprint index") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

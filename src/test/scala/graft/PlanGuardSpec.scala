@@ -92,6 +92,38 @@ class PlanGuardSpec extends AnyFunSuite {
     if (docScans == 1) assert(p.contains("LessThan(doc_id,50)"), p)
   }
 
+  test("curation_screen_v2 reads batch text once (checkpointed); standing state at rest") {
+    // The incremental composite's eight screens all consume ONE
+    // checkpointed (doc_id, text) frame: no documents FileScan of the
+    // batch (the doc_id >= 450 filter) survives into the final plan —
+    // on a backfill-shaped batch that is the difference between one
+    // corpus scan and one per screen. The standing corpus appears only
+    // as at-rest index tables, and the eval suite only as its postings
+    // index (the doc_id < 50 slice is never re-read at screen time).
+    val df = SparkEntry.queries("curation_screen_v2")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("GreaterThanOrEqual(doc_id,450)"), p)
+    assert(!p.contains("LessThan(doc_id,450)"), p)
+    assert(!p.contains("LessThan(doc_id,50)"), p)
+  }
+
+  test("contamination_indexed broadcasts the eval postings; eval text never re-read") {
+    // Polarity flip vs the corpus-index screens: the eval-gram index is
+    // the SMALL side, so it broadcasts into the batch's gram stream —
+    // no batch-sized shuffle for the probe join, and the eval suite
+    // itself (doc_id < 50) appears only as its at-rest postings.
+    val df = SparkEntry.queries("contamination_indexed")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("graft-contam1-"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("LessThan(doc_id,50)"), p)
+  }
+
   test("containment_pairs runs the winnow pipeline once per side (reused exchange)") {
     // The inverted self-join's two sides are byte-identical capped
     // fingerprint subtrees lined up by the merge pin — the final
