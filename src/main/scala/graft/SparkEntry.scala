@@ -909,6 +909,20 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 450), path)
     }),
 
+    // The decision the frozen screen feeds — the batch with every
+    // flagged doc REMOVED (decontaminate's indexed twin; what a
+    // re-decontamination job runs after a new benchmark is appended
+    // to the eval index).
+    "decontaminate_indexed" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Contamination.evalIndexPathFor(dir)
+      Contamination.ensureEvalIndex(s, docs.filter(col("doc_id") < 50),
+        path, sourcePath = Some(s"$dir/documents.parquet"))
+      Contamination.decontaminateAgainstIndex(
+          docs.filter(col("doc_id") >= 450), path)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // Edit-distance verify (the character-level near-dup metric):
     // adjacent-id pairs over 200-char prefixes — pairwise DP cost is
     // bounded by pair count × prefix², exactly how a candidate-pair
@@ -3353,6 +3367,18 @@ object SparkEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) n
            |LEFT JOIN cbest ON cbest.doc_id = n.doc_id
            |ORDER BY n.doc_id""".stripMargin,
+      "decontaminate_indexed" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "b")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
+           |vrare AS (SELECT doc_id, g FROM
+           |  (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM vsh) WHERE df <= 20),
+           |ccand AS (SELECT b.doc_id, v.doc_id AS eval_id, count(*) AS shared
+           |          FROM bsh b JOIN vrare v ON b.g = v.g GROUP BY 1, 2
+           |          HAVING count(*) >= 5)
+           |SELECT doc_id, lang FROM documents
+           |WHERE doc_id >= 450
+           |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM ccand)
+           |ORDER BY doc_id""".stripMargin,
       "corpus_prep_v2" ->
         s"""WITH RECURSIVE $curationCteV2
            |SELECT count(*) AS total_docs,

@@ -236,7 +236,7 @@ object Contamination {
     // Postings rows are distinct (eval_id, g), so count-per-gram IS the
     // eval-suite document frequency; the window runs over the tiny
     // at-rest table, never anything batch- or corpus-sized.
-    val rare0 = spark.read.parquet(s"$path/grams")
+    val rare0 = IndexCache.read(spark, s"$path/grams")
       .select(col("eval_id"), col("g"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= dfCap)
@@ -259,4 +259,19 @@ object Contamination {
         col("shared_ngrams"), col("match_id"))
       .orderBy("doc_id")
   }
+
+  /** [[decontaminate]] against the persisted index: the corpus with
+    * every doc the frozen screen flags REMOVED — what a scheduled
+    * re-decontamination job runs when a new benchmark is appended to
+    * the eval index. One anti-join on doc_id; the flag side is
+    * batch-bounded by construction, so the corpus shuffles at most
+    * once beyond the screen itself.
+    */
+  def decontaminateAgainstIndex(train: DataFrame, path: String,
+                                minShared: Int = 5,
+                                broadcastIndex: Boolean = true): DataFrame =
+    train.join(
+      contaminationAgainstIndex(train, path, minShared, broadcastIndex)
+        .filter(col("is_contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
 }

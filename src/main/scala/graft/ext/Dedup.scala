@@ -886,7 +886,11 @@ object Dedup {
         .orderBy("doc_id")
     val (shingleSize, numHashes, bands) = minhashParams(spark, path)
     val newSets = shingleSetsOf(newDocs, shingleSize)
-    val idxBands = spark.read.parquet(s"$path/bands")
+    // IndexCache.read = plain parquet scan unless spark.graft.indexCache
+    // is on, in which case the at-rest table serves from the persisted
+    // per-ingest-partition mirror — the cross-trigger answer to the
+    // full-table columnar rescan the 10M drill measured (SCALE.md r14).
+    val idxBands = IndexCache.read(spark, s"$path/bands")
       .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash"))
     // Join strategy is THE per-batch cost at 100 TB. Default
     // (broadcastBatch): the batch's band rows — per-trigger-ingest
@@ -926,7 +930,7 @@ object Dedup {
           col("n.band_hash") === col("c.band_hash"))
       .select(col("n.doc_id").as("doc_id"), col("corpus_id"))
       .distinct()
-    val idxSets = spark.read.parquet(s"$path/sets")
+    val idxSets = IndexCache.read(spark, s"$path/sets")
       .select(col("doc_id").as("corpus_id"), col("shset").as("set_c"))
     val matches = cand
       .join(newSets.select(col("doc_id"), col("shset").as("set_n")),
@@ -1225,7 +1229,7 @@ object Dedup {
     val bfp = winnowedFingerprintsRaw(newDocs, shingleSize, window)
       .withColumn("n_fp",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val idx = spark.read.parquet(s"$path/fps")
+    val idx = IndexCache.read(spark, s"$path/fps")
       .select(col("doc_id").as("corpus_id"),
         lit(0).as("band"), col("fingerprint").as("band_hash"))
     val cSide =
@@ -1756,7 +1760,7 @@ object Dedup {
             .as("band_hash"))
       }
     val idxBands = simhashBandRows(
-      spark.read.parquet(s"$path/fps")
+      IndexCache.read(spark, s"$path/fps")
         .select(col("doc_id").as("doc_id"), col("simhash")))
       .select(col("doc_id").as("corpus_id"), col("simhash").as("c_simhash"),
         col("band"), col("band_hash"))

@@ -830,6 +830,42 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming contamination screen — the standalone twin of the
+    * composite's stage ([[graft.ext.Contamination
+    * .contaminationAgainstIndex]]): each micro-batch is verdicted
+    * against the PERSISTED eval-gram index, verdicts land in
+    * `verdictDir/batch_id=N`. The [[dsirScreenStream]] discipline: the
+    * eval suite is reference data, FROZEN with respect to the stream
+    * it filters (new benchmarks arrive via [[graft.ext.Contamination
+    * .appendEvalIndex]], an offline act), so the screen is stateless
+    * and replays are trivially idempotent — the per-batch dir
+    * overwrite is the whole effect. Stop-gram pruning rides the stored
+    * eval-side df cap, so a doc's verdict never depends on its
+    * trigger-mates. PipelineSpec pins batch ≡ stream.
+    */
+  def contaminationScreenStream(docStream: DataFrame, indexPath: String,
+                                verdictDir: String, checkpointDir: String,
+                                minShared: Int = 5,
+                                retainVerdictBatches: Int = 0,
+                                trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ext.Contamination.contaminationAgainstIndex(
+              batch, indexPath, minShared)
+            .write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+          pruneVerdictDirs(spark, verdictDir, batchId,
+            retainVerdictBatches)
+        }
+      }
+      .start()
+
   /** Streaming k-means scoring — the streaming twin of
     * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
     * assigned to their nearest FITTED centroid (the same opaque

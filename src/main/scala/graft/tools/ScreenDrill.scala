@@ -28,8 +28,12 @@ object ScreenDrill {
     val standingN = if (args.length > 0) args(0).toLong else 200000L
     val triggers = if (args.length > 1) args(1).toInt else 6
     val batchN = if (args.length > 2) args(2).toInt else 1000
-    val full = args.length > 3 && args(3) == "full"
+    val full = args.length > 3 && args(3).startsWith("full")
     val spark = ToolSession.local(32)
+    // `fullcache`: same drill with the cross-trigger index cache on —
+    // the A/B for the at-rest-rescan bottleneck the 10M run named.
+    if (args.length > 3 && args(3) == "fullcache")
+      spark.conf.set("spark.graft.indexCache", "true")
     import spark.implicits._
 
     // Long alpha tags keep every doc above the 0.6 alpha-ratio quality
@@ -109,10 +113,17 @@ object ScreenDrill {
         .MemoryStream[(Long, String, Array[Float])](
           implicitly[org.apache.spark.sql.Encoder[(Long, String, Array[Float])]],
           spark.sqlContext)
+      // outlierZ = 4: at the default z = 2 the frozen boundary flags
+      // the clean cloud's own ~2σ tail by construction (measured 2.7%
+      // of in-distribution docs at this corpus) — correct screen
+      // behavior, but this drill asserts EXACT planted counts, so it
+      // pins at a cut where clean docs never land while the garbage
+      // plants (cos ≈ 0.58 vs µ ≈ 0.9999, tens of σ out) always do.
       val query = graft.stream.Pipeline.curationStream(
         source.toDF().toDF("doc_id", "text", "embedding"), idx,
         s"$tmp/verdicts", s"$tmp/ckpt", blocklist = Seq("plantbad"),
         contamIndexPath = Some(evIdx), outlierIndexPath = Some(oIdx),
+        outlierZ = 4.0,
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
       try {
         (0 until triggers).foreach { trig =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Contamination, CorpusPrep, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Contamination, CorpusPrep, Dedup, IndexCache, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** North-star extensions on hand-built corpora. */
 class ExtSpec extends AnyFunSuite {
@@ -194,6 +194,12 @@ class ExtSpec extends AnyFunSuite {
       Seq((401L, "common phrase here plus-305")).toDF("doc_id", "text"),
       path2, minShared = 1).head()
     assert(vr.getBoolean(1) && vr.getLong(3) == 305L, vr.toString)
+    // the decision form removes exactly the flagged docs, columns
+    // preserved (decontaminate's contract over the frozen index)
+    val deco = Contamination.decontaminateAgainstIndex(batch, path)
+    assert(deco.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(101L, 102L))
+    assert(deco.columns.toSeq == batch.columns.toSeq)
   }
 
   test("corpus prep composes the filters and audits each verdict") {
@@ -1167,6 +1173,56 @@ class ExtSpec extends AnyFunSuite {
         sorted = false)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     assert(unsorted == v4.map { case (k, r) => k -> r.toSeq })
+  }
+
+  test("index cache: cached verdicts equal direct reads across append, compact, and the rebuild trap") {
+    def text(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val standing = Seq(
+      (0L, text("cachedocs", 30)), (1L, text("otherdocs", 30)))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("idx-cache").toString + "/mh"
+    Dedup.buildMinhashIndex(standing, idx)
+    val batch = Seq(
+      (10L, text("cachedocs", 30)), (11L, text("freshdocs", 30)))
+      .toDF("doc_id", "text")
+    def screen(b: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashNovelAgainstIndex(b, idx).collect().map(_.toSeq).toSeq
+    val direct = screen(batch)
+    spark.conf.set("spark.graft.indexCache", "true")
+    try {
+      assert(screen(batch) == direct)  // cold fill
+      assert(screen(batch) == direct)  // cache hit
+      // append lands a new partition: the incremental refresh must see
+      // it without a full invalidate
+      Dedup.appendMinhashIndex(
+        Seq((2L, text("addeddocs", 30))).toDF("doc_id", "text"), idx,
+        ingestId = 3L)
+      val probe = Seq((20L, text("addeddocs", 30))).toDF("doc_id", "text")
+      val v = screen(probe)
+      assert(v.head(1) == false && v.head(3) == 2L, v.toString)
+      // compaction folds partitions — rows move, the entry must
+      // invalidate and still agree
+      assert(Dedup.compactMinhashIndex(spark, idx))
+      assert(screen(probe) == v)
+      // the rebuild trap: a rebuilt index again holds EXACTLY ingest=0
+      // — same partition names as the compacted index — but a
+      // different corpus; the metadata fingerprint (file names carry
+      // write UUIDs) must invalidate, never serve the old corpus
+      Dedup.buildMinhashIndex(
+        Seq((5L, text("newcorpdoc", 30))).toDF("doc_id", "text"), idx)
+      assert(screen(probe).head(1) == true)  // addeddocs gone → novel
+      val v5 = screen(Seq((21L, text("newcorpdoc", 30)))
+        .toDF("doc_id", "text"))
+      assert(v5.head(1) == false && v5.head(3) == 5L, v5.toString)
+    } finally {
+      spark.conf.unset("spark.graft.indexCache")
+      IndexCache.clear()
+    }
+    // cache off again: plain reads agree with the post-rebuild state
+    // (the original standing corpus is gone, so the old dup is novel)
+    assert(screen(batch).forall(_(1) == true))
   }
 
   test("outliersAgainstIndex: frozen-model verdicts match the in-frame screen; new garbage flags without moving the boundary") {

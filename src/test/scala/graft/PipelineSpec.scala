@@ -616,6 +616,41 @@ class PipelineSpec extends AnyFunSuite {
       == Seq(900L))
   }
 
+  test("streaming contamination screen verdicts equal the batch screen against the frozen eval index") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("contam-stream").toString
+    val (evIdx, verdicts, ckpt) = (s"$tmp/evidx", s"$tmp/verdicts", s"$tmp/ckpt")
+    graft.ext.Contamination.buildEvalIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), evIdx)
+    val rows = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim
+      (101L, "alpha beta gamma something else entirely here now"), // 2 < 5
+      (102L, "unrelated training text with no overlap at all whatsoever"))
+    val expected = graft.ext.Contamination.contaminationAgainstIndex(
+      rows.toDF("doc_id", "text"), evIdx).collect().map(_.toSeq).toSeq
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val query = Pipeline.contaminationScreenStream(
+      source.toDF().toDF("doc_id", "text"), evIdx, verdicts, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(verdicts).drop("batch_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == expected, s"stream $got\nbatch $expected")
+    assert(got.count(_(1) == true) == 1)
+    // the eval index is untouched by the stream (frozen reference data)
+    assert(spark.read.parquet(s"$evIdx/grams")
+      .select("eval_id").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
   test("streaming simhash dedup flags near-copies against the growing fingerprint index") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
