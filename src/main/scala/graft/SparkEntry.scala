@@ -1283,6 +1283,7 @@ object SparkEntry {
         contamIndexPath = Some(ev),
         embeddings = Some(emb.filter(col("vec_id") >= 450)),
         outlierIndexPath = Some(ol),
+        repetitionMaxDupFrac = Some(0.05),
         broadcastBatch = false)
     }),
 
@@ -3040,21 +3041,30 @@ object SparkEntry {
            |     ORDER BY shared DESC, eval_id DESC) AS rn FROM ccand) WHERE rn = 1),
            |outv AS (SELECT vec_id, zscore, is_outlier FROM
            |  (${graft.oracle.KmeansSql.semanticOutliersIndexedSql()})),
+           |brep AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           |         FROM bt, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+           |repf AS (SELECT doc_id, ROUND(1.0 - count(DISTINCT g) / count(*), 4) AS dup_3gram_frac
+           |         FROM brep GROUP BY 1),
            |""".stripMargin
       val verdictCols = if (full)
         """cbest.doc_id IS NOT NULL AS is_contaminated,
           |  cbest.contam_shared, cbest.contam_match_id,
           |  COALESCE(o.is_outlier, FALSE) AS is_outlier,
-          |  o.zscore AS outlier_zscore""".stripMargin
+          |  o.zscore AS outlier_zscore,
+          |  repf.dup_3gram_frac,
+          |  COALESCE(repf.dup_3gram_frac <= 0.05, TRUE) AS repetition_ok""".stripMargin
       else
         """FALSE AS is_contaminated,
           |  CAST(NULL AS BIGINT) AS contam_shared,
           |  CAST(NULL AS BIGINT) AS contam_match_id,
-          |  FALSE AS is_outlier, CAST(NULL AS DOUBLE) AS outlier_zscore""".stripMargin
+          |  FALSE AS is_outlier, CAST(NULL AS DOUBLE) AS outlier_zscore,
+          |  CAST(NULL AS DOUBLE) AS dup_3gram_frac,
+          |  TRUE AS repetition_ok""".stripMargin
       val verdictJoins = if (full)
         """
           |  LEFT JOIN cbest ON cbest.doc_id = b.doc_id
-          |  LEFT JOIN outv o ON o.vec_id = b.doc_id""".stripMargin
+          |  LEFT JOIN outv o ON o.vec_id = b.doc_id
+          |  LEFT JOIN repf ON repf.doc_id = b.doc_id""".stripMargin
       else ""
       s"""WITH RECURSIVE
          |batch AS (SELECT * FROM documents WHERE doc_id >= 450),
@@ -3108,7 +3118,8 @@ object SparkEntry {
          |flagged AS MATERIALIZED (SELECT *,
          |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok
          |   AND NOT is_contained AND NOT is_hamming_dup
-         |   AND NOT is_contaminated AND NOT is_outlier) AS eligible
+         |   AND NOT is_contaminated AND NOT is_outlier
+         |   AND repetition_ok) AS eligible
          |  FROM v),
          |edocs AS (SELECT b.doc_id, b.text FROM batch b
          |  JOIN flagged f ON f.doc_id = b.doc_id AND f.eligible),
@@ -3123,6 +3134,7 @@ object SparkEntry {
          |  f.is_hamming_dup, f.best_hamming, f.hamming_match_id,
          |  f.is_contaminated, f.contam_shared, f.contam_match_id,
          |  f.is_outlier, f.outlier_zscore,
+         |  f.dup_3gram_frac, f.repetition_ok,
          |  COALESCE(f.doc_id = s.cluster_id, FALSE) AS batch_survivor,
          |  (f.eligible AND COALESCE(f.doc_id = s.cluster_id, FALSE)) AS kept
          |FROM flagged f LEFT JOIN surv s ON s.doc_id = f.doc_id

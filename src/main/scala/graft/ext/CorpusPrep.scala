@@ -304,6 +304,9 @@ object CorpusPrep {
     *      persisted frozen model ([[Similarity.outliersAgainstIndex]]);
     *      a doc with NO embedding row has no verdict and is never
     *      flagged (the model's empty-cell rule's missing-data analog);
+    *   5b. intra-document repetition (optional): `dup_3gram_frac`/
+    *      `repetition_ok` — the Gopher-style duplicate-block veto,
+    *      one batch-sized aggregate (see the inline note);
     *   6. intra-batch near-dup clustering among the docs passing 1–5
     *      ([[Dedup.nearDupClusters]] at `nearDupThreshold`, batch-sized
     *      by this operator's contract): `batch_survivor` keeps one doc
@@ -344,6 +347,7 @@ object CorpusPrep {
                         embeddings: Option[DataFrame] = None,
                         outlierIndexPath: Option[String] = None,
                         outlierZ: Double = 2.0,
+                        repetitionMaxDupFrac: Option[Double] = None,
                         broadcastBatch: Boolean = true,
                         sorted: Boolean = true,
                         observeName: String = "screen_incremental_clamp")
@@ -473,10 +477,33 @@ object CorpusPrep {
           .withColumn("is_outlier", lit(false))
           .withColumn("outlier_zscore", lit(null).cast("double"))
     }
-    val flagged = withOutlier.withColumn("eligible",
+    // Intra-document repetition veto (the Gopher-style duplicate-block
+    // signal, distilled to one knob): fraction of the doc's 3-grams
+    // that are repeats of an earlier 3-gram in the SAME doc. Word-level
+    // duplicate fractions are naturally high in clean prose (stopwords)
+    // — the 3-gram form separates copy-paste stutter from fluency. One
+    // batch-sized aggregate over the checkpointed text; a doc with < 3
+    // tokens has no grams, hence no verdict, and never flags.
+    val withRepetition = repetitionMaxDupFrac match {
+      case Some(t) =>
+        withOutlier.join(
+          Dedup.hashedShingles(once, 3)
+            .groupBy("doc_id")
+            .agg(round(lit(1.0) - countDistinct(col("h")) / count(lit(1)), 4)
+              .as("dup_3gram_frac")),
+          Seq("doc_id"), "left_outer")
+          .withColumn("repetition_ok",
+            coalesce(col("dup_3gram_frac") <= t, lit(true)))
+      case None =>
+        withOutlier
+          .withColumn("dup_3gram_frac", lit(null).cast("double"))
+          .withColumn("repetition_ok", lit(true))
+    }
+    val flagged = withRepetition.withColumn("eligible",
       col("quality_ok") && col("blocklist_ok") && col("is_novel") &&
         col("dsir_ok") && !col("is_contained") && !col("is_hamming_dup") &&
-        !col("is_contaminated") && !col("is_outlier"))
+        !col("is_contaminated") && !col("is_outlier") &&
+        col("repetition_ok"))
       .localCheckpoint(eager = false)
     // Clustering only the eligible docs keeps the last stage minimal
     // AND makes survivor semantics match [[prepare]]'s staged rule: an
@@ -495,6 +522,7 @@ object CorpusPrep {
         col("is_hamming_dup"), col("best_hamming"), col("hamming_match_id"),
         col("is_contaminated"), col("contam_shared"), col("contam_match_id"),
         col("is_outlier"), col("outlier_zscore"),
+        col("dup_3gram_frac"), col("repetition_ok"),
         coalesce(col("batch_survivor"), lit(false)).as("batch_survivor"),
         (col("eligible") && coalesce(col("batch_survivor"), lit(false)))
           .as("kept"))

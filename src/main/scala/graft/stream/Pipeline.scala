@@ -681,6 +681,7 @@ object Pipeline {
                      contamMinShared: Int = 5,
                      outlierIndexPath: Option[String] = None,
                      outlierZ: Double = 2.0,
+                     repetitionMaxDupFrac: Option[Double] = None,
                      compactEvery: Int = 0,
                      retainVerdictBatches: Int = 0,
                      trigger: Trigger = Trigger.AvailableNow())
@@ -712,7 +713,8 @@ object Pipeline {
               containmentIndexPath, containmentThreshold,
               simhashIndexPath, maxHamming,
               contamIndexPath, contamMinShared,
-              emb, outlierIndexPath, outlierZ)
+              emb, outlierIndexPath, outlierZ,
+              repetitionMaxDupFrac)
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val kept = spark.read.parquet(outDir)

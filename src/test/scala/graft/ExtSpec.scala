@@ -1139,13 +1139,15 @@ class ExtSpec extends AnyFunSuite {
       (40L, text("cleandocs", 30)),   // clean text, clean embedding
       (41L, text("tidydocum", 30)),   // clean text, garbage embedding
       (42L, text("plaindocs", 30)),   // clean text, NO embedding row
-      (43L, text("benchline", 30)))   // copies the eval benchmark
+      (43L, text("benchline", 30)),   // copies the eval benchmark
+      (44L, ("spam one two " * 20).trim)) // copy-paste stutter
       .toDF("doc_id", "text")
     val emb4 = Seq(40L -> 0.01f, 41L -> 3f).toDF("vec_id", "noise")
       .select(col("vec_id"), mkEmb(col("vec_id"), col("noise")).as("embedding"))
     val v4 = CorpusPrep.screenIncremental(batch4, idx,
         contamIndexPath = Some(evIdx),
-        embeddings = Some(emb4), outlierIndexPath = Some(oIdx))
+        embeddings = Some(emb4), outlierIndexPath = Some(oIdx),
+        repetitionMaxDupFrac = Some(0.2))
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(v4(40L).getAs[Boolean]("kept") &&
       !v4(40L).getAs[Boolean]("is_outlier") &&
@@ -1161,6 +1163,16 @@ class ExtSpec extends AnyFunSuite {
       v4(43L).getAs[Boolean]("is_contaminated") &&
       v4(43L).getAs[Long]("contam_match_id") == 900L &&
       v4(43L).getAs[Boolean]("is_novel"), v4(43L).toString)
+    // the stutter doc passes every standing screen (novel, clean,
+    // uncontaminated) and is vetoed by the repetition gate alone:
+    // 58 3-grams, 3 distinct → dup frac ≈ 0.948
+    assert(!v4(44L).getAs[Boolean]("kept") &&
+      !v4(44L).getAs[Boolean]("repetition_ok") &&
+      v4(44L).getAs[Double]("dup_3gram_frac") > 0.9 &&
+      v4(44L).getAs[Boolean]("is_novel") &&
+      v4(44L).getAs[Boolean]("quality_ok"), v4(44L).toString)
+    assert(v4(40L).getAs[Boolean]("repetition_ok") &&
+      v4(40L).getAs[Double]("dup_3gram_frac") == 0.0)
     // half-configured outlier screen fails loudly instead of silently
     // skipping
     intercept[IllegalArgumentException] {
@@ -1170,6 +1182,7 @@ class ExtSpec extends AnyFunSuite {
     val unsorted = CorpusPrep.screenIncremental(batch4, idx,
         contamIndexPath = Some(evIdx),
         embeddings = Some(emb4), outlierIndexPath = Some(oIdx),
+        repetitionMaxDupFrac = Some(0.2),
         sorted = false)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     assert(unsorted == v4.map { case (k, r) => k -> r.toSeq })
