@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * standing corpus, and stays flat as the index absorbs survivors.
   *
   * `full` additionally configures the r14 screens: a persisted
-  * eval-gram contamination index (1,000 benchmark docs) and a frozen
-  * embedding-outlier model (fit on a 50k clean cloud), with two more
-  * plant families per trigger — 5% verbatim eval-benchmark copies
-  * (novel to every dedup index; ONLY the contamination screen can
-  * catch them) and 5% fresh-text docs carrying garbage embeddings
-  * (ONLY the outlier screen can catch them) — asserted per trigger.
+  * eval-gram contamination index (1,000 benchmark docs), a frozen
+  * embedding-outlier model (fit on a 50k clean cloud), and the
+  * repetition veto, with three more plant families per trigger — 5%
+  * verbatim eval-benchmark copies (novel to every dedup index; ONLY
+  * the contamination screen can catch them), 5% fresh-text docs
+  * carrying garbage embeddings (ONLY the outlier screen can catch
+  * them), and 5% copy-paste-stutter docs (unique phrase repeated 20×;
+  * ONLY the repetition veto can catch them) — asserted per trigger.
   * Not part of the driver contract.
   */
 object ScreenDrill {
@@ -81,7 +83,9 @@ object ScreenDrill {
     val twinPairs = batchN / 20   // planted intra-batch twin PAIRS
     val contam = if (full) batchN / 20 else 0   // planted eval copies
     val outliers = if (full) batchN / 20 else 0 // planted garbage embs
-    val fresh = batchN - copies - blocked - 2 * twinPairs - contam - outliers
+    val stutter = if (full) batchN / 20 else 0  // planted repetition
+    val fresh = batchN - copies - blocked - 2 * twinPairs - contam -
+      outliers - stutter
 
     // One generator for both modes; the embedding column is ignored by
     // the 2-column stream.
@@ -99,11 +103,25 @@ object ScreenDrill {
           .when(col("k") < copies + blocked + 2 * twinPairs + contam,
             tokens(pmod(col("k") + lit(trig.toLong * contam), lit(evalN))
               + evalSeed))
+          // Stutter plants: each repeats its OWN unique 3-token phrase
+          // 20× — novel to every index, quality-clean (long alpha
+          // prefixes keep the alpha ratio above the 0.6 boundary
+          // despite the ~10-digit id suffix), dup-3-gram frac ≈ 0.95;
+          // only the repetition veto can catch it.
+          .when(col("k") < copies + blocked + 2 * twinPairs + contam +
+              stutter,
+            concat_ws(" ", transform(sequence(lit(1), lit(20)),
+              _ => concat_ws(" ",
+                concat(lit("stutterphrasealphaworda"), col("doc_id")),
+                concat(lit("stutterphrasealphawordb"), col("doc_id")),
+                concat(lit("stutterphrasealphawordc"), col("doc_id"))))))
           .otherwise(tokens(col("doc_id") + 7777777L)).as("text"))
         .collect().map { r =>
           val (id, k) = (r.getLong(0), r.getLong(1))
-          val garbage = k >= copies + blocked + 2 * twinPairs + contam &&
-            k < copies + blocked + 2 * twinPairs + contam + outliers
+          val garbage = k >= copies + blocked + 2 * twinPairs + contam +
+            stutter &&
+            k < copies + blocked + 2 * twinPairs + contam + stutter +
+              outliers
           (id, r.getString(2), mkEmb(id, if (garbage) 3f else 0.01f))
         }.toSeq
     }
@@ -123,7 +141,7 @@ object ScreenDrill {
         source.toDF().toDF("doc_id", "text", "embedding"), idx,
         s"$tmp/verdicts", s"$tmp/ckpt", blocklist = Seq("plantbad"),
         contamIndexPath = Some(evIdx), outlierIndexPath = Some(oIdx),
-        outlierZ = 4.0,
+        outlierZ = 4.0, repetitionMaxDupFrac = Some(0.2),
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
       try {
         (0 until triggers).foreach { trig =>
@@ -138,11 +156,13 @@ object ScreenDrill {
           val gated = v.filter(!col("blocklist_ok")).count()
           val cont = v.filter(col("is_contaminated")).count()
           val outl = v.filter(col("is_outlier")).count()
-          println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d outliers=$outl%d")
+          val rep = v.filter(!col("repetition_ok")).count()
+          println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d outliers=$outl%d stutter=$rep%d")
           assert(caught == copies, s"trigger $trig: caught $caught != $copies")
           assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
           assert(cont == contam, s"trigger $trig: contaminated $cont != $contam")
           assert(outl == outliers, s"trigger $trig: outliers $outl != $outliers")
+          assert(rep == stutter, s"trigger $trig: stutter $rep != $stutter")
           assert(kept == fresh + twinPairs,
             s"trigger $trig: kept $kept != ${fresh + twinPairs}")
         }
