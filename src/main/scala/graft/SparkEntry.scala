@@ -923,6 +923,26 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // The re-decontamination LIFECYCLE in one plan: base eval index
+    // (benchmarks 30–49) + an appended benchmark suite (doc_id < 30,
+    // ingest 1) → the DELTA a scheduled removal job must act on: docs
+    // the appended benchmarks newly flag, excluding docs the base index
+    // already flagged (long removed — nothing to re-delete). Both
+    // screen states ride ONE postings read (per-gram full/base df
+    // flags); the best match is reported under the full index. (The
+    // split direction is chosen so the delta actually FIRES on the
+    // generated corpora at both driver scales — ≥1 row each.)
+    "redecontaminate_delta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Contamination.evalDeltaIndexPathFor(dir)
+      Contamination.buildEvalIndex(
+        docs.filter(col("doc_id") >= 30 && col("doc_id") < 50), path)
+      Contamination.appendEvalIndex(
+        docs.filter(col("doc_id") < 30), path, ingestId = 1L)
+      Contamination.redecontaminateDelta(
+        docs.filter(col("doc_id") >= 450), path, sinceIngestId = 1L)
+    }),
+
     // Edit-distance verify (the character-level near-dup metric):
     // adjacent-id pairs over 200-char prefixes — pairwise DP cost is
     // bounded by pair count × prefix², exactly how a candidate-pair
@@ -1193,10 +1213,12 @@ object SparkEntry {
     // The composite with every round-12 screen wired in: blocklist gate
     // as a stage-1 row-local verdict, containment edges widening the
     // cluster graph (a quoted passage joins its container's cluster),
-    // and the semantic outlier screen on the embedding side — the
-    // staged-survivor rules unchanged, so a blocklisted doc's near-dup
-    // survivor falls to the next eligible copy (ExtSpec pins the
-    // interaction).
+    // the semantic outlier screen on the embedding side, and (r15) the
+    // intra-document repetition veto at the incremental composite's
+    // threshold — batch backfill and streaming ingest now screen with
+    // the SAME set, the composites' symmetry contract. Staged-survivor
+    // rules unchanged, so a blocklisted doc's near-dup survivor falls
+    // to the next eligible copy (ExtSpec pins the interaction).
     "corpus_prep_v2" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       graft.ext.CorpusPrep.report(graft.ext.CorpusPrep.prepare(
@@ -1204,7 +1226,8 @@ object SparkEntry {
         blocklist = Seq("dup", "skew", "spill"),
         blocklistMaxFraction = 0.05,
         containmentThreshold = Some(0.5),
-        embeddings = Some(T(s, dir, "embeddings"))))
+        embeddings = Some(T(s, dir, "embeddings")),
+        repetitionMaxDupFrac = Some(0.05)))
     }),
 
     // The INCREMENTAL curation composite: a new batch (doc_id >= 450)
@@ -3001,6 +3024,10 @@ object SparkEntry {
          |  FROM (SELECT doc_id, list_filter(string_split_regex(TRIM(text), '\\s+'), t -> LEN(t) > 0) AS btoks FROM corpus)),
          |outl AS (SELECT vec_id AS doc_id FROM
          |  (${graft.oracle.KmeansSql.semanticOutliersSql()})),
+         |crep AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+         |         FROM t, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+         |crepf AS (SELECT doc_id, ROUND(1.0 - count(DISTINCT g) / count(*), 4) AS dup_3gram_frac
+         |          FROM crep GROUP BY 1),
          |flagged AS (
          |  SELECT c.doc_id, md5(c.text) AS content_digest,
          |    COALESCE(cm.doc_id IS NOT NULL, FALSE) AS is_contaminated,
@@ -3008,18 +3035,20 @@ object SparkEntry {
          |     AND LENGTH(REGEXP_REPLACE(c.text, '[^A-Za-z]', '', 'g')) / LENGTH(c.text) > 0.6) AS quality_ok,
          |    bl.is_blocked,
          |    COALESCE(o.doc_id IS NOT NULL, FALSE) AS is_outlier,
+         |    COALESCE(r.dup_3gram_frac <= 0.05, TRUE) AS repetition_ok,
          |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id
          |  FROM corpus c LEFT JOIN contam cm ON cm.doc_id = c.doc_id
          |  LEFT JOIN comp cp ON cp.doc_id = c.doc_id
          |  JOIN bl ON bl.doc_id = c.doc_id
-         |  LEFT JOIN outl o ON o.doc_id = c.doc_id),
+         |  LEFT JOIN outl o ON o.doc_id = c.doc_id
+         |  LEFT JOIN crepf r ON r.doc_id = c.doc_id),
          |s3 AS (
-         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier,
-         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier) AS eligible,
+         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier, repetition_ok,
+         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok) AS eligible,
          |    doc_id <> min(doc_id) OVER (PARTITION BY content_digest) AS is_exact_dup,
          |    doc_id <> min(doc_id) OVER (PARTITION BY cluster_id) AS is_near_dup,
-         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
-         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
          |  FROM flagged)""".stripMargin
     // The incremental-composite oracle, shared by curation_screen (base
     // screens; contamination/outlier columns pinned to the engine's
@@ -3345,6 +3374,7 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN is_near_dup THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
            |  CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
            |  CAST(0 AS BIGINT) AS outliers,
+           |  CAST(0 AS BIGINT) AS repetition_vetoed,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
       // The incremental composite: every screen re-derived — row-local
@@ -3379,6 +3409,34 @@ object SparkEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) n
            |LEFT JOIN cbest ON cbest.doc_id = n.doc_id
            |ORDER BY n.doc_id""".stripMargin,
+      // The append→screen→delta lifecycle: both screen states re-derived
+      // over string 3-grams — base df over the base suite alone, full df
+      // over base + appended — and the delta keeps docs flagged under
+      // the FULL state only (its best match reported under full df).
+      "redecontaminate_delta" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "b")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 30 AND doc_id < 50)", "vb")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 30)", "vn")},
+           |vall AS (SELECT doc_id, g, TRUE AS is_base FROM vbsh
+           |         UNION ALL SELECT doc_id, g, FALSE FROM vnsh),
+           |marked AS (SELECT doc_id, g,
+           |    count(*) OVER (PARTITION BY g) <= 20 AS full_ok,
+           |    is_base AND sum(CASE WHEN is_base THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY g) <= 20 AS base_ok
+           |  FROM vall),
+           |cand AS (SELECT b.doc_id, m.doc_id AS eval_id,
+           |    sum(CASE WHEN m.full_ok THEN 1 ELSE 0 END) AS shared_full,
+           |    sum(CASE WHEN m.base_ok THEN 1 ELSE 0 END) AS shared_base
+           |  FROM bsh b JOIN marked m ON b.g = m.g
+           |  WHERE m.full_ok OR m.base_ok GROUP BY 1, 2),
+           |flagged_base AS (SELECT DISTINCT doc_id FROM cand WHERE shared_base >= 5),
+           |best AS (SELECT doc_id, shared_full::BIGINT AS shared_ngrams, eval_id AS match_id FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |     ORDER BY shared_full DESC, eval_id DESC) AS rn
+           |   FROM cand WHERE shared_full >= 5) WHERE rn = 1)
+           |SELECT doc_id, shared_ngrams, match_id FROM best
+           |WHERE doc_id NOT IN (SELECT doc_id FROM flagged_base)
+           |ORDER BY doc_id""".stripMargin,
       "decontaminate_indexed" ->
         s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "b")},
            |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
@@ -3400,6 +3458,7 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN is_near_dup THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
            |  CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
            |  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+           |  CAST(sum(CASE WHEN NOT repetition_ok THEN 1 ELSE 0 END) AS BIGINT) AS repetition_vetoed,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
       "train_prep" ->

@@ -111,6 +111,15 @@ object Contamination {
     IndexStamp.pathUnderRoot(
       "graft-contam1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
+  /** Separate per-corpus location for the append→delta lifecycle query
+    * (`redecontaminate_delta`), which rebuilds base + append each call
+    * — it must never clobber the steady-state eval index the other
+    * contamination queries ensure at [[evalIndexPathFor]].
+    */
+  def evalDeltaIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-contamdelta1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
   /** Gram size and the eval-side stop-gram cap ride IN the index (1-row
     * `params` table) — the stored-parameter rule: the screen derives
     * batch grams with the stored `n` (a mismatched gram size silently
@@ -207,11 +216,24 @@ object Contamination {
     * distinct rare grams (eval-suite df ≤ the stored cap) with SOME
     * single eval doc, and the reported match is the best one —
     * max(shared count, then eval id), the screen family's tie rule.
-    * An index with no postings yet (committed empty base) flags
-    * nothing. Unlike [[ngramOverlap]]'s batch form (whose stop-grams
+    * Unlike [[ngramOverlap]]'s batch form (whose stop-grams
     * are TRAINING-side df — a corpus-wide statistic), the frozen screen
     * prunes on EVAL-side df: batch-independent, so a doc's verdict
     * never depends on what else arrived in its trigger.
+    *
+    * Fails CLOSED on a missing index: unlike the dedup screens (where
+    * "no corpus yet" legitimately means all-novel), the frozen eval
+    * index has no cold-start state — it is built offline before any
+    * screen runs — so an absent marker is a misconfiguration (typo'd
+    * path, never-built index) and an all-clean verdict would silently
+    * disable the contamination screen while admitting benchmark copies.
+    * Only a COMMITTED empty base (marker present, zero postings — the
+    * explicit empty-suite initialization) legitimately flags nothing.
+    *
+    * `sorted = false` drops the trailing presentation sort (the oracle
+    * queries' contract) — the composites and the decision form pass
+    * false, so no corpus-wide range shuffle rides into their plans on
+    * the optimizer's goodwill.
     *
     * Shape at 100 TB: postings are eval-suite-sized — the small side —
     * so they broadcast (after the window that drops stop-grams) into
@@ -222,16 +244,18 @@ object Contamination {
     */
   def contaminationAgainstIndex(newDocs: DataFrame, path: String,
                                 minShared: Int = 5,
-                                broadcastIndex: Boolean = true): DataFrame = {
+                                broadcastIndex: Boolean = true,
+                                sorted: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(s"$path/grams")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!IndexStamp.hasIngestData(fs, dir))
-      return newDocs.select(col("doc_id"),
+    def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
+    // Marker required — a missing index fails loudly here; a committed
+    // empty base returns the typed all-clean frame (see scaladoc).
+    if (IndexStamp.emptyCommittedIndex(spark, evalMarker(path),
+        s"$path/grams"))
+      return present(newDocs.select(col("doc_id"),
         lit(false).as("is_contaminated"),
         lit(null).cast("long").as("shared_ngrams"),
-        lit(null).cast("long").as("match_id"))
-        .orderBy("doc_id")
+        lit(null).cast("long").as("match_id")))
     val (n, dfCap) = evalParams(spark, path)
     // Postings rows are distinct (eval_id, g), so count-per-gram IS the
     // eval-suite document frequency; the window runs over the tiny
@@ -252,12 +276,78 @@ object Contamination {
       .agg(max(struct(col("shared"), col("eval_id"))).as("m"))
       .select(col("doc_id"), col("m.shared").as("shared_ngrams"),
         col("m.eval_id").as("match_id"))
-    newDocs.select(col("doc_id"))
+    present(newDocs.select(col("doc_id"))
       .join(matches, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         col("shared_ngrams").isNotNull.as("is_contaminated"),
-        col("shared_ngrams"), col("match_id"))
-      .orderBy("doc_id")
+        col("shared_ngrams"), col("match_id")))
+  }
+
+  /** The re-decontamination DELTA — the lifecycle step between an
+    * [[appendEvalIndex]] and the removal job it mandates: which docs of
+    * an ALREADY-SCREENED corpus does the index flag NOW that it did not
+    * flag before the partitions at `ingest >= sinceIngestId` landed?
+    * Those docs passed the original screen (they are still in the
+    * corpus) and must be removed; docs the BASE index already flagged
+    * are long gone and re-reporting them would re-delete nothing.
+    *
+    * Both screen states derive from ONE postings read: each gram row
+    * carries its full-index df and its base-only df (two window
+    * aggregates over the same eval-sized table), participates in the
+    * full screen when full-df ≤ the stored cap and in the base screen
+    * when it predates `sinceIngestId` AND base-df ≤ cap — the exact
+    * df-cap semantics [[contaminationAgainstIndex]] would compute
+    * against each index state separately (appends RAISE a gram's df,
+    * so a base verdict can only lose grams under the full state; a
+    * delta doc's best match is therefore always an appended benchmark).
+    * One (doc, eval) aggregate then carries both shared counts.
+    *
+    * Returns one row per NEWLY flagged doc: (doc_id, shared_ngrams,
+    * match_id) under the full index — the removal list with its audit
+    * trail, batch-bounded by construction; `train.join(delta,
+    * Seq("doc_id"), "left_anti")` is the corpus after the job.
+    */
+  def redecontaminateDelta(train: DataFrame, path: String,
+                           sinceIngestId: Long,
+                           minShared: Int = 5,
+                           broadcastIndex: Boolean = true,
+                           sorted: Boolean = true): DataFrame = {
+    val spark = train.sparkSession
+    def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
+    if (IndexStamp.emptyCommittedIndex(spark, evalMarker(path),
+        s"$path/grams"))
+      return present(train.select(col("doc_id"))
+        .limit(0)
+        .withColumn("shared_ngrams", lit(null).cast("long"))
+        .withColumn("match_id", lit(null).cast("long")))
+    val (n, dfCap) = evalParams(spark, path)
+    val w = Window.partitionBy("g")
+    val marked0 = IndexCache.read(spark, s"$path/grams")
+      .select(col("eval_id"), col("g"), col("ingest").cast("long").as("ing"))
+      .withColumn("df_full", count(lit(1)).over(w))
+      .withColumn("df_base", sum(when(col("ing") < sinceIngestId, 1L)
+        .otherwise(0L)).over(w))
+      .select(col("eval_id"), col("g"),
+        (col("df_full") <= dfCap).as("full_ok"),
+        (col("ing") < sinceIngestId && col("df_base") <= dfCap)
+          .as("base_ok"))
+      .filter(col("full_ok") || col("base_ok"))
+    val marked = if (broadcastIndex) broadcast(marked0) else marked0
+    val bGrams = Dedup.hashedShingles(train, n)
+      .select(col("doc_id"), col("h").as("g")).distinct()
+    val delta = bGrams.join(marked, Seq("g"))
+      .groupBy("doc_id", "eval_id")
+      .agg(sum(when(col("full_ok"), 1L).otherwise(0L)).as("shared_full"),
+        sum(when(col("base_ok"), 1L).otherwise(0L)).as("shared_base"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("shared_full") >= minShared,
+          struct(col("shared_full").as("shared"), col("eval_id")))).as("mf"),
+        max(when(col("shared_base") >= minShared, 1).otherwise(0)).as("bf"))
+      .filter(col("mf").isNotNull && col("bf") === 0)
+      .select(col("doc_id"), col("mf.shared").as("shared_ngrams"),
+        col("mf.eval_id").as("match_id"))
+    present(delta)
   }
 
   /** [[decontaminate]] against the persisted index: the corpus with
@@ -271,7 +361,8 @@ object Contamination {
                                 minShared: Int = 5,
                                 broadcastIndex: Boolean = true): DataFrame =
     train.join(
-      contaminationAgainstIndex(train, path, minShared, broadcastIndex)
+      contaminationAgainstIndex(train, path, minShared, broadcastIndex,
+          sorted = false)
         .filter(col("is_contaminated")).select("doc_id"),
       Seq("doc_id"), "left_anti")
 }

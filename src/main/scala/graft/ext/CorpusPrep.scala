@@ -62,6 +62,21 @@ object CorpusPrep {
     *                 screens can't see. None (default) = screen off,
     *                 `is_outlier` all-false.
     * @param outlierZ z-cut for the outlier screen
+    * @param repetitionMaxDupFrac intra-document repetition veto (the
+    *                 Gopher-style duplicate-block signal,
+    *                 [[screenIncremental]]'s stage 5b brought to the
+    *                 batch path so batch backfill and streaming ingest
+    *                 screen IDENTICALLY): a doc whose duplicate-3-gram
+    *                 fraction exceeds the threshold becomes ineligible.
+    *                 Copy-paste stutter passes every OTHER screen —
+    *                 quality-clean, novel to every dedup index (its
+    *                 grams repeat within itself, not across docs) — so
+    *                 without this knob the batch composite admits docs
+    *                 the incremental path vetoes. Rides the shared
+    *                 shingle checkpoint: zero extra corpus scans. A doc
+    *                 with < 3 tokens has no grams, hence no verdict,
+    *                 and never flags. None (default) = screen off,
+    *                 `repetition_ok` all-true.
     * @param sorted   order the verdict frame by doc_id (deterministic
     *                 presentation — the oracle queries' contract). A
     *                 production caller writing verdicts onward passes
@@ -71,7 +86,8 @@ object CorpusPrep {
     * @return one row per doc: quality_ok, is_blocked, is_exact_dup
     *         (non-canonical copy, independent verdict), is_near_dup
     *         (cluster non-survivor, independent verdict),
-    *         is_contaminated, is_outlier, and `kept` = eligible AND the
+    *         is_contaminated, is_outlier, dup_3gram_frac /
+    *         repetition_ok, and `kept` = eligible AND the
     *         minimum eligible doc of both its digest group and its
     *         (possibly containment-widened) cluster
     */
@@ -84,6 +100,7 @@ object CorpusPrep {
               containmentThreshold: Option[Double] = None,
               embeddings: Option[DataFrame] = None,
               outlierZ: Double = 2.0,
+              repetitionMaxDupFrac: Option[Double] = None,
               sorted: Boolean = true): DataFrame = {
     // One compiled shingle pass, shared by the near-dup clustering and
     // the contamination screen (hashedShingles' pos column is pruned
@@ -138,6 +155,17 @@ object CorpusPrep {
       Similarity.semanticOutliers(emb, k = 8, iters = 4, z = outlierZ)
         .select(col("vec_id").as("doc_id"))
         .withColumn("is_outlier", lit(true)))
+    // Intra-document repetition verdict — one aggregate over the SAME
+    // shingle stream the near-dup and contamination consumers ride
+    // (hashed counts equal string-gram counts modulo negligible 64-bit
+    // collisions, the contamination family's oracle argument), so the
+    // veto costs no extra corpus pass.
+    val repetition = repetitionMaxDupFrac.map { _ =>
+      sharedShingles.getOrElse(Dedup.hashedShingles(docs, 3))
+        .groupBy("doc_id")
+        .agg(round(lit(1.0) - countDistinct(col("h")) / count(lit(1)), 4)
+          .as("dup_3gram_frac"))
+    }
 
     // Stage 2 — group structure (content-based, over the FULL corpus:
     // similarity does not depend on eligibility).
@@ -156,16 +184,25 @@ object CorpusPrep {
     val withOutliers = outliers.foldLeft(stage1) {
       (acc, o) => acc.join(o, Seq("doc_id"), "left_outer")
     }
-    val flagged = withOutliers
+    val withRepetition = repetition.foldLeft(withOutliers) {
+      (acc, r) => acc.join(r, Seq("doc_id"), "left_outer")
+    }
+    val flagged = withRepetition
       .join(contaminated, Seq("doc_id"), "left_outer")
       .join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("content_digest"), col("cluster_id"),
         col("quality_ok"), col("is_blocked"),
         coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"),
         (if (outliers.isDefined) coalesce(col("is_outlier"), lit(false))
-         else lit(false)).as("is_outlier"))
+         else lit(false)).as("is_outlier"),
+        (if (repetition.isDefined) col("dup_3gram_frac")
+         else lit(null).cast("double")).as("dup_3gram_frac"),
+        repetitionMaxDupFrac
+          .map(t => coalesce(col("dup_3gram_frac") <= t, lit(true)))
+          .getOrElse(lit(true)).as("repetition_ok"))
       .withColumn("eligible", col("quality_ok") && !col("is_blocked") &&
-        !col("is_contaminated") && !col("is_outlier"))
+        !col("is_contaminated") && !col("is_outlier") &&
+        col("repetition_ok"))
 
     // Stage 3 — survivors: minimum eligible doc per digest group and per
     // cluster (null when a group has no eligible member). Windows reuse
@@ -187,6 +224,8 @@ object CorpusPrep {
         (col("doc_id") =!= col("__cluster_min")).as("is_near_dup"),
         col("is_contaminated"),
         col("is_outlier"),
+        col("dup_3gram_frac"),
+        col("repetition_ok"),
         (col("eligible") &&
           col("doc_id") === col("__digest_survivor") &&
           col("doc_id") === col("__cluster_survivor")).as("kept"))
@@ -204,6 +243,7 @@ object CorpusPrep {
     sum(when(col("is_near_dup"), 1L).otherwise(0L)).as("near_dups"),
     sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("contaminated"),
     sum(when(col("is_outlier"), 1L).otherwise(0L)).as("outliers"),
+    sum(when(!col("repetition_ok"), 1L).otherwise(0L)).as("repetition_vetoed"),
     sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
 
   /** The full pretraining shard path in one declarative plan: curation
@@ -446,7 +486,7 @@ object CorpusPrep {
       case Some(p) =>
         withSimhash.join(
           Contamination.contaminationAgainstIndex(once, p,
-              minShared = contamMinShared)
+              minShared = contamMinShared, sorted = false)
             .select(col("doc_id"), col("is_contaminated"),
               col("shared_ngrams").as("contam_shared"),
               col("match_id").as("contam_match_id")),

@@ -31,6 +31,18 @@ import org.apache.spark.storage.StorageLevel
   *     entry invalidates and re-reads, because rows may have moved
   *     between partitions.
   *
+  * Entries are keyed by (SparkContext identity, dir): a cached
+  * persisted DataFrame's blocks live in its context's block manager,
+  * so after a stop/restart in the same JVM (tests, notebook kernels)
+  * a fresh context must never be served frames whose blocks belong to
+  * the dead one — the new context's first read simply refills under
+  * its own key, and dead-context entries are swept (their unpersist
+  * is a no-op against a stopped context). Locking is PER entry, so
+  * concurrent screens over unrelated indexes (the bands and sets of
+  * two different streams) list/read/persist in parallel — one global
+  * lock here would serialize every stream in the JVM on the slowest
+  * index refresh.
+  *
   * Default OFF (`spark.graft.indexCache = true` to enable): a cache
   * that silently pins gigabytes of executor memory per screened index
   * is a deployment decision, not a default. When disabled every read
@@ -42,9 +54,14 @@ import org.apache.spark.storage.StorageLevel
 private[graft] object IndexCache {
 
   private case class Part(fp: String, df: DataFrame)
-  // dir → per-ingest-partition cache. TrieMap for lock-free reads; the
-  // streams that benefit are single-writer per index by contract.
-  private val entries = TrieMap.empty[String, Map[String, Part]]
+  // One Entry per (context, dir); `parts` guarded by the entry's own
+  // monitor. TrieMap gives lock-free entry lookup; the per-entry lock
+  // scopes the expensive work (listings, reads, persists) to the one
+  // index being refreshed.
+  private final class Entry(val ctx: org.apache.spark.SparkContext) {
+    var parts: Map[String, Part] = Map.empty
+  }
+  private val entries = TrieMap.empty[(Int, String), Entry]
 
   private def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.indexCache").exists(_.toBoolean)
@@ -71,6 +88,9 @@ private[graft] object IndexCache {
     out.mkString("\n")
   }
 
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try { df.unpersist(); () } catch { case scala.util.control.NonFatal(_) => }
+
   /** The partitioned index table at `dir` (its `ingest=` children),
     * served from the cache when enabled and fresh. Falls back to the
     * plain parquet read when the cache is off — identical plan shape
@@ -78,18 +98,25 @@ private[graft] object IndexCache {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     if (!enabled(spark)) return spark.read.parquet(dir)
+    val sc = spark.sparkContext
+    // Sweep entries owned by stopped contexts (stop/restart in one
+    // JVM): their persisted blocks are gone with the block manager,
+    // so only the bookkeeping needs dropping.
+    entries.filterInPlace((_, e) => !e.ctx.isStopped)
+    val entry = entries.getOrElseUpdate(
+      (System.identityHashCode(sc), dir), new Entry(sc))
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = Option(fs.globStatus(new Path(root, "ingest=*"))).toSeq.flatten
-      .filter(_.isDirectory)
-      .map(st => st.getPath.getName -> partFp(fs, st.getPath)).toMap
-    entries.synchronized {
-      val cached = entries.getOrElse(dir, Map.empty)
+    val fs = root.getFileSystem(sc.hadoopConfiguration)
+    entry.synchronized {
+      val live = Option(fs.globStatus(new Path(root, "ingest=*"))).toSeq
+        .flatten.filter(_.isDirectory)
+        .map(st => st.getPath.getName -> partFp(fs, st.getPath)).toMap
+      val cached = entry.parts
       val stale = cached.exists { case (name, p) =>
         live.get(name).forall(_ != p.fp) // changed OR removed
       }
       val base = if (stale) {
-        cached.values.foreach(_.df.unpersist())
+        cached.values.foreach(p => unpersistQuietly(p.df))
         Map.empty[String, Part]
       } else cached
       val fresh = live.map { case (name, fp) =>
@@ -101,7 +128,7 @@ private[graft] object IndexCache {
             .persist(StorageLevel.MEMORY_AND_DISK))
         })
       }
-      entries.put(dir, fresh)
+      entry.parts = fresh
       fresh.values.map(_.df).reduceOption(_.unionByName(_))
         .getOrElse(spark.read.parquet(dir))
     }
@@ -110,8 +137,13 @@ private[graft] object IndexCache {
   /** Drop (and unpersist) every cached entry — test isolation and
     * session teardown.
     */
-  def clear(): Unit = entries.synchronized {
-    entries.values.flatten.foreach(_._2.df.unpersist())
+  def clear(): Unit = {
+    entries.values.foreach { e =>
+      e.synchronized {
+        e.parts.values.foreach(p => unpersistQuietly(p.df))
+        e.parts = Map.empty
+      }
+    }
     entries.clear()
   }
 }

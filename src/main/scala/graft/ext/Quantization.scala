@@ -526,7 +526,10 @@ object Quantization {
     // unlike the IVF index there is no trained _centroids side table.
     val cells = Similarity.probeCells(queryVec,
       Similarity.centroids(nlist, dim, 7L), nprobe)
-    spark.read.parquet(indexPath)
+    // Corpus-shaped codes table: cache-routed like the IVF/BM25 reads
+    // (default OFF = identical plain scan; probed-cell pruning via
+    // partition dirs direct, cached-batch stats when resident).
+    IndexCache.read(spark, indexPath)
       .filter(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("label"),
         round(tables.zipWithIndex.map { case (t, s) =>

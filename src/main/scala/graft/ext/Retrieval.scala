@@ -351,10 +351,16 @@ object Retrieval {
     }
     val hs = terms.map(hashToken)
     val bkts = hs.map(h => ((h % buckets) + buckets) % buckets).distinct
-    val post = spark.read.parquet(s"$path/postings")
+    // Postings are corpus-shaped and probed per query — on the
+    // object-store path the cross-trigger [[IndexCache]] (default OFF;
+    // plain scan, identical plan, when disabled) keeps them resident;
+    // the static bucket filter still prunes (partition dirs when
+    // direct, cached-batch stats when served from the cache).
+    val post = IndexCache.read(spark, s"$path/postings")
       .filter(col("bucket").isin(bkts: _*) && col("h").isin(hs: _*))
     // corpus stats = sum of the per-ingest mergeable rows (one per
-    // build/append — a handful of rows, aggregated at plan time)
+    // build/append — a handful of rows, aggregated at plan time;
+    // metadata-sized, so no cache routing)
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum("n").as("n"), sum("sdl").as("sdl"))
     val dfr = post.groupBy("h").agg(count(lit(1)).as("df"))

@@ -463,7 +463,11 @@ object Similarity {
       return spark.range(0).select(col("id").as("vec_id"),
         lit(0).as("label"), lit(0.0).as("cosine"))
     val cells = probeCells(queryVec, cs, nprobe)
-    spark.read.parquet(indexPath)
+    // Corpus-shaped vector table, probed per query: route through the
+    // cross-trigger IndexCache (default OFF = identical plain scan);
+    // the probed-cell filter prunes partition dirs when direct and
+    // cached-batch stats when resident.
+    IndexCache.read(spark, indexPath)
       .filter(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("label"),
         round(vec_dot(col("embedding"), typedLit(queryVec.toSeq)) /
@@ -520,7 +524,10 @@ object Similarity {
     val probing = emb.select(col("vec_id"), col("embedding"),
       vec_norm(col("embedding")).as("nrm"),
       explode(cellsFor(col("embedding"), cs, nprobe)).as("cell"))
-    val idx = spark.read.parquet(indexPath)
+    // The per-trigger standing-corpus probe — exactly the rescan shape
+    // the cross-trigger IndexCache exists for (default OFF = the same
+    // plain parquet scan).
+    val idx = IndexCache.read(spark, indexPath)
       .select(col("vec_id").as("idx_id"), col("embedding").as("idx_emb"),
         col("nrm").as("idx_nrm"), col("cell"))
     val matches = probing.join(idx, Seq("cell"))
@@ -895,6 +902,9 @@ object Similarity {
   def outliersAgainstIndex(emb: DataFrame, path: String,
                            z: Double = 2.0): DataFrame = {
     val spark = emb.sparkSession
+    // Model-sized reads (k centroids + k moment rows) — residency
+    // can't pay, so no IndexCache routing (models stay plain scans;
+    // only the corpus-shaped index families route).
     val cs: Seq[Seq[Float]] = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").select("centroid").collect()
       .map(_.getSeq[Float](0).toSeq).toSeq

@@ -700,6 +700,9 @@ object TextAnalysis {
   def dsirWeightsIndexed(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, docs: DataFrame,
                          smoothK: Double = 1.0): DataFrame = {
+    // Model-sized read (≤ `buckets` rows, broadcast below) — residency
+    // can't pay, so no IndexCache routing (the corpus-shaped
+    // postings/fps/codes families route; models don't).
     val model = spark.read.parquet(indexPath)
     // bounded metadata read: one row of a ≤ buckets-row table. headOption
     // shape — a 0-row model must fail with the contract named, not a

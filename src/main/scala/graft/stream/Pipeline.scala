@@ -707,6 +707,9 @@ object Pipeline {
                   "scores the batch's own vectors")
               once.select(col("doc_id").as("vec_id"), col("embedding"))
             }
+            // sorted = false: the per-batch verdict write needs no
+            // corpus-wide presentation sort (the oracle queries keep
+            // the default; PipelineSpec compares order-insensitively).
             val verdicts = graft.ext.CorpusPrep.screenIncremental(
               once, minhashIndexPath, blocklist, blocklistMaxFraction,
               nearDupThreshold, dsirIndexPath, dsirMinScore,
@@ -714,7 +717,7 @@ object Pipeline {
               simhashIndexPath, maxHamming,
               contamIndexPath, contamMinShared,
               emb, outlierIndexPath, outlierZ,
-              repetitionMaxDupFrac)
+              repetitionMaxDupFrac, sorted = false)
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val kept = spark.read.parquet(outDir)
@@ -859,7 +862,7 @@ object Pipeline {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           graft.ext.Contamination.contaminationAgainstIndex(
-              batch, indexPath, minShared)
+              batch, indexPath, minShared, sorted = false)
             .write.mode("overwrite")
             .parquet(s"$verdictDir/batch_id=$batchId")
           pruneVerdictDirs(spark, verdictDir, batchId,

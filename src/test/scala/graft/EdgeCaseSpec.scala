@@ -130,6 +130,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Boolean]("kept"))
   }
 
+  test("repetition veto at threshold 0: sub-3-token docs carry no verdict and never flag") {
+    // threshold 0.0 is the harshest setting — ANY duplicate gram flags —
+    // yet a doc too short to have a gram must pass (no grams → no
+    // verdict → coalesce(true)), in both composites.
+    val docs = Seq((1L, "hi there"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val batch = CorpusPrep.prepare(docs, emptyDocs,
+        repetitionMaxDupFrac = Some(0.0)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(batch(1L).getAs[Boolean]("repetition_ok") &&
+      batch(1L).isNullAt(batch(1L).fieldIndex("dup_3gram_frac")))
+    assert(batch(2L).getAs[Boolean]("repetition_ok") &&
+      batch(2L).getAs[Double]("dup_3gram_frac") == 0.0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("rep-edge").toString + "/mh"
+    Dedup.buildMinhashIndex(someDocs, idx)
+    val inc = CorpusPrep.screenIncremental(docs, idx,
+        repetitionMaxDupFrac = Some(0.0)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(inc(1L).getAs[Boolean]("repetition_ok") &&
+      inc(1L).isNullAt(inc(1L).fieldIndex("dup_3gram_frac")))
+  }
+
   test("as-of join with an empty right side null-extends every left row") {
     val left = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
     val right = Seq.empty[(Long, Long, Long, Double)]

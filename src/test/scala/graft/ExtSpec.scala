@@ -138,11 +138,21 @@ class ExtSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val path = java.nio.file.Files
       .createTempDirectory("contam-idx").toString + "/evalgrams"
-    // Cold start: no index at all means nothing can be flagged.
+    // Fail CLOSED: a missing index (typo'd path, never built) is a
+    // misconfiguration — an all-clean verdict would silently disable
+    // the screen, so the reader fails loudly instead.
+    intercept[IllegalArgumentException] {
+      Contamination.contaminationAgainstIndex(
+        Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text"), path)
+    }
+    // ... while a COMMITTED empty suite (marker present, zero postings)
+    // legitimately flags nothing — the one all-clean state.
+    Contamination.buildEvalIndex(evalSuite.limit(0), path)
     val cold = Contamination.contaminationAgainstIndex(
       Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
         .toDF("doc_id", "text"), path)
-    assert(cold.filter(col("is_contaminated")).isEmpty)
+    assert(cold.count() == 1 && cold.filter(col("is_contaminated")).isEmpty)
     Contamination.buildEvalIndex(evalSuite, path)
     val batch = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim
@@ -202,6 +212,77 @@ class ExtSpec extends AnyFunSuite {
     assert(deco.columns.toSeq == batch.columns.toSeq)
   }
 
+  test("redecontaminateDelta: append → screen → delta reports exactly the newly flagged docs") {
+    val baseBench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val newBench = Seq(
+      (2L, "omega psi chi phi upsilon tau sigma rho nu mu"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("contam-delta").toString + "/evalgrams"
+    Contamination.buildEvalIndex(baseBench, path)
+    Contamination.appendEvalIndex(newBench, path, ingestId = 1L)
+    val corpus = Seq(
+      // base-benchmark copy: the ORIGINAL screen already removed it —
+      // must NOT reappear in the delta
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // appended-benchmark copy: passed the original screen, newly
+      // flagged — THE delta
+      (101L, "omega psi chi phi upsilon tau sigma rho nu mu"),
+      (102L, "unrelated training text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val delta = Contamination.redecontaminateDelta(corpus, path,
+      sinceIngestId = 1L).collect()
+    assert(delta.length == 1 && delta.head.getLong(0) == 101L &&
+      delta.head.getLong(1) == 8L && delta.head.getLong(2) == 2L,
+      delta.toSeq.toString)
+    // a doc overlapping BOTH suites was removed by the base screen —
+    // not in the delta even though the appended benchmark also matches
+    val both = Seq((200L,
+      "alpha beta gamma delta epsilon zeta eta theta " +
+        "omega psi chi phi upsilon tau sigma rho nu mu"))
+      .toDF("doc_id", "text")
+    assert(Contamination.redecontaminateDelta(both, path,
+      sinceIngestId = 1L).isEmpty)
+    // the family's fail-closed rule: a missing index is loud
+    intercept[IllegalArgumentException] {
+      Contamination.redecontaminateDelta(corpus,
+        java.nio.file.Files.createTempDirectory("contam-delta-none")
+          .toString + "/nope", sinceIngestId = 1L)
+    }
+  }
+
+  test("ivf index: cached reads equal direct reads for top-k and the semantic screen") {
+    val emb = (0L until 40L).map(i => (i, (i % 3).toInt,
+        Seq.tabulate(4)(j => math.sin(i.toDouble * 7 + j).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf-cache").toString + "/idx"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 20), dir,
+      nlist = 4, dim = 4)
+    val (qv, qn) = Similarity.lookupVec(spark, dir, 0L)
+    def topk() = Similarity.annTopKIndexed(spark, dir, qv, qn, k = 10,
+      nprobe = 2).collect().map(_.toSeq).toSeq
+    def novel() = Similarity.semanticNovelAgainstIndex(emb, dir,
+      threshold = 0.99).collect().map(_.toSeq).toSeq
+    val (dT, dN) = (topk(), novel())
+    spark.conf.set("spark.graft.indexCache", "true")
+    try {
+      assert(topk() == dT && novel() == dN) // cold fill
+      assert(topk() == dT && novel() == dN) // hit
+      // append lands a partition: incremental refresh must see it
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 20), dir,
+        nlist = 4, dim = 4)
+      val (aT, aN) = (topk(), novel())
+      spark.conf.unset("spark.graft.indexCache")
+      assert(topk() == aT && novel() == aN) // cached ≡ plain scan
+    } finally {
+      spark.conf.unset("spark.graft.indexCache")
+      IndexCache.clear()
+    }
+  }
+
   test("corpus prep composes the filters and audits each verdict") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -240,6 +321,41 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
     assert(unsorted ==
       prepared.collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap)
+  }
+
+  test("prepare: repetition veto — the batch path vetoes copy-paste stutter every other screen passes") {
+    val stutter = Array.fill(20)("spam ham eggs").mkString(" ")
+    val corpus = Seq(
+      (10L, (1 to 30).map(i => s"unique$i").mkString(" ")), // clean
+      (11L, stutter),   // quality-clean, novel, vetoed by repetition alone
+      (12L, "hi there")) // < 3 tokens: no grams, no repetition verdict
+      .toDF("doc_id", "text")
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val prepared = graft.ext.CorpusPrep.prepare(corpus, evalSet,
+      repetitionMaxDupFrac = Some(0.05))
+    val byId = prepared.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the stutter doc passes quality and every dedup/contamination
+    // screen and dies to the veto alone — 58 grams, 3 distinct
+    assert(byId(11L).getAs[Boolean]("quality_ok") &&
+      !byId(11L).getAs[Boolean]("is_near_dup") &&
+      !byId(11L).getAs[Boolean]("is_contaminated") &&
+      !byId(11L).getAs[Boolean]("repetition_ok") &&
+      byId(11L).getAs[Double]("dup_3gram_frac") > 0.9 &&
+      !byId(11L).getAs[Boolean]("kept"), byId(11L).toString)
+    assert(byId(10L).getAs[Boolean]("kept") &&
+      byId(10L).getAs[Double]("dup_3gram_frac") == 0.0)
+    // under 3 tokens: no verdict, never flagged by THIS screen
+    assert(byId(12L).getAs[Boolean]("repetition_ok") &&
+      byId(12L).isNullAt(byId(12L).fieldIndex("dup_3gram_frac")))
+    val rep = graft.ext.CorpusPrep.report(prepared).head()
+    assert(rep.getAs[Long]("repetition_vetoed") == 1L)
+    // screen off (the default): same stutter doc rides through — and
+    // the audit columns read as screen-off constants
+    val off = graft.ext.CorpusPrep.prepare(corpus, evalSet)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(off(11L).getAs[Boolean]("kept") &&
+      off(11L).getAs[Boolean]("repetition_ok") &&
+      off(11L).isNullAt(off(11L).fieldIndex("dup_3gram_frac")))
   }
 
   test("staged survivors: clean near-dup copy survives a tainted canonical") {

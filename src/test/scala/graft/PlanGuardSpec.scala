@@ -124,6 +124,24 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("LessThan(doc_id,50)"), p)
   }
 
+  test("redecontaminate_delta broadcasts one postings read; eval suites never re-read") {
+    // Both screen states (base df, full df) derive from ONE read of the
+    // at-rest postings — the eval suites (doc_id < 30 and 30–49) appear
+    // only as the index, and the df-flagged postings broadcast into the
+    // batch gram stream exactly like the steady-state screen.
+    val df = SparkEntry.queries("redecontaminate_delta")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("graft-contamdelta1-"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("LessThan(doc_id,50)"), p)
+    assert(!p.contains("LessThan(doc_id,30)"), p)
+    val gramScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("graft-contamdelta1-"))
+    assert(gramScans <= 1, s"postings scanned $gramScans times:\n$p")
+  }
+
   test("containment_pairs runs the winnow pipeline once per side (reused exchange)") {
     // The inverted self-join's two sides are byte-identical capped
     // fingerprint subtrees lined up by the merge pin — the final

@@ -193,6 +193,27 @@ class QuantizationSpec extends AnyFunSuite {
       indexed.head.getDouble(2) == 1.0)
   }
 
+  test("pqTopKIndexed: cached codes reads equal direct reads") {
+    val trained = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 4,
+      dim = 8, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-cache")
+      .toString + "/idx"
+    Quantization.buildPqIndex(clustered, dir, trained, dim = 8, nlist = 8)
+    val qVec = clustered.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    def rows() = Quantization.pqTopKIndexed(spark, dir, qVec, k = 10,
+      nprobe = 8).collect().map(_.toSeq).toSeq
+    val direct = rows()
+    spark.conf.set("spark.graft.indexCache", "true")
+    try {
+      assert(rows() == direct) // cold fill
+      assert(rows() == direct) // cache hit
+    } finally {
+      spark.conf.unset("spark.graft.indexCache")
+      graft.ext.IndexCache.clear()
+    }
+  }
+
   test("sampled PQ training is deterministic and equals the explicit-sample fit") {
     val a = Quantization.pqTrain(clustered, m = 2, k = 8, iters = 3,
       dim = 8, seed = 11L, sampleCap = 64)

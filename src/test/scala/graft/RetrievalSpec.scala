@@ -112,6 +112,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(stats(incDir).getLong(0) === stats(fullDir).getLong(0))
   }
 
+  test("bm25Indexed: cached postings reads equal direct reads across an append") {
+    val all = docs(
+      (1L, "cat dog"), (2L, "cat cat cat dog"), (3L, "fish cat"),
+      (4L, "dog fish"), (5L, "cat fish fish fish"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-cache").toString
+    Retrieval.buildBm25Index(all.filter(col("doc_id") <= 3), dir)
+    val q = Seq("cat", "fish")
+    def rows() = Retrieval.bm25Indexed(spark, dir, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val direct = rows()
+    spark.conf.set("spark.graft.indexCache", "true")
+    try {
+      assert(rows() === direct) // cold fill
+      assert(rows() === direct) // cache hit
+      // an append lands a new ingest partition: the cached ranking must
+      // see it, and equal the plain scan over the same state
+      Retrieval.appendBm25Index(all.filter(col("doc_id") > 3), dir)
+      val appended = rows()
+      spark.conf.unset("spark.graft.indexCache")
+      assert(appended === rows())
+      assert(appended !== direct) // the append actually moved idf/avgdl
+    } finally {
+      spark.conf.unset("spark.graft.indexCache")
+      graft.ext.IndexCache.clear()
+    }
+  }
+
   test("compactBm25Index: compacted == appended == rebuilt; folded replays no-op") {
     val all = docs(
       (1L, "cat dog"), (2L, "cat cat cat dog"), (3L, "fish cat"),
