@@ -923,6 +923,21 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // SPAN-level contamination: the consecutive-overlap rule (a doc is
+    // contaminated when it shares a CONTIGUOUS ≥8-token run with the
+    // eval suite) over the same persisted eval-gram index the
+    // doc-level screen probes — run lengths via the gaps-and-islands
+    // identity over the positional gram stream. Separates a verbatim
+    // benchmark quote from the same number of scattered shared grams.
+    "contamination_spans" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Contamination.evalIndexPathFor(dir)
+      Contamination.ensureEvalIndex(s, docs.filter(col("doc_id") < 50),
+        path, sourcePath = Some(s"$dir/documents.parquet"))
+      Contamination.spanContaminationAgainstIndex(
+        docs.filter(col("doc_id") >= 450), path, minRunTokens = 8)
+    }),
+
     // The re-decontamination LIFECYCLE in one plan: base eval index
     // (benchmarks 30–49) + an appended benchmark suite (doc_id < 30,
     // ingest 1) → the DELTA a scheduled removal job must act on: docs
@@ -1304,6 +1319,7 @@ object SparkEntry {
         containmentIndexPath = Some(cn),
         simhashIndexPath = Some(sh),
         contamIndexPath = Some(ev),
+        contamSpanMinRun = Some(8),
         embeddings = Some(emb.filter(col("vec_id") >= 450)),
         outlierIndexPath = Some(ol),
         repetitionMaxDupFrac = Some(0.05),
@@ -3074,10 +3090,19 @@ object SparkEntry {
            |         FROM bt, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
            |repf AS (SELECT doc_id, ROUND(1.0 - count(DISTINCT g) / count(*), 4) AS dup_3gram_frac
            |         FROM brep GROUP BY 1),
+           |srare AS (SELECT DISTINCT g FROM vrare),
+           |bposh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           |          FROM bt, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+           |sphit AS (SELECT doc_id, pos FROM bposh WHERE g IN (SELECT g FROM srare)),
+           |spisl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM sphit),
+           |spruns AS (SELECT doc_id, island, count(*) + 2 AS run_tokens FROM spisl GROUP BY 1, 2),
+           |spper AS (SELECT doc_id, max(run_tokens)::BIGINT AS span_run FROM spruns GROUP BY 1),
            |""".stripMargin
       val verdictCols = if (full)
         """cbest.doc_id IS NOT NULL AS is_contaminated,
           |  cbest.contam_shared, cbest.contam_match_id,
+          |  COALESCE(spper.span_run, 0) AS contam_span_run,
+          |  COALESCE(spper.span_run, 0) < 8 AS span_ok,
           |  COALESCE(o.is_outlier, FALSE) AS is_outlier,
           |  o.zscore AS outlier_zscore,
           |  repf.dup_3gram_frac,
@@ -3086,6 +3111,8 @@ object SparkEntry {
         """FALSE AS is_contaminated,
           |  CAST(NULL AS BIGINT) AS contam_shared,
           |  CAST(NULL AS BIGINT) AS contam_match_id,
+          |  CAST(NULL AS BIGINT) AS contam_span_run,
+          |  TRUE AS span_ok,
           |  FALSE AS is_outlier, CAST(NULL AS DOUBLE) AS outlier_zscore,
           |  CAST(NULL AS DOUBLE) AS dup_3gram_frac,
           |  TRUE AS repetition_ok""".stripMargin
@@ -3093,7 +3120,8 @@ object SparkEntry {
         """
           |  LEFT JOIN cbest ON cbest.doc_id = b.doc_id
           |  LEFT JOIN outv o ON o.vec_id = b.doc_id
-          |  LEFT JOIN repf ON repf.doc_id = b.doc_id""".stripMargin
+          |  LEFT JOIN repf ON repf.doc_id = b.doc_id
+          |  LEFT JOIN spper ON spper.doc_id = b.doc_id""".stripMargin
       else ""
       s"""WITH RECURSIVE
          |batch AS (SELECT * FROM documents WHERE doc_id >= 450),
@@ -3147,7 +3175,7 @@ object SparkEntry {
          |flagged AS MATERIALIZED (SELECT *,
          |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok
          |   AND NOT is_contained AND NOT is_hamming_dup
-         |   AND NOT is_contaminated AND NOT is_outlier
+         |   AND NOT is_contaminated AND span_ok AND NOT is_outlier
          |   AND repetition_ok) AS eligible
          |  FROM v),
          |edocs AS (SELECT b.doc_id, b.text FROM batch b
@@ -3162,6 +3190,7 @@ object SparkEntry {
          |  f.is_contained, f.best_containment, f.container_id,
          |  f.is_hamming_dup, f.best_hamming, f.hamming_match_id,
          |  f.is_contaminated, f.contam_shared, f.contam_match_id,
+         |  f.contam_span_run, f.span_ok,
          |  f.is_outlier, f.outlier_zscore,
          |  f.dup_3gram_frac, f.repetition_ok,
          |  COALESCE(f.doc_id = s.cluster_id, FALSE) AS batch_survivor,
@@ -3409,6 +3438,28 @@ object SparkEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) n
            |LEFT JOIN cbest ON cbest.doc_id = n.doc_id
            |ORDER BY n.doc_id""".stripMargin,
+      // Span screen: positional string 3-grams, hit = gram in the rare
+      // eval set (df ≤ 20), islands by pos − row_number, run tokens =
+      // grams + 2.
+      "contamination_spans" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
+           |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM vsh GROUP BY 1) WHERE df <= 20),
+           |bt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           |       FROM documents WHERE doc_id >= 450),
+           |bsh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           |        FROM bt, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+           |hits AS (SELECT doc_id, pos FROM bsh WHERE g IN (SELECT g FROM rare)),
+           |isl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM hits),
+           |runs AS (SELECT doc_id, island, count(*) + 2 AS run_tokens FROM isl GROUP BY 1, 2),
+           |per AS (SELECT doc_id, max(run_tokens)::BIGINT AS max_run_tokens,
+           |          sum(CASE WHEN run_tokens >= 8 THEN 1 ELSE 0 END)::BIGINT AS n_spans
+           |        FROM runs GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(per.max_run_tokens, 0) AS max_run_tokens,
+           |  COALESCE(per.n_spans, 0) AS n_spans,
+           |  COALESCE(per.max_run_tokens, 0) >= 8 AS is_contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) d
+           |LEFT JOIN per ON per.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       // The append→screen→delta lifecycle: both screen states re-derived
       // over string 3-grams — base df over the base suite alone, full df
       // over base + appended — and the delta keeps docs flagged under

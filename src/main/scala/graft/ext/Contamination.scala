@@ -283,6 +283,77 @@ object Contamination {
         col("shared_ngrams"), col("match_id")))
   }
 
+  /** SPAN-level contamination verdicts against the persisted eval-gram
+    * index — the consecutive-overlap rule production decontamination
+    * actually applies (the GPT-3-report family: a doc is contaminated
+    * when it shares a CONTIGUOUS run of at least `minRunTokens` tokens
+    * with the eval suite, not merely a bag of scattered grams). The
+    * doc-level screen ([[contaminationAgainstIndex]]) counts shared
+    * grams per (doc, eval) pair; a verbatim 40-token benchmark quote
+    * inside a long document and 40 coincidental stop-adjacent grams
+    * scattered across it count the same there — the run-length form
+    * separates them.
+    *
+    * Mechanics: the batch's positional gram stream (one row per gram
+    * OCCURRENCE — [[Dedup.hashedShingles]] keeps `pos`) marks each
+    * position whose gram appears anywhere in the eval suite (stop-grams
+    * above the STORED df cap dropped first, same as the doc-level
+    * screen); maximal runs of consecutive hit positions are islands
+    * (pos − row_number, the gaps-and-islands identity), and a run of g
+    * consecutive grams covers g + n − 1 tokens. A run may stitch grams
+    * matched by DIFFERENT eval docs — the standard approximation, and
+    * conservative in the right direction for a hygiene screen.
+    *
+    * Returns one row per batch doc: (doc_id, max_run_tokens, n_spans,
+    * is_contaminated) — n_spans counts maximal runs ≥ `minRunTokens`;
+    * a doc with no hits (or too short to carry a gram) reads 0/0/false.
+    * Fails closed on a missing index like the whole family.
+    *
+    * Shape at 100 TB: the rare-gram SET (eval-suite-sized, eval ids
+    * dropped) broadcasts into the positional stream; the islands window
+    * partitions per doc over HIT positions only — match-sized, never
+    * batch-sized — so the only batch-proportional work is the gram
+    * projection itself.
+    */
+  def spanContaminationAgainstIndex(newDocs: DataFrame, path: String,
+                                    minRunTokens: Int = 13,
+                                    broadcastIndex: Boolean = true,
+                                    sorted: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
+    def allClean = present(newDocs.select(col("doc_id"),
+      lit(0L).as("max_run_tokens"), lit(0L).as("n_spans"),
+      lit(false).as("is_contaminated")))
+    if (IndexStamp.emptyCommittedIndex(spark, evalMarker(path),
+        s"$path/grams"))
+      return allClean
+    val (n, dfCap) = evalParams(spark, path)
+    val rare0 = IndexCache.read(spark, s"$path/grams")
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("g")
+    val rare = if (broadcastIndex) broadcast(rare0) else rare0
+    val hits = Dedup.hashedShingles(newDocs, n)
+      .select(col("doc_id"), col("pos"), col("h").as("g"))
+      .join(rare, Seq("g"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg((count(lit(1)) + (n - 1)).as("run_tokens"))
+      .groupBy("doc_id")
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        sum(when(col("run_tokens") >= minRunTokens, 1L).otherwise(0L))
+          .as("n_spans"))
+    present(newDocs.select(col("doc_id"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("max_run_tokens"), lit(0L)) >= minRunTokens)
+          .as("is_contaminated")))
+  }
+
   /** The re-decontamination DELTA — the lifecycle step between an
     * [[appendEvalIndex]] and the removal job it mandates: which docs of
     * an ALREADY-SCREENED corpus does the index flag NOW that it did not

@@ -339,6 +339,14 @@ object CorpusPrep {
     *      eval-gram index ([[Contamination.contaminationAgainstIndex]]
     *      — eval suite never re-tokenized, stop-gram pruning frozen on
     *      eval-side df so verdicts are batch-independent);
+    *   4b. span contamination (optional, rides the SAME eval index):
+    *      `contam_span_run`/`span_ok` — the consecutive-overlap rule
+    *      ([[Contamination.spanContaminationAgainstIndex]]): a doc
+    *      sharing a contiguous ≥ `contamSpanMinRun`-token run with the
+    *      eval suite fails even when its scattered-gram count stays
+    *      under the doc-level threshold (a short verbatim benchmark
+    *      quote inside a long document — the doc-level screen's blind
+    *      spot);
     *   5. embedding-space outliers (optional): `is_outlier`/
     *      `outlier_zscore` for the batch's embeddings against the
     *      persisted frozen model ([[Similarity.outliersAgainstIndex]]);
@@ -384,6 +392,7 @@ object CorpusPrep {
                         maxHamming: Int = 3,
                         contamIndexPath: Option[String] = None,
                         contamMinShared: Int = 5,
+                        contamSpanMinRun: Option[Int] = None,
                         embeddings: Option[DataFrame] = None,
                         outlierIndexPath: Option[String] = None,
                         outlierZ: Double = 2.0,
@@ -395,6 +404,10 @@ object CorpusPrep {
     require(embeddings.isDefined == outlierIndexPath.isDefined,
       "outlier screen needs BOTH the batch embeddings and the persisted " +
         "model path — supplying one without the other silently skips " +
+        "the screen the caller asked for")
+    require(contamSpanMinRun.isEmpty || contamIndexPath.isDefined,
+      "span-contamination screen rides the eval-gram index — " +
+        "contamSpanMinRun without contamIndexPath would silently skip " +
         "the screen the caller asked for")
     val spark = batch.sparkSession
     // ONE batch-text scan for the whole composite: every screen below
@@ -497,6 +510,22 @@ object CorpusPrep {
           .withColumn("contam_shared", lit(null).cast("long"))
           .withColumn("contam_match_id", lit(null).cast("long"))
     }
+    // Span form over the SAME eval index: the contiguous-run rule the
+    // doc-level count can't express (stage 4b).
+    val withSpans = (contamSpanMinRun, contamIndexPath) match {
+      case (Some(r), Some(p)) =>
+        withContam.join(
+          Contamination.spanContaminationAgainstIndex(once, p,
+              minRunTokens = r, sorted = false)
+            .select(col("doc_id"),
+              col("max_run_tokens").as("contam_span_run"),
+              (!col("is_contaminated")).as("span_ok")),
+          Seq("doc_id"))
+      case _ =>
+        withContam
+          .withColumn("contam_span_run", lit(null).cast("long"))
+          .withColumn("span_ok", lit(true))
+    }
     // Embedding-side screen vs the frozen outlier model. left_outer +
     // coalesce(false): a batch doc with no embedding row gets no
     // verdict and is never flagged.
@@ -505,7 +534,7 @@ object CorpusPrep {
         val embL =
           if (emb.columns.contains("label")) emb
           else emb.withColumn("label", lit(null).cast("string"))
-        withContam.join(
+        withSpans.join(
           Similarity.outliersAgainstIndex(embL, p, outlierZ)
             .select(col("vec_id").as("doc_id"),
               col("zscore").as("outlier_zscore"), col("is_outlier")),
@@ -513,7 +542,7 @@ object CorpusPrep {
           .withColumn("is_outlier",
             coalesce(col("is_outlier"), lit(false)))
       case _ =>
-        withContam
+        withSpans
           .withColumn("is_outlier", lit(false))
           .withColumn("outlier_zscore", lit(null).cast("double"))
     }
@@ -542,7 +571,7 @@ object CorpusPrep {
     val flagged = withRepetition.withColumn("eligible",
       col("quality_ok") && col("blocklist_ok") && col("is_novel") &&
         col("dsir_ok") && !col("is_contained") && !col("is_hamming_dup") &&
-        !col("is_contaminated") && !col("is_outlier") &&
+        !col("is_contaminated") && col("span_ok") && !col("is_outlier") &&
         col("repetition_ok"))
       .localCheckpoint(eager = false)
     // Clustering only the eligible docs keeps the last stage minimal
@@ -561,6 +590,7 @@ object CorpusPrep {
         col("is_contained"), col("best_containment"), col("container_id"),
         col("is_hamming_dup"), col("best_hamming"), col("hamming_match_id"),
         col("is_contaminated"), col("contam_shared"), col("contam_match_id"),
+        col("contam_span_run"), col("span_ok"),
         col("is_outlier"), col("outlier_zscore"),
         col("dup_3gram_frac"), col("repetition_ok"),
         coalesce(col("batch_survivor"), lit(false)).as("batch_survivor"),

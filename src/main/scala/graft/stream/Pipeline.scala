@@ -679,6 +679,7 @@ object Pipeline {
                      maxHamming: Int = 3,
                      contamIndexPath: Option[String] = None,
                      contamMinShared: Int = 5,
+                     contamSpanMinRun: Option[Int] = None,
                      outlierIndexPath: Option[String] = None,
                      outlierZ: Double = 2.0,
                      repetitionMaxDupFrac: Option[Double] = None,
@@ -715,7 +716,7 @@ object Pipeline {
               nearDupThreshold, dsirIndexPath, dsirMinScore,
               containmentIndexPath, containmentThreshold,
               simhashIndexPath, maxHamming,
-              contamIndexPath, contamMinShared,
+              contamIndexPath, contamMinShared, contamSpanMinRun,
               emb, outlierIndexPath, outlierZ,
               repetitionMaxDupFrac, sorted = false)
             val outDir = s"$verdictDir/batch_id=$batchId"

@@ -140,7 +140,8 @@ object ScreenDrill {
       val query = graft.stream.Pipeline.curationStream(
         source.toDF().toDF("doc_id", "text", "embedding"), idx,
         s"$tmp/verdicts", s"$tmp/ckpt", blocklist = Seq("plantbad"),
-        contamIndexPath = Some(evIdx), outlierIndexPath = Some(oIdx),
+        contamIndexPath = Some(evIdx), contamSpanMinRun = Some(8),
+        outlierIndexPath = Some(oIdx),
         outlierZ = 4.0, repetitionMaxDupFrac = Some(0.2),
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
       try {
@@ -155,12 +156,17 @@ object ScreenDrill {
           val caught = v.filter(!col("is_novel")).count()
           val gated = v.filter(!col("blocklist_ok")).count()
           val cont = v.filter(col("is_contaminated")).count()
+          val spanHits = v.filter(!col("span_ok")).count()
           val outl = v.filter(col("is_outlier")).count()
           val rep = v.filter(!col("repetition_ok")).count()
-          println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d outliers=$outl%d stutter=$rep%d")
+          println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d spans=$spanHits%d outliers=$outl%d stutter=$rep%d")
           assert(caught == copies, s"trigger $trig: caught $caught != $copies")
           assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
           assert(cont == contam, s"trigger $trig: contaminated $cont != $contam")
+          // the verbatim eval copies are 30-token runs — the span rule
+          // catches exactly them (standing/fresh/stutter text shares no
+          // eval 3-gram sequences)
+          assert(spanHits == contam, s"trigger $trig: spans $spanHits != $contam")
           assert(outl == outliers, s"trigger $trig: outliers $outl != $outliers")
           assert(rep == stutter, s"trigger $trig: stutter $rep != $stutter")
           assert(kept == fresh + twinPairs,

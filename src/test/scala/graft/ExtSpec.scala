@@ -212,6 +212,48 @@ class ExtSpec extends AnyFunSuite {
     assert(deco.columns.toSeq == batch.columns.toSeq)
   }
 
+  test("spanContaminationAgainstIndex: contiguous runs flag; the same grams scattered do not") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")) // 8 tokens, 6 grams
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("contam-span").toString + "/evalgrams"
+    Contamination.buildEvalIndex(bench, path)
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val batch = Seq(
+      // verbatim 8-token quote embedded in fresh text → one 8-token run
+      (100L, s"intro words here $quote closing words after"),
+      // the SAME shared grams but scattered: two 3-token fragments →
+      // max run 3 — clean under the span rule (the doc-level screen at
+      // minShared = 2 would flag this; the run rule is the point)
+      (101L, "alpha beta gamma filler tokens pad delta epsilon zeta"),
+      (102L, "wholly unrelated training text with no overlap at all"),
+      (103L, "hi"), // under 3 tokens: no grams, 0/0/false
+      // the quote TWICE, separated → two spans
+      (104L, s"$quote separator words break adjacency $quote"))
+      .toDF("doc_id", "text")
+    val v = Contamination.spanContaminationAgainstIndex(batch, path,
+        minRunTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(v(100L) == ((8L, 1L, true)), v(100L).toString)
+    assert(v(101L) == ((3L, 0L, false)), v(101L).toString)
+    assert(v(102L) == ((0L, 0L, false)))
+    assert(v(103L) == ((0L, 0L, false)))
+    assert(v(104L) == ((8L, 2L, true)), v(104L).toString)
+    // contrast pinned: the doc-level count screen flags the scattered
+    // doc the span rule clears
+    val docLevel = Contamination.contaminationAgainstIndex(batch, path,
+      minShared = 2).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(docLevel(101L) && !v(101L)._3)
+    // fail-closed like the whole family
+    intercept[IllegalArgumentException] {
+      Contamination.spanContaminationAgainstIndex(batch,
+        java.nio.file.Files.createTempDirectory("contam-span-none")
+          .toString + "/nope")
+    }
+  }
+
   test("redecontaminateDelta: append → screen → delta reports exactly the newly flagged docs") {
     val baseBench = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"))
@@ -1261,12 +1303,14 @@ class ExtSpec extends AnyFunSuite {
     val emb4 = Seq(40L -> 0.01f, 41L -> 3f).toDF("vec_id", "noise")
       .select(col("vec_id"), mkEmb(col("vec_id"), col("noise")).as("embedding"))
     val v4 = CorpusPrep.screenIncremental(batch4, idx,
-        contamIndexPath = Some(evIdx),
+        contamIndexPath = Some(evIdx), contamSpanMinRun = Some(8),
         embeddings = Some(emb4), outlierIndexPath = Some(oIdx),
         repetitionMaxDupFrac = Some(0.2))
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(v4(40L).getAs[Boolean]("kept") &&
       !v4(40L).getAs[Boolean]("is_outlier") &&
+      v4(40L).getAs[Boolean]("span_ok") &&
+      v4(40L).getAs[Long]("contam_span_run") == 0L &&
       !v4(40L).getAs[Boolean]("is_contaminated"), v4(40L).toString)
     assert(!v4(41L).getAs[Boolean]("kept") &&
       v4(41L).getAs[Boolean]("is_outlier") &&
@@ -1278,7 +1322,13 @@ class ExtSpec extends AnyFunSuite {
     assert(!v4(43L).getAs[Boolean]("kept") &&
       v4(43L).getAs[Boolean]("is_contaminated") &&
       v4(43L).getAs[Long]("contam_match_id") == 900L &&
+      !v4(43L).getAs[Boolean]("span_ok") &&
+      v4(43L).getAs[Long]("contam_span_run") >= 8L &&
       v4(43L).getAs[Boolean]("is_novel"), v4(43L).toString)
+    // half-configured span screen fails loudly
+    intercept[IllegalArgumentException] {
+      CorpusPrep.screenIncremental(batch4, idx, contamSpanMinRun = Some(8))
+    }
     // the stutter doc passes every standing screen (novel, clean,
     // uncontaminated) and is vetoed by the repetition gate alone:
     // 58 3-grams, 3 distinct → dup frac ≈ 0.948
@@ -1296,7 +1346,7 @@ class ExtSpec extends AnyFunSuite {
     }
     // sorted = false drops only the presentation sort — same verdicts
     val unsorted = CorpusPrep.screenIncremental(batch4, idx,
-        contamIndexPath = Some(evIdx),
+        contamIndexPath = Some(evIdx), contamSpanMinRun = Some(8),
         embeddings = Some(emb4), outlierIndexPath = Some(oIdx),
         repetitionMaxDupFrac = Some(0.2),
         sorted = false)
