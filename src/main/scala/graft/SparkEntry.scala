@@ -938,6 +938,20 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 450), path, minRunTokens = 8)
     }),
 
+    // The span screen's decision form: contaminated SPANS removed,
+    // the rest of each doc kept — dropping a whole document for one
+    // quoted benchmark question destroys good training text; dropping
+    // the quote doesn't. Same index, split, and run rule as
+    // contamination_spans.
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Contamination.evalIndexPathFor(dir)
+      Contamination.ensureEvalIndex(s, docs.filter(col("doc_id") < 50),
+        path, sourcePath = Some(s"$dir/documents.parquet"))
+      Contamination.scrubContaminatedSpans(
+        docs.filter(col("doc_id") >= 450), path, minRunTokens = 8)
+    }),
+
     // The re-decontamination LIFECYCLE in one plan: base eval index
     // (benchmarks 30–49) + an appended benchmark suite (doc_id < 30,
     // ingest 1) → the DELTA a scheduled removal job must act on: docs
@@ -3460,6 +3474,33 @@ object SparkEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 450) d
            |LEFT JOIN per ON per.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      // Span removal: covered token positions re-derived from the
+      // qualifying runs (token j removed iff inside start..start+glen+1
+      // — glen grams of 3 tokens), text rebuilt from the survivors.
+      "decontaminate_spans" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
+           |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM vsh GROUP BY 1) WHERE df <= 20),
+           |bt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           |       FROM documents WHERE doc_id >= 450),
+           |bsh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           |        FROM bt, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+           |hits AS (SELECT doc_id, pos FROM bsh WHERE g IN (SELECT g FROM rare)),
+           |isl AS (SELECT doc_id, pos,
+           |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM hits),
+           |runs AS (SELECT doc_id, min(pos) AS start, count(*) AS glen
+           |         FROM isl GROUP BY doc_id, island HAVING count(*) + 2 >= 8),
+           |covered AS (SELECT DISTINCT r.doc_id, r.start + k AS j
+           |            FROM runs r, UNNEST(range(0, r.glen + 2)) AS u(k)),
+           |tok AS (SELECT doc_id, j, toks[j] AS t FROM bt, UNNEST(range(1, len(toks)+1)) AS u(j)),
+           |kept AS (SELECT tk.doc_id, tk.j, tk.t FROM tok tk
+           |         LEFT JOIN covered c ON c.doc_id = tk.doc_id AND c.j = tk.j
+           |         WHERE c.j IS NULL),
+           |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY j) AS clean_text,
+           |               count(*) AS nk FROM kept GROUP BY 1)
+           |SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           |  (len(b.toks) - COALESCE(a.nk, 0))::BIGINT AS tokens_removed
+           |FROM bt b LEFT JOIN agg a ON a.doc_id = b.doc_id
+           |ORDER BY b.doc_id""".stripMargin,
       // The append→screen→delta lifecycle: both screen states re-derived
       // over string 3-grams — base df over the base suite alone, full df
       // over base + appended — and the delta keeps docs flagged under

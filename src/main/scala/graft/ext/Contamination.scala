@@ -354,6 +354,68 @@ object Contamination {
           .as("is_contaminated")))
   }
 
+  /** The span screen's DECISION form: the corpus with every
+    * contaminated SPAN removed and the rest of each document kept —
+    * what span-level decontamination actually materializes (dropping a
+    * whole long document for one quoted benchmark question destroys
+    * good training text; dropping the quote doesn't). Tokens covered
+    * by any qualifying run (≥ `minRunTokens`, [[
+    * spanContaminationAgainstIndex]]'s rule over the same persisted
+    * postings) are filtered out positionally and the text rebuilt —
+    * the [[TextAnalysis.scrubCommonSpans]] rebuild applied to the
+    * contamination family. Returns (doc_id, clean_text,
+    * tokens_removed); clean_text is whitespace-normalized by
+    * construction (split → filter → join), identically for untouched
+    * docs.
+    *
+    * Shape at 100 TB: qualifying runs are match-sized (a per-doc
+    * struct array collected from the islands aggregate, broadcast-free
+    * — it joins back on doc_id), and the removal is one row-local
+    * higher-order filter over the token array; the corpus is scanned
+    * once for grams and once for the rebuild.
+    */
+  def scrubContaminatedSpans(train: DataFrame, path: String,
+                             minRunTokens: Int = 13,
+                             broadcastIndex: Boolean = true,
+                             sorted: Boolean = true): DataFrame = {
+    val spark = train.sparkSession
+    def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
+    val base = train.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    def untouched = present(base.select(col("doc_id"),
+      array_join(col("toks"), " ").as("clean_text"),
+      lit(0L).as("tokens_removed")))
+    if (IndexStamp.emptyCommittedIndex(spark, evalMarker(path),
+        s"$path/grams"))
+      return untouched
+    val (n, dfCap) = evalParams(spark, path)
+    val rare0 = IndexCache.read(spark, s"$path/grams")
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("g")
+    val rare = if (broadcastIndex) broadcast(rare0) else rare0
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = Dedup.hashedShingles(train, n)
+      .select(col("doc_id"), col("pos"), col("h").as("g"))
+      .join(rare, Seq("g"), "left_semi")
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("start"), count(lit(1)).as("glen"))
+      .filter(col("glen") + (n - 1) >= minRunTokens)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start"), col("glen"))).as("spans"))
+    present(base.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        s"""filter(toks, (x, i) ->
+           |  NOT exists(coalesce(spans, array()),
+           |    s -> i >= s.start AND i < s.start + s.glen + ${n - 1}))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("bigint")
+          .as("tokens_removed")))
+  }
+
   /** The re-decontamination DELTA — the lifecycle step between an
     * [[appendEvalIndex]] and the removal job it mandates: which docs of
     * an ALREADY-SCREENED corpus does the index flag NOW that it did not

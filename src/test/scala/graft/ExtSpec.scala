@@ -254,6 +254,34 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubContaminatedSpans removes exactly the quoted spans and keeps the rest") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("contam-scrub").toString + "/evalgrams"
+    Contamination.buildEvalIndex(bench, path)
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val batch = Seq(
+      (100L, s"intro words here $quote closing words after"),
+      // scattered fragments (runs of 3 < 8): untouched
+      (101L, "alpha beta gamma filler tokens pad delta epsilon zeta"),
+      (102L, "hi"),
+      // the quote twice: both spans removed, separator kept
+      (103L, s"$quote keep these middle words $quote"))
+      .toDF("doc_id", "text")
+    val v = Contamination.scrubContaminatedSpans(batch, path,
+        minRunTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(v(100L) == (("intro words here closing words after", 8L)),
+      v(100L).toString)
+    assert(v(101L) ==
+      (("alpha beta gamma filler tokens pad delta epsilon zeta", 0L)))
+    assert(v(102L) == (("hi", 0L)))
+    assert(v(103L) == (("keep these middle words", 16L)), v(103L).toString)
+  }
+
   test("redecontaminateDelta: append → screen → delta reports exactly the newly flagged docs") {
     val baseBench = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"))

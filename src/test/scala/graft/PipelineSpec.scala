@@ -573,7 +573,7 @@ class PipelineSpec extends AnyFunSuite {
     val batchDf = rows.toDF("doc_id", "text", "embedding")
     val expected = graft.ext.CorpusPrep.screenIncremental(
         batchDf, idx,
-        contamIndexPath = Some(evIdx),
+        contamIndexPath = Some(evIdx), contamSpanMinRun = Some(8),
         embeddings = Some(batchDf.select(col("doc_id").as("vec_id"),
           col("embedding"))),
         outlierIndexPath = Some(oIdx))
@@ -583,7 +583,8 @@ class PipelineSpec extends AnyFunSuite {
       spark.sqlContext)
     val docs = source.toDF().toDF("doc_id", "text", "embedding")
     val query = Pipeline.curationStream(docs, idx, verdicts, ckpt,
-      contamIndexPath = Some(evIdx), outlierIndexPath = Some(oIdx),
+      contamIndexPath = Some(evIdx), contamSpanMinRun = Some(8),
+      outlierIndexPath = Some(oIdx),
       trigger = Trigger.ProcessingTime("0 seconds"))
     try {
       source.addData(rows: _*)
@@ -602,6 +603,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(!byId(11L).getAs[Boolean]("kept") &&
       byId(11L).getAs[Boolean]("is_contaminated") &&
       byId(11L).getAs[Long]("contam_match_id") == 900L &&
+      !byId(11L).getAs[Boolean]("span_ok") &&
       byId(11L).getAs[Boolean]("is_novel"), byId(11L).toString)
     assert(!byId(12L).getAs[Boolean]("kept") &&
       byId(12L).getAs[Boolean]("is_outlier") &&
