@@ -872,6 +872,38 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming SPAN-contamination screen — [[contaminationScreenStream]]
+    * with the consecutive-overlap rule ([[graft.ext.Contamination
+    * .spanContaminationAgainstIndex]]): each micro-batch's docs are
+    * verdicted by their longest contiguous token run shared with the
+    * frozen eval suite. Stateless, replay-idempotent (per-batch dir
+    * overwrite), the eval index frozen with respect to the stream it
+    * filters — the family discipline throughout. PipelineSpec pins
+    * batch ≡ stream.
+    */
+  def spanContaminationScreenStream(docStream: DataFrame, indexPath: String,
+                                    verdictDir: String, checkpointDir: String,
+                                    minRunTokens: Int = 13,
+                                    retainVerdictBatches: Int = 0,
+                                    trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ext.Contamination.spanContaminationAgainstIndex(
+              batch, indexPath, minRunTokens, sorted = false)
+            .write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+          pruneVerdictDirs(spark, verdictDir, batchId,
+            retainVerdictBatches)
+        }
+      }
+      .start()
+
   /** Streaming k-means scoring — the streaming twin of
     * [[graft.ext.Similarity.kmeansClusters]]: incoming embeddings are
     * assigned to their nearest FITTED centroid (the same opaque

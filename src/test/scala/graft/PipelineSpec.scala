@@ -653,6 +653,43 @@ class PipelineSpec extends AnyFunSuite {
       == Seq(1L))
   }
 
+  test("streaming span-contamination screen verdicts equal the batch screen") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("span-stream").toString
+    val (evIdx, verdicts, ckpt) = (s"$tmp/evidx", s"$tmp/verdicts", s"$tmp/ckpt")
+    graft.ext.Contamination.buildEvalIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), evIdx)
+    val rows = Seq(
+      (100L, "start alpha beta gamma delta epsilon zeta eta theta end"),
+      (101L, "alpha beta gamma scattered only delta epsilon zeta here"),
+      (102L, "no overlap in this training document at all"))
+    val expected = graft.ext.Contamination.spanContaminationAgainstIndex(
+      rows.toDF("doc_id", "text"), evIdx, minRunTokens = 8)
+      .collect().map(_.toSeq).toSeq
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val query = Pipeline.spanContaminationScreenStream(
+      source.toDF().toDF("doc_id", "text"), evIdx, verdicts, ckpt,
+      minRunTokens = 8,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(verdicts).drop("batch_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == expected, s"stream $got\nbatch $expected")
+    assert(got.count(_(3) == true) == 1) // only the contiguous quote
+    // the eval index is untouched (frozen reference data)
+    assert(spark.read.parquet(s"$evIdx/grams")
+      .select("eval_id").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
   test("streaming simhash dedup flags near-copies against the growing fingerprint index") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
