@@ -972,6 +972,25 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 450), path, sinceIngestId = 1L)
     }),
 
+    // The same append→screen→delta lifecycle under the SPAN rule: docs
+    // whose max contiguous run vs the FULL index reaches 8 tokens but
+    // whose run vs the BASE index (ingest 0 alone) stays under it —
+    // the newly-qualifying spans a span-rule deployment must cut after
+    // a benchmark append. Both rare-gram states from ONE postings
+    // read; the matched positional stream is checkpointed so the two
+    // per-state island windows share one corpus tokenize pass.
+    "redecontaminate_spans_delta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Contamination.evalSpanDeltaIndexPathFor(dir)
+      Contamination.buildEvalIndex(
+        docs.filter(col("doc_id") >= 30 && col("doc_id") < 50), path)
+      Contamination.appendEvalIndex(
+        docs.filter(col("doc_id") < 30), path, ingestId = 1L)
+      Contamination.redecontaminateSpansDelta(
+        docs.filter(col("doc_id") >= 450), path, sinceIngestId = 1L,
+        minRunTokens = 8)
+    }),
+
     // Edit-distance verify (the character-level near-dup metric):
     // adjacent-id pairs over 200-char prefixes — pairwise DP cost is
     // bounded by pair count × prefix², exactly how a candidate-pair
@@ -1257,6 +1276,27 @@ object SparkEntry {
         containmentThreshold = Some(0.5),
         embeddings = Some(T(s, dir, "embeddings")),
         repetitionMaxDupFrac = Some(0.05)))
+    }),
+
+    // The batch composite's PER-DOC verdict frame with the span-
+    // contamination veto on (r16: screenIncremental's stage 4b brought
+    // to the batch path — the second half of the composites' symmetry
+    // contract; the repetition veto closed the first). Every v2 screen
+    // plus `contam_span_run`/`span_ok`: a doc sharing a contiguous
+    // ≥8-token run with the eval slice is ineligible even when its
+    // scattered-gram count stays under the doc-level threshold. The
+    // oracle re-derives all NINE verdicts per doc, including the
+    // eval-df rare set and the gaps-and-islands run lengths.
+    "corpus_prep_v3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.CorpusPrep.prepare(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        blocklist = Seq("dup", "skew", "spill"),
+        blocklistMaxFraction = 0.05,
+        containmentThreshold = Some(0.5),
+        embeddings = Some(T(s, dir, "embeddings")),
+        repetitionMaxDupFrac = Some(0.05),
+        contamSpanMinRun = Some(8))
     }),
 
     // The INCREMENTAL curation composite: a new batch (doc_id >= 450)
@@ -3031,7 +3071,31 @@ object SparkEntry {
     // shingle wins a window minimum), and the semantic outlier screen
     // (the kmeans oracle, embedded as a WITH-subquery); eligibility
     // AND-s all four verdicts, survivors staged exactly as v1.
-    val curationCteV2 =
+    // `spans = true` (corpus_prep_v3) additionally re-derives the
+    // span-contamination veto: rare eval grams (EVAL-side df ≤ 20, the
+    // indexed screen's batch-independent rule), positional corpus
+    // 3-grams, gaps-and-islands run lengths, span_ok = max run < 8.
+    def curationCteV2(spans: Boolean = false): String = {
+      val spanCtes = if (!spans) "" else
+        """srare AS (SELECT g FROM (SELECT g, count(*) AS df FROM esh GROUP BY 1) WHERE df <= 20),
+          |cposh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+          |          FROM t, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+          |sphit AS (SELECT doc_id, pos FROM cposh WHERE g IN (SELECT g FROM srare)),
+          |spisl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM sphit),
+          |spruns AS (SELECT doc_id, island, count(*) + 2 AS run_tokens FROM spisl GROUP BY 1, 2),
+          |spper AS (SELECT doc_id, max(run_tokens)::BIGINT AS span_run FROM spruns GROUP BY 1),
+          |""".stripMargin
+      val spanCols = if (spans)
+        """,
+          |    r.dup_3gram_frac,
+          |    COALESCE(sp.span_run, 0) AS contam_span_run,
+          |    COALESCE(sp.span_run, 0) < 8 AS span_ok""".stripMargin
+      else ""
+      val spanJoin = if (spans)
+        "\n  LEFT JOIN spper sp ON sp.doc_id = c.doc_id" else ""
+      val spanElig = if (spans) " AND span_ok" else ""
+      val spanPass = if (spans)
+        ", dup_3gram_frac, contam_span_run, span_ok" else ""
       s"""corpus AS (SELECT * FROM documents WHERE doc_id >= 50),
          |eval_docs AS (SELECT * FROM documents WHERE doc_id < 50),
          |${shingleCte("corpus")},
@@ -3058,7 +3122,7 @@ object SparkEntry {
          |         FROM t, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
          |crepf AS (SELECT doc_id, ROUND(1.0 - count(DISTINCT g) / count(*), 4) AS dup_3gram_frac
          |          FROM crep GROUP BY 1),
-         |flagged AS (
+         |${spanCtes}flagged AS (
          |  SELECT c.doc_id, md5(c.text) AS content_digest,
          |    COALESCE(cm.doc_id IS NOT NULL, FALSE) AS is_contaminated,
          |    (LEN(string_split_regex(TRIM(c.text), '\\s+')) >= 5
@@ -3066,20 +3130,21 @@ object SparkEntry {
          |    bl.is_blocked,
          |    COALESCE(o.doc_id IS NOT NULL, FALSE) AS is_outlier,
          |    COALESCE(r.dup_3gram_frac <= 0.05, TRUE) AS repetition_ok,
-         |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id
+         |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id$spanCols
          |  FROM corpus c LEFT JOIN contam cm ON cm.doc_id = c.doc_id
          |  LEFT JOIN comp cp ON cp.doc_id = c.doc_id
          |  JOIN bl ON bl.doc_id = c.doc_id
          |  LEFT JOIN outl o ON o.doc_id = c.doc_id
-         |  LEFT JOIN crepf r ON r.doc_id = c.doc_id),
+         |  LEFT JOIN crepf r ON r.doc_id = c.doc_id$spanJoin),
          |s3 AS (
-         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier, repetition_ok,
-         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok) AS eligible,
+         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier, repetition_ok$spanPass,
+         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig) AS eligible,
          |    doc_id <> min(doc_id) OVER (PARTITION BY content_digest) AS is_exact_dup,
          |    doc_id <> min(doc_id) OVER (PARTITION BY cluster_id) AS is_near_dup,
-         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
-         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
          |  FROM flagged)""".stripMargin
+    }
     // The incremental-composite oracle, shared by curation_screen (base
     // screens; contamination/outlier columns pinned to the engine's
     // screen-off constants) and curation_screen_v2 (full = true: the
@@ -3418,6 +3483,7 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
            |  CAST(0 AS BIGINT) AS outliers,
            |  CAST(0 AS BIGINT) AS repetition_vetoed,
+           |  CAST(0 AS BIGINT) AS span_vetoed,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
       // The incremental composite: every screen re-derived — row-local
@@ -3458,7 +3524,7 @@ object SparkEntry {
       "contamination_spans" ->
         s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
            |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM vsh GROUP BY 1) WHERE df <= 20),
-           |bt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           |bt AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
            |       FROM documents WHERE doc_id >= 450),
            |bsh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
            |        FROM bt, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
@@ -3480,7 +3546,7 @@ object SparkEntry {
       "decontaminate_spans" ->
         s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
            |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM vsh GROUP BY 1) WHERE df <= 20),
-           |bt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           |bt AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
            |       FROM documents WHERE doc_id >= 450),
            |bsh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
            |        FROM bt, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
@@ -3529,6 +3595,36 @@ object SparkEntry {
            |SELECT doc_id, shared_ngrams, match_id FROM best
            |WHERE doc_id NOT IN (SELECT doc_id FROM flagged_base)
            |ORDER BY doc_id""".stripMargin,
+      // The span-rule delta: both rare-gram states re-derived (full =
+      // base + appended df ≤ 20; base = base rows alone, present and
+      // ≤ 20), islands per state over positional string 3-grams, and
+      // the delta keeps docs whose full-state run reaches 8 while the
+      // base-state run stays under it.
+      "redecontaminate_spans_delta" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 30 AND doc_id < 50)", "vb")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 30)", "vn")},
+           |vall AS (SELECT g, TRUE AS is_base FROM vbsh
+           |         UNION ALL SELECT g, FALSE FROM vnsh),
+           |gst AS (SELECT g, count(*) <= 20 AS full_ok,
+           |          sum(CASE WHEN is_base THEN 1 ELSE 0 END) BETWEEN 1 AND 20 AS base_ok
+           |        FROM vall GROUP BY g),
+           |bt AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS toks
+           |       FROM documents WHERE doc_id >= 450),
+           |bposh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           |          FROM bt, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+           |fh AS (SELECT doc_id, pos FROM bposh WHERE g IN (SELECT g FROM gst WHERE full_ok)),
+           |bh AS (SELECT doc_id, pos FROM bposh WHERE g IN (SELECT g FROM gst WHERE base_ok)),
+           |fisl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM fh),
+           |fper AS (SELECT doc_id, max(run_tokens)::BIGINT AS max_run_tokens FROM
+           |  (SELECT doc_id, island, count(*) + 2 AS run_tokens FROM fisl GROUP BY 1, 2) GROUP BY 1),
+           |bisl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM bh),
+           |bper AS (SELECT doc_id, max(run_tokens)::BIGINT AS base_run_tokens FROM
+           |  (SELECT doc_id, island, count(*) + 2 AS run_tokens FROM bisl GROUP BY 1, 2) GROUP BY 1)
+           |SELECT f.doc_id, f.max_run_tokens,
+           |  COALESCE(b.base_run_tokens, 0) AS base_run_tokens
+           |FROM fper f LEFT JOIN bper b ON b.doc_id = f.doc_id
+           |WHERE f.max_run_tokens >= 8 AND COALESCE(b.base_run_tokens, 0) < 8
+           |ORDER BY f.doc_id""".stripMargin,
       "decontaminate_indexed" ->
         s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "b")},
            |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
@@ -3542,7 +3638,7 @@ object SparkEntry {
            |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM ccand)
            |ORDER BY doc_id""".stripMargin,
       "corpus_prep_v2" ->
-        s"""WITH RECURSIVE $curationCteV2
+        s"""WITH RECURSIVE ${curationCteV2()}
            |SELECT count(*) AS total_docs,
            |  CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS low_quality,
            |  CAST(sum(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS blocked,
@@ -3551,8 +3647,18 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
            |  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
            |  CAST(sum(CASE WHEN NOT repetition_ok THEN 1 ELSE 0 END) AS BIGINT) AS repetition_vetoed,
+           |  CAST(0 AS BIGINT) AS span_vetoed,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
+      // The batch composite's per-doc verdicts with the span veto on:
+      // all nine screens re-derived, span runs included.
+      "corpus_prep_v3" ->
+        s"""WITH RECURSIVE ${curationCteV2(spans = true)}
+           |SELECT doc_id, quality_ok, is_blocked, is_exact_dup, is_near_dup,
+           |  is_contaminated, is_outlier, dup_3gram_frac, repetition_ok,
+           |  contam_span_run, span_ok,
+           |  (eligible AND doc_id = dig_surv AND doc_id = clu_surv) AS kept
+           |FROM s3 ORDER BY doc_id""".stripMargin,
       "train_prep" ->
         s"""WITH RECURSIVE $curationCte,
            |kept AS (SELECT doc_id FROM s3 WHERE eligible AND doc_id = dig_surv AND doc_id = clu_surv),

@@ -68,6 +68,64 @@ object Contamination {
       .orderBy("eval_id", "train_id")
   }
 
+  /** In-frame SPAN screen — [[spanContaminationAgainstIndex]]'s
+    * consecutive-overlap rule without a persisted index, the form the
+    * batch composite ([[CorpusPrep.prepare]]) rides so batch backfill
+    * and streaming ingest apply the SAME two contamination rules
+    * (scattered-gram count AND contiguous run). Rare eval grams
+    * (EVAL-side df ≤ `dfCap` — the frozen screen's batch-independent
+    * stop-gram rule, NOT [[ngramOverlap]]'s train-side cap: a span
+    * verdict must agree between this form and the indexed one) probe
+    * the training corpus' positional gram stream; maximal runs of
+    * consecutive hit positions are islands, and a run of g grams covers
+    * g + n − 1 tokens.
+    *
+    * Returns only docs WITH at least one hit: (doc_id, max_run_tokens,
+    * n_spans) — the composable match-sized form a composite left-joins
+    * back (absent doc ⇒ run 0, clean). `trainShingles`, when supplied,
+    * MUST keep `pos` (runs are positional) and declare its gram size
+    * via `trainShinglesN` == n, the [[ngramOverlap]] invariant.
+    *
+    * Shape at 100 TB: the rare-gram SET is eval-suite-sized and
+    * broadcasts; the islands window partitions per doc over HIT
+    * positions only — match-sized, never corpus-sized — so the only
+    * corpus-proportional work is the gram projection itself (shared
+    * with the composite's other shingle consumers via
+    * `trainShingles`).
+    */
+  def spanOverlapRaw(evalDocs: DataFrame, train: DataFrame, n: Int = 3,
+                     minRunTokens: Int = 13, dfCap: Int = 20,
+                     trainShingles: Option[DataFrame] = None,
+                     trainShinglesN: Option[Int] = None,
+                     broadcastEval: Boolean = true): DataFrame = {
+    trainShingles.foreach { sh =>
+      val tn = trainShinglesN.getOrElse(throw new IllegalArgumentException(
+        "trainShingles supplied without trainShinglesN: declare the gram " +
+          "size the stream was built with (must equal n)"))
+      require(tn == n, s"trainShingles built with n=$tn but eval side " +
+        s"shingles with n=$n: overlap would be silently zero")
+      require(sh.columns.contains("pos"),
+        "trainShingles must keep `pos` — span runs are positional")
+    }
+    val rare0 = Dedup.hashedShingles(evalDocs, n)
+      .select(col("doc_id").as("eval_id"), col("h").as("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("g")
+    val rare = if (broadcastEval) broadcast(rare0) else rare0
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    trainShingles.getOrElse(Dedup.hashedShingles(train, n))
+      .select(col("doc_id"), col("pos"), col("h").as("g"))
+      .join(rare, Seq("g"), "left_semi")
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg((count(lit(1)) + (n - 1)).as("run_tokens"))
+      .groupBy("doc_id")
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        sum(when(col("run_tokens") >= minRunTokens, 1L).otherwise(0L))
+          .as("n_spans"))
+  }
+
   /** The per-document DECISION the overlap screen exists to feed: the
     * training corpus with every document flagged against ANY eval doc
     * removed — what a pre-training pipeline actually materializes
@@ -119,6 +177,16 @@ object Contamination {
   def evalDeltaIndexPathFor(sfDir: String): String =
     IndexStamp.pathUnderRoot(
       "graft-contamdelta1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Separate per-corpus location for the SPAN form of the
+    * append→delta lifecycle query (`redecontaminate_spans_delta`) —
+    * its own rebuild-per-call directory, so neither delta query's
+    * build can clobber the other's mid-run if their splits ever
+    * diverge.
+    */
+  def evalSpanDeltaIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-contamsdelta1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** Gram size and the eval-side stop-gram cap ride IN the index (1-row
     * `params` table) — the stored-parameter rule: the screen derives
@@ -380,8 +448,15 @@ object Contamination {
                              sorted: Boolean = true): DataFrame = {
     val spark = train.sparkSession
     def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
+    // Rebuild tokenization MUST match [[Dedup.hashedShingles]]' (Scala
+    // `String.trim`, which strips \t/\n/\r too) — SQL `trim` strips
+    // spaces only, and a doc with leading non-space whitespace would
+    // gain an empty first token, shifting every span's filter index by
+    // one (the scrub would cut a clean token and keep a contaminated
+    // one). Regexp-strip the \s envelope instead.
     val base = train.select(col("doc_id"),
-      split(trim(col("text")), "\\s+").as("toks"))
+      split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")
+        .as("toks"))
     def untouched = present(base.select(col("doc_id"),
       array_join(col("toks"), " ").as("clean_text"),
       lit(0L).as("tokens_removed")))
@@ -481,6 +556,83 @@ object Contamination {
       .select(col("doc_id"), col("mf.shared").as("shared_ngrams"),
         col("mf.eval_id").as("match_id"))
     present(delta)
+  }
+
+  /** The SPAN form of the re-decontamination delta — completes the
+    * lifecycle for the family's second decision rule: after an
+    * [[appendEvalIndex]], which docs of an already-screened corpus
+    * carry a contiguous run of at least `minRunTokens` tokens under the
+    * FULL index but not under the BASE index (partitions at `ingest <
+    * sinceIngestId`)? Those docs passed the original span screen and a
+    * span-rule deployment must now act on them; docs the base index
+    * already flagged are long handled and re-reporting them would
+    * re-cut nothing.
+    *
+    * Both rare-gram STATES derive from ONE postings read: each gram
+    * aggregates its full-index df and its base-only df, is a full-state
+    * hit when full-df ≤ the stored cap, and a base-state hit when it
+    * predates `sinceIngestId` AND base-df ≤ cap — the exact state
+    * [[spanContaminationAgainstIndex]] would compute against each index
+    * separately. Run lengths differ per state (islands depend on WHICH
+    * positions hit), so the matched positional stream is checkpointed
+    * once and two match-sized island windows read it — the corpus is
+    * still tokenized exactly once. Note the asymmetry with the
+    * doc-level delta ([[redecontaminateDelta]]): appends RAISE a gram's
+    * df, so the base state can hold grams the full state dropped —
+    * a doc's base run can EXCEED its full run, and such docs correctly
+    * stay out of the delta (the base deployment already cut them).
+    *
+    * Returns one row per NEWLY qualifying doc: (doc_id, max_run_tokens
+    * [full state], base_run_tokens) — batch-bounded by construction.
+    */
+  def redecontaminateSpansDelta(train: DataFrame, path: String,
+                                sinceIngestId: Long,
+                                minRunTokens: Int = 13,
+                                broadcastIndex: Boolean = true,
+                                sorted: Boolean = true): DataFrame = {
+    val spark = train.sparkSession
+    def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
+    if (IndexStamp.emptyCommittedIndex(spark, evalMarker(path),
+        s"$path/grams"))
+      return present(train.select(col("doc_id"))
+        .limit(0)
+        .withColumn("max_run_tokens", lit(null).cast("long"))
+        .withColumn("base_run_tokens", lit(null).cast("long")))
+    val (n, dfCap) = evalParams(spark, path)
+    val states0 = IndexCache.read(spark, s"$path/grams")
+      .select(col("g"), col("ingest").cast("long").as("ing"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("df_full"),
+        sum(when(col("ing") < sinceIngestId, 1L).otherwise(0L))
+          .as("df_base"))
+      .select(col("g"),
+        (col("df_full") <= dfCap).as("full_ok"),
+        (col("df_base") >= 1 && col("df_base") <= dfCap).as("base_ok"))
+      .filter(col("full_ok") || col("base_ok"))
+    val states = if (broadcastIndex) broadcast(states0) else states0
+    // Match-sized by construction (hit positions only); checkpointed so
+    // the two per-state island windows share ONE corpus tokenize pass.
+    val hits = Dedup.hashedShingles(train, n)
+      .select(col("doc_id"), col("pos"), col("h").as("g"))
+      .join(states, Seq("g"))
+      .localCheckpoint(eager = false)
+    def maxRun(flag: org.apache.spark.sql.Column, out: String) = {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      hits.filter(flag)
+        .withColumn("island", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg((count(lit(1)) + (n - 1)).as("run_tokens"))
+        .groupBy("doc_id")
+        .agg(max(col("run_tokens")).as(out))
+    }
+    present(maxRun(col("full_ok"), "max_run_tokens")
+      .filter(col("max_run_tokens") >= minRunTokens)
+      .join(maxRun(col("base_ok"), "base_run_tokens"),
+        Seq("doc_id"), "left_outer")
+      .withColumn("base_run_tokens",
+        coalesce(col("base_run_tokens"), lit(0L)))
+      .filter(col("base_run_tokens") < minRunTokens)
+      .select("doc_id", "max_run_tokens", "base_run_tokens"))
   }
 
   /** [[decontaminate]] against the persisted index: the corpus with

@@ -77,6 +77,26 @@ object CorpusPrep {
     *                 with < 3 tokens has no grams, hence no verdict,
     *                 and never flags. None (default) = screen off,
     *                 `repetition_ok` all-true.
+    * @param contamSpanMinRun SPAN-level contamination veto (the
+    *                 consecutive-overlap rule, [[screenIncremental]]'s
+    *                 stage 4b brought to the batch path — the second
+    *                 half of the composites' symmetry contract, the
+    *                 repetition veto's mirror): a doc sharing a
+    *                 contiguous run of at least this many tokens with
+    *                 the eval set becomes ineligible even when its
+    *                 scattered-gram count stays under
+    *                 `contaminationMinShared` (a short verbatim
+    *                 benchmark quote inside a long document — the
+    *                 doc-level screen's blind spot; ExtSpec pins the
+    *                 contrast both ways). Stop-grams are EVAL-side df
+    *                 ≤ 20, matching the indexed screen so both paths
+    *                 flag identically ([[Contamination.spanOverlapRaw]]
+    *                 vs [[Contamination.spanContaminationAgainstIndex]]).
+    *                 Rides the shared shingle checkpoint (which keeps
+    *                 `pos` when this screen is on): zero extra corpus
+    *                 scans. A doc with < 3 tokens has no grams and
+    *                 never flags. None (default) = screen off,
+    *                 `contam_span_run` null, `span_ok` all-true.
     * @param sorted   order the verdict frame by doc_id (deterministic
     *                 presentation — the oracle queries' contract). A
     *                 production caller writing verdicts onward passes
@@ -87,9 +107,9 @@ object CorpusPrep {
     *         (non-canonical copy, independent verdict), is_near_dup
     *         (cluster non-survivor, independent verdict),
     *         is_contaminated, is_outlier, dup_3gram_frac /
-    *         repetition_ok, and `kept` = eligible AND the
-    *         minimum eligible doc of both its digest group and its
-    *         (possibly containment-widened) cluster
+    *         repetition_ok, contam_span_run / span_ok, and `kept` =
+    *         eligible AND the minimum eligible doc of both its digest
+    *         group and its (possibly containment-widened) cluster
     */
   def prepare(docs: DataFrame, evalDocs: DataFrame,
               nearDupThreshold: Double = 0.5,
@@ -101,6 +121,7 @@ object CorpusPrep {
               embeddings: Option[DataFrame] = None,
               outlierZ: Double = 2.0,
               repetitionMaxDupFrac: Option[Double] = None,
+              contamSpanMinRun: Option[Int] = None,
               sorted: Boolean = true): DataFrame = {
     // One compiled shingle pass, shared by the near-dup clustering and
     // the contamination screen (hashedShingles' pos column is pruned
@@ -112,15 +133,17 @@ object CorpusPrep {
     // calls in one session release earlier passes as their plans go out
     // of scope rather than pinning them for the session's lifetime.
     // With the containment screen on, the winnow stage needs shingle
-    // POSITIONS (window minima depend on document order), so the
-    // checkpoint keeps `pos` (+4 bytes/shingle) and feeds THREE
-    // consumers — near-dup, contamination, containment — from one
-    // corpus pass; otherwise pos is pruned as before.
+    // POSITIONS (window minima depend on document order) — and so does
+    // the span-contamination screen (runs are positional) — so the
+    // checkpoint keeps `pos` (+4 bytes/shingle) when either is on and
+    // feeds every shingle consumer — near-dup, contamination,
+    // containment, spans, repetition — from one corpus pass; otherwise
+    // pos is pruned as before.
+    val keepPos = containmentThreshold.isDefined || contamSpanMinRun.isDefined
     val sharedShingles =
       if (shareShingles) {
         val base = Dedup.hashedShingles(docs, 3)
-        Some((if (containmentThreshold.isDefined) base
-              else base.select("doc_id", "h"))
+        Some((if (keepPos) base else base.select("doc_id", "h"))
           .localCheckpoint(eager = false))
       } else None
 
@@ -166,6 +189,14 @@ object CorpusPrep {
         .agg(round(lit(1.0) - countDistinct(col("h")) / count(lit(1)), 4)
           .as("dup_3gram_frac"))
     }
+    // Span-contamination verdict — hit docs only (match-sized, like the
+    // contamination flag list); rides the shared positional checkpoint.
+    val spanRuns = contamSpanMinRun.map { r =>
+      Contamination.spanOverlapRaw(evalDocs, docs, n = 3,
+          minRunTokens = r, trainShingles = sharedShingles,
+          trainShinglesN = sharedShingles.map(_ => 3))
+        .select(col("doc_id"), col("max_run_tokens"))
+    }
 
     // Stage 2 — group structure (content-based, over the FULL corpus:
     // similarity does not depend on eligibility).
@@ -187,7 +218,10 @@ object CorpusPrep {
     val withRepetition = repetition.foldLeft(withOutliers) {
       (acc, r) => acc.join(r, Seq("doc_id"), "left_outer")
     }
-    val flagged = withRepetition
+    val withSpans = spanRuns.foldLeft(withRepetition) {
+      (acc, sp) => acc.join(sp, Seq("doc_id"), "left_outer")
+    }
+    val flagged = withSpans
       .join(contaminated, Seq("doc_id"), "left_outer")
       .join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("content_digest"), col("cluster_id"),
@@ -199,10 +233,15 @@ object CorpusPrep {
          else lit(null).cast("double")).as("dup_3gram_frac"),
         repetitionMaxDupFrac
           .map(t => coalesce(col("dup_3gram_frac") <= t, lit(true)))
-          .getOrElse(lit(true)).as("repetition_ok"))
+          .getOrElse(lit(true)).as("repetition_ok"),
+        (if (spanRuns.isDefined) coalesce(col("max_run_tokens"), lit(0L))
+         else lit(null).cast("long")).as("contam_span_run"),
+        contamSpanMinRun
+          .map(r => coalesce(col("max_run_tokens"), lit(0L)) < r)
+          .getOrElse(lit(true)).as("span_ok"))
       .withColumn("eligible", col("quality_ok") && !col("is_blocked") &&
         !col("is_contaminated") && !col("is_outlier") &&
-        col("repetition_ok"))
+        col("repetition_ok") && col("span_ok"))
 
     // Stage 3 — survivors: minimum eligible doc per digest group and per
     // cluster (null when a group has no eligible member). Windows reuse
@@ -226,6 +265,8 @@ object CorpusPrep {
         col("is_outlier"),
         col("dup_3gram_frac"),
         col("repetition_ok"),
+        col("contam_span_run"),
+        col("span_ok"),
         (col("eligible") &&
           col("doc_id") === col("__digest_survivor") &&
           col("doc_id") === col("__cluster_survivor")).as("kept"))
@@ -244,6 +285,7 @@ object CorpusPrep {
     sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("contaminated"),
     sum(when(col("is_outlier"), 1L).otherwise(0L)).as("outliers"),
     sum(when(!col("repetition_ok"), 1L).otherwise(0L)).as("repetition_vetoed"),
+    sum(when(!col("span_ok"), 1L).otherwise(0L)).as("span_vetoed"),
     sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
 
   /** The full pretraining shard path in one declarative plan: curation

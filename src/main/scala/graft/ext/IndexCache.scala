@@ -135,15 +135,23 @@ private[graft] object IndexCache {
   }
 
   /** Drop (and unpersist) every cached entry — test isolation and
-    * session teardown.
+    * session teardown. Entries are REMOVED from the map first and only
+    * then unpersisted under their own lock: the reverse order (iterate,
+    * unpersist, then `entries.clear()`) raced with a concurrent
+    * [[read]] that could re-persist partitions between the iteration
+    * and the clear, leaving persisted blocks tracked nowhere until
+    * context teardown. A reader holding the entry's lock mid-refresh is
+    * waited out, and whatever it persisted is unpersisted here; a
+    * reader arriving AFTER its entry was removed re-fills a fresh entry
+    * that stays tracked in the map.
     */
-  def clear(): Unit = {
-    entries.values.foreach { e =>
-      e.synchronized {
-        e.parts.values.foreach(p => unpersistQuietly(p.df))
-        e.parts = Map.empty
+  def clear(): Unit =
+    entries.keySet.foreach { k =>
+      entries.remove(k).foreach { e =>
+        e.synchronized {
+          e.parts.values.foreach(p => unpersistQuietly(p.df))
+          e.parts = Map.empty
+        }
       }
     }
-    entries.clear()
-  }
 }

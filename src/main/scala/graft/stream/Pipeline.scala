@@ -848,6 +848,14 @@ object Pipeline {
     * overwrite is the whole effect. Stop-gram pruning rides the stored
     * eval-side df cap, so a doc's verdict never depends on its
     * trigger-mates. PipelineSpec pins batch ≡ stream.
+    *
+    * UPGRADE NOTE (r15): the screen fails CLOSED — a missing eval
+    * index throws inside foreachBatch instead of verdicting all-clean
+    * (the old cold-start tolerance silently disabled the screen).
+    * [[graft.ext.Contamination.buildEvalIndex]] /
+    * [[graft.ext.Contamination.ensureEvalIndex]] MUST run before the
+    * query starts; only a committed-empty index (explicit empty-suite
+    * initialization) legitimately flags nothing.
     */
   def contaminationScreenStream(docStream: DataFrame, indexPath: String,
                                 verdictDir: String, checkpointDir: String,
@@ -879,7 +887,9 @@ object Pipeline {
     * frozen eval suite. Stateless, replay-idempotent (per-batch dir
     * overwrite), the eval index frozen with respect to the stream it
     * filters — the family discipline throughout. PipelineSpec pins
-    * batch ≡ stream.
+    * batch ≡ stream. Fails closed on a missing index like the whole
+    * family: build/ensure the eval index BEFORE starting the query
+    * (see [[contaminationScreenStream]]'s upgrade note).
     */
   def spanContaminationScreenStream(docStream: DataFrame, indexPath: String,
                                     verdictDir: String, checkpointDir: String,

@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Streaming-curation scale drill (`runMain graft.tools.ScreenDrill
-  * [standingDocs] [triggers] [batchSize] [full]`, default 200k / 6 /
-  * 1000): builds the standing MinHash index once, then drives
+  * [standingDocs] [triggers] [batchSize] [full|fullcache] [dropcache]`,
+  * default 200k / 6 / 1000): builds the standing MinHash index once,
+  * then drives
   * [[graft.stream.Pipeline.curationStream]] through repeated triggers
   * of planted batches — per trigger: 10% byte-identical copies of
   * standing docs (must be caught by the novelty screen), 5%
@@ -31,6 +32,28 @@ object ScreenDrill {
     val triggers = if (args.length > 1) args(1).toInt else 6
     val batchN = if (args.length > 2) args(2).toInt else 1000
     val full = args.length > 3 && args(3).startsWith("full")
+    // `dropcache` (args(4)): sync + drop the OS page cache before every
+    // trigger — the IndexCache A/B's missing half. On local NVMe the
+    // page cache serves the per-trigger index re-read almost for free
+    // (the r14 negative result); dropping it models the cache's actual
+    // win condition — an index whose re-read is NOT free (object
+    // store, cold tier, memory-pressured host) — without leaving the
+    // measured I/O path. Best-effort: requires root.
+    val dropCache = args.length > 4 && args(4) == "dropcache"
+    def dropPageCache(): Unit = if (dropCache) {
+      val rc = new ProcessBuilder("sh", "-c",
+        "sync; echo 3 > /proc/sys/vm/drop_caches").start().waitFor()
+      if (rc != 0) println(s"[drill] drop_caches failed rc=$rc")
+    }
+    // Per-trigger GC attribution (r15 verdict: the 20M trigger spread
+    // was ATTRIBUTED to GC on the big single-JVM heap but not
+    // measured): total stop-the-world collection time across all
+    // collectors, deltaed around each trigger.
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
     val spark = ToolSession.local(32)
     // `fullcache`: same drill with the cross-trigger index cache on —
     // the A/B for the at-rest-rescan bottleneck the 10M run named.
@@ -147,10 +170,13 @@ object ScreenDrill {
       try {
         (0 until triggers).foreach { trig =>
           val batch = mkBatch(trig)
+          dropPageCache()
+          val g0 = gcMillis
           val tb = System.nanoTime()
           source.addData(batch: _*)
           query.processAllAvailable()
           val sec = (System.nanoTime() - tb) / 1e9
+          val gcSec = (gcMillis - g0) / 1e3
           val v = spark.read.parquet(s"$tmp/verdicts/batch_id=$trig")
           val kept = v.filter(col("kept")).count()
           val caught = v.filter(!col("is_novel")).count()
@@ -159,7 +185,7 @@ object ScreenDrill {
           val spanHits = v.filter(!col("span_ok")).count()
           val outl = v.filter(col("is_outlier")).count()
           val rep = v.filter(!col("repetition_ok")).count()
-          println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d spans=$spanHits%d outliers=$outl%d stutter=$rep%d")
+          println(f"trigger $trig%d: $sec%6.2f s (gc $gcSec%5.2f s)  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d spans=$spanHits%d outliers=$outl%d stutter=$rep%d")
           assert(caught == copies, s"trigger $trig: caught $caught != $copies")
           assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
           assert(cont == contam, s"trigger $trig: contaminated $cont != $contam")
@@ -185,15 +211,18 @@ object ScreenDrill {
       try {
         (0 until triggers).foreach { trig =>
           val batch = mkBatch(trig).map(t => (t._1, t._2))
+          dropPageCache()
+          val g0 = gcMillis
           val tb = System.nanoTime()
           source.addData(batch: _*)
           query.processAllAvailable()
           val sec = (System.nanoTime() - tb) / 1e9
+          val gcSec = (gcMillis - g0) / 1e3
           val v = spark.read.parquet(s"$tmp/verdicts/batch_id=$trig")
           val kept = v.filter(col("kept")).count()
           val caught = v.filter(!col("is_novel")).count()
           val gated = v.filter(!col("blocklist_ok")).count()
-          println(f"trigger $trig%d: $sec%6.2f s  kept=$kept%d caught=$caught%d blocked=$gated%d")
+          println(f"trigger $trig%d: $sec%6.2f s (gc $gcSec%5.2f s)  kept=$kept%d caught=$caught%d blocked=$gated%d")
           assert(caught == copies, s"trigger $trig: caught $caught != $copies")
           assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
           assert(kept == fresh + twinPairs,

@@ -152,6 +152,29 @@ class EdgeCaseSpec extends AnyFunSuite {
       inc(1L).isNullAt(inc(1L).fieldIndex("dup_3gram_frac")))
   }
 
+  test("span veto on the batch path: sub-3-token docs and empty eval sets never flag") {
+    val docs = Seq((1L, "hi there"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    // empty eval set → no rare grams → run 0 for everyone, span_ok
+    val out = CorpusPrep.prepare(docs, emptyDocs,
+        contamSpanMinRun = Some(8)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("span_ok") &&
+      out(1L).getAs[Long]("contam_span_run") == 0L)
+    assert(out(2L).getAs[Boolean]("span_ok") &&
+      out(2L).getAs[Long]("contam_span_run") == 0L)
+    // a 2-token doc that copies an eval doc VERBATIM still cannot carry
+    // a 3-gram: no grams → run 0 → clean under the span rule even at
+    // the harshest threshold (the doc-level screen's <3-token rule,
+    // mirrored on the batch span path)
+    val eval = Seq((9L, "hi there")).toDF("doc_id", "text")
+    val out2 = CorpusPrep.prepare(docs, eval,
+        contamSpanMinRun = Some(3)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out2(1L).getAs[Boolean]("span_ok") &&
+      out2(1L).getAs[Long]("contam_span_run") == 0L, out2(1L).toString)
+  }
+
   test("as-of join with an empty right side null-extends every left row") {
     val left = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
     val right = Seq.empty[(Long, Long, Long, Double)]

@@ -268,7 +268,12 @@ class ExtSpec extends AnyFunSuite {
       (101L, "alpha beta gamma filler tokens pad delta epsilon zeta"),
       (102L, "hi"),
       // the quote twice: both spans removed, separator kept
-      (103L, s"$quote keep these middle words $quote"))
+      (103L, s"$quote keep these middle words $quote"),
+      // leading NON-SPACE whitespace: the rebuild must tokenize like
+      // the gram stream (Scala-trim parity — SQL trim strips spaces
+      // only and would shift every span index by one, cutting a clean
+      // token and keeping a contaminated one)
+      (104L, s"\t\n $quote trailing words kept"))
       .toDF("doc_id", "text")
     val v = Contamination.scrubContaminatedSpans(batch, path,
         minRunTokens = 8)
@@ -280,6 +285,7 @@ class ExtSpec extends AnyFunSuite {
       (("alpha beta gamma filler tokens pad delta epsilon zeta", 0L)))
     assert(v(102L) == (("hi", 0L)))
     assert(v(103L) == (("keep these middle words", 16L)), v(103L).toString)
+    assert(v(104L) == (("trailing words kept", 8L)), v(104L).toString)
   }
 
   test("redecontaminateDelta: append → screen → delta reports exactly the newly flagged docs") {
@@ -321,6 +327,52 @@ class ExtSpec extends AnyFunSuite {
         java.nio.file.Files.createTempDirectory("contam-delta-none")
           .toString + "/nope", sinceIngestId = 1L)
     }
+  }
+
+  test("redecontaminateSpansDelta: newly-qualifying spans only; base-flagged docs stay out") {
+    val baseBench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val newBench = Seq(
+      (2L, "omega psi chi phi upsilon tau sigma rho nu mu"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("contam-sdelta").toString + "/evalgrams"
+    Contamination.buildEvalIndex(baseBench, path)
+    Contamination.appendEvalIndex(newBench, path, ingestId = 1L)
+    val corpus = Seq(
+      // base-benchmark quote: base run 8 ≥ 8 — the base deployment
+      // already cut it; NOT in the delta though its full run also hits
+      (100L, "intro words alpha beta gamma delta epsilon zeta eta theta out"),
+      // appended-benchmark quote (10 tokens → run 10): full run 10,
+      // base run 0 — THE delta
+      (101L, "lead in omega psi chi phi upsilon tau sigma rho nu mu tail"),
+      // appended grams SCATTERED (two 5-token fragments → runs of 5):
+      // under the run rule nothing qualifies — stays out even though
+      // the doc-level count rule would see 6 shared grams
+      (102L, "omega psi chi phi upsilon gap here tau sigma rho nu mu"),
+      (103L, "unrelated training text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val delta = Contamination.redecontaminateSpansDelta(corpus, path,
+      sinceIngestId = 1L, minRunTokens = 8).collect()
+    assert(delta.length == 1, delta.toSeq.toString)
+    assert(delta.head.getLong(0) == 101L &&
+      delta.head.getLong(1) == 10L && delta.head.getLong(2) == 0L,
+      delta.head.toString)
+    // fail-closed like the whole family
+    intercept[IllegalArgumentException] {
+      Contamination.redecontaminateSpansDelta(corpus,
+        java.nio.file.Files.createTempDirectory("contam-sdelta-none")
+          .toString + "/nope", sinceIngestId = 1L)
+    }
+    // committed-EMPTY base (explicit initialization): typed empty delta
+    val empty = java.nio.file.Files
+      .createTempDirectory("contam-sdelta-empty").toString + "/evalgrams"
+    Contamination.buildEvalIndex(baseBench.limit(0), empty)
+    val noneDf = Contamination.redecontaminateSpansDelta(corpus, empty,
+      sinceIngestId = 1L)
+    assert(noneDf.isEmpty && noneDf.columns.toSeq ==
+      Seq("doc_id", "max_run_tokens", "base_run_tokens"))
   }
 
   test("ivf index: cached reads equal direct reads for top-k and the semantic screen") {
@@ -426,6 +478,76 @@ class ExtSpec extends AnyFunSuite {
     assert(off(11L).getAs[Boolean]("kept") &&
       off(11L).getAs[Boolean]("repetition_ok") &&
       off(11L).isNullAt(off(11L).fieldIndex("dup_3gram_frac")))
+  }
+
+  test("prepare: span veto — the batch path applies the contiguous-run rule, contrast with the count rule both ways") {
+    // 20-token eval doc; every 3-gram has eval-side df 1 (all rare).
+    val evalSet = Seq((1L, (1 to 20).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 8 consecutive eval tokens (6 grams) inside a long clean doc:
+      // UNDER the count threshold (6 < 10) but run 8 ≥ 8 — the span
+      // veto catches the verbatim quote the doc-level screen clears.
+      (100L, "filler one two " + (5 to 12).map(i => s"tok$i").mkString(" ")
+        + " closing words here"),
+      // the SAME eval content scattered: four disjoint 5-token windows
+      // (12 distinct grams ≥ 10 — doc-level flags) but max run 5 < 8 —
+      // span-clean. The two rules catch DIFFERENT docs.
+      (101L, (1 to 5).map(i => s"tok$i").mkString(" ") + " gapx " +
+        (6 to 10).map(i => s"tok$i").mkString(" ") + " gapy " +
+        (11 to 15).map(i => s"tok$i").mkString(" ") + " gapz " +
+        (16 to 20).map(i => s"tok$i").mkString(" ")),
+      (102L, "a genuinely unique training document about query engines"),
+      (103L, "hi")) // < 3 tokens: no grams → run 0, span_ok, never flags
+      .toDF("doc_id", "text")
+    val prepared = graft.ext.CorpusPrep.prepare(corpus, evalSet,
+      contaminationMinShared = 10, contamSpanMinRun = Some(8))
+    val byId = prepared.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId(100L).getAs[Boolean]("is_contaminated") &&
+      byId(100L).getAs[Long]("contam_span_run") == 8L &&
+      !byId(100L).getAs[Boolean]("span_ok") &&
+      !byId(100L).getAs[Boolean]("kept"), byId(100L).toString)
+    assert(byId(101L).getAs[Boolean]("is_contaminated") &&
+      byId(101L).getAs[Long]("contam_span_run") == 5L &&
+      byId(101L).getAs[Boolean]("span_ok") &&
+      !byId(101L).getAs[Boolean]("kept"), byId(101L).toString)
+    assert(byId(102L).getAs[Boolean]("span_ok") &&
+      byId(102L).getAs[Long]("contam_span_run") == 0L &&
+      byId(102L).getAs[Boolean]("kept"))
+    assert(byId(103L).getAs[Long]("contam_span_run") == 0L &&
+      byId(103L).getAs[Boolean]("span_ok"), byId(103L).toString)
+    val rep = graft.ext.CorpusPrep.report(prepared).head()
+    assert(rep.getAs[Long]("span_vetoed") == 1L &&
+      rep.getAs[Long]("contaminated") == 1L)
+    // SYMMETRY, made executable: the batch path's span verdicts equal
+    // the indexed screen's ([[spanContaminationAgainstIndex]] over an
+    // index built from the same eval set) — batch backfill and
+    // streaming ingest flag identically.
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("prep-span-idx").toString + "/evalgrams"
+    graft.ext.Contamination.buildEvalIndex(evalSet, idxPath)
+    val indexed = graft.ext.Contamination
+      .spanContaminationAgainstIndex(corpus, idxPath, minRunTokens = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), !r.getBoolean(3)))).toMap
+    val batchSide = byId.map { case (id, r) =>
+      id -> ((r.getAs[Long]("contam_span_run"), r.getAs[Boolean]("span_ok")))
+    }
+    assert(batchSide == indexed, s"$batchSide vs $indexed")
+    // screen off (the default): constants, and the quote doc survives
+    val off = graft.ext.CorpusPrep.prepare(corpus, evalSet,
+        contaminationMinShared = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(off(100L).getAs[Boolean]("kept") &&
+      off(100L).getAs[Boolean]("span_ok") &&
+      off(100L).isNullAt(off(100L).fieldIndex("contam_span_run")))
+    // shareShingles = false takes the re-derive path (no positional
+    // checkpoint) — identical verdicts
+    val noShare = graft.ext.CorpusPrep.prepare(corpus, evalSet,
+        contaminationMinShared = 10, contamSpanMinRun = Some(8),
+        shareShingles = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(noShare == byId.map { case (k, r) => k -> r.toSeq })
   }
 
   test("staged survivors: clean near-dup copy survives a tainted canonical") {
