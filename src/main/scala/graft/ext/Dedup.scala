@@ -932,9 +932,23 @@ object Dedup {
       .distinct()
     val idxSets = IndexCache.read(spark, s"$path/sets")
       .select(col("doc_id").as("corpus_id"), col("shset").as("set_c"))
-    val matches = cand
+    // The verify probe MUST broadcast under the per-trigger plan: left
+    // to the planner, this join's static estimate of the at-rest sets
+    // table (the index's BIG table — full shingle-set arrays) picks a
+    // sort-merge join, and AQE materializes BOTH map sides before it
+    // can convert — i.e. the whole sets table is shuffle-WRITTEN every
+    // trigger even when the join later executes as a broadcast. The
+    // instrumented 20M drill caught exactly that: a constant
+    // ~9.4 GB/trigger write (≈ the sets table), iowait-bound spread,
+    // gone with the explicit broadcast. The candidate probe is
+    // batch-proportional by this operator's contract (bucket caps
+    // bound its fan-out), so it broadcasts like the band probe above;
+    // the merge plan (backfill shape) keeps the co-partitioned join.
+    val probe0 = cand
       .join(newSets.select(col("doc_id"), col("shset").as("set_n")),
         Seq("doc_id"))
+    val probe = if (broadcastBatch) broadcast(probe0) else probe0
+    val matches = probe
       .join(idxSets, Seq("corpus_id"))
       .withColumn("__ov",
         graft.functions.SetFunctions.set_overlap(col("set_n"), col("set_c"))

@@ -500,7 +500,8 @@ object Similarity {
     */
   def semanticNovelAgainstIndex(emb: DataFrame, indexPath: String,
                                 threshold: Double = 0.95,
-                                nprobe: Int = 2): DataFrame = {
+                                nprobe: Int = 2,
+                                broadcastBatch: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     // No corpus data — including no index at all — means every vector
     // is novel: unlike the top-k readers (where a missing index is a
@@ -530,7 +531,15 @@ object Similarity {
     val idx = IndexCache.read(spark, indexPath)
       .select(col("vec_id").as("idx_id"), col("embedding").as("idx_emb"),
         col("nrm").as("idx_nrm"), col("cell"))
-    val matches = probing.join(idx, Seq("cell"))
+    // The probe side MUST broadcast under the per-trigger contract (the
+    // minhash verify-join lesson, caught by the instrumented 20M drill):
+    // left to the planner the cell join's static estimate of the at-rest
+    // vector table picks a sort-merge join, and AQE materializes both
+    // map sides before converting — the fat embedding table would be
+    // shuffle-WRITTEN every trigger. `broadcastBatch = false` keeps the
+    // co-partitioned plan for backfill-shaped batches.
+    val probeSide = if (broadcastBatch) broadcast(probing) else probing
+    val matches = probeSide.join(idx, Seq("cell"))
       .select(col("vec_id"),
         (vec_dot(col("embedding"), col("idx_emb")) /
           (col("nrm") * col("idx_nrm"))).as("cos"),

@@ -54,6 +54,33 @@ object ScreenDrill {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
+    // Per-trigger STORAGE reads (/proc/self/io read_bytes — actual
+    // device I/O, not page-cache hits) and host steal (/proc/stat,
+    // CPU-seconds across all cores): with GC, these decompose a slow
+    // trigger into its real cause. The r16 20M run REFUTED the r15 GC
+    // attribution (96 s trigger, 0.11 s GC) — the remaining suspects
+    // are cold index re-reads (page cache squeezed by the big heap on
+    // a disk-backed /tmp) and neighbor steal, so measure both.
+    def ioBytes(field: String): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/io")
+        try src.getLines()
+          .collectFirst { case l if l.startsWith(s"$field:") =>
+            l.split("\\s+")(1).toLong }
+          .getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    // /proc/stat aggregate jiffies: (iowait, steal) — iowait is
+    // host-wide idle-waiting-on-IO CPU-seconds, the writeback-stall
+    // signature read_bytes can't see.
+    def statJiffies: (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+")).filter(_.length > 8)
+          .map(f => (f(5).toLong, f(8).toLong)).getOrElse((-1L, -1L))
+        finally src.close()
+      } catch { case _: Throwable => (-1L, -1L) }
     val spark = ToolSession.local(32)
     // `fullcache`: same drill with the cross-trigger index cache on —
     // the A/B for the at-rest-rescan bottleneck the 10M run named.
@@ -171,12 +198,18 @@ object ScreenDrill {
         (0 until triggers).foreach { trig =>
           val batch = mkBatch(trig)
           dropPageCache()
-          val g0 = gcMillis
+          val (g0, r0, w0) = (gcMillis, ioBytes("read_bytes"),
+            ioBytes("write_bytes"))
+          val (iw0, st0) = statJiffies
           val tb = System.nanoTime()
           source.addData(batch: _*)
           query.processAllAvailable()
           val sec = (System.nanoTime() - tb) / 1e9
           val gcSec = (gcMillis - g0) / 1e3
+          val rGb = (ioBytes("read_bytes") - r0) / 1e9
+          val wGb = (ioBytes("write_bytes") - w0) / 1e9
+          val (iw1, st1) = statJiffies
+          val (iowSec, stSec) = ((iw1 - iw0) / 100.0, (st1 - st0) / 100.0)
           val v = spark.read.parquet(s"$tmp/verdicts/batch_id=$trig")
           val kept = v.filter(col("kept")).count()
           val caught = v.filter(!col("is_novel")).count()
@@ -185,7 +218,7 @@ object ScreenDrill {
           val spanHits = v.filter(!col("span_ok")).count()
           val outl = v.filter(col("is_outlier")).count()
           val rep = v.filter(!col("repetition_ok")).count()
-          println(f"trigger $trig%d: $sec%6.2f s (gc $gcSec%5.2f s)  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d spans=$spanHits%d outliers=$outl%d stutter=$rep%d")
+          println(f"trigger $trig%d: $sec%6.2f s (gc $gcSec%5.2f s, read $rGb%6.2f GB, write $wGb%6.2f GB, iowait $iowSec%6.1f cpu-s, steal $stSec%5.1f cpu-s)  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d spans=$spanHits%d outliers=$outl%d stutter=$rep%d")
           assert(caught == copies, s"trigger $trig: caught $caught != $copies")
           assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
           assert(cont == contam, s"trigger $trig: contaminated $cont != $contam")
@@ -212,17 +245,23 @@ object ScreenDrill {
         (0 until triggers).foreach { trig =>
           val batch = mkBatch(trig).map(t => (t._1, t._2))
           dropPageCache()
-          val g0 = gcMillis
+          val (g0, r0, w0) = (gcMillis, ioBytes("read_bytes"),
+            ioBytes("write_bytes"))
+          val (iw0, st0) = statJiffies
           val tb = System.nanoTime()
           source.addData(batch: _*)
           query.processAllAvailable()
           val sec = (System.nanoTime() - tb) / 1e9
           val gcSec = (gcMillis - g0) / 1e3
+          val rGb = (ioBytes("read_bytes") - r0) / 1e9
+          val wGb = (ioBytes("write_bytes") - w0) / 1e9
+          val (iw1, st1) = statJiffies
+          val (iowSec, stSec) = ((iw1 - iw0) / 100.0, (st1 - st0) / 100.0)
           val v = spark.read.parquet(s"$tmp/verdicts/batch_id=$trig")
           val kept = v.filter(col("kept")).count()
           val caught = v.filter(!col("is_novel")).count()
           val gated = v.filter(!col("blocklist_ok")).count()
-          println(f"trigger $trig%d: $sec%6.2f s (gc $gcSec%5.2f s)  kept=$kept%d caught=$caught%d blocked=$gated%d")
+          println(f"trigger $trig%d: $sec%6.2f s (gc $gcSec%5.2f s, read $rGb%6.2f GB, write $wGb%6.2f GB, iowait $iowSec%6.1f cpu-s, steal $stSec%5.1f cpu-s)  kept=$kept%d caught=$caught%d blocked=$gated%d")
           assert(caught == copies, s"trigger $trig: caught $caught != $copies")
           assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
           assert(kept == fresh + twinPairs,

@@ -92,6 +92,22 @@ class PlanGuardSpec extends AnyFunSuite {
     if (docScans == 1) assert(p.contains("LessThan(doc_id,50)"), p)
   }
 
+  test("corpus_prep_v3's span stage rides the positional checkpoint — corpus never re-scanned") {
+    // The span veto (r16) consumes the SAME shared shingle checkpoint
+    // as the near-dup/containment/contamination/repetition consumers
+    // (pos kept when the screen is on): the per-doc verdict plan must
+    // read corpus text through checkpoints only — no corpus-side
+    // (doc_id >= 50) parquet scan may survive. The eval slice
+    // (doc_id < 50) and the embeddings table are the only allowed
+    // scans: both metadata-sized relative to the corpus by contract.
+    val df = SparkEntry.queries("corpus_prep_v3")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("GreaterThanOrEqual(doc_id,50)"), p)
+  }
+
   test("curation_screen_v2 reads batch text once (checkpointed); standing state at rest") {
     // The incremental composite's eight screens all consume ONE
     // checkpointed (doc_id, text) frame: no documents FileScan of the
@@ -140,6 +156,28 @@ class PlanGuardSpec extends AnyFunSuite {
     val gramScans = p.linesIterator.count(l =>
       l.contains("FileScan") && l.contains("graft-contamdelta1-"))
     assert(gramScans <= 1, s"postings scanned $gramScans times:\n$p")
+  }
+
+  test("redecontaminate_spans_delta: one postings read, one corpus tokenize, eval suites never re-read") {
+    // The span-rule delta (r16): per-gram full/base states from ONE
+    // postings read broadcast into the positional gram stream, which is
+    // checkpointed so the TWO per-state island windows share one corpus
+    // tokenize pass — the final plan reads the matched hits from
+    // ExistingRDD, scans the at-rest postings at most once, and never
+    // re-reads the eval suites as text.
+    val df = SparkEntry.queries("redecontaminate_spans_delta")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("LessThan(doc_id,50)"), p)
+    assert(!p.contains("LessThan(doc_id,30)"), p)
+    val gramScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("graft-contamsdelta1-"))
+    assert(gramScans <= 1, s"postings scanned $gramScans times:\n$p")
+    // no corpus-side parquet scan either: the hit stream's checkpoint
+    // carried the one real read
+    assert(!p.contains("GreaterThanOrEqual(doc_id,450)"), p)
   }
 
   test("containment_pairs runs the winnow pipeline once per side (reused exchange)") {
