@@ -1250,6 +1250,22 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(T(s, dir, "documents"))),
 
+    // The production survivor rule: keep the BEST copy per near-dup
+    // cluster — here "longest by token count" (the RefinedWeb choice),
+    // doc_id tiebreak; one per-cluster rank window on top of the
+    // cluster assignment.
+    "dedup_keep_longest" -> ((s, dir) =>
+      Dedup.nearDupClustersKeepBest(T(s, dir, "documents"),
+        TextAnalysis.tokenCount(col("text")).cast("long"))),
+
+    // Token-budget mixture plan: per-source target tokens / epochs /
+    // residual sampling rate for a fixed budget and mixture weights —
+    // the sizing step mixture_sample consumes downstream.
+    "token_budget_plan" -> ((s, dir) => Sampling.tokenBudgetPlan(
+      T(s, dir, "documents"),
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+      budgetTokens = 10000L)),
+
     // The end-to-end curation report: quality screen + exact dedup +
     // near-dup survivors + contamination vs a held-out slice, one pass.
     "corpus_prep" -> ((s, dir) => {
@@ -1878,6 +1894,31 @@ object SparkEntry {
         sourcePath = Some(s"$dir/documents.parquet"))
       Retrieval.bm25Indexed(s, idx, Seq("spark", "vector", "dup"), k = 10)
     }),
+
+    // Hybrid retrieval: RRF fusion of BM25 (sparse) and exact cosine
+    // (dense) candidate lists over the aligned doc/embedding tables —
+    // two one-scan generators, constant-sized fusion.
+    "hybrid_topk" -> ((s, dir) => Retrieval.hybridTopK(
+      T(s, dir, "documents"), T(s, dir, "embeddings"),
+      Seq("spark", "vector", "dup"), queryVecId = 0L, k = 10)),
+
+    // The deployment form: sparse candidates from the PERSISTED
+    // inverted index (bucket-pruned postings). Row-identical to
+    // hybrid_topk — shares its oracle, so a hash match certifies the
+    // indexed path end to end (the bm25_indexed convention).
+    "hybrid_topk_indexed" -> ((s, dir) => {
+      val idx = Retrieval.bm25IndexPathFor(dir)
+      Retrieval.ensureBm25Index(s, T(s, dir, "documents"), idx,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      Retrieval.hybridTopKIndexed(s, idx, T(s, dir, "embeddings"),
+        Seq("spark", "vector", "dup"), queryVecId = 0L, k = 10)
+    }),
+
+    // MMR-diversified top-k over the dense shortlist: the greedy
+    // de-redundancy pass (λ_rel·rel − λ_div·maxSimToPicked), selection
+    // driver-side over the bounded nCand²-pair matrix.
+    "mmr_topk" -> ((s, dir) => Similarity.mmrTopK(
+      T(s, dir, "embeddings"), queryId = 0L, k = 10, nCand = 30)),
 
     // Hashing-trick linear classifier inference (fasttext-style): md5-
     // derived deterministic weights, decimal per-doc mean, exact
@@ -3278,6 +3319,87 @@ object SparkEntry {
          |ORDER BY f.doc_id""".stripMargin
     }
     val extOracles = Map(
+      // Hybrid RRF fusion: the oracle re-derives BOTH candidate lists
+      // (the bm25_topk scoring tree at LIMIT 50; the cosine_topk
+      // LATERAL at LIMIT 50), re-ranks each with the generator's own
+      // total order, and fuses with the identical 1/(60+rank) IEEE
+      // tree — full outer join, doc_id tiebreak.
+      "hybrid_topk" ->
+        """WITH w AS (
+          |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS term
+          |  FROM documents),
+          |q AS (SELECT UNNEST(['spark', 'vector', 'dup']) AS term),
+          |h AS (SELECT w.doc_id, w.term FROM w JOIN q USING (term)),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM h GROUP BY 1, 2),
+          |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+          |dl AS (SELECT doc_id, LEN(string_split_regex(TRIM(text), '\s+')) AS dl FROM documents),
+          |st AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS DECIMAL(18,6))) AS sdl FROM dl),
+          |c AS (
+          |  SELECT tf.doc_id,
+          |    CAST(LN(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+          |      * (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+          |      AS DECIMAL(27,12)) AS c
+          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+          |sparse AS (
+          |  SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 4) AS score
+          |  FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50),
+          |sr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS sparse_rank FROM sparse),
+          |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |dense AS (
+          |  SELECT e.vec_id AS doc_id, ROUND(d.dp / (SQRT(d.na) * SQRT(d.nb)), 4) AS cosine
+          |  FROM embeddings e, qe,
+          |  LATERAL (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+          |                  SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+          |                  SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+          |           FROM (SELECT UNNEST(e.embedding) AS a, UNNEST(qe.qe) AS b) t) d
+          |  WHERE e.vec_id <> 0
+          |  ORDER BY cosine DESC, e.vec_id LIMIT 50),
+          |dr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS dense_rank FROM dense)
+          |SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id, sparse_rank, dense_rank,
+          |  ROUND(COALESCE(1.0 / (60 + sparse_rank), 0) + COALESCE(1.0 / (60 + dense_rank), 0), 6) AS rrf_score
+          |FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+          |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+      // MMR diversification: a recursive CTE replays the greedy
+      // trajectory exactly — candidates and the pairwise 4dp cosine
+      // matrix as CTEs, the picked set carried as a growing list, each
+      // step's argmax re-derived with the identical
+      // 0.7·rel − 0.3·maxSim IEEE tree and vec_id tiebreak.
+      "mmr_topk" ->
+        """WITH RECURSIVE
+          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |cand AS (
+          |  SELECT e.vec_id, e.embedding,
+          |         ROUND(d.dp / (SQRT(d.na) * SQRT(d.nb)), 4) AS rel
+          |  FROM embeddings e, q,
+          |  LATERAL (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+          |                  SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+          |                  SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+          |           FROM (SELECT UNNEST(e.embedding) AS a, UNNEST(q.qe) AS b) t) d
+          |  WHERE e.vec_id <> 0
+          |  ORDER BY rel DESC, e.vec_id LIMIT 30),
+          |pairs AS (
+          |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+          |         ROUND(d.dp / (SQRT(d.na) * SQRT(d.nb)), 4) AS sim
+          |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id,
+          |  LATERAL (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+          |                  SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+          |                  SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+          |           FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) t) d),
+          |sel(step, picked, vec_id, rel, mmr) AS (
+          |  SELECT 1, [c.vec_id], c.vec_id, c.rel, 0.7 * c.rel
+          |  FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1) c
+          |  UNION ALL
+          |  SELECT sel.step + 1, list_append(sel.picked, n.vec_id), n.vec_id, n.rel, n.mmr
+          |  FROM sel,
+          |  LATERAL (
+          |    SELECT c.vec_id, c.rel,
+          |      0.7 * c.rel - 0.3 * (SELECT MAX(p.sim) FROM pairs p
+          |         WHERE p.ai = c.vec_id AND list_contains(sel.picked, p.bi)) AS mmr
+          |    FROM cand c WHERE NOT list_contains(sel.picked, c.vec_id)
+          |    ORDER BY mmr DESC, c.vec_id LIMIT 1) n
+          |  WHERE sel.step < 10)
+          |SELECT step AS rank, vec_id, rel AS relevance, ROUND(mmr, 4) AS mmr_score
+          |FROM sel ORDER BY step""".stripMargin,
       // xxhash64-derived outputs, oracled by reproducing Spark's XXH64 in
       // DuckDB SQL (wrapping-64-bit HUGEINT arithmetic, staged subquery
       // pipeline) — see [[graft.oracle.Xxh64Sql]].
@@ -3406,6 +3528,43 @@ object SparkEntry {
            |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
            |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      // Same cluster assignment, survivor = longest (token count) with
+      // doc_id tiebreak — the per-cluster rank re-derived in SQL.
+      "dedup_keep_longest" ->
+        s"""WITH RECURSIVE ${shingleCte("documents")},
+           |$jaccardCte,
+           |${componentCte("0.5")},
+           |asg AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+           |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+           |dl AS (SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS quality FROM documents)
+           |SELECT a.doc_id, a.cluster_id, dl.quality,
+           |  ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+           |    ORDER BY dl.quality DESC, a.doc_id) = 1 AS keep
+           |FROM asg a JOIN dl USING (doc_id)
+           |ORDER BY a.doc_id""".stripMargin,
+      // Budget·weight targets floored explicitly (Spark decimal→long
+      // truncates, DuckDB CAST rounds); epoch/rate divisions are single
+      // IEEE ops over exact decimal-derived inputs.
+      "token_budget_plan" ->
+        """WITH w(source, w) AS (VALUES
+          |  ('src0', CAST(0.4 AS DECIMAL(10,6))), ('src1', CAST(0.3 AS DECIMAL(10,6))),
+          |  ('src2', CAST(0.2 AS DECIMAL(10,6))), ('src3', CAST(0.1 AS DECIMAL(10,6)))),
+          |per AS (
+          |  SELECT source, COUNT(*) AS n_docs,
+          |         CAST(SUM(LEN(string_split_regex(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY 1)
+          |SELECT per.source, n_docs, n_tokens, CAST(w AS DOUBLE) AS weight,
+          |  CAST(FLOOR(CAST(10000 AS DECIMAL(27,6)) * w) AS BIGINT) AS target_tokens,
+          |  ROUND(CAST(CAST(FLOOR(CAST(10000 AS DECIMAL(27,6)) * w) AS BIGINT) AS DOUBLE)
+          |    / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+          |  CAST(FLOOR(ROUND(CAST(CAST(FLOOR(CAST(10000 AS DECIMAL(27,6)) * w) AS BIGINT) AS DOUBLE)
+          |    / CAST(n_tokens AS DOUBLE), 4)) AS BIGINT) AS full_epochs,
+          |  ROUND(ROUND(CAST(CAST(FLOOR(CAST(10000 AS DECIMAL(27,6)) * w) AS BIGINT) AS DOUBLE)
+          |      / CAST(n_tokens AS DOUBLE), 4)
+          |    - FLOOR(ROUND(CAST(CAST(FLOOR(CAST(10000 AS DECIMAL(27,6)) * w) AS BIGINT) AS DOUBLE)
+          |      / CAST(n_tokens AS DOUBLE), 4)), 4) AS residual_rate
+          |FROM per JOIN w USING (source)
+          |ORDER BY source""".stripMargin,
       "hll_vocab_rollup" ->
         """WITH toks AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
           |per AS (SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS exact_distinct_tokens FROM toks GROUP BY 1),
@@ -3716,6 +3875,11 @@ object SparkEntry {
            |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     // The indexed BM25 form returns exactly bm25_topk's rows (identical
     // scoring tree over the persisted postings) — one oracle, two plans.
-    base ++ extOracles + ("bm25_indexed" -> base("bm25_topk"))
+    base ++ extOracles +
+      ("bm25_indexed" -> base("bm25_topk")) +
+      // Same convention: the indexed hybrid is row-identical to the
+      // scan-form hybrid (the indexed BM25 generator is row-identical
+      // and fusion is a pure function of the lists).
+      ("hybrid_topk_indexed" -> extOracles("hybrid_topk"))
   }
 }

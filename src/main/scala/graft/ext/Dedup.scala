@@ -1483,6 +1483,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[nearDupClusters]] with the survivor decided by a QUALITY signal
+    * instead of min-id: production dedup keeps the best copy of each
+    * near-dup cluster (RefinedWeb keeps the longest; a classifier score
+    * slots in the same way), not the lowest id. `quality` is any
+    * deterministic per-doc Column over `docs`' columns — the canonical
+    * call passes the whitespace token count ("keep the longest") — and
+    * ties break on doc_id so the choice is total. The survivor window
+    * partitions BY CLUSTER (cluster-sized partitions, never a global
+    * window); everything upstream is [[nearDupClusters]]' own plan, so
+    * the scale story is unchanged — this adds one quality projection
+    * and one per-cluster rank.
+    */
+  def nearDupClustersKeepBest(docs: DataFrame, quality: Column,
+                              shingleSize: Int = 3, numHashes: Int = 32,
+                              bands: Int = 8,
+                              threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(docs, shingleSize, numHashes, bands,
+        threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = docs.select(col("doc_id"), quality.as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------

@@ -478,4 +478,86 @@ object Retrieval {
         round(sum(col("kl_term")).cast("double"), 6).as("kl"))
       .orderBy("source")
   }
+
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of sparse + dense lists
+  // ---------------------------------------------------------------------
+
+  /** Reciprocal-rank fusion of a sparse and a dense candidate list —
+    * the standard way production retrieval combines BM25 with an
+    * embedding ranker (RRF: Cormack/Clarke/Buettcher, SIGIR'09;
+    * score(d) = Σ_lists 1/(K + rank_list(d)), docs missing from a list
+    * contribute 0 for it). Rank fusion beats score fusion here because
+    * BM25 scores and cosine similarities live on incomparable scales —
+    * ranks need no calibration.
+    *
+    * Inputs are the generators' own top-N frames, first column the doc
+    * id, second the ROUNDED score each generator already orders by;
+    * ranks are re-derived with the generator's own total order (score
+    * desc, id) so fusion is deterministic end to end. The rank windows
+    * are unpartitioned BY CONSTRUCTION over candidate-list-sized input
+    * (≤ nCand rows — the generators applied their LIMIT), never
+    * corpus-sized; the full-outer join unites two ≤ nCand-row frames.
+    * At 100 TB the cost is entirely inside the generators — fusion
+    * itself is constant-sized.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int = 10,
+              rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(list: DataFrame, rankCol: String): DataFrame = {
+      val Array(id, score) = list.columns
+      list.select(col(id).as("doc_id"),
+        row_number().over(Window.orderBy(col(score).desc, col(id)))
+          .cast("long").as(rankCol))
+    }
+    // 1/(K+rank) per list, summed in a fixed expression order — the
+    // identical IEEE-double tree the oracle evaluates, so the rounded
+    // fusion score hash-matches across engines.
+    ranked(sparse, "sparse_rank")
+      .join(ranked(dense, "dense_rank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid top-k over a document corpus with aligned embeddings
+    * (`doc_id` ≡ `vec_id`): BM25 over the text and exact cosine over
+    * the vectors each nominate `nCand` candidates, RRF fuses. Both
+    * generators are one-scan corpus-bound ([[bm25TopK]] broadcast-
+    * filters the token stream to the query terms before any shuffle;
+    * [[Similarity.cosineTopK]] is a scan + TakeOrdered against the
+    * broadcast query vector) — at 100 TB this runs exactly two corpus
+    * scans and fuses two 50-row lists.
+    */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                 queryVecId: Long, k: Int = 10, nCand: Int = 50,
+                 rrfK: Int = 60): DataFrame =
+    rrfFuse(
+      bm25TopK(docs, terms, nCand).select("doc_id", "score"),
+      Similarity.cosineTopK(emb, queryVecId, nCand)
+        .select(col("vec_id").as("doc_id"), col("cosine")),
+      k, rrfK)
+
+  /** The deployment form: the sparse generator reads the PERSISTED
+    * inverted index ([[bm25Indexed]] — bucket-pruned postings, no
+    * corpus re-tokenize per query). Row-identical to [[hybridTopK]]
+    * because the indexed BM25 ranking is row-identical to the scan
+    * form (spec-pinned) and fusion is a pure function of the two
+    * lists — so the two queries share one oracle and a hash match
+    * certifies the indexed path end to end.
+    */
+  def hybridTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        bm25Path: String, emb: DataFrame,
+                        terms: Seq[String], queryVecId: Long,
+                        k: Int = 10, nCand: Int = 50,
+                        rrfK: Int = 60): DataFrame =
+    rrfFuse(
+      bm25Indexed(spark, bm25Path, terms, nCand).select("doc_id", "score"),
+      Similarity.cosineTopK(emb, queryVecId, nCand)
+        .select(col("vec_id").as("doc_id"), col("cosine")),
+      k, rrfK)
 }

@@ -379,4 +379,51 @@ object Sampling {
       .select(col("anchor_id"), col("rank"), col("neg_id"))
       .orderBy("anchor_id", "rank")
   }
+
+  /** Token-budget mixture plan: the sizing step a training run does
+    * BEFORE any resampling — given target mixture weights per source
+    * and a total token budget, how many tokens each source must
+    * contribute, how many epochs of that source this implies, and the
+    * per-doc sampling rate that realizes it ([[mixtureSample]] consumes
+    * exactly (full epochs + residual coin) per source downstream).
+    *
+    * Sources absent from `weights` are EXCLUDED from the plan (a
+    * mixture names every source it keeps); `epochs > 1` means the
+    * budget wants MORE than one pass of that source (upsampling —
+    * the small-high-quality-corpus case), `< 1` means downsampling.
+    *
+    * Exactness: one corpus scan aggregates per-source doc/token
+    * counts (DECIMAL sums, fold-order-free); weights ride as
+    * DECIMAL(10,6) literals so short decimal weights survive exactly
+    * (no IEEE 0.1 drift); `target_tokens = floor(budget · w)` floors
+    * EXPLICITLY — Spark's decimal→long cast truncates while DuckDB's
+    * rounds, so the floor must be in the expression, not the cast.
+    * The epoch/rate divisions are single IEEE ops over exact inputs,
+    * reproduced literally by the oracle.
+    */
+  def tokenBudgetPlan(docs: DataFrame, weights: Map[String, Double],
+                      budgetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val w = broadcast(spark.createDataFrame(
+        weights.toSeq.sortBy(_._1)).toDF("source", "w_raw")
+      .select(col("source"),
+        col("w_raw").cast("decimal(10,6)").as("w")))
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val target = floor(lit(budgetTokens).cast("decimal(27,6)") * col("w"))
+      .cast("long")
+    per.join(w, Seq("source"))
+      .withColumn("weight", col("w").cast("double"))
+      .withColumn("target_tokens", target)
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") /
+          col("n_tokens").cast("double"), 4))
+      .withColumn("full_epochs", floor(col("epochs")).cast("long"))
+      .withColumn("residual_rate",
+        round(col("epochs") - col("full_epochs"), 4))
+      .select("source", "n_docs", "n_tokens", "weight", "target_tokens",
+        "epochs", "full_epochs", "residual_rate")
+      .orderBy("source")
+  }
 }

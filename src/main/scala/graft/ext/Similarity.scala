@@ -57,6 +57,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    * `λ_rel·relevance − λ_div·max(sim to already-picked)` — the
+    * standard de-redundancy pass production retrieval runs over an
+    * ANN shortlist so near-duplicate hits don't crowd out coverage.
+    *
+    * Scale shape: the corpus-bound work is the candidate generator
+    * ([[cosineTopK]] — one scan, TakeOrdered nCand); everything after
+    * is nCand-bounded: candidate embeddings come back through a
+    * broadcast semi-join, the pairwise-similarity matrix is an
+    * nCand×nCand broadcast cross join (≤ 900 rows at the defaults),
+    * and the greedy selection itself is an inherently sequential
+    * k-step loop over that constant-sized matrix — run driver-side on
+    * the collected candidates (BOUNDED collect: nCand + nCand² rows of
+    * (id, score), the [[graft.ext.Vocab]] 1-row-argmax convention; at
+    * 100 TB nCand stays 30–200, so this never grows with the corpus).
+    *
+    * `λ_rel`/`λ_div` are taken as TWO explicit literals rather than
+    * λ/(1−λ): the published formula's decimal weights (0.7/0.3)
+    * survive exactly — IEEE `1 − 0.7` is 0.30000000000000004, which
+    * would poison cross-engine hash equality with the oracle.
+    *
+    * Relevance and pair similarities enter the greedy step rounded to
+    * 4dp (the generators' own contract), the selection tree
+    * `λ_rel·rel − λ_div·maxSim` is two IEEE multiplies and a subtract
+    * evaluated identically by the DuckDB oracle's recursive CTE, and
+    * ties break on vec_id — the whole trajectory is deterministic and
+    * engine-portable.
+    */
+  def mmrTopK(emb: DataFrame, queryId: Long, k: Int = 10, nCand: Int = 30,
+              lambdaRel: Double = 0.7,
+              lambdaDiv: Double = 0.3): DataFrame = {
+    val spark = emb.sparkSession
+    val cand = cosineTopK(emb, queryId, nCand)
+      .select(col("vec_id"), col("cosine").as("rel"))
+    // Candidate embeddings via broadcast semi-join — one more corpus
+    // scan, never a shuffle of it.
+    val ce = emb.join(broadcast(cand.select("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+    val aSide = ce.toDF("ai", "a_emb", "a_nrm")
+    val bSide = ce.toDF("bi", "b_emb", "b_nrm")
+    val pairs = aSide.crossJoin(broadcast(bSide))
+      .filter(col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        round(vec_dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")), 4).as("sim"))
+
+    // Bounded driver-side greedy: nCand relevance rows + nCand² sims.
+    val relSeq = cand.collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, rel) => (-rel, id) }.toSeq
+    val sim = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val rel = relSeq.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(relSeq.map(_._1): _*)
+    var step = 1
+    while (step <= math.min(k, relSeq.size)) {
+      val (bestId, bestMmr) = remaining.iterator.map { id =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.iterator.map(p => sim((id, p._2))).max
+        (id, lambdaRel * rel(id) - lambdaDiv * maxSim)
+      }.minBy { case (id, m) => (-m, id) }
+      picked += ((step, bestId, rel(bestId), bestMmr))
+      remaining -= bestId
+      step += 1
+    }
+    spark.createDataFrame(picked.toSeq)
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+      .select(col("rank"), col("vec_id"), col("relevance"),
+        round(col("mmr_score"), 4).as("mmr_score"))
+  }
+
   // ---------------------------------------------------------------------
   // LSH-bucketed ANN (random hyperplane signs)
   // ---------------------------------------------------------------------

@@ -981,6 +981,42 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === pairs)
   }
 
+  test("nearDupClustersKeepBest keeps the longest copy, not the min id") {
+    // Docs 0/1 are exact dups; 3 is a tight near-dup (one appended
+    // token, J = 10/11) and the LONGEST member (13 tokens vs 12) — the
+    // quality rule must crown doc 3 even though min-id would keep doc
+    // 0. Singleton 4 keeps itself.
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupClustersKeepBest(corpus,
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long"),
+        threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val cluster0 = out.filter(_._2 == 0L)
+    assert(Set(0L, 1L, 3L).subsetOf(cluster0.map(_._1).toSet))
+    assert(cluster0.filter(_._4).map(_._1).toSeq === Seq(3L))
+    assert(out.find(_._1 == 4L).get._4) // singleton keeps itself
+    // Exactly one survivor per cluster.
+    val perCluster = out.groupBy(_._2).view.mapValues(_.count(_._4))
+    assert(perCluster.values.forall(_ == 1))
+    // Ties (exact dups 0 and 1, equal length) break on doc_id: had doc
+    // 3 not been longer the survivor would be 0 — assert the rule
+    // directly on a tie-only corpus.
+    val tied = Seq(
+      (7L, "same words here exactly now"),
+      (5L, "same words here exactly now"))
+      .toDF("doc_id", "text")
+    val tiedOut = Dedup.nearDupClustersKeepBest(tied,
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(tiedOut(5L) && !tiedOut(7L))
+  }
+
   test("nearDupClusters keeps template mega-clusters grouped under the cap (digest star edges)") {
     // The 12-doc identical-template cluster's LSH pairs are dropped by
     // the bucket cap — without the exact-digest star edges it would
@@ -1699,6 +1735,36 @@ class ExtSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cosine") == 1.0)
     assert(top.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine"))
       .toMap.apply(1L) == 0.0)
+  }
+
+  test("mmrTopK diversifies: a near-dup of the top pick defers to a distinct doc") {
+    // v1/v2 point nearly the same way (sim ≈ 0.9995); v3 is slightly
+    // less relevant but in a different plane (sim to v1 ≈ 0.88). Pure
+    // relevance orders 1, 2, 3; MMR at 0.7/0.3 must pick the distinct
+    // v3 at step 2 (0.7·0.9298 − 0.3·0.8834 ≈ 0.386 beats
+    // 0.7·0.9401 − 0.3·0.9995 ≈ 0.358) and defer the near-dup v2.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0.95f, 0.312f, 0f), 0),
+      (2L, Seq(0.94f, 0.341f, 0f), 0),
+      (3L, Seq(0.93f, 0f, 0.368f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrTopK(emb, queryId = 0L, k = 3, nCand = 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 3L, 2L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    // Step 1 is the pure-relevance argmax, scored λ_rel·rel.
+    val rel1 = out.head.getAs[Double]("relevance")
+    assert(out.head.getAs[Double]("mmr_score") ===
+      math.rint(0.7 * rel1 * 1e4) / 1e4)
+    // mmr_score is strictly decreasing along the greedy trajectory.
+    val scores = out.map(_.getAs[Double]("mmr_score")).toSeq
+    assert(scores === scores.sorted.reverse)
+
+    // λ_div = 0 degenerates to the pure relevance order.
+    val pure = Similarity.mmrTopK(emb, queryId = 0L, k = 3, nCand = 3,
+      lambdaRel = 1.0, lambdaDiv = 0.0).collect()
+    assert(pure.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L, 3L))
   }
 
   test("multiprobe LSH ANN finds the identical vector") {

@@ -313,4 +313,55 @@ class RetrievalSpec extends AnyFunSuite {
     // s3 is the 50/50 mixture, closest to the corpus (6a, 6b → uniform).
     assert(kl("s3") < kl("s1") && kl("s3") < kl("s2"))
   }
+
+  test("rrfFuse matches the hand-computed RRF scores and order") {
+    // sparse list: doc 1 (rank 1), doc 2 (rank 2);
+    // dense  list: doc 2 (rank 1), doc 3 (rank 2).
+    val sparse = Seq((1L, 5.0), (2L, 4.0)).toDF("doc_id", "score")
+    val dense = Seq((2L, 0.9), (3L, 0.8)).toDF("doc_id", "cosine")
+    val out = Retrieval.rrfFuse(sparse, dense, k = 10).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3)))
+    def rrf(ranks: Seq[Int]): Double =
+      math.rint(ranks.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    // doc 2 is in BOTH lists → wins; 1 and 3 hold one rank each, and
+    // the better single rank (sparse 1) beats the worse (dense 2).
+    assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(out(0) === ((2L, Some(2L), Some(1L), rrf(Seq(2, 1)))))
+    assert(out(1) === ((1L, Some(1L), None, rrf(Seq(1)))))
+    assert(out(2) === ((3L, None, Some(2L), rrf(Seq(2)))))
+  }
+
+  test("rrfFuse ties on equal single-list ranks break on doc_id") {
+    // docs 5 and 3 each hold rank 2 in exactly one list → equal RRF
+    // score; the smaller doc_id must order first.
+    val sparse = Seq((1L, 5.0), (5L, 4.0)).toDF("doc_id", "score")
+    val dense = Seq((1L, 0.9), (3L, 0.8)).toDF("doc_id", "cosine")
+    val ids = Retrieval.rrfFuse(sparse, dense, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 3L, 5L))
+  }
+
+  test("hybridTopKIndexed returns exactly hybridTopK's rows") {
+    val all = docs(
+      (1L, "spark spark engine"), (2L, "vector search engine"),
+      (3L, "spark vector"), (4L, "unrelated words entirely"),
+      (5L, "dup dup dup"))
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f), 0), (2L, Seq(0.9f, 0.1f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f), 0), (4L, Seq(0.8f, 0.2f, 0.1f), 0),
+      (5L, Seq(0f, 0f, 1f), 0), (0L, Seq(1f, 0.05f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-hybrid").toString
+    Retrieval.buildBm25Index(all, dir)
+    val scan = Retrieval.hybridTopK(all, emb, Seq("spark", "dup"),
+      queryVecId = 0L, k = 5).collect().toSeq
+    val indexed = Retrieval.hybridTopKIndexed(spark, dir, emb,
+      Seq("spark", "dup"), queryVecId = 0L, k = 5).collect().toSeq
+    assert(scan === indexed)
+    assert(scan.nonEmpty)
+  }
 }

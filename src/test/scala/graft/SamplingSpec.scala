@@ -110,4 +110,25 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("tokenBudgetPlan sizes targets, epochs, and residual rates exactly") {
+    // Source a: 40 tokens (4 docs × 10); source b: 200 (2 × 100);
+    // source c is NOT in the mixture and must not appear.
+    val docs = (
+      (1 to 4).map(i => (i.toLong, Seq.fill(10)("w").mkString(" "), "a")) ++
+      Seq((5L, Seq.fill(100)("w").mkString(" "), "b"),
+          (6L, Seq.fill(100)("w").mkString(" "), "b"),
+          (7L, "x y z", "c")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.tokenBudgetPlan(docs,
+        Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+         r.getDouble(5), r.getLong(6), r.getDouble(7))).toMap
+    assert(out.keySet === Set("a", "b"))
+    // a: target 50 of 40 tokens → 1.25 epochs = 1 full + 0.25 residual
+    assert(out("a") === ((4L, 40L, 0.5, 50L, 1.25, 1L, 0.25)))
+    // b: target 50 of 200 tokens → 0.25 epochs, pure downsampling
+    assert(out("b") === ((2L, 200L, 0.5, 50L, 0.25, 0L, 0.25)))
+  }
 }
