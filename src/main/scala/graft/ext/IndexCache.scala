@@ -18,8 +18,12 @@ import org.apache.spark.storage.StorageLevel
   * almost entirely STATIC: each trigger appends one batch-sized
   * `ingest=` partition and everything else is unchanged. So the cache
   * holds one persisted (MEMORY_AND_DISK — spills, never OOMs)
-  * DataFrame PER ingest partition and serves their union; a refresh
-  * touches only partitions whose metadata fingerprint changed.
+  * InternalRow RDD PER ingest partition — NOT a plan-keyed
+  * `DataFrame.persist`, which Spark's `recacheByPath` drops on every
+  * write under the table root, i.e. on every streaming fold (see
+  * [[org.apache.spark.sql.GraftRddFrame]]) — and serves their union;
+  * a refresh touches only partitions whose metadata fingerprint
+  * changed.
   *
   * Freshness is decided per partition from the file listing (relative
   * name, length, mtime — the [[IndexStamp.fingerprint]] discipline;
@@ -53,7 +57,19 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] object IndexCache {
 
-  private case class Part(fp: String, df: DataFrame)
+  // The mirror is a PERSISTED InternalRow RDD, not a persisted
+  // DataFrame: plan-keyed SQL cache entries are dropped by Spark's
+  // `recacheByPath` on EVERY write under the table root — and the
+  // streaming composites append to the index each trigger, so a
+  // DataFrame-persist mirror thrashed (unpersist + table-sized re-read
+  // per fold; measured in the round-16 dropcache drill). The RDD keeps
+  // the parquet-scan lineage (evicted blocks recompute from the files)
+  // while being invisible to the CacheManager. `df` rewraps the RDD
+  // per call via [[org.apache.spark.sql.GraftRddFrame]].
+  private case class Part(fp: String,
+                          rdd: org.apache.spark.rdd.RDD[
+                            org.apache.spark.sql.catalyst.InternalRow],
+                          schema: org.apache.spark.sql.types.StructType)
   // One Entry per (context, dir); `parts` guarded by the entry's own
   // monitor. TrieMap gives lock-free entry lookup; the per-entry lock
   // scopes the expensive work (listings, reads, persists) to the one
@@ -88,8 +104,9 @@ private[graft] object IndexCache {
     out.mkString("\n")
   }
 
-  private def unpersistQuietly(df: DataFrame): Unit =
-    try { df.unpersist(); () } catch { case scala.util.control.NonFatal(_) => }
+  private def unpersistQuietly(p: Part): Unit =
+    try { p.rdd.unpersist(blocking = false); () }
+    catch { case scala.util.control.NonFatal(_) => }
 
   /** The partitioned index table at `dir` (its `ingest=` children),
     * served from the cache when enabled and fresh. Falls back to the
@@ -115,21 +132,49 @@ private[graft] object IndexCache {
       val stale = cached.exists { case (name, p) =>
         live.get(name).forall(_ != p.fp) // changed OR removed
       }
+      // Refresh observability (`spark.graft.indexCacheDebug = true`):
+      // which partition invalidated the entry, or how many new
+      // partitions refresh incrementally — the signal that separates
+      // "mirror serves across triggers" from "mirror thrashes on every
+      // fold" in a drill's output.
+      if (spark.conf.getOption("spark.graft.indexCacheDebug")
+            .exists(_.toBoolean)) {
+        if (stale) {
+          val why = cached.collect {
+            case (name, p) if live.get(name).forall(_ != p.fp) =>
+              if (live.contains(name)) s"$name CHANGED" else s"$name REMOVED"
+          }
+          println(s"[indexcache] $dir INVALIDATED: ${why.mkString(", ")}")
+        } else {
+          val fresh = live.keySet -- cached.keySet
+          if (fresh.nonEmpty)
+            println(s"[indexcache] $dir incremental: +${fresh.size} " +
+              s"partition(s) ${fresh.toSeq.sorted.mkString(",")}")
+          else if (cached.nonEmpty)
+            println(s"[indexcache] $dir HIT (${cached.size} partitions)")
+        }
+      }
       val base = if (stale) {
-        cached.values.foreach(p => unpersistQuietly(p.df))
+        cached.values.foreach(unpersistQuietly)
         Map.empty[String, Part]
       } else cached
       val fresh = live.map { case (name, fp) =>
         name -> base.getOrElse(name, {
           // basePath keeps the `ingest` partition column in the schema,
           // so cached and direct reads are column-identical.
-          Part(fp, spark.read.option("basePath", dir)
+          val df = spark.read.option("basePath", dir)
             .parquet(s"$dir/$name")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+          Part(fp,
+            org.apache.spark.sql.GraftRddFrame.toRowRdd(df)
+              .persist(StorageLevel.MEMORY_AND_DISK),
+            df.schema)
         })
       }
       entry.parts = fresh
-      fresh.values.map(_.df).reduceOption(_.unionByName(_))
+      fresh.values
+        .map(p => org.apache.spark.sql.GraftRddFrame
+          .fromRowRdd(spark, p.rdd, p.schema))
+        .reduceOption(_.unionByName(_))
         .getOrElse(spark.read.parquet(dir))
     }
   }
@@ -149,7 +194,7 @@ private[graft] object IndexCache {
     entries.keySet.foreach { k =>
       entries.remove(k).foreach { e =>
         e.synchronized {
-          e.parts.values.foreach(p => unpersistQuietly(p.df))
+          e.parts.values.foreach(unpersistQuietly)
           e.parts = Map.empty
         }
       }
