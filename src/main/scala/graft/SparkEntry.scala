@@ -1807,6 +1807,16 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
 
+    // CCNet-style perplexity terciles: candidates scored under the
+    // trusted-slice LM, each language cut head/middle/tail at exact
+    // percentile THRESHOLDS (broadcast back, row-local assignment —
+    // never a per-language global rank window).
+    "ppl_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.perplexityBuckets(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    }),
+
     // C4-style blocklist gate: token-fraction screen against a
     // blocklist literal — row-local, scan-bound, the classic badwords
     // curation rule with a tolerance knob.
@@ -2766,6 +2776,34 @@ object SparkEntry {
           |  ROUND(CAST(SUM(CAST(LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 1.0 * v.v)) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
           |FROM b LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON b.w1 = c1.w CROSS JOIN v
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Same scoring CTEs as bigram_logprob_ref, then per-lang
+      // quantile_cont thresholds (rounded 4dp, the value_percentiles
+      // contract) and row-local >= bucketing.
+      "ppl_buckets" ->
+        """WITH ref AS (SELECT string_split_regex(TRIM(text), '\s+') AS toks FROM documents WHERE doc_id < 250),
+          |cand AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents WHERE doc_id >= 250),
+          |ru AS (SELECT UNNEST(toks) AS w FROM ref),
+          |c1 AS (SELECT w, COUNT(*) AS c1 FROM ru GROUP BY 1),
+          |v AS (SELECT COUNT(DISTINCT w) AS v FROM ru),
+          |rp AS (SELECT toks, UNNEST(generate_series(1, LEN(toks) - 1)) AS i FROM ref),
+          |c2 AS (SELECT bg, COUNT(*) AS c2 FROM (SELECT toks[i] || ' ' || toks[i + 1] AS bg FROM rp) GROUP BY 1),
+          |p AS (SELECT doc_id, toks, UNNEST(generate_series(1, LEN(toks) - 1)) AS i FROM cand),
+          |b AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg FROM p),
+          |scored AS (
+          |  SELECT doc_id,
+          |    ROUND(CAST(SUM(CAST(LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 1.0 * v.v)) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logp
+          |  FROM b LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON b.w1 = c1.w CROSS JOIN v
+          |  GROUP BY doc_id),
+          |sc AS (SELECT s.doc_id, d.lang, s.mean_logp
+          |       FROM scored s JOIN documents d USING (doc_id)),
+          |th AS (SELECT lang, ROUND(quantile_cont(mean_logp, 2.0/3.0), 4) AS t_head,
+          |              ROUND(quantile_cont(mean_logp, 1.0/3.0), 4) AS t_mid
+          |       FROM sc GROUP BY 1)
+          |SELECT sc.doc_id, sc.lang, sc.mean_logp,
+          |  CASE WHEN mean_logp >= t_head THEN 'head'
+          |       WHEN mean_logp >= t_mid THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM sc JOIN th USING (lang) ORDER BY sc.doc_id""".stripMargin,
       "blocklist_gate" ->
         """WITH d AS (SELECT doc_id, list_filter(string_split_regex(TRIM(text), '\s+'), t -> LEN(t) > 0) AS toks FROM documents),
           |b AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,

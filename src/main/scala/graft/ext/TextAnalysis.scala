@@ -512,6 +512,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing: score candidates under a
+    * reference LM ([[bigramLogProbAgainst]]) and cut each language's
+    * population into head / middle / tail terciles — the published
+    * CCNet curation step (head ≈ closest to the reference
+    * distribution; tail is where most noise lives; many pretraining
+    * recipes keep head+middle or reweight by bucket).
+    *
+    * Scale shape — thresholds, not ranks: a per-language NTILE would
+    * sort each language's WHOLE population through one partition, the
+    * global-window shape this repo documents as a scale-killer.
+    * Instead the two tercile cut points per language come from one
+    * tiny exact-percentile aggregate (languages × 2 values,
+    * broadcast back) and bucket assignment is row-local — the CCNet
+    * deployment shape (thresholds computed once on a sample, applied
+    * in the scan).
+    *
+    * Determinism: scores arrive 4dp-rounded (the scorer's contract),
+    * the interpolated percentiles are computed over those rounded
+    * doubles and themselves rounded to 4dp (the `value_percentiles`
+    * cross-engine contract), and boundary docs bucket by `>=` on the
+    * rounded values — stable in both engines.
+    */
+  def perplexityBuckets(reference: DataFrame, docs: DataFrame,
+                        smoothK: Double = 1.0): DataFrame = {
+    val scored = bigramLogProbAgainst(reference, docs, smoothK)
+      .select(col("doc_id"), col("mean_logp"))
+    val withLang = scored.join(docs.select(col("doc_id"), col("lang")),
+      Seq("doc_id"))
+    val th = withLang.groupBy("lang").agg(
+      round(expr("percentile(mean_logp, 2.0/3.0)"), 4).as("t_head"),
+      round(expr("percentile(mean_logp, 1.0/3.0)"), 4).as("t_mid"))
+    withLang.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_logp"),
+        when(col("mean_logp") >= col("t_head"), "head")
+          .when(col("mean_logp") >= col("t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance weights (hashed n-gram importance
     * resampling — the published data-SELECTION pattern for pretraining
     * mixes): each doc scores by how much more likely its hashed

@@ -1890,6 +1890,49 @@ class ExtSpec extends AnyFunSuite {
     assert(out(10L)._2 > out(11L)._2)
   }
 
+  test("perplexityBuckets cuts terciles per language on the scorer's own order") {
+    val ref = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "the cat sat on the mat", "en"),
+      (11L, "the cat sat on", "en"),
+      (12L, "the cat sat qq", "en"),
+      (13L, "the cat qq rr", "en"),
+      (14L, "the qq rr ss", "en"),
+      (15L, "qq rr ss tt", "en"),
+      // A second language, fully out-of-distribution: its BEST scorer
+      // must still land in ITS OWN head — thresholds are per-lang.
+      (20L, "zz yy xx ww", "xx"),
+      (21L, "zz yy qq rr ss", "xx"),
+      (22L, "qq zz rr yy ss ww", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(ref, cand).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    // Bucket order must agree with the scorer's own order within each
+    // language: no middle doc outscores a head doc, no tail outscores
+    // a middle.
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      for ((_, _, s1, b1) <- docs; (_, _, s2, b2) <- docs
+           if rank(b1) < rank(b2))
+        assert(s1 >= s2, s"$b1($s1) must outscore $b2($s2)")
+    }
+    val en = out.filter(_._2 == "en")
+    assert(en.map(_._4).toSet === Set("head", "middle", "tail"))
+    // 6 distinct en scores → exact 2/2/2 terciles.
+    assert(en.map(_._3).distinct.length === 6)
+    assert(en.groupBy(_._4).view.mapValues(_.length).toMap ===
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    // The xx language buckets within ITS OWN population: every xx doc
+    // is fully out-of-distribution, so all three tie at the smoothing
+    // floor log(1/V) — and a fully-tied language collapses to 'head'
+    // (>= on equal thresholds), never to 'tail'. Per-lang thresholds:
+    // en's distinct scores still split 2/2/2 above.
+    val xx = out.filter(_._2 == "xx")
+    assert(xx.map(_._3).distinct.length === 1)
+    assert(xx.map(_._4).toSet === Set("head"))
+  }
+
   test("unigram log-prob: uniform corpus frequency → exact ln of the share") {
     val tiny = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
     val out = TextAnalysis.unigramLogProb(tiny).collect()
