@@ -274,4 +274,48 @@ class EdgeCaseSpec extends AnyFunSuite {
       trainShingles = Some(sh), trainShinglesN = Some(3)).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("round-16 operators on empty/degenerate inputs") {
+    import graft.ext.{Retrieval, Similarity => Sim}
+    // RRF: one list empty → pure single-list ranking, never a throw;
+    // both empty → empty.
+    val someList = Seq((1L, 5.0), (2L, 4.0)).toDF("doc_id", "score")
+    val emptyList = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val oneSided = Retrieval.rrfFuse(someList, emptyList, k = 10)
+      .collect()
+    assert(oneSided.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(oneSided.forall(r => r.isNullAt(2))) // dense_rank all null
+    assert(Retrieval.rrfFuse(emptyList, emptyList, k = 10).isEmpty)
+    // Hybrid over a corpus where the query terms match NOTHING: the
+    // dense list alone carries the fusion.
+    val emb = Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val h = Retrieval.hybridTopK(someDocs, emb, Seq("zzznotaword"),
+      queryVecId = 0L, k = 5).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L))
+    // MMR: k larger than the candidate pool returns the whole pool,
+    // ranks 1..n; a single candidate is trivially 'selected'.
+    val mmr = Sim.mmrTopK(emb, queryId = 0L, k = 10, nCand = 5).collect()
+    assert(mmr.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L))
+    assert(mmr.map(_.getAs[Int]("rank")).toSeq === Seq(1))
+    // Token budget: empty corpus → empty plan; weights naming a source
+    // absent from the data contribute nothing (inner join semantics).
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Sampling.tokenBudgetPlan(emptySrc, Map("a" -> 1.0), 100L).isEmpty)
+    val planned = Sampling.tokenBudgetPlan(
+      Seq((1L, "w w", "a")).toDF("doc_id", "text", "source"),
+      Map("a" -> 0.5, "ghost" -> 0.5), 100L).collect()
+    assert(planned.map(_.getString(0)).toSeq === Seq("a"))
+    // keep-best clustering on an empty corpus → empty, never a throw.
+    assert(Dedup.nearDupClustersKeepBest(emptyDocs,
+      TextAnalysis.tokenCount(col("text")).cast("long")).isEmpty)
+    // Perplexity buckets: an empty candidate side → empty frame with
+    // the right schema (reference still non-empty).
+    val langDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    val pb = TextAnalysis.perplexityBuckets(someDocs, langDocs)
+    assert(pb.isEmpty && pb.columns.toSeq ===
+      Seq("doc_id", "lang", "mean_logp", "bucket"))
+  }
 }
