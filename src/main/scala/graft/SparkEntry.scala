@@ -1245,6 +1245,21 @@ object SparkEntry {
         .filter(col("is_novel")).select("doc_id").orderBy("doc_id")
     }),
 
+    // NEAR-DUP contamination: the fuzzy third rule of the family —
+    // MinHash similarity against the eval slice catches a paraphrased
+    // or lightly-edited benchmark copy whose exact 3-grams are broken
+    // (the scattered-count and contiguous-run rules both miss it, but
+    // enough shingles survive for J >= 0.5). Same eval slice as
+    // corpus_prep; the minhashNovel machinery with the polarity
+    // flipped: NOT novel vs the eval suite == contaminated.
+    "contamination_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cand = docs.filter(col("doc_id") >= 50)
+      val novel = Dedup.minhashNovel(cand, docs.filter(col("doc_id") < 50))
+      cand.select("doc_id").join(novel, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // Near-dup pairs → connected components → corpus-wide cluster
     // assignment with canonical survivors (min doc_id per cluster).
     "dedup_clusters" -> ((s, dir) =>
@@ -3544,6 +3559,21 @@ object SparkEntry {
            |        WHERE ov/(nsz.n+csz.n-ov) >= 0.5)
            |SELECT d.doc_id FROM documents d
            |WHERE d.doc_id >= 450 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+           |ORDER BY 1""".stripMargin,
+      // The fuzzy contamination rule: exhaustive exact Jaccard against
+      // the eval slice, flagged = any eval pair at J >= 0.5 (the
+      // engine's LSH banding is certified lossless on this corpus by
+      // the same construction as minhash_novel).
+      "contamination_neardup" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 50)", "n")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "c")},
+           |nsz AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+           |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+           |          FROM nsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2)
+           |SELECT DISTINCT da AS doc_id FROM inter
+           |JOIN nsz ON nsz.doc_id = da JOIN csz ON csz.doc_id = db
+           |WHERE ov/(nsz.n+csz.n-ov) >= 0.5
            |ORDER BY 1""".stripMargin,
       "minhash_novel_indexed" ->
         s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "n")},
