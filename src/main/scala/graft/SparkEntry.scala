@@ -991,6 +991,23 @@ object SparkEntry {
         minRunTokens = 8)
     }),
 
+    // The FUZZY form of the same lifecycle (r17 — completes the
+    // append→screen→delta set for all THREE contamination rules): docs
+    // with a verified near-dup among the appended benchmarks but none
+    // among the base suite. Both states from ONE verified-match read
+    // (each match carries its ingest partition); base-flagged docs
+    // never re-report. Same 30/50 lifecycle-demo split.
+    "redecontaminate_neardup_delta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Dedup.minhashEvalDeltaIndexPathFor(dir)
+      Dedup.buildMinhashIndex(
+        docs.filter(col("doc_id") >= 30 && col("doc_id") < 50), path)
+      Dedup.appendMinhashIndex(
+        docs.filter(col("doc_id") < 30), path, ingestId = 1L)
+      Contamination.redecontaminateNeardupDelta(
+        docs.filter(col("doc_id") >= 450), path, sinceIngestId = 1L)
+    }),
+
     // Edit-distance verify (the character-level near-dup metric):
     // adjacent-id pairs over 200-char prefixes — pairwise DP cost is
     // bounded by pair count × prefix², exactly how a candidate-pair
@@ -1260,6 +1277,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The fuzzy rule's DEPLOYMENT shape: the eval suite's MinHash index
+    // persisted ONCE (bands + stored shingle sets, its own path — never
+    // confusable with the standing-corpus index), every batch doc
+    // verdicted against it — the eval suite is never re-shingled at
+    // screen time, completing the family symmetry (count, span, and
+    // near-dup rules all ship scan + index + stream). Shares
+    // contamination_neardup's oracle, so a hash match certifies the
+    // index path end-to-end: build layout, broadcast-index plan,
+    // stored-set verify, polarity flip. broadcastIndex: the index is
+    // benchmark-sized (the SMALL side — opposite of
+    // minhash_novel_indexed's corpus index), so bands and sets
+    // broadcast into a streamed scan of the corpus-scale batch.
+    "contamination_neardup_indexed" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Dedup.minhashEvalIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 50), path,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      Contamination.neardupContaminationAgainstIndex(
+          docs.filter(col("doc_id") >= 50), path)
+        .filter(col("is_contaminated")).select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Near-dup pairs → connected components → corpus-wide cluster
     // assignment with canonical survivors (min doc_id per cluster).
     "dedup_clusters" -> ((s, dir) =>
@@ -1280,6 +1320,21 @@ object SparkEntry {
       T(s, dir, "documents"),
       Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
       budgetTokens = 10000L)),
+
+    // The plan EXECUTED (r17): the corpus materialized AT the budget —
+    // full epochs via copy expansion, the residual via the
+    // deterministic digest coin, rates derived from the plan itself so
+    // sizing and sampling can't drift. The 1M budget exercises BOTH
+    // mechanisms at every verify scale (multi-epoch at sf0.001,
+    // mixed full+residual at sf0.01); the oracle re-derives the plan
+    // arithmetic AND replays the md5 coin per doc, so row counts per
+    // (source, epoch) match exactly.
+    "train_prep_budget" -> ((s, dir) =>
+      Sampling.sampleAtBudget(T(s, dir, "documents"),
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          budgetTokens = 1000000L)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
 
     // The end-to-end curation report: quality screen + exact dedup +
     // near-dup survivors + contamination vs a held-out slice, one pass.
@@ -1328,6 +1383,28 @@ object SparkEntry {
         embeddings = Some(T(s, dir, "embeddings")),
         repetitionMaxDupFrac = Some(0.05),
         contamSpanMinRun = Some(8))
+    }),
+
+    // The batch composite with ALL THREE contamination rules on (r17:
+    // the fuzzy MinHash-vs-eval veto joins the scattered-count and
+    // contiguous-span rules — the flagship pair now applies the whole
+    // family symmetrically): a paraphrased benchmark copy whose exact
+    // grams are broken becomes ineligible at shingle-Jaccard ≥ 0.5. The
+    // veto rides the shared shingle checkpoint (MinHash consumes the
+    // same (doc_id, h) stream) — still ONE corpus tokenize pass for six
+    // shingle consumers. The oracle re-derives every verdict including
+    // per-doc exact Jaccard against the eval slice.
+    "corpus_prep_v4" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.CorpusPrep.prepare(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        blocklist = Seq("dup", "skew", "spill"),
+        blocklistMaxFraction = 0.05,
+        containmentThreshold = Some(0.5),
+        embeddings = Some(T(s, dir, "embeddings")),
+        repetitionMaxDupFrac = Some(0.05),
+        contamSpanMinRun = Some(8),
+        contamNeardupThreshold = Some(0.5))
     }),
 
     // The INCREMENTAL curation composite: a new batch (doc_id >= 450)
@@ -1405,6 +1482,53 @@ object SparkEntry {
         simhashIndexPath = Some(sh),
         contamIndexPath = Some(ev),
         contamSpanMinRun = Some(8),
+        embeddings = Some(emb.filter(col("vec_id") >= 450)),
+        outlierIndexPath = Some(ol),
+        repetitionMaxDupFrac = Some(0.05),
+        broadcastBatch = false)
+    }),
+
+    // curation_screen_v2 plus the fuzzy contamination screen (r17): the
+    // batch is additionally verdicted against the FROZEN eval-suite
+    // MinHash index — the ingest path now applies the same three
+    // contamination rules as corpus_prep_v4's backfill path, keeping
+    // the composites' symmetry contract whole. The oracle re-derives
+    // the new verdict as per-doc exact Jaccard vs the eval slice with
+    // the engine's (rounded-j, eval_id) tie order.
+    "curation_screen_v3" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val mh = Dedup.minhashIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 450), mh,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ds = TextAnalysis.dsirIndexPathFor(dir)
+      TextAnalysis.ensureDsirIndex(s, docs.filter(col("doc_id") < 250), ds,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val cn = Dedup.containIndexPathFor(dir)
+      Dedup.ensureContainmentIndex(s, docs.filter(col("doc_id") < 450), cn,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val sh = Dedup.simhashIndexPathFor(dir)
+      Dedup.ensureSimhashIndex(s, docs.filter(col("doc_id") < 450), sh,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ev = Contamination.evalIndexPathFor(dir)
+      Contamination.ensureEvalIndex(s, docs.filter(col("doc_id") < 50), ev,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val nd = Dedup.minhashEvalIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 50), nd,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ol = Similarity.outlierIndexPathFor(dir)
+      Similarity.ensureOutlierIndex(s, emb.filter(col("vec_id") < 450), ol,
+        sourcePath = Some(s"$dir/embeddings.parquet"))
+      graft.ext.CorpusPrep.screenIncremental(
+        docs.filter(col("doc_id") >= 450), mh,
+        blocklist = Seq("dup", "skew", "spill"),
+        blocklistMaxFraction = 0.05,
+        dsirIndexPath = Some(ds),
+        containmentIndexPath = Some(cn),
+        simhashIndexPath = Some(sh),
+        contamIndexPath = Some(ev),
+        contamSpanMinRun = Some(8),
+        neardupEvalIndexPath = Some(nd),
         embeddings = Some(emb.filter(col("vec_id") >= 450)),
         outlierIndexPath = Some(ol),
         repetitionMaxDupFrac = Some(0.05),
@@ -3169,7 +3293,27 @@ object SparkEntry {
     // span-contamination veto: rare eval grams (EVAL-side df ≤ 20, the
     // indexed screen's batch-independent rule), positional corpus
     // 3-grams, gaps-and-islands run lengths, span_ok = max run < 8.
-    def curationCteV2(spans: Boolean = false): String = {
+    def curationCteV2(spans: Boolean = false,
+                      neardup: Boolean = false): String = {
+      // Fuzzy (MinHash) contamination veto re-derived as per-doc EXACT
+      // Jaccard against the eval slice (the contamination_neardup
+      // oracle's rule; the engine's LSH banding is certified lossless
+      // on this corpus by OracleAssumptionsSpec's recall-knee pin).
+      val ndCtes = if (!neardup) "" else
+        """ndcsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          |ndesz AS (SELECT doc_id, count(*) AS n FROM esh GROUP BY 1),
+          |ndx AS (SELECT s.doc_id AS da, e.doc_id AS db, count(*) AS ov
+          |        FROM sh s JOIN esh e ON s.g = e.g GROUP BY 1, 2),
+          |ndhit AS (SELECT DISTINCT da AS doc_id FROM ndx
+          |          JOIN ndcsz ON ndcsz.doc_id = da JOIN ndesz ON ndesz.doc_id = db
+          |          WHERE ov/(ndcsz.n+ndesz.n-ov) >= 0.5),
+          |""".stripMargin
+      val ndCol = if (neardup)
+        ",\n    nd.doc_id IS NULL AS neardup_ok" else ""
+      val ndJoin = if (neardup)
+        "\n  LEFT JOIN ndhit nd ON nd.doc_id = c.doc_id" else ""
+      val ndElig = if (neardup) " AND neardup_ok" else ""
+      val ndPass = if (neardup) ", neardup_ok" else ""
       val spanCtes = if (!spans) "" else
         """srare AS (SELECT g FROM (SELECT g, count(*) AS df FROM esh GROUP BY 1) WHERE df <= 20),
           |cposh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
@@ -3216,7 +3360,7 @@ object SparkEntry {
          |         FROM t, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
          |crepf AS (SELECT doc_id, ROUND(1.0 - count(DISTINCT g) / count(*), 4) AS dup_3gram_frac
          |          FROM crep GROUP BY 1),
-         |${spanCtes}flagged AS (
+         |$spanCtes${ndCtes}flagged AS (
          |  SELECT c.doc_id, md5(c.text) AS content_digest,
          |    COALESCE(cm.doc_id IS NOT NULL, FALSE) AS is_contaminated,
          |    (LEN(string_split_regex(TRIM(c.text), '\\s+')) >= 5
@@ -3224,19 +3368,19 @@ object SparkEntry {
          |    bl.is_blocked,
          |    COALESCE(o.doc_id IS NOT NULL, FALSE) AS is_outlier,
          |    COALESCE(r.dup_3gram_frac <= 0.05, TRUE) AS repetition_ok,
-         |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id$spanCols
+         |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id$spanCols$ndCol
          |  FROM corpus c LEFT JOIN contam cm ON cm.doc_id = c.doc_id
          |  LEFT JOIN comp cp ON cp.doc_id = c.doc_id
          |  JOIN bl ON bl.doc_id = c.doc_id
          |  LEFT JOIN outl o ON o.doc_id = c.doc_id
-         |  LEFT JOIN crepf r ON r.doc_id = c.doc_id$spanJoin),
+         |  LEFT JOIN crepf r ON r.doc_id = c.doc_id$spanJoin$ndJoin),
          |s3 AS (
-         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier, repetition_ok$spanPass,
-         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig) AS eligible,
+         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier, repetition_ok$spanPass$ndPass,
+         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig) AS eligible,
          |    doc_id <> min(doc_id) OVER (PARTITION BY content_digest) AS is_exact_dup,
          |    doc_id <> min(doc_id) OVER (PARTITION BY cluster_id) AS is_near_dup,
-         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
-         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
          |  FROM flagged)""".stripMargin
     }
     // The incremental-composite oracle, shared by curation_screen (base
@@ -3245,7 +3389,35 @@ object SparkEntry {
     // eval-gram contamination verdict — string 3-grams with the
     // EVAL-side df-cap stop-gram rule — and the frozen-model outlier
     // verdict via the unrolled k-means chain fit on vec_id < 450).
-    def incrementalScreenSql(full: Boolean): String = {
+    def incrementalScreenSql(full: Boolean,
+                             neardup: Boolean = false): String = {
+      // Fuzzy contamination verdict: per-doc exact Jaccard vs the eval
+      // slice with the engine's (rounded-j, eval_id DESC) tie order —
+      // the `best` CTE's convention for the novelty screen. Requires
+      // full (vsh is defined in the contamination block).
+      val ndCtes = if (!neardup) "" else
+        """ndbsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+          |ndvsz AS (SELECT doc_id, count(*) AS n FROM vsh GROUP BY 1),
+          |ndx AS (SELECT b.doc_id AS da, v.doc_id AS db, count(*) AS ov
+          |        FROM bsh b JOIN vsh v ON b.g = v.g GROUP BY 1, 2),
+          |ndsc AS (SELECT da AS doc_id, ROUND(ov/(bn.n+vn.n-ov), 4) AS j, db AS eval_id
+          |         FROM ndx JOIN ndbsz bn ON bn.doc_id = da JOIN ndvsz vn ON vn.doc_id = db
+          |         WHERE ov/(bn.n+vn.n-ov) >= 0.5),
+          |ndbest AS (SELECT doc_id, j AS eval_jaccard, eval_id AS eval_match_id FROM
+          |  (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |     ORDER BY j DESC, eval_id DESC) AS rn FROM ndsc) WHERE rn = 1),
+          |""".stripMargin
+      val ndVerdictCols = if (neardup)
+        """,
+          |  ndbest.doc_id IS NULL AS neardup_ok,
+          |  ndbest.eval_jaccard, ndbest.eval_match_id""".stripMargin
+      else
+        """,
+          |  TRUE AS neardup_ok,
+          |  CAST(NULL AS DOUBLE) AS eval_jaccard,
+          |  CAST(NULL AS BIGINT) AS eval_match_id""".stripMargin
+      val ndJoin = if (neardup)
+        "\n  LEFT JOIN ndbest ON ndbest.doc_id = b.doc_id" else ""
       val contamCtes = if (!full) "" else
         s"""evals AS (SELECT * FROM documents WHERE doc_id < 50),
            |${shingleCte("evals", "v")},
@@ -3310,7 +3482,7 @@ object SparkEntry {
          |        FROM batch)),
          |${shingleCte("batch", "b")},
          |${shingleCte("standing", "c")},
-         |$contamCtes
+         |$contamCtes$ndCtes
          |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
          |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
          |ninter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
@@ -3339,17 +3511,17 @@ object SparkEntry {
          |  cnv.best_containment, cnv.match_id AS container_id,
          |  NOT snv.is_novel AS is_hamming_dup,
          |  snv.best_hamming, snv.match_id AS hamming_match_id,
-         |  $verdictCols
+         |  $verdictCols$ndVerdictCols
          |  FROM batch b JOIN rl ON rl.doc_id = b.doc_id
          |  LEFT JOIN best ON best.doc_id = b.doc_id
          |  LEFT JOIN dw ON dw.doc_id = b.doc_id
          |  JOIN cnv ON cnv.doc_id = b.doc_id
-         |  JOIN snv ON snv.doc_id = b.doc_id$verdictJoins),
+         |  JOIN snv ON snv.doc_id = b.doc_id$verdictJoins$ndJoin),
          |flagged AS MATERIALIZED (SELECT *,
          |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok
          |   AND NOT is_contained AND NOT is_hamming_dup
-         |   AND NOT is_contaminated AND span_ok AND NOT is_outlier
-         |   AND repetition_ok) AS eligible
+         |   AND NOT is_contaminated AND span_ok AND neardup_ok
+         |   AND NOT is_outlier AND repetition_ok) AS eligible
          |  FROM v),
          |edocs AS (SELECT b.doc_id, b.text FROM batch b
          |  JOIN flagged f ON f.doc_id = b.doc_id AND f.eligible),
@@ -3364,6 +3536,7 @@ object SparkEntry {
          |  f.is_hamming_dup, f.best_hamming, f.hamming_match_id,
          |  f.is_contaminated, f.contam_shared, f.contam_match_id,
          |  f.contam_span_run, f.span_ok,
+         |  f.neardup_ok, f.eval_jaccard, f.eval_match_id,
          |  f.is_outlier, f.outlier_zscore,
          |  f.dup_3gram_frac, f.repetition_ok,
          |  COALESCE(f.doc_id = s.cluster_id, FALSE) AS batch_survivor,
@@ -3575,6 +3748,20 @@ object SparkEntry {
            |JOIN nsz ON nsz.doc_id = da JOIN csz ON csz.doc_id = db
            |WHERE ov/(nsz.n+csz.n-ov) >= 0.5
            |ORDER BY 1""".stripMargin,
+      // contamination_neardup's oracle verbatim (the shared-oracle pin,
+      // minhash_novel_indexed-style): the indexed screen must flag the
+      // exact same docs as the scan form / exhaustive exact Jaccard.
+      "contamination_neardup_indexed" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 50)", "n")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "c")},
+           |nsz AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+           |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+           |          FROM nsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2)
+           |SELECT DISTINCT da AS doc_id FROM inter
+           |JOIN nsz ON nsz.doc_id = da JOIN csz ON csz.doc_id = db
+           |WHERE ov/(nsz.n+csz.n-ov) >= 0.5
+           |ORDER BY 1""".stripMargin,
       "minhash_novel_indexed" ->
         s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "n")},
            |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 450)", "c")},
@@ -3633,6 +3820,38 @@ object SparkEntry {
           |      / CAST(n_tokens AS DOUBLE), 4)), 4) AS residual_rate
           |FROM per JOIN w USING (source)
           |ORDER BY source""".stripMargin,
+      // The executed budget: the same plan arithmetic as
+      // token_budget_plan at budget 1e6, then the md5 digit coin per
+      // doc (mixture_sample's rule with data-derived rates — hex prefix
+      // as integer vs round(rate·2^32), the engine's hexThreshold
+      // clamped to 2^32−1).
+      "train_prep_budget" ->
+        """WITH w(source, w) AS (VALUES
+          |  ('src0', CAST(0.4 AS DECIMAL(10,6))), ('src1', CAST(0.3 AS DECIMAL(10,6))),
+          |  ('src2', CAST(0.2 AS DECIMAL(10,6))), ('src3', CAST(0.1 AS DECIMAL(10,6)))),
+          |per AS (
+          |  SELECT source,
+          |         CAST(SUM(LEN(string_split_regex(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |plan AS (
+          |  SELECT per.source,
+          |    ROUND(CAST(CAST(FLOOR(CAST(1000000 AS DECIMAL(27,6)) * w) AS BIGINT) AS DOUBLE)
+          |      / CAST(n_tokens AS DOUBLE), 4) AS epochs
+          |  FROM per JOIN w USING (source)),
+          |rr AS (
+          |  SELECT source, CAST(FLOOR(epochs) AS BIGINT) AS fe,
+          |    LEAST(CAST(ROUND(ROUND(epochs - FLOOR(epochs), 4) * 4294967296.0) AS BIGINT),
+          |      4294967295) AS thr
+          |  FROM plan),
+          |cop AS (
+          |  SELECT d.doc_id, d.source,
+          |    rr.fe + CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |                   < rr.thr THEN 1 ELSE 0 END AS copies
+          |  FROM documents d JOIN rr USING (source))
+          |SELECT doc_id, source,
+          |  CAST(UNNEST(generate_series(1, copies)) AS INTEGER) AS epoch
+          |FROM cop WHERE copies > 0
+          |ORDER BY doc_id, epoch""".stripMargin,
       "hll_vocab_rollup" ->
         """WITH toks AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
           |per AS (SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS exact_distinct_tokens FROM toks GROUP BY 1),
@@ -3711,6 +3930,7 @@ object SparkEntry {
            |  CAST(0 AS BIGINT) AS outliers,
            |  CAST(0 AS BIGINT) AS repetition_vetoed,
            |  CAST(0 AS BIGINT) AS span_vetoed,
+           |  CAST(0 AS BIGINT) AS neardup_vetoed,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
       // The incremental composite: every screen re-derived — row-local
@@ -3726,6 +3946,8 @@ object SparkEntry {
       // engine's screen-off constants.
       "curation_screen" -> incrementalScreenSql(full = false),
       "curation_screen_v2" -> incrementalScreenSql(full = true),
+      "curation_screen_v3" ->
+        incrementalScreenSql(full = true, neardup = true),
       // The indexed contamination screen standalone: same split as the
       // composite (eval = doc_id < 50, batch = doc_id >= 450), full
       // verdict shape with the max(shared, eval_id) tie rule.
@@ -3852,6 +4074,30 @@ object SparkEntry {
            |FROM fper f LEFT JOIN bper b ON b.doc_id = f.doc_id
            |WHERE f.max_run_tokens >= 8 AND COALESCE(b.base_run_tokens, 0) < 8
            |ORDER BY f.doc_id""".stripMargin,
+      // Fuzzy delta: exhaustive exact Jaccard of the batch vs ALL evals
+      // < 50; delta docs have a J >= 0.5 match but none among the BASE
+      // suite (30 <= id < 50); best match by the engine's
+      // (rounded-j, eval_id) tie order over the FULL state.
+      "redecontaminate_neardup_delta" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "n")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "c")},
+           |nsz AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+           |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+           |          FROM nsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2),
+           |m AS (SELECT da AS doc_id, ROUND(ov/(nsz.n+csz.n-ov), 4) AS j, db
+           |      FROM inter JOIN nsz ON nsz.doc_id = da JOIN csz ON csz.doc_id = db
+           |      WHERE ov/(nsz.n+csz.n-ov) >= 0.5),
+           |agg AS (SELECT doc_id,
+           |          max(CASE WHEN db >= 30 THEN 1 ELSE 0 END) AS base_hit
+           |        FROM m GROUP BY 1),
+           |best AS (SELECT doc_id, j AS jaccard, db AS match_id FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |     ORDER BY j DESC, db DESC) AS rn FROM m) WHERE rn = 1)
+           |SELECT b.doc_id, b.jaccard, b.match_id
+           |FROM best b JOIN agg a USING (doc_id)
+           |WHERE a.base_hit = 0
+           |ORDER BY b.doc_id""".stripMargin,
       "decontaminate_indexed" ->
         s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "b")},
            |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "v")},
@@ -3875,6 +4121,7 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
            |  CAST(sum(CASE WHEN NOT repetition_ok THEN 1 ELSE 0 END) AS BIGINT) AS repetition_vetoed,
            |  CAST(0 AS BIGINT) AS span_vetoed,
+           |  CAST(0 AS BIGINT) AS neardup_vetoed,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
       // The batch composite's per-doc verdicts with the span veto on:
@@ -3883,7 +4130,16 @@ object SparkEntry {
         s"""WITH RECURSIVE ${curationCteV2(spans = true)}
            |SELECT doc_id, quality_ok, is_blocked, is_exact_dup, is_near_dup,
            |  is_contaminated, is_outlier, dup_3gram_frac, repetition_ok,
-           |  contam_span_run, span_ok,
+           |  contam_span_run, span_ok, TRUE AS neardup_ok,
+           |  (eligible AND doc_id = dig_surv AND doc_id = clu_surv) AS kept
+           |FROM s3 ORDER BY doc_id""".stripMargin,
+      // All three contamination rules on: the fuzzy veto re-derived as
+      // per-doc exact Jaccard vs the eval slice.
+      "corpus_prep_v4" ->
+        s"""WITH RECURSIVE ${curationCteV2(spans = true, neardup = true)}
+           |SELECT doc_id, quality_ok, is_blocked, is_exact_dup, is_near_dup,
+           |  is_contaminated, is_outlier, dup_3gram_frac, repetition_ok,
+           |  contam_span_run, span_ok, neardup_ok,
            |  (eligible AND doc_id = dig_surv AND doc_id = clu_surv) AS kept
            |FROM s3 ORDER BY doc_id""".stripMargin,
       "train_prep" ->

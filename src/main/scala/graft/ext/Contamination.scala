@@ -650,4 +650,100 @@ object Contamination {
           sorted = false)
         .filter(col("is_contaminated")).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** FUZZY (near-dup) contamination verdicts against a persisted
+    * MinHash index of the eval suite — the family's third rule in its
+    * deployment shape: a doc is contaminated when its shingle-set
+    * Jaccard to ANY eval doc reaches `threshold`, catching the
+    * paraphrased or lightly-edited benchmark copy whose exact 3-grams
+    * are broken (both gram rules miss it; enough shingles survive).
+    * [[graft.ext.Dedup.minhashNovelAgainstIndex]] with the polarity
+    * flipped: NOT novel vs the frozen eval index == contaminated. Same
+    * verdict shape as [[contaminationAgainstIndex]] — one row per
+    * batch doc, best match named.
+    *
+    * Family discipline: FAILS CLOSED — a missing eval index throws (a
+    * cold-start all-clean would silently disable the screen); only a
+    * committed-empty index (explicit empty-suite initialization)
+    * legitimately flags nothing. The underlying screen's missing-index
+    * all-novel tolerance is correct for its DEDUP polarity (nothing
+    * seen ⇒ everything novel) and exactly wrong for this one, so the
+    * gate lives here.
+    *
+    * Shape at 100 TB: the eval index is benchmark-sized — the small
+    * side — so the default rides the screen's `broadcastIndex` plan
+    * (bands AND sets broadcast, the batch/backfill side streamed; the
+    * only corpus-sized exchange is the shingle aggregate, reused by
+    * the verify join-back). `broadcastIndex = false` falls back to the
+    * co-partitioned merge plan for eval suites past broadcast size.
+    */
+  def neardupContaminationAgainstIndex(newDocs: DataFrame, path: String,
+                                       threshold: Double = 0.5,
+                                       broadcastIndex: Boolean = true,
+                                       sorted: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
+    if (IndexStamp.emptyCommittedIndex(spark, Dedup.minhashMarker(path),
+        s"$path/bands"))
+      return present(newDocs.select(col("doc_id"),
+        lit(false).as("is_contaminated"),
+        lit(null).cast("double").as("jaccard"),
+        lit(null).cast("long").as("match_id")))
+    present(Dedup.minhashNovelAgainstIndex(newDocs, path, threshold,
+        broadcastBatch = false, broadcastIndex = broadcastIndex)
+      .select(col("doc_id"), (!col("is_novel")).as("is_contaminated"),
+        col("best_jaccard").as("jaccard"), col("match_id")))
+  }
+
+  /** The FUZZY form of the re-decontamination delta — completes the
+    * append→screen→delta lifecycle for the family's third rule
+    * (mirroring [[redecontaminateDelta]] / [[redecontaminateSpansDelta]]):
+    * after new benchmarks land in the eval MinHash index via
+    * [[graft.ext.Dedup.appendMinhashIndex]], which docs of an
+    * already-screened corpus have a verified near-duplicate (J ≥
+    * `threshold`) among the FULL eval suite but NONE among the BASE
+    * suite (ingest < `sinceIngestId`)? Those passed the original fuzzy
+    * screen and must be acted on now; base-flagged docs are long
+    * removed and never re-report.
+    *
+    * Unlike the gram rules there is no df interplay between the states
+    * (each (doc, eval) match is independent, and base evals are a
+    * subset of full evals), so both states ride ONE verified-match
+    * read ([[graft.ext.Dedup.minhashMatchRows]] carrying each match's
+    * ingest partition): delta = any-match AND no-base-match, one
+    * match-sized aggregate. Run BEFORE compacting the index — a fold
+    * collapses every ingest to 0 and with it the base/full distinction
+    * (the whole delta family's contract). Fails closed on a missing
+    * index; a committed-empty base returns the typed empty frame.
+    *
+    * Returns one row per NEWLY qualifying doc: (doc_id, jaccard
+    * [best full-state match, rounded 4dp], match_id) —
+    * batch-bounded by construction.
+    */
+  def redecontaminateNeardupDelta(train: DataFrame, path: String,
+                                  sinceIngestId: Long,
+                                  threshold: Double = 0.5,
+                                  broadcastIndex: Boolean = true,
+                                  sorted: Boolean = true): DataFrame = {
+    val spark = train.sparkSession
+    def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
+    if (IndexStamp.emptyCommittedIndex(spark, Dedup.minhashMarker(path),
+        s"$path/bands"))
+      return present(train.select(col("doc_id")).limit(0)
+        .withColumn("jaccard", lit(null).cast("double"))
+        .withColumn("match_id", lit(null).cast("long")))
+    val delta = Dedup.minhashMatchRows(train, path, threshold,
+        broadcastBatch = false, broadcastIndex = broadcastIndex,
+        maxBucket = Dedup.DefaultMaxBucket,
+        observeName = "lsh_bucket_clamp_neardup_delta",
+        withIngest = true)
+      .groupBy("doc_id")
+      .agg(
+        max(struct(round(col("j"), 4).as("j"), col("corpus_id"))).as("mf"),
+        max(when(col("ing") < sinceIngestId, 1).otherwise(0)).as("bf"))
+      .filter(col("bf") === 0)
+      .select(col("doc_id"), col("mf.j").as("jaccard"),
+        col("mf.corpus_id").as("match_id"))
+    present(delta)
+  }
 }

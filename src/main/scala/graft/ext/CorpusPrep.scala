@@ -97,6 +97,21 @@ object CorpusPrep {
     *                 scans. A doc with < 3 tokens has no grams and
     *                 never flags. None (default) = screen off,
     *                 `contam_span_run` null, `span_ok` all-true.
+    * @param contamNeardupThreshold FUZZY contamination veto (the
+    *                 family's third rule brought to the batch path,
+    *                 completing the composites' three-rule symmetry):
+    *                 a doc whose shingle-set Jaccard to ANY eval doc
+    *                 reaches this threshold becomes ineligible — the
+    *                 paraphrased or lightly-edited benchmark copy whose
+    *                 exact 3-grams are broken (both gram rules miss it;
+    *                 enough shingles survive). The polarity-flipped
+    *                 [[Dedup.minhashDupIds]] against the eval set,
+    *                 riding the shared shingle checkpoint (MinHash
+    *                 needs the same (doc_id, h) stream): zero extra
+    *                 corpus scans. A doc or eval doc with < 3 tokens
+    *                 has no shingles and never flags; an empty eval
+    *                 set flags nothing. None (default) = screen off,
+    *                 `neardup_ok` all-true.
     * @param sorted   order the verdict frame by doc_id (deterministic
     *                 presentation — the oracle queries' contract). A
     *                 production caller writing verdicts onward passes
@@ -107,9 +122,10 @@ object CorpusPrep {
     *         (non-canonical copy, independent verdict), is_near_dup
     *         (cluster non-survivor, independent verdict),
     *         is_contaminated, is_outlier, dup_3gram_frac /
-    *         repetition_ok, contam_span_run / span_ok, and `kept` =
-    *         eligible AND the minimum eligible doc of both its digest
-    *         group and its (possibly containment-widened) cluster
+    *         repetition_ok, contam_span_run / span_ok, neardup_ok, and
+    *         `kept` = eligible AND the minimum eligible doc of both its
+    *         digest group and its (possibly containment-widened)
+    *         cluster
     */
   def prepare(docs: DataFrame, evalDocs: DataFrame,
               nearDupThreshold: Double = 0.5,
@@ -122,6 +138,7 @@ object CorpusPrep {
               outlierZ: Double = 2.0,
               repetitionMaxDupFrac: Option[Double] = None,
               contamSpanMinRun: Option[Int] = None,
+              contamNeardupThreshold: Option[Double] = None,
               sorted: Boolean = true): DataFrame = {
     // One compiled shingle pass, shared by the near-dup clustering and
     // the contamination screen (hashedShingles' pos column is pruned
@@ -197,6 +214,14 @@ object CorpusPrep {
           trainShinglesN = sharedShingles.map(_ => 3))
         .select(col("doc_id"), col("max_run_tokens"))
     }
+    // Fuzzy contamination verdict — hit docs only (match-sized): the
+    // polarity-flipped MinHash screen against the eval set, riding the
+    // same shared shingle checkpoint (MinHash reads only (doc_id, h)).
+    val neardupHits = contamNeardupThreshold.map { t =>
+      Dedup.minhashDupIds(docs, evalDocs, threshold = t,
+          observeName = "prep_neardup_clamp", newShingles = sharedShingles)
+        .withColumn("__eval_neardup", lit(true))
+    }
 
     // Stage 2 — group structure (content-based, over the FULL corpus:
     // similarity does not depend on eligibility).
@@ -221,7 +246,10 @@ object CorpusPrep {
     val withSpans = spanRuns.foldLeft(withRepetition) {
       (acc, sp) => acc.join(sp, Seq("doc_id"), "left_outer")
     }
-    val flagged = withSpans
+    val withNeardup = neardupHits.foldLeft(withSpans) {
+      (acc, nd) => acc.join(nd, Seq("doc_id"), "left_outer")
+    }
+    val flagged = withNeardup
       .join(contaminated, Seq("doc_id"), "left_outer")
       .join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("content_digest"), col("cluster_id"),
@@ -238,10 +266,12 @@ object CorpusPrep {
          else lit(null).cast("long")).as("contam_span_run"),
         contamSpanMinRun
           .map(r => coalesce(col("max_run_tokens"), lit(0L)) < r)
-          .getOrElse(lit(true)).as("span_ok"))
+          .getOrElse(lit(true)).as("span_ok"),
+        (if (neardupHits.isDefined) !coalesce(col("__eval_neardup"), lit(false))
+         else lit(true)).as("neardup_ok"))
       .withColumn("eligible", col("quality_ok") && !col("is_blocked") &&
         !col("is_contaminated") && !col("is_outlier") &&
-        col("repetition_ok") && col("span_ok"))
+        col("repetition_ok") && col("span_ok") && col("neardup_ok"))
 
     // Stage 3 — survivors: minimum eligible doc per digest group and per
     // cluster (null when a group has no eligible member). Windows reuse
@@ -267,6 +297,7 @@ object CorpusPrep {
         col("repetition_ok"),
         col("contam_span_run"),
         col("span_ok"),
+        col("neardup_ok"),
         (col("eligible") &&
           col("doc_id") === col("__digest_survivor") &&
           col("doc_id") === col("__cluster_survivor")).as("kept"))
@@ -286,6 +317,7 @@ object CorpusPrep {
     sum(when(col("is_outlier"), 1L).otherwise(0L)).as("outliers"),
     sum(when(!col("repetition_ok"), 1L).otherwise(0L)).as("repetition_vetoed"),
     sum(when(!col("span_ok"), 1L).otherwise(0L)).as("span_vetoed"),
+    sum(when(!col("neardup_ok"), 1L).otherwise(0L)).as("neardup_vetoed"),
     sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
 
   /** The full pretraining shard path in one declarative plan: curation
@@ -435,6 +467,8 @@ object CorpusPrep {
                         contamIndexPath: Option[String] = None,
                         contamMinShared: Int = 5,
                         contamSpanMinRun: Option[Int] = None,
+                        neardupEvalIndexPath: Option[String] = None,
+                        neardupEvalThreshold: Double = 0.5,
                         embeddings: Option[DataFrame] = None,
                         outlierIndexPath: Option[String] = None,
                         outlierZ: Double = 2.0,
@@ -568,6 +602,29 @@ object CorpusPrep {
           .withColumn("contam_span_run", lit(null).cast("long"))
           .withColumn("span_ok", lit(true))
     }
+    // Fuzzy contamination screen vs the FROZEN eval-suite MinHash index
+    // (stage 4c — the family's third rule, completing the three-rule
+    // symmetry with [[prepare]]'s in-frame veto): the paraphrased
+    // benchmark copy whose exact grams are broken. Fails closed on a
+    // missing index (the neardupContaminationAgainstIndex contract);
+    // the eval index is benchmark-sized, so its broadcastIndex plan is
+    // right at every batch size — the composite's broadcastBatch knob
+    // doesn't apply.
+    val withNeardup = neardupEvalIndexPath match {
+      case Some(p) =>
+        withSpans.join(
+          Contamination.neardupContaminationAgainstIndex(once, p,
+              neardupEvalThreshold, sorted = false)
+            .select(col("doc_id"), (!col("is_contaminated")).as("neardup_ok"),
+              col("jaccard").as("eval_jaccard"),
+              col("match_id").as("eval_match_id")),
+          Seq("doc_id"))
+      case None =>
+        withSpans
+          .withColumn("neardup_ok", lit(true))
+          .withColumn("eval_jaccard", lit(null).cast("double"))
+          .withColumn("eval_match_id", lit(null).cast("long"))
+    }
     // Embedding-side screen vs the frozen outlier model. left_outer +
     // coalesce(false): a batch doc with no embedding row gets no
     // verdict and is never flagged.
@@ -576,7 +633,7 @@ object CorpusPrep {
         val embL =
           if (emb.columns.contains("label")) emb
           else emb.withColumn("label", lit(null).cast("string"))
-        withSpans.join(
+        withNeardup.join(
           Similarity.outliersAgainstIndex(embL, p, outlierZ)
             .select(col("vec_id").as("doc_id"),
               col("zscore").as("outlier_zscore"), col("is_outlier")),
@@ -584,7 +641,7 @@ object CorpusPrep {
           .withColumn("is_outlier",
             coalesce(col("is_outlier"), lit(false)))
       case _ =>
-        withSpans
+        withNeardup
           .withColumn("is_outlier", lit(false))
           .withColumn("outlier_zscore", lit(null).cast("double"))
     }
@@ -633,6 +690,7 @@ object CorpusPrep {
         col("is_hamming_dup"), col("best_hamming"), col("hamming_match_id"),
         col("is_contaminated"), col("contam_shared"), col("contam_match_id"),
         col("contam_span_run"), col("span_ok"),
+        col("neardup_ok"), col("eval_jaccard"), col("eval_match_id"),
         col("is_outlier"), col("outlier_zscore"),
         col("dup_3gram_frac"), col("repetition_ok"),
         coalesce(col("batch_survivor"), lit(false)).as("batch_survivor"),

@@ -627,8 +627,31 @@ object Dedup {
                    shingleSize: Int = 3, numHashes: Int = 32,
                    bands: Int = 8, threshold: Double = 0.5,
                    maxBucket: Int = DefaultMaxBucket,
-                   observeName: String = "lsh_bucket_clamp_novel"): DataFrame = {
-    val newSets = shingleSetsOf(newDocs, shingleSize)
+                   observeName: String = "lsh_bucket_clamp_novel",
+                   newShingles: Option[DataFrame] = None): DataFrame =
+    newDocs.select("doc_id")
+      .join(minhashDupIds(newDocs, corpus, shingleSize, numHashes, bands,
+          threshold, maxBucket, observeName, newShingles),
+        Seq("doc_id"), "left_anti")
+
+  /** The flagged (match-sized) side of [[minhashNovel]]: new-side docs
+    * with at least one exact-Jaccard-verified near-duplicate in
+    * `corpus`. The composable form the curation composite's fuzzy
+    * contamination veto consumes directly — at 100 TB the hit list is
+    * the small frame, and joining it beats anti-joining the corpus
+    * twice. `newShingles` feeds the new side from an existing
+    * [[hashedShingles]]`(newDocs, shingleSize)` stream (the composites'
+    * shared checkpoint — only (doc_id, h) is read) instead of
+    * re-scanning the text.
+    */
+  private[ext] def minhashDupIds(newDocs: DataFrame, corpus: DataFrame,
+                                 shingleSize: Int = 3, numHashes: Int = 32,
+                                 bands: Int = 8, threshold: Double = 0.5,
+                                 maxBucket: Int = DefaultMaxBucket,
+                                 observeName: String = "lsh_bucket_clamp_novel",
+                                 newShingles: Option[DataFrame] = None)
+      : DataFrame = {
+    val newSets = shingleSetsOf(newDocs, shingleSize, newShingles)
     val corpusSets = shingleSetsOf(corpus, shingleSize)
     def bandRows(ss: DataFrame) = setBandRows(ss, numHashes, bands)
     // Sort-merge pin for the same reason as the pair queries: both band
@@ -673,16 +696,19 @@ object Dedup {
         >= threshold)
       .select(col("new_id").as("doc_id"))
       .distinct()
-    newDocs.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
+    dupIds
   }
 
   /** Per-doc distinct hashed shingle sets — the verify-side artifact
     * every MinHash consumer here shares (pairs, novel screen, the
-    * persisted corpus index).
+    * persisted corpus index). `shingles` substitutes a pre-computed
+    * [[hashedShingles]]`(docs, shingleSize)` stream (only (doc_id, h)
+    * is read) — the composites' one-corpus-pass contract.
     */
-  private[ext] def shingleSetsOf(docs: DataFrame,
-                                 shingleSize: Int): DataFrame =
-    hashedShingles(docs, shingleSize)
+  private[ext] def shingleSetsOf(docs: DataFrame, shingleSize: Int,
+                                 shingles: Option[DataFrame] = None)
+      : DataFrame =
+    shingles.getOrElse(hashedShingles(docs, shingleSize))
       .select("doc_id", "h")
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("shset"))
@@ -719,7 +745,7 @@ object Dedup {
   // compaction, single writer per index.
   // ---------------------------------------------------------------------
 
-  private def minhashMarker(path: String) = s"$path/bands/_SUCCESS"
+  private[ext] def minhashMarker(path: String) = s"$path/bands/_SUCCESS"
 
   /** Canonical per-corpus index location (same convention as
     * [[graft.ext.Similarity.ivfIndexPathFor]]; bump the version segment
@@ -728,6 +754,25 @@ object Dedup {
   def minhashIndexPathFor(sfDir: String): String =
     IndexStamp.pathUnderRoot(
       "graft-minhash1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Canonical EVAL-suite MinHash index location — the frozen benchmark
+    * side of the fuzzy contamination rule
+    * ([[graft.ext.Contamination.neardupContaminationAgainstIndex]]).
+    * Distinct from [[minhashIndexPathFor]] because the two indexes hold
+    * different corpora over the same sfDir (standing corpus vs eval
+    * slice) and must never be served for each other.
+    */
+  def minhashEvalIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-minhash-eval1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** The fuzzy re-decontamination delta's lifecycle-demo index location
+    * (base benchmarks at ingest 0, an appended suite at ingest 1 — the
+    * [[graft.ext.Contamination.evalDeltaIndexPathFor]] convention).
+    */
+  def minhashEvalDeltaIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-minhash-evald1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** Shingle/banding parameters ride IN the index (1-row `params`
     * table): every append and read derives shingles and bands with the
@@ -869,10 +914,25 @@ object Dedup {
     * bands join carries Σ per-bucket |new|·|corpus| pairs, never
     * corpus²); verification joins the stored sets — corpus text is
     * never touched.
+    *
+    * THREE plan shapes, keyed to which side is small (broadcastIndex
+    * wins when both flags are set):
+    *   - `broadcastBatch` (default): per-trigger-sized batch broadcast
+    *     into a streamed scan of the at-rest index — the streaming
+    *     screen's shape (the index is the big side).
+    *   - `broadcastBatch = false`: co-partitioned merge, both sides
+    *     shuffle once — backfill against a comparable-sized index.
+    *   - `broadcastIndex`: the whole index (bands AND sets) broadcast
+    *     into a streamed scan of the BATCH — the decontamination
+    *     polarity, where the index is an eval suite (benchmark-sized)
+    *     and the "batch" is a corpus-scale backfill; the only
+    *     batch-sized exchange left is the shingle aggregate itself,
+    *     which the candidate join-back reuses (merge pin).
     */
   def minhashNovelAgainstIndex(newDocs: DataFrame, path: String,
                                threshold: Double = 0.5,
                                broadcastBatch: Boolean = true,
+                               broadcastIndex: Boolean = false,
                                maxBucket: Int = DefaultMaxBucket,
                               observeName: String = "lsh_bucket_clamp_verified")
       : DataFrame = {
@@ -884,6 +944,37 @@ object Dedup {
         lit(null).cast("double").as("best_jaccard"),
         lit(null).cast("long").as("match_id"))
         .orderBy("doc_id")
+    val matches = minhashMatchRows(newDocs, path, threshold,
+        broadcastBatch, broadcastIndex, maxBucket, observeName,
+        withIngest = false)
+      .groupBy("doc_id")
+      .agg(max(struct(round(col("j"), 4).as("j"), col("corpus_id"))).as("m"))
+      .select(col("doc_id"), col("m.j").as("best_jaccard"),
+        col("m.corpus_id").as("match_id"))
+    newDocs.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("best_jaccard").isNull.as("is_novel"),
+        col("best_jaccard"), col("match_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Verified match rows of a batch against the persisted MinHash index
+    * — [[minhashNovelAgainstIndex]] BEFORE its per-doc best-match
+    * aggregation: one row per (doc, corpus match) pair at `j >=
+    * threshold`, plan shapes identical to the screen's. `withIngest`
+    * additionally carries each matched corpus doc's ingest partition —
+    * the state column the re-decontamination delta splits on
+    * ([[graft.ext.Contamination.redecontaminateNeardupDelta]]).
+    * Requires index data present (callers gate on the marker).
+    */
+  private[ext] def minhashMatchRows(newDocs: DataFrame, path: String,
+                                    threshold: Double,
+                                    broadcastBatch: Boolean,
+                                    broadcastIndex: Boolean,
+                                    maxBucket: Int,
+                                    observeName: String,
+                                    withIngest: Boolean): DataFrame = {
+    val spark = newDocs.sparkSession
     val (shingleSize, numHashes, bands) = minhashParams(spark, path)
     val newSets = shingleSetsOf(newDocs, shingleSize)
     // IndexCache.read = plain parquet scan unless spark.graft.indexCache
@@ -915,7 +1006,13 @@ object Dedup {
     // size (a semi-join keeps every corpus row of a probed bucket), so
     // verdicts are identical to the merge plan's corpus-wide window.
     val cSide =
-      if (maxBucket <= 0) idxBands
+      if (broadcastIndex)
+        // Eval-suite-sized index: the bucket-cap window runs over the
+        // small at-rest frame (never anything batch-sized), then the
+        // whole capped band table broadcasts into a streamed batch scan.
+        broadcast(if (maxBucket <= 0) idxBands
+          else capBandBuckets(idxBands, maxBucket, observeName))
+      else if (maxBucket <= 0) idxBands
       else if (broadcastBatch)
         capBandBuckets(
           idxBands.join(
@@ -923,15 +1020,22 @@ object Dedup {
             Seq("band", "band_hash"), "left_semi"),
           maxBucket, observeName)
       else capBandBuckets(idxBands, maxBucket, observeName)
-    val nSide = if (broadcastBatch) broadcast(nBands) else nBands.hint("merge")
+    val nSide =
+      if (broadcastIndex) nBands
+      else if (broadcastBatch) broadcast(nBands)
+      else nBands.hint("merge")
     val cand = nSide.as("n")
       .join(cSide.as("c"),
         col("n.band") === col("c.band") &&
           col("n.band_hash") === col("c.band_hash"))
       .select(col("n.doc_id").as("doc_id"), col("corpus_id"))
       .distinct()
+    val setCols =
+      Seq(col("doc_id").as("corpus_id"), col("shset").as("set_c")) ++
+        (if (withIngest) Seq(col("ingest").cast("long").as("ing"))
+         else Nil)
     val idxSets = IndexCache.read(spark, s"$path/sets")
-      .select(col("doc_id").as("corpus_id"), col("shset").as("set_c"))
+      .select(setCols: _*)
     // The verify probe MUST broadcast under the per-trigger plan: left
     // to the planner, this join's static estimate of the at-rest sets
     // table (the index's BIG table — full shingle-set arrays) picks a
@@ -944,29 +1048,31 @@ object Dedup {
     // batch-proportional by this operator's contract (bucket caps
     // bound its fan-out), so it broadcasts like the band probe above;
     // the merge plan (backfill shape) keeps the co-partitioned join.
+    // Under broadcastIndex the candidate→set_n join-back merge-pins for
+    // minhashNovel's reason: it needs hashpartitioning(doc_id), the
+    // exact exchange the shingle aggregate already produced, so AQE
+    // reuses it instead of re-running the batch tokenize into a
+    // broadcast build.
+    val setN = newSets.select(col("doc_id"), col("shset").as("set_n"))
     val probe0 = cand
-      .join(newSets.select(col("doc_id"), col("shset").as("set_n")),
+      .join(if (broadcastIndex) setN.hint("merge") else setN,
         Seq("doc_id"))
-    val probe = if (broadcastBatch) broadcast(probe0) else probe0
-    val matches = probe
-      .join(idxSets, Seq("corpus_id"))
+    val probe =
+      if (broadcastBatch && !broadcastIndex) broadcast(probe0) else probe0
+    val outCols =
+      Seq(col("doc_id"),
+        (col("__ov") /
+          (size(col("set_n")) + size(col("set_c")) - col("__ov")))
+          .as("j"), col("corpus_id")) ++
+        (if (withIngest) Seq(col("ing")) else Nil)
+    probe
+      .join(if (broadcastIndex) broadcast(idxSets) else idxSets,
+        Seq("corpus_id"))
       .withColumn("__ov",
         graft.functions.SetFunctions.set_overlap(col("set_n"), col("set_c"))
           .cast("double"))
-      .select(col("doc_id"),
-        (col("__ov") /
-          (size(col("set_n")) + size(col("set_c")) - col("__ov")))
-          .as("j"), col("corpus_id"))
+      .select(outCols: _*)
       .filter(col("j") >= threshold)
-      .groupBy("doc_id")
-      .agg(max(struct(round(col("j"), 4).as("j"), col("corpus_id"))).as("m"))
-      .select(col("doc_id"), col("m.j").as("best_jaccard"),
-        col("m.corpus_id").as("match_id"))
-    newDocs.select(col("doc_id"))
-      .join(matches, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("best_jaccard").isNull.as("is_novel"),
-        col("best_jaccard"), col("match_id"))
-      .orderBy("doc_id")
   }
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting): the

@@ -164,8 +164,13 @@ private[graft] object IndexCache {
           // so cached and direct reads are column-identical.
           val df = spark.read.option("basePath", dir)
             .parquet(s"$dir/$name")
+          // Named so the block-manager inventory (CacheDrill's storage
+          // report, the Spark UI storage tab) attributes mirror blocks
+          // to their index partition — the RDD mirror is CacheManager-
+          // invisible, so this name is its only surface observability.
           Part(fp,
             org.apache.spark.sql.GraftRddFrame.toRowRdd(df)
+              .setName(s"graft-index-mirror:$dir/$name")
               .persist(StorageLevel.MEMORY_AND_DISK),
             df.schema)
         })

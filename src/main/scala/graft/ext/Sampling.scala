@@ -426,4 +426,35 @@ object Sampling {
         "epochs", "full_epochs", "residual_rate")
       .orderBy("source")
   }
+
+  /** EXECUTE a token-budget plan ([[tokenBudgetPlan]] → the corpus AT
+    * the plan): every doc of a planned source is emitted `full_epochs`
+    * times plus once more for the digest-fraction of docs under
+    * `residual_rate` — [[mixtureSample]]'s deterministic digit coin
+    * with the per-source rates derived FROM the plan instead of
+    * caller-supplied, so the sizing step and the sampling step can no
+    * longer drift apart. Docs from sources absent from `weights` are
+    * dropped (the budget covers planned sources only — the plan's own
+    * inner-join rule).
+    *
+    * Shape at 100 TB: the plan collect is weights-sized (one row per
+    * source — the bounded-metadata convention), the rates become plan
+    * literals, and the sampling itself is [[mixtureSample]]'s
+    * scan-bound projection + explode: no shuffle anywhere. Expected
+    * output tokens per source = target_tokens (the digest coin is
+    * unbiased); the realized count is a pure function of the doc_id
+    * population, so replays and backfills materialize the identical
+    * corpus.
+    */
+  def sampleAtBudget(docs: DataFrame, weights: Map[String, Double],
+                     budgetTokens: Long): DataFrame = {
+    // Bounded collect: |weights| rows of plan metadata.
+    val rates = tokenBudgetPlan(docs, weights, budgetTokens)
+      .select("source", "full_epochs", "residual_rate")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1).toDouble + r.getDouble(2))).toMap
+    mixtureSample(docs, col("source"), col("doc_id"), rates,
+      default = 0.0)
+  }
 }

@@ -85,12 +85,35 @@ object Similarity {
     * evaluated identically by the DuckDB oracle's recursive CTE, and
     * ties break on vec_id — the whole trajectory is deterministic and
     * engine-portable.
+    *
+    * DRIVER-MEMORY BOUND (the [[graft.ext.Sampling.packSequences]]
+    * convention — state the bound and the shard path): the greedy holds
+    * nCand relevance rows plus the nCand² pair-sim map on the driver —
+    * ~24 B/entry, so nCand = 1,000 is ~24 MB and nCand = 10,000 is
+    * ~2.4 GB: fine through the low thousands, past that the map is the
+    * binding constraint. The scale path for wider reranks is staged
+    * MMR, exactly how production rerankers run it: shard the candidate
+    * list (cosineTopK over id-ranges or IVF cells), run this operator
+    * per shard to k, then once more over the ≤ shards·k union — each
+    * stage keeps its sim map candidate-list-sized while preserving the
+    * de-redundancy property within every stage. EdgeCaseSpec pins the
+    * single-stage form at a few hundred candidates.
+    *
+    * Degenerate vectors: a zero-norm embedding has no defined cosine
+    * (the division yields null) — such candidates are dropped BEFORE
+    * the collect rather than silently unboxing to 0.0 relevance, and a
+    * zero-norm row can never rank (its similarity to every pick is
+    * equally undefined).
     */
   def mmrTopK(emb: DataFrame, queryId: Long, k: Int = 10, nCand: Int = 30,
               lambdaRel: Double = 0.7,
               lambdaDiv: Double = 0.3): DataFrame = {
     val spark = emb.sparkSession
+    // Null cosine = zero-norm embedding: drop loudly-by-contract here —
+    // Row.getDouble below would silently unbox null to 0.0 and rank the
+    // degenerate vector with a fabricated score.
     val cand = cosineTopK(emb, queryId, nCand)
+      .filter(col("cosine").isNotNull)
       .select(col("vec_id"), col("cosine").as("rel"))
     // Candidate embeddings via broadcast semi-join — one more corpus
     // scan, never a shuffle of it.

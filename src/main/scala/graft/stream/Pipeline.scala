@@ -680,6 +680,8 @@ object Pipeline {
                      contamIndexPath: Option[String] = None,
                      contamMinShared: Int = 5,
                      contamSpanMinRun: Option[Int] = None,
+                     neardupEvalIndexPath: Option[String] = None,
+                     neardupEvalThreshold: Double = 0.5,
                      outlierIndexPath: Option[String] = None,
                      outlierZ: Double = 2.0,
                      repetitionMaxDupFrac: Option[Double] = None,
@@ -717,6 +719,7 @@ object Pipeline {
               containmentIndexPath, containmentThreshold,
               simhashIndexPath, maxHamming,
               contamIndexPath, contamMinShared, contamSpanMinRun,
+              neardupEvalIndexPath, neardupEvalThreshold,
               emb, outlierIndexPath, outlierZ,
               repetitionMaxDupFrac, sorted = false)
             val outDir = s"$verdictDir/batch_id=$batchId"
@@ -906,6 +909,47 @@ object Pipeline {
           val spark = batch.sparkSession
           graft.ext.Contamination.spanContaminationAgainstIndex(
               batch, indexPath, minRunTokens, sorted = false)
+            .write.mode("overwrite")
+            .parquet(s"$verdictDir/batch_id=$batchId")
+          pruneVerdictDirs(spark, verdictDir, batchId,
+            retainVerdictBatches)
+        }
+      }
+      .start()
+
+  /** Streaming FUZZY-contamination screen — [[contaminationScreenStream]]
+    * with the near-dup rule ([[graft.ext.Contamination
+    * .neardupContaminationAgainstIndex]]): each micro-batch's docs are
+    * verdicted by MinHash Jaccard against the FROZEN eval-suite MinHash
+    * index, catching the paraphrased benchmark copy both gram rules
+    * miss. Stateless, replay-idempotent (per-batch dir overwrite), the
+    * eval index frozen with respect to the stream it filters — the
+    * family discipline throughout; fails closed on a missing index
+    * (build/ensure [[graft.ext.Dedup.buildMinhashIndex]] over the eval
+    * suite BEFORE starting the query — see
+    * [[contaminationScreenStream]]'s upgrade note). Per-trigger cost:
+    * the eval index broadcasts (benchmark-sized), the batch streams —
+    * the screen's `broadcastIndex` plan. PipelineSpec pins
+    * batch ≡ stream.
+    */
+  def neardupContaminationScreenStream(docStream: DataFrame,
+                                       indexPath: String,
+                                       verdictDir: String,
+                                       checkpointDir: String,
+                                       threshold: Double = 0.5,
+                                       retainVerdictBatches: Int = 0,
+                                       trigger: Trigger =
+                                         Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ext.Contamination.neardupContaminationAgainstIndex(
+              batch, indexPath, threshold, sorted = false)
             .write.mode("overwrite")
             .parquet(s"$verdictDir/batch_id=$batchId")
           pruneVerdictDirs(spark, verdictDir, batchId,

@@ -103,11 +103,19 @@ object CacheDrill {
       println(f"  fold  $trig%d: ${(System.nanoTime() - wf) / 1e9}%6.2f s " +
         f"(read ${(ioRead() - rf) / 1e9}%6.2f GB)")
       storageReport(s"after-trigger-$trig")
-      // Plan evidence: does the executed probe plan hold any
-      // InMemoryTableScan at all?
+      // Plan evidence: is the probe served from the mirror at all? The
+      // RDD-based mirror (the recache-thrash fix) is CacheManager-
+      // invisible BY DESIGN, so a working cache shows a rewrapped
+      // "Scan ExistingRDD" node (not an InMemoryTableScan) AND named
+      // graft-index-mirror RDDs resident in the block manager — match
+      // both signals so the line can't read a healthy cache as a
+      // failure (the pre-fix IMTS-only check did exactly that).
       val plan = out.queryExecution.executedPlan.toString
-      val hasImts = plan.contains("InMemoryTableScan")
-      println(s"[after-trigger-$trig] probe plan has InMemoryTableScan: $hasImts")
+      val mirrorsResident = spark.sparkContext.getPersistentRDDs.values
+        .exists(r => Option(r.name).exists(_.startsWith("graft-index-mirror")))
+      val served = plan.contains("InMemoryTableScan") ||
+        (plan.contains("ExistingRDD") && mirrorsResident)
+      println(s"[after-trigger-$trig] probe plan served from index mirror: $served")
     }
     spark.stop()
   }

@@ -175,6 +175,86 @@ class EdgeCaseSpec extends AnyFunSuite {
       out2(1L).getAs[Long]("contam_span_run") == 0L, out2(1L).toString)
   }
 
+  test("neardup veto on the batch path: sub-3-token docs and empty eval sets never flag") {
+    val docs = Seq((1L, "hi there"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    // empty eval set → no eval shingle sets → no candidate pair can
+    // form → neardup_ok for everyone
+    val out = CorpusPrep.prepare(docs, emptyDocs,
+        contamNeardupThreshold = Some(0.5)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("neardup_ok"))
+    assert(out(2L).getAs[Boolean]("neardup_ok"))
+    // a 2-token doc that copies an eval doc VERBATIM carries no 3-gram
+    // shingle: no set → no Jaccard → clean under the fuzzy rule even
+    // at threshold 0 (the family's <shingle-size rule on its third
+    // member)
+    val eval = Seq((9L, "hi there")).toDF("doc_id", "text")
+    val out2 = CorpusPrep.prepare(docs, eval,
+        contamNeardupThreshold = Some(0.0)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out2(1L).getAs[Boolean]("neardup_ok"), out2(1L).toString)
+  }
+
+  test("neardup veto on the incremental path: sub-3-token docs and committed-empty eval index never flag") {
+    val idxBase = java.nio.file.Files
+      .createTempDirectory("nd-edge").toString
+    val (mh, nd) = (s"$idxBase/mh", s"$idxBase/nd")
+    // standing corpus index for the novelty stage (unrelated content)
+    Dedup.buildMinhashIndex(
+      Seq((100L, (1 to 30).map(i => s"corp$i").mkString(" ")))
+        .toDF("doc_id", "text"), mh)
+    val batch = Seq((1L, "hi there"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    // committed-EMPTY eval index (explicit empty-suite initialization):
+    // the one legitimate all-clean state — nothing flags, typed columns
+    Dedup.buildMinhashIndex(emptyDocs, nd)
+    val out = CorpusPrep.screenIncremental(batch, mh,
+        neardupEvalIndexPath = Some(nd)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("neardup_ok") &&
+      out(1L).isNullAt(out(1L).fieldIndex("eval_jaccard")))
+    assert(out(2L).getAs[Boolean]("neardup_ok"))
+    // sub-shingle batch doc vs a NON-empty eval index holding its
+    // verbatim copy: no 3-gram → no set → never flags
+    Dedup.buildMinhashIndex(
+      Seq((9L, "hi there")).toDF("doc_id", "text"), nd)
+    val out2 = CorpusPrep.screenIncremental(batch, mh,
+        neardupEvalIndexPath = Some(nd), neardupEvalThreshold = 0.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out2(1L).getAs[Boolean]("neardup_ok"), out2(1L).toString)
+  }
+
+  test("mmrTopK at a few hundred candidates: bounded greedy stays deterministic and well-formed") {
+    // The scaladoc's driver-memory bound in action: nCand = 300 holds a
+    // 300-row relevance list + ~90k-entry sim map on the driver — the
+    // single-stage form's intended width ceiling region. Pin: valid
+    // distinct picks, rank 1 = best relevance (no picks yet → pure
+    // relevance), every later pick's mmr_score ≤ λ_rel·its relevance,
+    // and the trajectory is run-to-run deterministic.
+    import graft.ext.Similarity
+    val dim = 8
+    val emb = (0L until 400L).map { i =>
+      (i, "c",
+        Seq.tabulate(dim)(j => (math.sin(i * 13.7 + j * 2.1) +
+          (if (j == 0) 2.0 else 0.0)).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val out = Similarity.mmrTopK(emb, queryId = 0L, k = 12, nCand = 300)
+      .collect()
+    assert(out.length == 12)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == 12)
+    val byRank = out.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.head.getAs[Double]("mmr_score") ==
+      math.rint(0.7 * byRank.head.getAs[Double]("relevance") * 1e4) / 1e4)
+    byRank.tail.foreach { r =>
+      assert(r.getAs[Double]("mmr_score") <=
+        0.7 * r.getAs[Double]("relevance") + 1e-9, r.toString)
+    }
+    val again = Similarity.mmrTopK(emb, queryId = 0L, k = 12, nCand = 300)
+      .collect().map(_.toSeq).toSeq
+    assert(again == out.map(_.toSeq).toSeq)
+  }
+
   test("as-of join with an empty right side null-extends every left row") {
     val left = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
     val right = Seq.empty[(Long, Long, Long, Double)]

@@ -329,6 +329,142 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("neardupContaminationAgainstIndex: fail-closed, committed-empty, scan-form parity, both plans") {
+    def longText(tag: String, edits: Set[Int] = Set.empty) =
+      (1 to 60).map(i =>
+        if (edits(i)) s"edited$i" else s"${tag}tok$i").mkString(" ")
+    val evalSuite = Seq((1L, longText("bench"))).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("contam-mh").toString + "/mhidx"
+    // Fail CLOSED: a missing eval index is a misconfiguration — the
+    // underlying dedup screen's all-novel cold start would silently
+    // disable the screen under this polarity.
+    intercept[IllegalArgumentException] {
+      Contamination.neardupContaminationAgainstIndex(
+        Seq((100L, longText("bench"))).toDF("doc_id", "text"), path)
+    }
+    // Committed empty suite: the one legitimate all-clean state, typed.
+    Dedup.buildMinhashIndex(evalSuite.limit(0), path)
+    val cold = Contamination.neardupContaminationAgainstIndex(
+      Seq((100L, longText("bench"))).toDF("doc_id", "text"), path)
+    assert(cold.columns.toSeq ==
+      Seq("doc_id", "is_contaminated", "jaccard", "match_id"))
+    assert(cold.count() == 1 && cold.filter(col("is_contaminated")).isEmpty)
+    Dedup.buildMinhashIndex(evalSuite, path)
+    val batch = Seq(
+      (100L, longText("bench")),                     // verbatim: J = 1
+      (101L, longText("bench", Set(30))),            // light edit: J ≈ 0.90
+      (102L, longText("unrelated")))                 // disjoint
+      .toDF("doc_id", "text")
+    val v = Contamination.neardupContaminationAgainstIndex(batch, path)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v(100L).getAs[Boolean]("is_contaminated") &&
+      v(100L).getAs[Double]("jaccard") == 1.0 &&
+      v(100L).getAs[Long]("match_id") == 1L, v(100L).toString)
+    assert(v(101L).getAs[Boolean]("is_contaminated"), v(101L).toString)
+    assert(!v(102L).getAs[Boolean]("is_contaminated") &&
+      v(102L).isNullAt(v(102L).fieldIndex("jaccard")))
+    // Scan-form parity: flagged == NOT novel under minhashNovel against
+    // the same eval set (the polarity-flip contract the indexed query
+    // certifies through the shared oracle).
+    val novelIds = Dedup.minhashNovel(batch, evalSuite)
+      .collect().map(_.getLong(0)).toSet
+    assert(v.values.filter(_.getAs[Boolean]("is_contaminated"))
+      .map(_.getLong(0)).toSet == Set(100L, 101L, 102L).diff(novelIds))
+    // The merge plan (broadcastIndex = false) verdicts identically.
+    val vMerge = Contamination.neardupContaminationAgainstIndex(
+        batch, path, broadcastIndex = false)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(v.keys.forall(k => vMerge(k) == v(k).toSeq))
+  }
+
+  test("fuzzy veto catches the short benchmark copy BOTH gram rules miss; batch ≡ incremental") {
+    // A 5-token eval item carries only 3 grams: a verbatim copy shares
+    // 3 < minShared=5 (count rule clears) in a run of 5 < 8 tokens
+    // (span rule clears) — but its shingle Jaccard is 1.0 (fuzzy rule
+    // flags). This is the rule's unique coverage: short quotes and
+    // templated benchmarks, not a redundant third path.
+    val evalSuite = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon"), // verbatim short copy
+      (101L, (1 to 20).map(i => s"clean$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val v = CorpusPrep.prepare(corpus, evalSuite,
+        contamSpanMinRun = Some(8), contamNeardupThreshold = Some(0.5))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!v(100L).getAs[Boolean]("is_contaminated"), // count rule blind
+      v(100L).toString)
+    assert(v(100L).getAs[Boolean]("span_ok"))          // span rule blind
+    assert(!v(100L).getAs[Boolean]("neardup_ok"))      // fuzzy rule catches
+    assert(!v(100L).getAs[Boolean]("kept"))
+    assert(v(101L).getAs[Boolean]("neardup_ok") &&
+      v(101L).getAs[Boolean]("kept"))
+    // Executable symmetry: the incremental path's frozen-index screen
+    // vetoes the same doc with the same verdict column.
+    val base = java.nio.file.Files
+      .createTempDirectory("nd-sym").toString
+    val (mh, nd) = (s"$base/mh", s"$base/nd")
+    Dedup.buildMinhashIndex(
+      Seq((900L, (1 to 30).map(i => s"corp$i").mkString(" ")))
+        .toDF("doc_id", "text"), mh)
+    Dedup.buildMinhashIndex(evalSuite, nd)
+    val inc = CorpusPrep.screenIncremental(corpus, mh,
+        neardupEvalIndexPath = Some(nd))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!inc(100L).getAs[Boolean]("neardup_ok") &&
+      inc(100L).getAs[Double]("eval_jaccard") == 1.0 &&
+      inc(100L).getAs[Long]("eval_match_id") == 1L, inc(100L).toString)
+    assert(inc(101L).getAs[Boolean]("neardup_ok"))
+    assert(corpus.collect().map(_.getLong(0)).toSet.forall(id =>
+      v(id).getAs[Boolean]("neardup_ok") ==
+        inc(id).getAs[Boolean]("neardup_ok")))
+  }
+
+  test("redecontaminateNeardupDelta: appended-suite matches only; base-flagged docs stay out") {
+    def longText(tag: String, edits: Set[Int] = Set.empty) =
+      (1 to 60).map(i =>
+        if (edits(i)) s"edited$i" else s"${tag}tok$i").mkString(" ")
+    val baseBench = Seq((1L, longText("alpha"))).toDF("doc_id", "text")
+    val newBench = Seq((2L, longText("omega"))).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("nd-delta").toString + "/mhidx"
+    // Fail closed before any index exists.
+    intercept[IllegalArgumentException] {
+      Contamination.redecontaminateNeardupDelta(
+        Seq((100L, longText("alpha"))).toDF("doc_id", "text"),
+        path, sinceIngestId = 1L)
+    }
+    // Committed-empty base: typed empty frame, not a crash.
+    Dedup.buildMinhashIndex(baseBench.limit(0), path)
+    val cold = Contamination.redecontaminateNeardupDelta(
+      Seq((100L, longText("alpha"))).toDF("doc_id", "text"),
+      path, sinceIngestId = 1L)
+    assert(cold.isEmpty &&
+      cold.columns.toSeq == Seq("doc_id", "jaccard", "match_id"))
+    Dedup.buildMinhashIndex(baseBench, path)
+    Dedup.appendMinhashIndex(newBench, path, ingestId = 1L)
+    val train = Seq(
+      (100L, longText("alpha", Set(30))), // near-dup of BASE: stays out
+      (101L, longText("omega", Set(30))), // near-dup of APPENDED: delta
+      (102L, longText("unrelated")))      // clean: stays out
+      .toDF("doc_id", "text")
+    val d = Contamination.redecontaminateNeardupDelta(train, path,
+      sinceIngestId = 1L).collect()
+    assert(d.map(_.getLong(0)).toSeq == Seq(101L), d.mkString(";"))
+    assert(d.head.getAs[Long]("match_id") == 2L)
+    assert(d.head.getAs[Double]("jaccard") >= 0.5)
+    // A doc matching BOTH suites is a base responsibility — never in
+    // the delta even though its full-state match also qualifies.
+    val both = Seq((200L, longText("alpha"))).toDF("doc_id", "text")
+    Dedup.appendMinhashIndex(
+      Seq((3L, longText("alpha", Set(7)))).toDF("doc_id", "text"),
+      path, ingestId = 2L)
+    val d2 = Contamination.redecontaminateNeardupDelta(both, path,
+      sinceIngestId = 1L).collect()
+    assert(d2.isEmpty, d2.mkString(";"))
+  }
+
   test("redecontaminateSpansDelta: newly-qualifying spans only; base-flagged docs stay out") {
     val baseBench = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"))

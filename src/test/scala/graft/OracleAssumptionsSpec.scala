@@ -246,4 +246,48 @@ class OracleAssumptionsSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("qualifying cross pairs sit above the LSH recall knee (minhash_novel / contamination_neardup oracles)") {
+    // These oracles certify the engine's 32-hash/8-band LSH screen
+    // against EXHAUSTIVE exact Jaccard, and that certification is
+    // fixture-dependent: a cross pair at J barely over the 0.5
+    // threshold has a-priori band-miss probability (1−J⁴)⁸ — ≈ 0.56 at
+    // J = 0.51 — so a regenerated corpus with knee pairs could
+    // false-negative against the oracle even with a correct engine.
+    // Pin the assumption by name: every cross-split pair that QUALIFIES
+    // (exact J ≥ 0.5) sits at J ≥ 0.8, where the per-pair miss rate is
+    // ≤ 1.6e-2 and the deterministic oracle gate has already proven the
+    // actual hashes caught them. Non-vacuity: each split must plant at
+    // least one qualifying pair, or the oracle certifies nothing.
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = docs.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, greatest(size(split(trim(text),'\\s+'))-3, 0) - 1),
+          |  i -> concat_ws(' ', slice(split(trim(text),'\\s+'), i+1, 3)))"""
+          .stripMargin)).as("g"))
+      .distinct()
+    val sz = grams.groupBy("doc_id").count()
+    val pairs = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ov"))
+      .join(sz.select(col("doc_id").as("da"), col("count").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("count").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("ov") / (col("na") + col("nb") - col("ov"))).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Seq(("contamination_neardup eval split", 50L),
+        ("minhash_novel corpus split", 450L)).foreach { case (name, cut) =>
+      val cross = pairs.filter(p =>
+        (p._1 < cut) != (p._2 < cut))
+      assert(cross.nonEmpty,
+        s"$name: no qualifying cross pair at sf0.001 — the oracle gate is vacuous")
+      val knee = cross.filter(_._3 < 0.8)
+      assert(knee.isEmpty,
+        s"$name: pairs in the LSH recall knee (0.5 ≤ J < 0.8): " +
+          knee.map(p => f"(${p._1},${p._2}) J=${p._3}%.3f").mkString(", ") +
+          " — banding may false-negative vs the exhaustive oracle")
+    }
+  }
 }

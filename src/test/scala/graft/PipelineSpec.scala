@@ -690,6 +690,43 @@ class PipelineSpec extends AnyFunSuite {
       == Seq(1L))
   }
 
+  test("streaming neardup-contamination screen verdicts equal the batch screen") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("neardup-stream").toString
+    val (evIdx, verdicts, ckpt) = (s"$tmp/evidx", s"$tmp/verdicts", s"$tmp/ckpt")
+    def longText(tag: String, edits: Set[Int] = Set.empty) =
+      (1 to 60).map(i =>
+        if (edits(i)) s"edited$i" else s"${tag}tok$i").mkString(" ")
+    graft.ext.Dedup.buildMinhashIndex(
+      Seq((1L, longText("bench"))).toDF("doc_id", "text"), evIdx)
+    val rows = Seq(
+      (100L, longText("bench")),                  // verbatim copy
+      (101L, longText("bench", Set(30))),         // paraphrase, J ≈ 0.90
+      (102L, longText("unrelated")))
+    val expected = graft.ext.Contamination.neardupContaminationAgainstIndex(
+      rows.toDF("doc_id", "text"), evIdx).collect().map(_.toSeq).toSeq
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val query = Pipeline.neardupContaminationScreenStream(
+      source.toDF().toDF("doc_id", "text"), evIdx, verdicts, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(verdicts).drop("batch_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == expected, s"stream $got\nbatch $expected")
+    assert(got.count(_(1) == true) == 2) // verbatim + paraphrase, not 102
+    // the eval index is untouched by the stream (frozen reference data)
+    assert(spark.read.parquet(s"$evIdx/sets")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
   test("streaming simhash dedup flags near-copies against the growing fingerprint index") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
