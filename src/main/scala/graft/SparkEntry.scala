@@ -109,6 +109,10 @@ object SparkEntry {
         T(s, dir, "documents").filter(col("doc_id") < 450),
         Dedup.minhashIndexPathFor(dir),
         sourcePath = Some(s"$dir/documents.parquet")),
+      "minhash-eval" -> Dedup.ensureMinhashIndex(s,
+        T(s, dir, "documents").filter(col("doc_id") < 50),
+        Dedup.minhashEvalIndexPathFor(dir),
+        sourcePath = Some(s"$dir/documents.parquet")),
       "dsir" -> TextAnalysis.ensureDsirIndex(s,
         T(s, dir, "documents").filter(col("doc_id") < 250),
         TextAnalysis.dsirIndexPathFor(dir),

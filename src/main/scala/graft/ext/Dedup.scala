@@ -976,7 +976,21 @@ object Dedup {
                                     withIngest: Boolean): DataFrame = {
     val spark = newDocs.sparkSession
     val (shingleSize, numHashes, bands) = minhashParams(spark, path)
-    val newSets = shingleSetsOf(newDocs, shingleSize)
+    // The shingle aggregate feeds TWO consumers (band rows; the verify
+    // join-back's set_n). Exchange reuse does NOT deduplicate them here
+    // the way it does in [[minhashNovel]] (measured: two full tokenize
+    // passes in the final adaptive plan) — under broadcastIndex the
+    // batch is backfill-scale by contract, so the second pass is a
+    // second CORPUS scan: checkpoint the (doc_id, shset) frame once
+    // (lazy — the first action materializes it; ~16 B × shingles,
+    // spillable, the composites' convention). The broadcastBatch paths
+    // keep their measured plans: the batch there is trigger-sized by
+    // contract, so the duplicate pass is bounded and not worth the
+    // per-trigger block churn.
+    val newSets0 = shingleSetsOf(newDocs, shingleSize)
+    val newSets =
+      if (broadcastIndex) newSets0.localCheckpoint(eager = false)
+      else newSets0
     // IndexCache.read = plain parquet scan unless spark.graft.indexCache
     // is on, in which case the at-rest table serves from the persisted
     // per-ingest-partition mirror — the cross-trigger answer to the

@@ -391,6 +391,33 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(pi.contains("graft-minhash1-"), pi)
   }
 
+  test("contamination_neardup_indexed broadcasts the eval index; eval text never re-read") {
+    // The decontamination polarity's plan contract (broadcastIndex):
+    // the eval suite appears ONLY as its at-rest MinHash index — no
+    // eval-document scan (the doc_id<50 filter) anywhere — and BOTH
+    // index tables (bands and sets) enter through BroadcastExchanges,
+    // so the corpus-scale batch is never shuffled against them: its
+    // only exchange is its own shingle aggregate, reused by the
+    // merge-pinned verify join-back.
+    val df = SparkEntry.queries("contamination_neardup_indexed")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("LessThan(doc_id,50)"), p)
+    assert(p.contains("graft-minhash-eval1-"), p)
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    assert(bcasts >= 2, s"expected both index tables broadcast\n$p")
+    // ONE batch tokenize: the shingle aggregate's two consumers (band
+    // rows; the verify join-back) read the checkpointed set frame —
+    // exactly one text-reading documents scan survives in the final
+    // plan (exchange reuse does NOT dedupe the aggregates here, the
+    // checkpoint is the contract; the doc_id-only scans of the outer
+    // join are pruned-column cheap and not pinned).
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string>".r
+      .findAllIn(p).length
+    assert(textScans <= 1, s"batch text scanned $textScans times\n$p")
+  }
+
   test("simhash_novel screens read fingerprints at rest, never corpus text") {
     // The property the persisted index exists for: the standing corpus
     // appears ONLY as the 16-byte-row fps parquet — no corpus-side
