@@ -132,15 +132,36 @@ object Sampling {
   def mixtureSample(df: DataFrame, stratum: Column, key: Column,
                     weights: Map[String, Double],
                     default: Double = 1.0): DataFrame = {
-    def copiesFor(w: Double): Column = {
-      val base = math.floor(w).toInt
-      // strict '<' against the half-open digest interval [0, frac(w))
-      lit(base) + when(
-        substring(keyDigest(key), 1, 8) < hexThreshold(w - base), 1)
-        .otherwise(0)
+    def parts(w: Double): (Long, Double) = {
+      val base = math.floor(w).toLong
+      (base, w - base)
     }
-    val copies = weights.foldLeft(copiesFor(default)) {
-      case (acc, (s, w)) => when(stratum === s, copiesFor(w)).otherwise(acc)
+    mixtureSampleParts(df, stratum, key,
+      weights.map { case (s, w) => s -> parts(w) }, parts(default))
+  }
+
+  /** [[mixtureSample]] with each stratum's multiplicity supplied as the
+    * (full_epochs, residual_rate) PAIR a token-budget plan publishes,
+    * instead of their sum: reconstructing the fraction as w − floor(w)
+    * can drift from the plan's residual_rate by an ulp when
+    * full_epochs ≥ 1 (an off-by-one coin threshold vs the oracle's
+    * LEAST(ROUND(residual_rate·2³²), 2³²−1) on unlucky corpora), and a
+    * residual that rounds to exactly 1.0 would fold into the floor —
+    * EVERY doc gets the extra epoch — where the clamped coin correctly
+    * leaves out digest prefix ffffffff. The coin threshold must come
+    * from the plan's own residual column ([[sampleAtBudget]]).
+    */
+  private[ext] def mixtureSampleParts(df: DataFrame, stratum: Column,
+                                      key: Column,
+                                      parts: Map[String, (Long, Double)],
+                                      default: (Long, Double)): DataFrame = {
+    def copiesFor(p: (Long, Double)): Column =
+      // strict '<' against the half-open digest interval [0, rate)
+      lit(p._1.toInt) + when(
+        substring(keyDigest(key), 1, 8) < hexThreshold(p._2), 1)
+        .otherwise(0)
+    val copies = parts.foldLeft(copiesFor(default)) {
+      case (acc, (s, p)) => when(stratum === s, copiesFor(p)).otherwise(acc)
     }
     // Drop zero-copy rows BEFORE the explode: sequence(1, 0) would infer
     // a descending step and emit [1, 0], not an empty array. The explicit
@@ -448,13 +469,15 @@ object Sampling {
     */
   def sampleAtBudget(docs: DataFrame, weights: Map[String, Double],
                      budgetTokens: Long): DataFrame = {
-    // Bounded collect: |weights| rows of plan metadata.
-    val rates = tokenBudgetPlan(docs, weights, budgetTokens)
+    // Bounded collect: |weights| rows of plan metadata. The
+    // (full_epochs, residual_rate) pair feeds the coin UNFOLDED — the
+    // oracle decomposes the same way, and summing then re-deriving the
+    // fraction is ulp-unsafe ([[mixtureSampleParts]]).
+    val parts = tokenBudgetPlan(docs, weights, budgetTokens)
       .select("source", "full_epochs", "residual_rate")
       .collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1).toDouble + r.getDouble(2))).toMap
-    mixtureSample(docs, col("source"), col("doc_id"), rates,
-      default = 0.0)
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    mixtureSampleParts(docs, col("source"), col("doc_id"), parts,
+      default = (0L, 0.0))
   }
 }

@@ -106,15 +106,24 @@ object CacheDrill {
       // Plan evidence: is the probe served from the mirror at all? The
       // RDD-based mirror (the recache-thrash fix) is CacheManager-
       // invisible BY DESIGN, so a working cache shows a rewrapped
-      // "Scan ExistingRDD" node (not an InMemoryTableScan) AND named
-      // graft-index-mirror RDDs resident in the block manager — match
-      // both signals so the line can't read a healthy cache as a
-      // failure (the pre-fix IMTS-only check did exactly that).
+      // "Scan ExistingRDD" node (not an InMemoryTableScan) whose
+      // backing RDD is a named graft-index-mirror block. The two
+      // signals are tied TOGETHER — the scan node's own rdd.name, not
+      // "any ExistingRDD in the plan AND any mirror resident anywhere
+      // in the context", which would read a parquet re-scan as served
+      // whenever an unrelated index's mirror happened to be cached
+      // (the same class of misleading line the IMTS-only check was).
+      def mirrorScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => mirrorScan(a.executedPlan)
+          case r: org.apache.spark.sql.execution.RDDScanExec =>
+            Option(r.rdd.name).exists(_.startsWith("graft-index-mirror"))
+          case other => other.children.exists(mirrorScan)
+        }
       val plan = out.queryExecution.executedPlan.toString
-      val mirrorsResident = spark.sparkContext.getPersistentRDDs.values
-        .exists(r => Option(r.name).exists(_.startsWith("graft-index-mirror")))
       val served = plan.contains("InMemoryTableScan") ||
-        (plan.contains("ExistingRDD") && mirrorsResident)
+        mirrorScan(out.queryExecution.executedPlan)
       println(s"[after-trigger-$trig] probe plan served from index mirror: $served")
     }
     spark.stop()

@@ -259,10 +259,18 @@ class OracleAssumptionsSpec extends AnyFunSuite {
     // ≤ 1.6e-2 and the deterministic oracle gate has already proven the
     // actual hashes caught them. Non-vacuity: each split must plant at
     // least one qualifying pair, or the oracle certifies nothing.
+    // Gram extraction uses the PRODUCTION sliding-window convention
+    // (Dedup.hashedShingles / TextAnalysis.scrubCommonSpans: n−2 grams
+    // for 3-grams over n tokens, none under 3 tokens) — a sequence()
+    // re-derivation here once dropped each doc's last 3-gram, so the
+    // measured J was not the J the oracles certify and a true knee
+    // pair could read ≥ 0.8 and silently pass.
     val docs = Tables.load(spark, dir, "documents")
-    val grams = docs.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, greatest(size(split(trim(text),'\\s+'))-3, 0) - 1),
-          |  i -> concat_ws(' ', slice(split(trim(text),'\\s+'), i+1, 3)))"""
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |  (x, ix) -> concat_ws(' ', slice(toks, ix + 1, 3)))"""
           .stripMargin)).as("g"))
       .distinct()
     val sz = grams.groupBy("doc_id").count()
