@@ -1273,10 +1273,16 @@ object SparkEntry {
     // enough shingles survive for J >= 0.5). Same eval slice as
     // corpus_prep; the minhashNovel machinery with the polarity
     // flipped: NOT novel vs the eval suite == contaminated.
+    // broadcastCorpus: the eval side is benchmark-sized — the
+    // decontamination polarity — so its bands and sets broadcast into
+    // a streamed scan of the corpus side (the scan-form twin of the
+    // indexed query's broadcastIndex plan; r18). Verdict-identical to
+    // the merge plan (ExtSpec pins the equality), same oracle.
     "contamination_neardup" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val cand = docs.filter(col("doc_id") >= 50)
-      val novel = Dedup.minhashNovel(cand, docs.filter(col("doc_id") < 50))
+      val novel = Dedup.minhashNovel(cand, docs.filter(col("doc_id") < 50),
+        broadcastCorpus = true)
       cand.select("doc_id").join(novel, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     }),
@@ -1302,6 +1308,23 @@ object SparkEntry {
           docs.filter(col("doc_id") >= 50), path)
         .filter(col("is_contaminated")).select("doc_id")
         .orderBy("doc_id")
+    }),
+
+    // The fuzzy rule's DECISION form (r18): the batch with every
+    // near-dup-flagged doc REMOVED — decontaminate_indexed's twin for
+    // the family's third rule, completing the removal symmetry (count:
+    // decontaminate/_indexed; span: scrub_contaminated_spans; fuzzy:
+    // this). A left_anti over the indexed screen's flagged side; the
+    // oracle anti-joins the exhaustive exact-Jaccard dup set, so a
+    // hash match certifies screen + removal end to end.
+    "decontaminate_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = Dedup.minhashEvalIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 50), path,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      Contamination.decontaminateNeardup(
+          docs.filter(col("doc_id") >= 50), path)
+        .select("doc_id", "lang").orderBy("doc_id")
     }),
 
     // Near-dup pairs → connected components → corpus-wide cluster
@@ -3398,7 +3421,11 @@ object SparkEntry {
       // Fuzzy contamination verdict: per-doc exact Jaccard vs the eval
       // slice with the engine's (rounded-j, eval_id DESC) tie order —
       // the `best` CTE's convention for the novelty screen. Requires
-      // full (vsh is defined in the contamination block).
+      // full (vsh is defined in the contamination block) — enforced,
+      // so a future full=false+neardup registration fails here with a
+      // message instead of as a DuckDB bind error on the oracle side.
+      require(full || !neardup,
+        "neardup verdict needs the full contamination CTEs (vsh)")
       val ndCtes = if (!neardup) "" else
         """ndbsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
           |ndvsz AS (SELECT doc_id, count(*) AS n FROM vsh GROUP BY 1),
@@ -3766,6 +3793,22 @@ object SparkEntry {
            |JOIN nsz ON nsz.doc_id = da JOIN csz ON csz.doc_id = db
            |WHERE ov/(nsz.n+csz.n-ov) >= 0.5
            |ORDER BY 1""".stripMargin,
+      // The removal decision: the exhaustive exact-Jaccard dup set
+      // (contamination_neardup's oracle) anti-joined — what survives
+      // the fuzzy screen.
+      "decontaminate_neardup" ->
+        s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 50)", "n")},
+           |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 50)", "c")},
+           |nsz AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+           |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+           |          FROM nsh a JOIN csh b ON a.g = b.g GROUP BY 1, 2),
+           |dup AS (SELECT DISTINCT da AS doc_id FROM inter
+           |        JOIN nsz ON nsz.doc_id = da JOIN csz ON csz.doc_id = db
+           |        WHERE ov/(nsz.n+csz.n-ov) >= 0.5)
+           |SELECT doc_id, lang FROM documents
+           |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM dup)
+           |ORDER BY doc_id""".stripMargin,
       "minhash_novel_indexed" ->
         s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id >= 450)", "n")},
            |${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 450)", "c")},

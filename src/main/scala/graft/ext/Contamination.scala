@@ -695,6 +695,26 @@ object Contamination {
         col("best_jaccard").as("jaccard"), col("match_id")))
   }
 
+  /** The fuzzy rule's DECISION form — the corpus with every doc the
+    * frozen near-dup screen flags REMOVED, completing the family's
+    * removal symmetry (the count rule has [[decontaminateAgainstIndex]],
+    * the span rule has [[scrubContaminatedSpans]]; until now the fuzzy
+    * rule shipped verdicts only). One left_anti on doc_id over
+    * [[neardupContaminationAgainstIndex]]'s flagged side — match-sized
+    * by construction, so beyond the screen itself the corpus shuffles
+    * at most once. Inherits the screen's fail-closed gate (missing
+    * index throws; committed-empty removes nothing) and its
+    * broadcastIndex default (the eval index is benchmark-sized).
+    */
+  def decontaminateNeardup(train: DataFrame, path: String,
+                           threshold: Double = 0.5,
+                           broadcastIndex: Boolean = true): DataFrame =
+    train.join(
+      neardupContaminationAgainstIndex(train, path, threshold,
+          broadcastIndex, sorted = false)
+        .filter(col("is_contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** The FUZZY form of the re-decontamination delta — completes the
     * append→screen→delta lifecycle for the family's third rule
     * (mirroring [[redecontaminateDelta]] / [[redecontaminateSpansDelta]]):

@@ -108,7 +108,10 @@ object CorpusPrep {
     *                 [[Dedup.minhashDupIds]] against the eval set,
     *                 riding the shared shingle checkpoint (MinHash
     *                 needs the same (doc_id, h) stream): zero extra
-    *                 corpus scans. A doc or eval doc with < 3 tokens
+    *                 corpus scans. Runs the broadcastCorpus plan
+    *                 unconditionally (the eval set is benchmark-sized
+    *                 at every corpus size — stage 4c's rationale), so
+    *                 the veto adds no corpus-sized exchange. A doc or eval doc with < 3 tokens
     *                 has no shingles and never flags; an empty eval
     *                 set flags nothing. None (default) = screen off,
     *                 `neardup_ok` all-true.
@@ -217,9 +220,15 @@ object CorpusPrep {
     // Fuzzy contamination verdict — hit docs only (match-sized): the
     // polarity-flipped MinHash screen against the eval set, riding the
     // same shared shingle checkpoint (MinHash reads only (doc_id, h)).
+    // broadcastCorpus unconditionally — stage 4c's rationale on the
+    // batch path: the eval set is benchmark-sized at every corpus
+    // size, so its bands and sets broadcast into the checkpointed
+    // corpus stream instead of merge-shuffling corpus-sized band rows
+    // against a benchmark-sized table (the r17 near-miss exchange).
     val neardupHits = contamNeardupThreshold.map { t =>
       Dedup.minhashDupIds(docs, evalDocs, threshold = t,
-          observeName = "prep_neardup_clamp", newShingles = sharedShingles)
+          observeName = "prep_neardup_clamp", newShingles = sharedShingles,
+          broadcastCorpus = true)
         .withColumn("__eval_neardup", lit(true))
     }
 
@@ -667,11 +676,17 @@ object CorpusPrep {
           .withColumn("dup_3gram_frac", lit(null).cast("double"))
           .withColumn("repetition_ok", lit(true))
     }
+    // neardup_ok is part of eligibility like every other veto — its
+    // omission here shipped in r17 masked by the verify fixtures
+    // (every fuzzy-flagged doc there was also vetoed by another
+    // screen); ScreenDrill's unique-coverage plants (short eval
+    // copies only the fuzzy rule can see) caught the kept drift in
+    // r18 and now pin it.
     val flagged = withRepetition.withColumn("eligible",
       col("quality_ok") && col("blocklist_ok") && col("is_novel") &&
         col("dsir_ok") && !col("is_contained") && !col("is_hamming_dup") &&
-        !col("is_contaminated") && col("span_ok") && !col("is_outlier") &&
-        col("repetition_ok"))
+        !col("is_contaminated") && col("span_ok") && col("neardup_ok") &&
+        !col("is_outlier") && col("repetition_ok"))
       .localCheckpoint(eager = false)
     // Clustering only the eligible docs keeps the last stage minimal
     // AND makes survivor semantics match [[prepare]]'s staged rule: an

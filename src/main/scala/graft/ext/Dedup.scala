@@ -628,10 +628,11 @@ object Dedup {
                    bands: Int = 8, threshold: Double = 0.5,
                    maxBucket: Int = DefaultMaxBucket,
                    observeName: String = "lsh_bucket_clamp_novel",
-                   newShingles: Option[DataFrame] = None): DataFrame =
+                   newShingles: Option[DataFrame] = None,
+                   broadcastCorpus: Boolean = false): DataFrame =
     newDocs.select("doc_id")
       .join(minhashDupIds(newDocs, corpus, shingleSize, numHashes, bands,
-          threshold, maxBucket, observeName, newShingles),
+          threshold, maxBucket, observeName, newShingles, broadcastCorpus),
         Seq("doc_id"), "left_anti")
 
   /** The flagged (match-sized) side of [[minhashNovel]]: new-side docs
@@ -643,31 +644,62 @@ object Dedup {
     * [[hashedShingles]]`(newDocs, shingleSize)` stream (the composites'
     * shared checkpoint — only (doc_id, h) is read) instead of
     * re-scanning the text.
+    *
+    * TWO plan shapes, keyed to which side is small — the in-frame twin
+    * of [[minhashNovelAgainstIndex]]'s broadcastBatch/broadcastIndex
+    * choice:
+    *   - default (merge): both band sides shuffle once, each side's
+    *     aggregate exchange reused by its verify join-back — the dedup
+    *     polarity, where `corpus` is the standing corpus and
+    *     comparable to (or larger than) the new side.
+    *   - `broadcastCorpus`: the `corpus` side's capped band table AND
+    *     its shingle sets broadcast into a streamed scan of the new
+    *     side — the DECONTAMINATION polarity, where `corpus` is an
+    *     eval suite (benchmark-sized) and `newDocs` is a corpus-scale
+    *     backfill. Merge-shuffling backfill-sized band rows against a
+    *     benchmark-sized table is the exchange this knob deletes; the
+    *     only new-side exchange left is the shingle aggregate, reused
+    *     by the merge-pinned verify join-back.
     */
   private[ext] def minhashDupIds(newDocs: DataFrame, corpus: DataFrame,
                                  shingleSize: Int = 3, numHashes: Int = 32,
                                  bands: Int = 8, threshold: Double = 0.5,
                                  maxBucket: Int = DefaultMaxBucket,
                                  observeName: String = "lsh_bucket_clamp_novel",
-                                 newShingles: Option[DataFrame] = None)
+                                 newShingles: Option[DataFrame] = None,
+                                 broadcastCorpus: Boolean = false)
       : DataFrame = {
-    val newSets = shingleSetsOf(newDocs, shingleSize, newShingles)
+    // Under broadcastCorpus the new-side aggregate feeds TWO consumers
+    // (band rows; the verify join-back's set_n) with no shuffled band
+    // join between them — the exact shape whose exchange reuse failed
+    // in [[minhashNovelAgainstIndex]]'s broadcastIndex plan (a measured
+    // second corpus tokenize, SCALE.md r17) — so checkpoint the
+    // (doc_id, shset) frame once, lazily. The merge plan keeps its
+    // measured reuse (minhash_novel's PlanGuardSpec pin) and skips the
+    // block churn.
+    val newSets0 = shingleSetsOf(newDocs, shingleSize, newShingles)
+    val newSets =
+      if (broadcastCorpus) newSets0.localCheckpoint(eager = false)
+      else newSets0
     val corpusSets = shingleSetsOf(corpus, shingleSize)
     def bandRows(ss: DataFrame) = setBandRows(ss, numHashes, bands)
-    // Sort-merge pin for the same reason as the pair queries: both band
-    // sides must shuffle (broadcast would re-run a whole corpus pass
-    // into the build side), and each side's aggregate exchange is then
-    // reused by its verify join-back.
+    // Sort-merge pin (default) for the same reason as the pair queries:
+    // both band sides must shuffle (broadcast would re-run a whole
+    // corpus pass into the build side), and each side's aggregate
+    // exchange is then reused by its verify join-back.
     //
     // The CORPUS side carries the [[capBandBuckets]] ceiling (candidate
     // volume is Σ per-bucket |new|·|corpus|, and |corpus| is the
     // unbounded factor — the batch side is per-trigger sized by this
     // operator's contract). A batch doc probing a dropped boilerplate
     // bucket errs NOVEL for that bucket, recoverable through its other
-    // bands — the clamp docstring's recall contract.
-    val cand = bandRows(newSets).as("n").hint("merge")
-      .join(capBandBuckets(bandRows(corpusSets), maxBucket,
-          observeName).as("c"),
+    // bands — the clamp docstring's recall contract. Under
+    // broadcastCorpus the cap's window runs over the benchmark-sized
+    // table BEFORE it broadcasts — never over anything new-side-sized.
+    val cBands = capBandBuckets(bandRows(corpusSets), maxBucket, observeName)
+    val nBands = bandRows(newSets)
+    val cand = (if (broadcastCorpus) nBands else nBands.hint("merge")).as("n")
+      .join((if (broadcastCorpus) broadcast(cBands) else cBands).as("c"),
         col("n.band") === col("c.band") &&
           col("n.band_hash") === col("c.band_hash"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
@@ -679,14 +711,16 @@ object Dedup {
     // aggregate already produced, so AQE reuses it and the shingle
     // pipeline runs ONCE per side (a broadcast build is a DIFFERENT
     // exchange node and re-executes the whole subtree — measured as a
-    // 4× shingle pass in the unpinned plan).
+    // 4× shingle pass in the unpinned plan). Under broadcastCorpus the
+    // corpus-side sets are benchmark-sized by contract and broadcast
+    // instead (reason (a) does not apply to that side).
+    val cSets = corpusSets.select(col("doc_id").as("corpus_id"),
+      col("shset").as("set_c"))
     val dupIds = cand
       .join(newSets.select(col("doc_id").as("new_id"), col("shset").as("set_n"))
           .hint("merge"),
         Seq("new_id"))
-      .join(corpusSets.select(col("doc_id").as("corpus_id"),
-            col("shset").as("set_c"))
-          .hint("merge"),
+      .join(if (broadcastCorpus) broadcast(cSets) else cSets.hint("merge"),
         Seq("corpus_id"))
       .withColumn("__ov",
         graft.functions.SetFunctions.set_overlap(col("set_n"), col("set_c"))

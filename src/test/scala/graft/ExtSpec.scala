@@ -378,6 +378,63 @@ class ExtSpec extends AnyFunSuite {
     assert(v.keys.forall(k => vMerge(k) == v(k).toSeq))
   }
 
+  test("minhashDupIds: broadcastCorpus plan verdicts ≡ merge plan (scan-form broadcastIndex twin)") {
+    // The r18 knob: under the decontamination polarity the `corpus`
+    // arg is a benchmark-sized eval suite, and its bands + sets
+    // broadcast into a streamed scan of the new side instead of
+    // merge-shuffling new-side band rows. Both shapes must flag the
+    // exact same docs, including the no-shingle edges on each side.
+    def longText(tag: String, edits: Set[Int] = Set.empty) =
+      (1 to 60).map(i =>
+        if (edits(i)) s"edited$i" else s"${tag}tok$i").mkString(" ")
+    val evalSuite = Seq(
+      (1L, longText("bench")),
+      (2L, "tiny doc"))                       // < 3 tokens: no shingles
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, longText("bench")),              // verbatim: J = 1 → flagged
+      (101L, longText("bench", Set(30))),     // light edit: J ≈ 0.90 → flagged
+      (102L, longText("unrelated")),          // disjoint → novel
+      (103L, "xs"))                           // no shingles → novel
+      .toDF("doc_id", "text")
+    val merge = Dedup.minhashNovel(batch, evalSuite)
+      .collect().map(_.getLong(0)).toSet
+    val bcast = Dedup.minhashNovel(batch, evalSuite, broadcastCorpus = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(bcast == Set(102L, 103L), bcast.toString)
+    assert(merge == bcast, s"merge=$merge bcast=$bcast")
+  }
+
+  test("decontaminateNeardup: flagged docs removed, fail-closed, committed-empty removes nothing, both plans") {
+    def longText(tag: String, edits: Set[Int] = Set.empty) =
+      (1 to 60).map(i =>
+        if (edits(i)) s"edited$i" else s"${tag}tok$i").mkString(" ")
+    val evalSuite = Seq((1L, longText("bench"))).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("nd-deco").toString
+    val path = s"$base/mhidx"
+    val corpus = Seq(
+      (100L, longText("bench")),              // verbatim → removed
+      (101L, longText("bench", Set(30))),     // light edit → removed
+      (102L, longText("unrelated")))          // survives, text intact
+      .toDF("doc_id", "text")
+    // Family discipline: a missing eval index is loud, not all-kept.
+    intercept[IllegalArgumentException] {
+      Contamination.decontaminateNeardup(corpus, s"$base/nope")
+    }
+    // Committed-empty suite: the one legitimate remove-nothing state.
+    Dedup.buildMinhashIndex(evalSuite.limit(0), path)
+    assert(Contamination.decontaminateNeardup(corpus, path).count() == 3)
+    Dedup.buildMinhashIndex(evalSuite, path)
+    val out = Contamination.decontaminateNeardup(corpus, path)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.collect().map(_.getLong(0)).toSet == Set(102L))
+    // The merge fallback decides identically.
+    assert(Contamination.decontaminateNeardup(corpus, path,
+        broadcastIndex = false)
+      .collect().map(_.getLong(0)).toSet == Set(102L))
+  }
+
   test("fuzzy veto catches the short benchmark copy BOTH gram rules miss; batch ≡ incremental") {
     // A 5-token eval item carries only 3 grams: a verbatim copy shares
     // 3 < minShared=5 (count rule clears) in a run of 5 < 8 tokens
@@ -415,7 +472,13 @@ class ExtSpec extends AnyFunSuite {
     assert(!inc(100L).getAs[Boolean]("neardup_ok") &&
       inc(100L).getAs[Double]("eval_jaccard") == 1.0 &&
       inc(100L).getAs[Long]("eval_match_id") == 1L, inc(100L).toString)
-    assert(inc(101L).getAs[Boolean]("neardup_ok"))
+    // The veto must reach the DECISION, not just the audit column — in
+    // r17 `eligible` omitted neardup_ok and the verify fixtures masked
+    // it (every fuzzy-flagged doc there failed another screen too);
+    // this doc fails ONLY the fuzzy rule, so kept must be false.
+    assert(!inc(100L).getAs[Boolean]("kept"), inc(100L).toString)
+    assert(inc(101L).getAs[Boolean]("neardup_ok") &&
+      inc(101L).getAs[Boolean]("kept"))
     assert(corpus.collect().map(_.getLong(0)).toSet.forall(id =>
       v(id).getAs[Boolean]("neardup_ok") ==
         inc(id).getAs[Boolean]("neardup_ok")))

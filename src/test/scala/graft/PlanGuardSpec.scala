@@ -418,6 +418,48 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(textScans <= 1, s"batch text scanned $textScans times\n$p")
   }
 
+  test("contamination_neardup (scan form) broadcasts the eval side; corpus bands never merge-shuffle") {
+    // The r18 broadcastCorpus plan — the scan-form twin of the indexed
+    // query's broadcastIndex contract: the benchmark-sized eval side's
+    // capped band table AND shingle sets enter through broadcasts, so
+    // the corpus-scale side's band rows are never shuffled against
+    // them (the r17-verdict near-miss exchange); its only exchanges
+    // are its own shingle aggregate (reused by the merge-pinned verify
+    // join-back) and the candidate-sized distinct.
+    val df = SparkEntry.queries("contamination_neardup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin \\[[^\\]]*band_hash".r.findFirstIn(p).isDefined,
+      s"band join not broadcast:\n$p")
+    assert("SortMergeJoin \\[[^\\]]*band_hash".r.findFirstIn(p).isEmpty,
+      s"band rows merge-shuffled against the eval side:\n$p")
+    // ONE corpus-side text scan: the (doc_id, shset) checkpoint feeds
+    // both the band rows and the verify join-back (the broadcastIndex
+    // double-tokenize defect's fix, mirrored in the scan form).
+    val corpusTextScans = p.linesIterator.count(l =>
+      l.contains("GreaterThanOrEqual(doc_id,50)") &&
+        l.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(corpusTextScans <= 1,
+      s"corpus text scanned $corpusTextScans times:\n$p")
+  }
+
+  test("corpus_prep_v4's fuzzy veto rides the shared checkpoint; eval bands broadcast") {
+    // corpus_prep_v3's one-corpus-pass pin extended to the fuzzy veto
+    // (r18): the per-doc verdict plan reads corpus text from NO parquet
+    // scan (six shingle consumers, one checkpointed pass), and the
+    // veto's band join broadcasts the benchmark-sized eval side — the
+    // composite gains a screen without gaining a corpus-sized exchange.
+    val df = SparkEntry.queries("corpus_prep_v4")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("GreaterThanOrEqual(doc_id,50)"), p)
+    assert("BroadcastHashJoin \\[[^\\]]*band_hash".r.findFirstIn(p).isDefined,
+      s"fuzzy veto's band join not broadcast:\n$p")
+  }
+
   test("simhash_novel screens read fingerprints at rest, never corpus text") {
     // The property the persisted index exists for: the standing corpus
     // appears ONLY as the 16-byte-row fps parquet — no corpus-side
