@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   * `full` additionally configures the r14 screens: a persisted
   * eval-gram contamination index (1,000 benchmark docs), a frozen
   * embedding-outlier model (fit on a 50k clean cloud), and the
-  * repetition veto, with three more plant families per trigger — 5%
-  * verbatim eval-benchmark copies (novel to every dedup index; ONLY
-  * the contamination screen can catch them), 5% fresh-text docs
-  * carrying garbage embeddings (ONLY the outlier screen can catch
-  * them), and 5% copy-paste-stutter docs (unique phrase repeated 20×;
-  * ONLY the repetition veto can catch them) — asserted per trigger.
+  * repetition veto — and (r18) the fuzzy contamination screen against
+  * its own 5-token eval MinHash index, completing the
+  * curation_screen_v3 config — with four more plant families per
+  * trigger: 5% verbatim eval-benchmark copies (novel to every dedup
+  * index; the contamination count AND span rules catch exactly them),
+  * 5% verbatim copies of 5-token fuzzy-eval docs (3 shared grams < 5
+  * so the count rule is blind, a 5-token run < 8 so the span rule is
+  * blind, J = 1.0 so the fuzzy screen catches them DETERMINISTICALLY —
+  * no recall-knee risk), 5% fresh-text docs carrying garbage
+  * embeddings (ONLY the outlier screen can catch them), and 5%
+  * copy-paste-stutter docs (unique phrase repeated 20×; ONLY the
+  * repetition veto can catch them) — asserted per trigger.
   * Not part of the driver contract.
   */
 object ScreenDrill {
@@ -90,10 +96,11 @@ object ScreenDrill {
 
     // Long alpha tags keep every doc above the 0.6 alpha-ratio quality
     // boundary even with 5-digit suffixes.
-    def tokens(seed: org.apache.spark.sql.Column) =
-      concat_ws(" ", transform(sequence(lit(0), lit(29)),
+    def tokensN(seed: org.apache.spark.sql.Column, n: Int) =
+      concat_ws(" ", transform(sequence(lit(0), lit(n - 1)),
         i => concat(lit("drilltokenword"),
           pmod(xxhash64(seed * 31 + i), lit(50000)))))
+    def tokens(seed: org.apache.spark.sql.Column) = tokensN(seed, 30)
     val standing = spark.range(standingN)
       .select(col("id").as("doc_id"), tokens(col("id")).as("text"))
       .localCheckpoint()
@@ -113,13 +120,26 @@ object ScreenDrill {
       Array.tabulate(64)(j => (if (j == 0) 10f else 0f) +
         (r.nextFloat() * 2 - 1) * noise)
     }
-    val (evIdx, oIdx) = (s"$tmp/evidx", s"$tmp/oidx")
+    // Fuzzy (r18, the curation_screen_v3 config): a SECOND eval suite
+    // of 5-token docs with its own MinHash index — short enough that a
+    // verbatim copy carries 3 < contamMinShared grams (count rule
+    // blind) in a 5 < 8-token run (span rule blind) but J = 1.0
+    // (deterministic LSH catch, no recall-knee risk); the fuzzy
+    // screen's UNIQUE coverage, planted through the composite.
+    val ndEvalN = 1000
+    val ndSeed = 5555555555L
+    val (evIdx, oIdx, ndIdx) = (s"$tmp/evidx", s"$tmp/oidx", s"$tmp/ndidx")
     if (full) {
       val te = System.nanoTime()
       graft.ext.Contamination.buildEvalIndex(
         spark.range(evalN).select(col("id").as("doc_id"),
           tokens(col("id") + evalSeed).as("text")), evIdx)
       println(f"eval-gram index build ($evalN%d docs): ${(System.nanoTime() - te) / 1e9}%.1f s")
+      val tn = System.nanoTime()
+      graft.ext.Dedup.buildMinhashIndex(
+        spark.range(ndEvalN).select(col("id").as("doc_id"),
+          tokensN(col("id") + ndSeed, 5).as("text")), ndIdx)
+      println(f"fuzzy-eval MinHash index build ($ndEvalN%d docs): ${(System.nanoTime() - tn) / 1e9}%.1f s")
       val to = System.nanoTime()
       graft.ext.Similarity.buildOutlierIndex(
         spark.range(50000).select(col("id").as("vec_id")).as[Long]
@@ -132,10 +152,11 @@ object ScreenDrill {
     val blocked = batchN / 20     // planted blocklist hits
     val twinPairs = batchN / 20   // planted intra-batch twin PAIRS
     val contam = if (full) batchN / 20 else 0   // planted eval copies
+    val fuzzy = if (full) batchN / 20 else 0    // planted short-eval copies
     val outliers = if (full) batchN / 20 else 0 // planted garbage embs
     val stutter = if (full) batchN / 20 else 0  // planted repetition
     val fresh = batchN - copies - blocked - 2 * twinPairs - contam -
-      outliers - stutter
+      fuzzy - outliers - stutter
 
     // One generator for both modes; the embedding column is ignored by
     // the 2-column stream.
@@ -153,13 +174,21 @@ object ScreenDrill {
           .when(col("k") < copies + blocked + 2 * twinPairs + contam,
             tokens(pmod(col("k") + lit(trig.toLong * contam), lit(evalN))
               + evalSeed))
+          // Fuzzy plants: verbatim copies of DISTINCT 5-token fuzzy-eval
+          // docs — J = 1.0 against the fuzzy index (deterministic LSH
+          // catch), invisible to the count rule (3 shared grams < 5),
+          // the span rule (5-token run < 8), and every dedup index.
+          .when(col("k") < copies + blocked + 2 * twinPairs + contam +
+              fuzzy,
+            tokensN(pmod(col("k") + lit(trig.toLong * fuzzy), lit(ndEvalN))
+              + ndSeed, 5))
           // Stutter plants: each repeats its OWN unique 3-token phrase
           // 20× — novel to every index, quality-clean (long alpha
           // prefixes keep the alpha ratio above the 0.6 boundary
           // despite the ~10-digit id suffix), dup-3-gram frac ≈ 0.95;
           // only the repetition veto can catch it.
           .when(col("k") < copies + blocked + 2 * twinPairs + contam +
-              stutter,
+              fuzzy + stutter,
             concat_ws(" ", transform(sequence(lit(1), lit(20)),
               _ => concat_ws(" ",
                 concat(lit("stutterphrasealphaworda"), col("doc_id")),
@@ -169,9 +198,9 @@ object ScreenDrill {
         .collect().map { r =>
           val (id, k) = (r.getLong(0), r.getLong(1))
           val garbage = k >= copies + blocked + 2 * twinPairs + contam +
-            stutter &&
-            k < copies + blocked + 2 * twinPairs + contam + stutter +
-              outliers
+            fuzzy + stutter &&
+            k < copies + blocked + 2 * twinPairs + contam + fuzzy +
+              stutter + outliers
           (id, r.getString(2), mkEmb(id, if (garbage) 3f else 0.01f))
         }.toSeq
     }
@@ -191,6 +220,7 @@ object ScreenDrill {
         source.toDF().toDF("doc_id", "text", "embedding"), idx,
         s"$tmp/verdicts", s"$tmp/ckpt", blocklist = Seq("plantbad"),
         contamIndexPath = Some(evIdx), contamSpanMinRun = Some(8),
+        neardupEvalIndexPath = Some(ndIdx),
         outlierIndexPath = Some(oIdx),
         outlierZ = 4.0, repetitionMaxDupFrac = Some(0.2),
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
@@ -216,9 +246,10 @@ object ScreenDrill {
           val gated = v.filter(!col("blocklist_ok")).count()
           val cont = v.filter(col("is_contaminated")).count()
           val spanHits = v.filter(!col("span_ok")).count()
+          val fuzz = v.filter(!col("neardup_ok")).count()
           val outl = v.filter(col("is_outlier")).count()
           val rep = v.filter(!col("repetition_ok")).count()
-          println(f"trigger $trig%d: $sec%6.2f s (gc $gcSec%5.2f s, read $rGb%6.2f GB, write $wGb%6.2f GB, iowait $iowSec%6.1f cpu-s, steal $stSec%5.1f cpu-s)  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d spans=$spanHits%d outliers=$outl%d stutter=$rep%d")
+          println(f"trigger $trig%d: $sec%6.2f s (gc $gcSec%5.2f s, read $rGb%6.2f GB, write $wGb%6.2f GB, iowait $iowSec%6.1f cpu-s, steal $stSec%5.1f cpu-s)  kept=$kept%d caught=$caught%d blocked=$gated%d contaminated=$cont%d spans=$spanHits%d fuzzy=$fuzz%d outliers=$outl%d stutter=$rep%d")
           assert(caught == copies, s"trigger $trig: caught $caught != $copies")
           assert(gated == blocked, s"trigger $trig: blocked $gated != $blocked")
           assert(cont == contam, s"trigger $trig: contaminated $cont != $contam")
@@ -226,6 +257,10 @@ object ScreenDrill {
           // catches exactly them (standing/fresh/stutter text shares no
           // eval 3-gram sequences)
           assert(spanHits == contam, s"trigger $trig: spans $spanHits != $contam")
+          // the fuzzy screen's index is the SHORT suite only, so its
+          // planted family is exactly the flagged set — the count/span
+          // plants share no gram with it
+          assert(fuzz == fuzzy, s"trigger $trig: fuzzy $fuzz != $fuzzy")
           assert(outl == outliers, s"trigger $trig: outliers $outl != $outliers")
           assert(rep == stutter, s"trigger $trig: stutter $rep != $stutter")
           assert(kept == fresh + twinPairs,
