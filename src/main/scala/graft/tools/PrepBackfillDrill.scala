@@ -36,12 +36,23 @@ import org.apache.spark.sql.functions._
   * eval doc: plant digests stay unique (no accidental exact-dup
   * groups) and each eval gram's corpus-side df stays 1 ≤ 20 (the
   * count rule's stop-gram cap never prunes the planted evidence).
+  *
+  * Heap: the 2M run holds the positional shingle checkpoint (~2.3 GB)
+  * plus the composite's window/aggregate state — the default sbt
+  * -Xmx4g starves execution memory (measured: UNABLE_TO_ACQUIRE at
+  * stage 30). Run with SBT_OPTS raising -Xmx to ≥ 16g; a cluster
+  * deployment has executor memory for this by construction.
   * Not part of the driver contract.
   */
 object PrepBackfillDrill {
   def main(args: Array[String]): Unit = {
     val batchN = if (args.nonEmpty) args(0).toLong else 2000000L
-    val spark = ToolSession.local(32)
+    // Fewer, fatter tasks by default: the composite's per-task hash
+    // state (collect_set aggregates, positional windows) divides the
+    // execution pool by the task count, and 32-way concurrency starves
+    // it at this batch size (measured UNABLE_TO_ACQUIRE even at 48g).
+    val cores = if (args.length > 1) args(1).toInt else 16
+    val spark = ToolSession.local(cores)
 
     def ioBytes(field: String): Long =
       try {
