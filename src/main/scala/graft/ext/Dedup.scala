@@ -661,7 +661,7 @@ object Dedup {
     *     only new-side exchange left is the shingle aggregate, reused
     *     by the merge-pinned verify join-back.
     */
-  private[ext] def minhashDupIds(newDocs: DataFrame, corpus: DataFrame,
+  private[graft] def minhashDupIds(newDocs: DataFrame, corpus: DataFrame,
                                  shingleSize: Int = 3, numHashes: Int = 32,
                                  bands: Int = 8, threshold: Double = 0.5,
                                  maxBucket: Int = DefaultMaxBucket,

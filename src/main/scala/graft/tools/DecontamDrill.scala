@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Contamination, Dedup}
 
 /** Fuzzy-decontamination scale drill (`runMain graft.tools.DecontamDrill
-  * [docs] [bcast|merge]`, default 2M / bcast — 4000× the sf0.01
-  * documents table): measures the indexed fuzzy contamination screen
+  * [docs] [bcast|merge|scan-bcast|scan-merge]`, default 2M / bcast —
+  * 4000× the sf0.01 documents table): measures the indexed fuzzy
+  * contamination screen
   * ([[graft.ext.Contamination.neardupContaminationAgainstIndex]]) at
   * the shape it exists for — a corpus-scale BACKFILL screened against a
   * benchmark-sized frozen eval MinHash index — and A/Bs its two join
@@ -19,6 +20,14 @@ import graft.ext.{Contamination, Dedup}
   *    the index tables.
   *  - `merge`: the co-partitioned fallback for eval suites past
   *    broadcast size — both sides shuffle once.
+  *
+  * `scan-bcast` / `scan-merge` (r18) run the SCAN-form veto instead —
+  * [[graft.ext.Dedup.minhashDupIds]]`(batch, evals, broadcastCorpus)`,
+  * the in-frame shape `CorpusPrep.prepare`'s fuzzy veto composes
+  * (eval suite re-derived per run, no index at rest) — A/B-ing the
+  * r18 `broadcastCorpus` plan against the r17 merge shape whose
+  * corpus-sized band exchange it deletes. Same plants, same recall /
+  * false-flag gates; flagged = the dup-id list itself.
   *
   * Plants: every batch doc with id ≡ 7 (mod 500) is a one-token-edited
   * copy of eval doc (id mod 1000) — 60 tokens, exact J = 55/61 ≈ 0.90,
@@ -35,7 +44,9 @@ import graft.ext.{Contamination, Dedup}
 object DecontamDrill {
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 2000000L
-    val useBroadcast = args.length <= 1 || args(1) == "bcast"
+    val mode = if (args.length > 1) args(1) else "bcast"
+    val scanForm = mode.startsWith("scan-")
+    val useBroadcast = mode == "bcast" || mode == "scan-bcast"
     val spark = ToolSession.local(32)
 
     def io(field: String): Long =
@@ -68,16 +79,25 @@ object DecontamDrill {
 
     val idx = java.nio.file.Files
       .createTempDirectory("decontam-drill").toString + "/mhidx"
-    val tb = System.nanoTime()
-    Dedup.buildMinhashIndex(evals, idx)
-    println(f"[drill] eval index build (${evalN}%d docs): " +
-      f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+    if (!scanForm) {
+      val tb = System.nanoTime()
+      Dedup.buildMinhashIndex(evals, idx)
+      println(f"[drill] eval index build (${evalN}%d docs): " +
+        f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+    }
 
     val (r0, w0, t0) = (io("read_bytes"), io("write_bytes"), System.nanoTime())
-    val flagged = Contamination.neardupContaminationAgainstIndex(
-        batch, idx, broadcastIndex = useBroadcast, sorted = false)
-      .filter(col("is_contaminated"))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged =
+      (if (scanForm)
+        Dedup.minhashDupIds(batch, evals,
+          observeName = "decontam_drill_clamp",
+          broadcastCorpus = useBroadcast)
+      else
+        Contamination.neardupContaminationAgainstIndex(
+            batch, idx, broadcastIndex = useBroadcast, sorted = false)
+          .filter(col("is_contaminated"))
+          .select("doc_id"))
+      .collect().map(_.getLong(0)).toSet
     val sec = (System.nanoTime() - t0) / 1e9
     val (readGb, writeGb) =
       ((io("read_bytes") - r0) / 1e9, (io("write_bytes") - w0) / 1e9)
@@ -86,7 +106,7 @@ object DecontamDrill {
     val hit = planted.count(flagged)
     val falsePos = (flagged -- planted).size
     val recall = hit.toDouble / planted.size
-    println(f"[drill] ${if (useBroadcast) "bcast" else "merge"} screen over " +
+    println(f"[drill] $mode%s screen over " +
       f"$rows%d docs: $sec%.1f s, read $readGb%.2f GB, write $writeGb%.2f GB; " +
       f"flagged ${flagged.size}%d, planted recall $recall%.4f " +
       f"($hit/${planted.size}), false flags $falsePos%d")
