@@ -108,13 +108,21 @@ object CorpusPrep {
     *                 [[Dedup.minhashDupIds]] against the eval set,
     *                 riding the shared shingle checkpoint (MinHash
     *                 needs the same (doc_id, h) stream): zero extra
-    *                 corpus scans. Runs the broadcastCorpus plan
-    *                 unconditionally (the eval set is benchmark-sized
-    *                 at every corpus size — stage 4c's rationale), so
-    *                 the veto adds no corpus-sized exchange. A doc or eval doc with < 3 tokens
+    *                 corpus scans. A doc or eval doc with < 3 tokens
     *                 has no shingles and never flags; an empty eval
     *                 set flags nothing. None (default) = screen off,
     *                 `neardup_ok` all-true.
+    * @param contamNeardupBroadcastEval plan shape for the fuzzy veto
+    *                 (default true — the broadcastCorpus plan: the
+    *                 eval set is benchmark-sized at every corpus size,
+    *                 stage 4c's rationale, so its bands and sets
+    *                 broadcast and the veto adds no corpus-sized
+    *                 exchange; measured 1.6× over the merge shape at
+    *                 2M, SCALE.md r18). Pass false for an eval set
+    *                 past broadcast size — the co-partitioned merge
+    *                 fallback, verdict-identical (ExtSpec pin), the
+    *                 same escape hatch the indexed twin's
+    *                 `broadcastIndex` knob provides.
     * @param sorted   order the verdict frame by doc_id (deterministic
     *                 presentation — the oracle queries' contract). A
     *                 production caller writing verdicts onward passes
@@ -142,6 +150,7 @@ object CorpusPrep {
               repetitionMaxDupFrac: Option[Double] = None,
               contamSpanMinRun: Option[Int] = None,
               contamNeardupThreshold: Option[Double] = None,
+              contamNeardupBroadcastEval: Boolean = true,
               sorted: Boolean = true): DataFrame = {
     // One compiled shingle pass, shared by the near-dup clustering and
     // the contamination screen (hashedShingles' pos column is pruned
@@ -220,15 +229,16 @@ object CorpusPrep {
     // Fuzzy contamination verdict — hit docs only (match-sized): the
     // polarity-flipped MinHash screen against the eval set, riding the
     // same shared shingle checkpoint (MinHash reads only (doc_id, h)).
-    // broadcastCorpus unconditionally — stage 4c's rationale on the
-    // batch path: the eval set is benchmark-sized at every corpus
-    // size, so its bands and sets broadcast into the checkpointed
-    // corpus stream instead of merge-shuffling corpus-sized band rows
-    // against a benchmark-sized table (the r17 near-miss exchange).
+    // broadcastCorpus by default — stage 4c's rationale on the batch
+    // path: the eval set is benchmark-sized at every corpus size, so
+    // its bands and sets broadcast into the checkpointed corpus stream
+    // instead of merge-shuffling corpus-sized band rows against a
+    // benchmark-sized table (the r17 near-miss exchange). The knob
+    // falls back to the merge plan for eval sets past broadcast size.
     val neardupHits = contamNeardupThreshold.map { t =>
       Dedup.minhashDupIds(docs, evalDocs, threshold = t,
           observeName = "prep_neardup_clamp", newShingles = sharedShingles,
-          broadcastCorpus = true)
+          broadcastCorpus = contamNeardupBroadcastEval)
         .withColumn("__eval_neardup", lit(true))
     }
 

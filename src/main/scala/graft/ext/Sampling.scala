@@ -155,11 +155,19 @@ object Sampling {
                                       key: Column,
                                       parts: Map[String, (Long, Double)],
                                       default: (Long, Double)): DataFrame = {
-    def copiesFor(p: (Long, Double)): Column =
+    def copiesFor(p: (Long, Double)): Column = {
+      // The epoch column stays INT (the mixture family's published
+      // schema), so a base past Int range must fail loudly here — a
+      // silent .toInt wrap would flip copies negative and DROP the
+      // source the plan meant to upsample hardest.
+      require(p._1 >= 0 && p._1 <= Int.MaxValue,
+        s"full-epoch multiplicity ${p._1} outside [0, Int.MaxValue] — " +
+          "check the budget plan (budget vs source token count)")
       // strict '<' against the half-open digest interval [0, rate)
       lit(p._1.toInt) + when(
         substring(keyDigest(key), 1, 8) < hexThreshold(p._2), 1)
         .otherwise(0)
+    }
     val copies = parts.foldLeft(copiesFor(default)) {
       case (acc, (s, p)) => when(stratum === s, copiesFor(p)).otherwise(acc)
     }

@@ -35,14 +35,7 @@ object CacheDrill {
         "sync; echo 3 > /proc/sys/vm/drop_caches").start().waitFor()
       if (rc != 0) println(s"[drill] drop_caches failed rc=$rc")
     }
-    def ioRead(): Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/self/io")
-        try src.getLines()
-          .collectFirst { case l if l.startsWith("read_bytes:") =>
-            l.split("\\s+")(1).toLong }.getOrElse(-1L)
-        finally src.close()
-      } catch { case _: Throwable => -1L }
+    def ioRead(): Long = ToolSession.ioBytes("read_bytes")
 
     val spark = ToolSession.local(32)
     if (useCache) spark.conf.set("spark.graft.indexCache", "true")
@@ -106,13 +99,14 @@ object CacheDrill {
       // Plan evidence: is the probe served from the mirror at all? The
       // RDD-based mirror (the recache-thrash fix) is CacheManager-
       // invisible BY DESIGN, so a working cache shows a rewrapped
-      // "Scan ExistingRDD" node (not an InMemoryTableScan) whose
-      // backing RDD is a named graft-index-mirror block. The two
-      // signals are tied TOGETHER — the scan node's own rdd.name, not
-      // "any ExistingRDD in the plan AND any mirror resident anywhere
-      // in the context", which would read a parquet re-scan as served
-      // whenever an unrelated index's mirror happened to be cached
-      // (the same class of misleading line the IMTS-only check was).
+      // "Scan ExistingRDD" node (never an InMemoryTableScan — that
+      // node class cannot come from the mirror, so it is NOT accepted
+      // as a served signal) whose backing RDD is a named
+      // graft-index-mirror block. The signal is the scan node's OWN
+      // rdd.name — not "any ExistingRDD in the plan AND any mirror
+      // resident anywhere in the context", which would read a parquet
+      // re-scan as served whenever an unrelated index's mirror
+      // happened to be cached.
       def mirrorScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p match {
           case a: org.apache.spark.sql.execution.adaptive
@@ -121,9 +115,7 @@ object CacheDrill {
             Option(r.rdd.name).exists(_.startsWith("graft-index-mirror"))
           case other => other.children.exists(mirrorScan)
         }
-      val plan = out.queryExecution.executedPlan.toString
-      val served = plan.contains("InMemoryTableScan") ||
-        mirrorScan(out.queryExecution.executedPlan)
+      val served = mirrorScan(out.queryExecution.executedPlan)
       println(s"[after-trigger-$trig] probe plan served from index mirror: $served")
     }
     spark.stop()

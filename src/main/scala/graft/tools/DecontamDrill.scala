@@ -45,18 +45,15 @@ object DecontamDrill {
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 2000000L
     val mode = if (args.length > 1) args(1) else "bcast"
+    // Loud on a typo'd mode: a silent fallback would label the printed
+    // timing line (the SCALE.md record) with a plan that did not run.
+    require(Set("bcast", "merge", "scan-bcast", "scan-merge")(mode),
+      s"mode '$mode' not one of bcast|merge|scan-bcast|scan-merge")
     val scanForm = mode.startsWith("scan-")
     val useBroadcast = mode == "bcast" || mode == "scan-bcast"
     val spark = ToolSession.local(32)
 
-    def io(field: String): Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/self/io")
-        try src.getLines()
-          .collectFirst { case l if l.startsWith(field + ":") =>
-            l.split("\\s+")(1).toLong }.getOrElse(-1L)
-        finally src.close()
-      } catch { case _: Throwable => -1L }
+    def io(field: String): Long = ToolSession.ioBytes(field)
 
     def toks(seed: org.apache.spark.sql.Column, salt: Long, n: Int) =
       transform(sequence(lit(0), lit(n - 1)), i =>

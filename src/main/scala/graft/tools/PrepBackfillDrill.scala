@@ -54,28 +54,10 @@ object PrepBackfillDrill {
     val cores = if (args.length > 1) args(1).toInt else 16
     val spark = ToolSession.local(cores)
 
-    def ioBytes(field: String): Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/self/io")
-        try src.getLines()
-          .collectFirst { case l if l.startsWith(s"$field:") =>
-            l.split("\\s+")(1).toLong }
-          .getOrElse(-1L)
-        finally src.close()
-      } catch { case _: Throwable => -1L }
-    def statJiffies: (Long, Long) =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try src.getLines().find(_.startsWith("cpu "))
-          .map(_.trim.split("\\s+")).filter(_.length > 8)
-          .map(f => (f(5).toLong, f(8).toLong)).getOrElse((-1L, -1L))
-        finally src.close()
-      } catch { case _: Throwable => (-1L, -1L) }
-
+    def ioBytes(field: String): Long = ToolSession.ioBytes(field)
+    def statJiffies: (Long, Long) = ToolSession.statJiffies
     def tokensN(seed: org.apache.spark.sql.Column, n: Int) =
-      concat_ws(" ", transform(sequence(lit(0), lit(n - 1)),
-        i => concat(lit("drilltokenword"),
-          pmod(xxhash64(seed * 31 + i), lit(50000)))))
+      ToolSession.drillTokens(seed, n)
 
     // Eval suites: enough docs that every plant copies a DISTINCT one.
     val evalSeed = 3333333333L

@@ -60,33 +60,15 @@ object ScreenDrill {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
-    // Per-trigger STORAGE reads (/proc/self/io read_bytes — actual
-    // device I/O, not page-cache hits) and host steal (/proc/stat,
-    // CPU-seconds across all cores): with GC, these decompose a slow
+    // Per-trigger STORAGE reads (ToolSession.ioBytes — actual device
+    // I/O, not page-cache hits) and host (iowait, steal) jiffies
+    // (ToolSession.statJiffies): with GC, these decompose a slow
     // trigger into its real cause. The r16 20M run REFUTED the r15 GC
     // attribution (96 s trigger, 0.11 s GC) — the remaining suspects
     // are cold index re-reads (page cache squeezed by the big heap on
     // a disk-backed /tmp) and neighbor steal, so measure both.
-    def ioBytes(field: String): Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/self/io")
-        try src.getLines()
-          .collectFirst { case l if l.startsWith(s"$field:") =>
-            l.split("\\s+")(1).toLong }
-          .getOrElse(-1L)
-        finally src.close()
-      } catch { case _: Throwable => -1L }
-    // /proc/stat aggregate jiffies: (iowait, steal) — iowait is
-    // host-wide idle-waiting-on-IO CPU-seconds, the writeback-stall
-    // signature read_bytes can't see.
-    def statJiffies: (Long, Long) =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try src.getLines().find(_.startsWith("cpu "))
-          .map(_.trim.split("\\s+")).filter(_.length > 8)
-          .map(f => (f(5).toLong, f(8).toLong)).getOrElse((-1L, -1L))
-        finally src.close()
-      } catch { case _: Throwable => (-1L, -1L) }
+    def ioBytes(field: String): Long = ToolSession.ioBytes(field)
+    def statJiffies: (Long, Long) = ToolSession.statJiffies
     val spark = ToolSession.local(32)
     // `fullcache`: same drill with the cross-trigger index cache on —
     // the A/B for the at-rest-rescan bottleneck the 10M run named.
@@ -94,12 +76,8 @@ object ScreenDrill {
       spark.conf.set("spark.graft.indexCache", "true")
     import spark.implicits._
 
-    // Long alpha tags keep every doc above the 0.6 alpha-ratio quality
-    // boundary even with 5-digit suffixes.
     def tokensN(seed: org.apache.spark.sql.Column, n: Int) =
-      concat_ws(" ", transform(sequence(lit(0), lit(n - 1)),
-        i => concat(lit("drilltokenword"),
-          pmod(xxhash64(seed * 31 + i), lit(50000)))))
+      ToolSession.drillTokens(seed, n)
     def tokens(seed: org.apache.spark.sql.Column) = tokensN(seed, 30)
     val standing = spark.range(standingN)
       .select(col("id").as("doc_id"), tokens(col("id")).as("text"))
