@@ -416,23 +416,24 @@ class ExtSpec extends AnyFunSuite {
     val corpus = Seq(
       (100L, longText("bench")),              // verbatim → removed
       (101L, longText("bench", Set(30))),     // light edit → removed
-      (102L, longText("unrelated")))          // survives, text intact
-      .toDF("doc_id", "text")
+      (102L, longText("unrelated")),          // survives, text intact
+      (103L, "xs yz"))                        // < 3 tokens: no shingles,
+      .toDF("doc_id", "text")                 //   never flags, survives
     // Family discipline: a missing eval index is loud, not all-kept.
     intercept[IllegalArgumentException] {
       Contamination.decontaminateNeardup(corpus, s"$base/nope")
     }
     // Committed-empty suite: the one legitimate remove-nothing state.
     Dedup.buildMinhashIndex(evalSuite.limit(0), path)
-    assert(Contamination.decontaminateNeardup(corpus, path).count() == 3)
+    assert(Contamination.decontaminateNeardup(corpus, path).count() == 4)
     Dedup.buildMinhashIndex(evalSuite, path)
     val out = Contamination.decontaminateNeardup(corpus, path)
     assert(out.columns.toSeq == Seq("doc_id", "text"))
-    assert(out.collect().map(_.getLong(0)).toSet == Set(102L))
+    assert(out.collect().map(_.getLong(0)).toSet == Set(102L, 103L))
     // The merge fallback decides identically.
     assert(Contamination.decontaminateNeardup(corpus, path,
         broadcastIndex = false)
-      .collect().map(_.getLong(0)).toSet == Set(102L))
+      .collect().map(_.getLong(0)).toSet == Set(102L, 103L))
   }
 
   test("fuzzy veto catches the short benchmark copy BOTH gram rules miss; batch ≡ incremental") {
