@@ -27,6 +27,20 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Fixed-width synthetic lines for the line-granular queries: the
+    * testdata corpus is single-line (zero newlines — measured), so the
+    * registered queries chunk each doc's tokens into `width`-token lines
+    * first; the oracle re-derives the identical chunking. Row-local
+    * projection — adds nothing to the operator's own plan shape.
+    */
+  private def syntheticLines(docs: DataFrame, width: Int): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), array_join(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil(size(toks) / $width.0) as int) - 1, 0)),
+           |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))"""
+          .stripMargin), "\n").as("text"))
+
   /** Per-(session, table) row-count memo for plan-SIZING decisions
     * (`scaledCellCount`'s corpus count): a column-less parquet count is
     * metadata-cheap but still one job per query BUILD — at 100 TB the
@@ -1119,6 +1133,25 @@ object SparkEntry {
     // corpus-wide removal step frequentNgrams only lists).
     "cross_span_scrub" -> ((s, dir) =>
       TextAnalysis.scrubCommonSpans(T(s, dir, "documents"), n = 3, minDf = 3)),
+
+    // CCNet-style cross-doc line dedup: every (case/trim-normalized)
+    // line keeps its first corpus-wide occurrence, later copies cut out
+    // positionally; 3-token synthetic lines (the corpus is single-line).
+    "line_dedup" -> ((s, dir) =>
+      TextAnalysis.dedupLines(syntheticLines(T(s, dir, "documents"), 3))),
+
+    // C4-style row-local line cleanup: drop lines under 3 words (the
+    // chunk tails here) or mentioning a blocklisted phrase; rebuild.
+    "clean_lines" -> ((s, dir) =>
+      TextAnalysis.filterLines(syntheticLines(T(s, dir, "documents"), 3),
+        minWords = 3, blocklist = Seq("slow"))),
+
+    // Deterministic sharded training-order shuffle: digest-bucket shard
+    // + within-shard digest rank — one fixed permutation, no global sort.
+    "shuffle_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(T(s, dir, "documents"), col("doc_id"),
+          numShards = 8, seed = "r18")
+        .select("doc_id", "shard", "pos").orderBy("shard", "pos")),
 
     // Unigram log-probability fluency score (the KenLM-perplexity proxy):
     // corpus word frequencies → per-doc mean log-probability.
@@ -2841,6 +2874,48 @@ object SparkEntry {
           |SELECT t.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
           |       CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS tokens_removed
           |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+      // The string-keyed twin of the hash-keyed engine: identical up to
+      // 64-bit xxh64 collisions, like every shingle-family oracle.
+      "line_dedup" ->
+        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+          |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')
+          |                     for i in range(0, CAST(CEIL(len(toks)/3.0) AS BIGINT))] AS lines FROM d),
+          |occ AS (SELECT doc_id, UNNEST(range(1, len(lines) + 1)) AS pos, UNNEST(lines) AS line FROM s),
+          |p AS (SELECT doc_id, pos, LOWER(TRIM(line)) AS k FROM occ WHERE TRIM(line) <> ''),
+          |r AS (SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn FROM p),
+          |rm AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+          |kept AS (SELECT occ.doc_id, occ.pos, occ.line
+          |         FROM occ LEFT JOIN rm ON occ.doc_id = rm.doc_id AND occ.pos = rm.pos
+          |         WHERE rm.doc_id IS NULL),
+          |agg AS (SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS clean_text, COUNT(*) AS n_kept
+          |        FROM kept GROUP BY doc_id)
+          |SELECT s.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+          |       CAST(len(s.lines) - COALESCE(agg.n_kept, 0) AS BIGINT) AS lines_removed
+          |FROM s LEFT JOIN agg USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+      "clean_lines" ->
+        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+          |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')
+          |                     for i in range(0, CAST(CEIL(len(toks)/3.0) AS BIGINT))] AS lines FROM d),
+          |f AS (SELECT doc_id, lines,
+          |        list_filter(lines, l -> len(string_split_regex(TRIM(l), '\s+')) >= 3
+          |          AND TRIM(l) <> '' AND NOT contains(LOWER(l), 'slow')) AS kept
+          |      FROM s)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+          |       CAST(len(kept) AS BIGINT) AS lines_kept,
+          |       CAST(len(lines) - len(kept) AS BIGINT) AS lines_dropped
+          |FROM f ORDER BY doc_id""".stripMargin,
+      // Shard thresholds are the engine's own plan-time hexThreshold
+      // literals — both engines compare plain lowercase-hex strings.
+      "shuffle_shards" -> {
+        val cases = (1 to 7).map(i =>
+          s"WHEN substr(dg, 1, 8) < '${ext.Sampling.hexThreshold(i / 8.0)}'" +
+            s" THEN ${i - 1}").mkString(" ")
+        s"""WITH d AS (SELECT doc_id, md5('r18:' || CAST(doc_id AS VARCHAR)) AS dg FROM documents),
+           |s AS (SELECT doc_id, dg, CASE $cases ELSE 7 END AS shard FROM d)
+           |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY dg, doc_id) AS pos
+           |FROM s ORDER BY shard, pos""".stripMargin
+      },
       "unigram_logprob" ->
         """WITH w AS (
           |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS w

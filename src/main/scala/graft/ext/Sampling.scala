@@ -488,4 +488,42 @@ object Sampling {
     mixtureSampleParts(docs, col("source"), col("doc_id"), parts,
       default = (0L, 0.0))
   }
+
+  /** Deterministic global shuffle, sharded — the final training-data
+    * layout step: every row gets a (shard, pos) address such that
+    * reading shards in shard order, each in pos order, replays ONE
+    * fixed pseudo-random permutation of the corpus — bit-identical on
+    * any cluster layout and across restarts (training-order
+    * reproducibility, the property a `repartition(n).sortWithinPartitions`
+    * of Spark's partition-order-dependent `rand()` cannot give).
+    * `shard` is an equal-width digest-prefix bucket (the
+    * [[kfoldAssign]] intervals — plan-time hex thresholds shared
+    * verbatim with the oracle); `pos` ranks within the shard by
+    * (digest, key), so ties are impossible for a unique key. Changing
+    * `seed` draws a fresh permutation; re-running draws the same one.
+    *
+    * Shape at 100 TB: ONE hash exchange on `shard`, then a per-task
+    * sort — never a global ORDER BY (a single total-order sort of
+    * 100 TB is the plan this operator exists to avoid). Shard count is
+    * the parallelism contract: size it to the target output file
+    * (100 TB at 1 GB files ≈ 100k shards) and no task ever holds more
+    * than one shard's rows; the digest is uniform, so shards balance
+    * to 16⁻⁸ regardless of key distribution — a hot key family cannot
+    * skew a shard the way value-based partitioning would.
+    */
+  def shuffleShards(df: DataFrame, key: Column, numShards: Int,
+                    seed: String = "graft"): DataFrame = {
+    require(numShards >= 1, "need at least one shard")
+    val prefix = substring(col("__dg"), 1, 8)
+    val shard = (1 until numShards).reverse.foldLeft(
+        lit(numShards - 1): Column) { (acc, i) =>
+      when(prefix < hexThreshold(i.toDouble / numShards), i - 1)
+        .otherwise(acc)
+    }
+    val w = Window.partitionBy(col("shard")).orderBy(col("__dg"), key)
+    df.withColumn("__dg", md5(concat_ws(":", lit(seed), key.cast("string"))))
+      .withColumn("shard", shard.cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__dg")
+  }
 }

@@ -280,6 +280,105 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-document line-granular deduplication — the CCNet paragraph
+    * dedup: every line (text split on `sep`) keeps exactly its FIRST
+    * occurrence corpus-wide (first = smallest (doc_id, position), a
+    * total order, so the kept set is deterministic on any cluster
+    * layout) and every later copy — including a second copy inside the
+    * winning document — is cut out positionally. Blank lines are
+    * document structure, not content: they never participate and are
+    * never removed. Line identity is lower(trim(line)) hashed to
+    * 8 bytes, so navigation chrome differing only in case or padding
+    * still collapses; output text differs from the string-keyed oracle
+    * only under 64-bit collisions, like the shingle family.
+    *
+    * Shape mirrors [[scrubCommonSpans]]: ONE (h, doc_id) aggregate is
+    * the only corpus-sized exchange, and BOTH consumers — the per-hash
+    * winner aggregate and the removal probe join — build on that same
+    * frame, so AQE reuses the exchange and the line explode runs once
+    * (PlanGuardSpec). The winner side is mergeable min/sum over
+    * one-row-per-(line, doc) input, so a boilerplate line sitting in a
+    * billion documents arrives pre-combined per map task — never the
+    * single-task window a `min OVER (PARTITION BY h)` would plan.
+    * Winners keep only duplicated hashes (n > 1), so the probe join's
+    * build side is proportional to the duplicated-line vocabulary, not
+    * the corpus; only 8-byte hashes and int positions shuffle, never
+    * line text; the rebuild is a row-local array filter against the
+    * doc's removal positions joined back by doc_id.
+    */
+  def dedupLines(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val base = docs.select(col("doc_id"), split(col("text"), qsep).as("lines"))
+    // Same two-consumer steering as scrubCommonSpans: the isnotnull
+    // filter appears in both subtrees so the exchange-reuse equality
+    // holds.
+    val byDoc = base.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("pos"),
+        xxhash64(lower(trim(col("line")))).as("h"))
+      .groupBy(col("h"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("poss"))
+    // Both branches reference `poss` itself (element_at/size on one,
+    // the array filter on the other), so the column pruner cannot
+    // specialize either branch's copy of the (h, doc) aggregate — the
+    // subtrees stay identical and AQE reuses one exchange.
+    val winners = byDoc.groupBy("h")
+      .agg(min(struct(col("doc_id").as("d"),
+             element_at(col("poss"), 1).as("p"))).as("w"),
+           sum(size(col("poss"))).as("n"))
+      .filter(col("n") > 1)
+      .select(col("h"), col("w"))
+    val removed = byDoc.join(winners, Seq("h"))
+      .select(col("doc_id"), filter(col("poss"),
+        p => !(col("w.d") === col("doc_id") && col("w.p") === p)).as("rm"))
+      .groupBy("doc_id")
+      .agg(flatten(collect_list(col("rm"))).as("rm"))
+    base.join(removed, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """filter(lines, (x, i) ->
+          |  NOT array_contains(coalesce(rm, array()), i))""".stripMargin))
+      .select(col("doc_id"),
+        array_join(col("kept"), sep).as("clean_text"),
+        (size(col("lines")) - size(col("kept"))).cast("bigint")
+          .as("lines_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Row-local line-rule cleanup — the C4 heuristics applied INSIDE each
+    * document: keep a line only if it has ≥ `minWords` words,
+    * (optionally) ends in terminal punctuation, and mentions no
+    * blocklisted phrase (case-insensitive); emit the rebuilt text plus
+    * kept/dropped counts. Everything is one codegen'd projection over
+    * the scan — no shuffle, no UDF — so at 100 TB this is scan-bound
+    * (the best possible shape) and composes ahead of any dedup or
+    * quality screen as the cheap first pass.
+    */
+  def filterLines(docs: DataFrame, minWords: Int = 3,
+                  requireTerminal: Boolean = false,
+                  blocklist: Seq[String] = Nil,
+                  sep: String = "\n"): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    def keep(l: Column): Column = {
+      val words = (trim(l) =!= "") &&
+        size(split(trim(l), "\\s+")) >= minWords
+      val term =
+        if (requireTerminal) trim(l).rlike("[.!?\"']$") else lit(true)
+      val block = blocklist.map(b =>
+          !contains(lower(l), lit(b.toLowerCase))).reduceOption(_ && _)
+        .getOrElse(lit(true))
+      words && term && block
+    }
+    docs.select(col("doc_id"), split(col("text"), qsep).as("lines"))
+      .withColumn("kept", filter(col("lines"), keep _))
+      .select(col("doc_id"),
+        array_join(col("kept"), sep).as("clean_text"),
+        size(col("kept")).cast("bigint").as("lines_kept"),
+        (size(col("lines")) - size(col("kept"))).cast("bigint")
+          .as("lines_dropped"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-boilerplate detector: word n-grams whose DOCUMENT frequency
     * reaches `minDf` (templates, navigation chrome, memes — the
     * C4/RefinedWeb-style list a stripping pass consumes). Two-scan,

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Sampling, TextAnalysis}
+
+/** Line-granular curation ([[TextAnalysis.dedupLines]],
+  * [[TextAnalysis.filterLines]]) and the deterministic sharded shuffle
+  * ([[Sampling.shuffleShards]]) — keep-first semantics, blank-line
+  * preservation, row-local rule edges, layout invariance.
+  */
+class LineOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dedup(rows: (Long, String)*) =
+    TextAnalysis.dedupLines(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+
+  test("dedupLines: keep-first corpus-wide, normalized identity, blanks preserved") {
+    // doc 1 wins every line it contains (smallest doc_id); its own
+    // second copy of "a b" (pos 3) is removed too. doc 2's "X" matches
+    // doc 1's " x " through lower(trim(·)) and is removed.
+    val out = dedup(
+      1L -> "a b\n x \n\na b",
+      2L -> "X\nc d")
+    assert(out(1L) == ("a b\n x \n", 1L)) // dup copy cut, blank kept in place
+    assert(out(2L) == ("c d", 1L))
+  }
+
+  test("dedupLines: a doc losing every line keeps an empty clean_text row") {
+    val out = dedup(
+      1L -> "a b\nc d",
+      2L -> "c d\na b")
+    assert(out(1L) == ("a b\nc d", 0L))
+    assert(out(2L) == ("", 2L))
+  }
+
+  test("dedupLines: blank-only lines never participate and never dedup each other") {
+    val out = dedup(
+      1L -> " \n\t\n ",
+      2L -> "  ")
+    assert(out(1L)._2 == 0L && out(2L)._2 == 0L)
+  }
+
+  test("dedupLines: result is invariant to input partitioning") {
+    val docs = (0L until 60L)
+      .map(i => (i, s"line ${i % 7}\nline ${i % 3}\nuniq $i"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.dedupLines(docs.repartition(1)).collect().toSeq
+    val b = TextAnalysis.dedupLines(docs.repartition(7)).collect().toSeq
+    assert(a == b)
+    // Exactly one winner per distinct normalized line survives.
+    val keptLines = a.flatMap(_.getString(1).split("\n"))
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+    assert(keptLines.distinct.size == keptLines.size)
+  }
+
+  test("filterLines: word-count, terminal-punctuation, and blocklist rules") {
+    val docs = Seq(
+      (1L, "This line is long enough.\nshort one\nCall now! FREE offer here\nends without period yet has five words"),
+      (2L, "ok\n\nAnother proper sentence right here.")).toDF("doc_id", "text")
+    val out = TextAnalysis.filterLines(docs, minWords = 3,
+        requireTerminal = true, blocklist = Seq("free OFFER"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: only the first line has ≥3 words AND terminal punctuation
+    // AND no blocklisted phrase (case-insensitive both sides).
+    assert(out(1L) == (("This line is long enough.", 1L, 3L)))
+    // doc 2: blank line and the 1-word line drop.
+    assert(out(2L) == (("Another proper sentence right here.", 1L, 2L)))
+  }
+
+  test("filterLines: defaults keep everything with ≥ minWords words") {
+    val docs = Seq((1L, "one two three\none two")).toDF("doc_id", "text")
+    val out = TextAnalysis.filterLines(docs, minWords = 3).collect().head
+    assert(out.getString(1) == "one two three")
+    assert(out.getLong(2) == 1L && out.getLong(3) == 1L)
+  }
+
+  test("shuffleShards: one fixed permutation, invariant to input layout") {
+    val df = (0L until 500L).toDF("doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShards(d, col("doc_id"), numShards = 8, seed = "s")
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(13))
+    assert(a == b)
+    // Every shard in range; positions contiguous 1..n within each shard.
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // A different seed draws a different permutation (overwhelmingly).
+    val c = Sampling.shuffleShards(df, col("doc_id"), 8, seed = "t")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(a != c)
+  }
+
+  test("shuffleShards: numShards = 1 is a pure deterministic total order") {
+    val df = (0L until 40L).toDF("doc_id")
+    val out = Sampling.shuffleShards(df, col("doc_id"), numShards = 1)
+      .select("shard", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.forall(_._1 == 0))
+    assert(out.map(_._2).sorted.toSeq == (1L to 40L).toSeq)
+  }
+}

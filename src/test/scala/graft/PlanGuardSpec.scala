@@ -322,6 +322,38 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("Generate explode".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
 
+  test("line_dedup runs the line explode once (reused exchange, mergeable winner agg)") {
+    // Both consumers of the (h, doc_id) line aggregate — the per-hash
+    // winner aggregate and the removal probe join — must share ONE
+    // exchange at runtime, so the posexplode executes exactly once; and
+    // the winner must be a partial-aggregated min/sum (skew-safe: a
+    // boilerplate line in a billion docs pre-combines per map task),
+    // never a `min OVER (PARTITION BY h)` window, which would funnel a
+    // hot line's every occurrence through one task.
+    val df = SparkEntry.queries("line_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p)
+    assert("Generate posexplode".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("shuffle_shards plans one hash exchange and a per-shard sort, never a global sort") {
+    // The operator's reason to exist: a deterministic training-order
+    // permutation WITHOUT a global ORDER BY of the corpus. Exactly one
+    // hashpartitioning exchange (on shard) plus the presentation
+    // range-partition; the row_number window must be shard-partitioned.
+    val p = plan("shuffle_shards")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"$hashEx hash exchanges:\n$p")
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("shard")),
+      s"window partition specs: $specs\n$p")
+  }
+
   test("temperature_mixture aggregates the corpus once (reused exchange, parallel max)") {
     // Both consumers of the strata-counts frame — the 1-row global max
     // and the weights projection — must share one corpus exchange at
