@@ -138,6 +138,11 @@ object SparkEntry {
       "simhash" -> Dedup.ensureSimhashIndex(s,
         T(s, dir, "documents").filter(col("doc_id") < 450),
         Dedup.simhashIndexPathFor(dir),
+        sourcePath = Some(s"$dir/documents.parquet")),
+      "lines" -> TextAnalysis.ensureLineIndex(s,
+        syntheticLines(T(s, dir, "documents"), 3)
+          .filter(col("doc_id") % 2 === 0),
+        TextAnalysis.lineIndexPathFor(dir),
         sourcePath = Some(s"$dir/documents.parquet"))
     ).collect { case (name, built) if built => name }
   }
@@ -1139,6 +1144,20 @@ object SparkEntry {
     // positionally; 3-token synthetic lines (the corpus is single-line).
     "line_dedup" -> ((s, dir) =>
       TextAnalysis.dedupLines(syntheticLines(T(s, dir, "documents"), 3))),
+
+    // Line dedup AGAINST the persisted standing-corpus line-hash index —
+    // the deployment shape: even docs are the standing corpus (index at
+    // rest), odd docs the incoming batch; held lines cut, keep-first
+    // within the batch (equal to dedupLines over the union restricted to
+    // the batch — LineOpsSpec pins the equality).
+    "line_dedup_indexed" -> ((s, dir) => {
+      val docs = syntheticLines(T(s, dir, "documents"), 3)
+      val path = TextAnalysis.lineIndexPathFor(dir)
+      TextAnalysis.ensureLineIndex(s, docs.filter(col("doc_id") % 2 === 0),
+        path, sourcePath = Some(s"$dir/documents.parquet"))
+      TextAnalysis.dedupLinesAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 1), path)
+    }),
 
     // C4-style row-local line cleanup: drop lines under 3 words (the
     // chunk tails here) or mentioning a blocklisted phrase; rebuild.
@@ -2892,6 +2911,25 @@ object SparkEntry {
           |SELECT s.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
           |       CAST(len(s.lines) - COALESCE(agg.n_kept, 0) AS BIGINT) AS lines_removed
           |FROM s LEFT JOIN agg USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+      "line_dedup_indexed" ->
+        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+          |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')
+          |                     for i in range(0, CAST(CEIL(len(toks)/3.0) AS BIGINT))] AS lines FROM d),
+          |occ AS (SELECT doc_id, UNNEST(range(1, len(lines) + 1)) AS pos, UNNEST(lines) AS line FROM s),
+          |p AS (SELECT doc_id, pos, LOWER(TRIM(line)) AS k FROM occ WHERE TRIM(line) <> ''),
+          |held AS (SELECT DISTINCT k FROM p WHERE doc_id % 2 = 0),
+          |b AS (SELECT doc_id, pos, k FROM p WHERE doc_id % 2 = 1),
+          |r AS (SELECT doc_id, pos, k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn FROM b),
+          |rm AS (SELECT doc_id, pos FROM r WHERE k IN (SELECT k FROM held) OR rn > 1),
+          |bocc AS (SELECT * FROM occ WHERE doc_id % 2 = 1),
+          |kept AS (SELECT bocc.doc_id, bocc.pos, bocc.line
+          |         FROM bocc LEFT JOIN rm ON bocc.doc_id = rm.doc_id AND bocc.pos = rm.pos
+          |         WHERE rm.doc_id IS NULL),
+          |agg AS (SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS clean_text, COUNT(*) AS n_kept
+          |        FROM kept GROUP BY doc_id)
+          |SELECT s.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+          |       CAST(len(s.lines) - COALESCE(agg.n_kept, 0) AS BIGINT) AS lines_removed
+          |FROM s LEFT JOIN agg USING (doc_id) WHERE s.doc_id % 2 = 1 ORDER BY s.doc_id""".stripMargin,
       "clean_lines" ->
         """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
           |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')

@@ -510,6 +510,10 @@ object Sampling {
     * than one shard's rows; the digest is uniform, so shards balance
     * to 16⁻⁸ regardless of key distribution — a hot key family cannot
     * skew a shard the way value-based partitioning would.
+    *
+    * `key` must be unique and non-null per row (the [[stratifiedSample]]
+    * contract): equal keys produce equal digests, and which tied row
+    * takes which `pos` would then depend on partition order.
     */
   def shuffleShards(df: DataFrame, key: Column, numShards: Int,
                     seed: String = "graft"): DataFrame = {

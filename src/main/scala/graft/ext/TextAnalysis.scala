@@ -307,33 +307,58 @@ object TextAnalysis {
     * doc's removal positions joined back by doc_id.
     */
   def dedupLines(docs: DataFrame, sep: String = "\n"): DataFrame = {
-    val qsep = java.util.regex.Pattern.quote(sep)
-    val base = docs.select(col("doc_id"), split(col("text"), qsep).as("lines"))
-    // Same two-consumer steering as scrubCommonSpans: the isnotnull
-    // filter appears in both subtrees so the exchange-reuse equality
-    // holds.
-    val byDoc = base.filter(col("doc_id").isNotNull)
+    val base = lineBase(docs, sep)
+    val byDoc = lineByDoc(base)
+    val winners = lineWinners(byDoc)
+    val removed = byDoc.join(winners, Seq("h"))
+      .select(col("doc_id"), filter(col("poss"),
+        p => !(col("w.d") === col("doc_id") && col("w.p") === p)).as("rm"))
+      .groupBy("doc_id")
+      .agg(flatten(collect_list(col("rm"))).as("rm"))
+    lineRebuild(base, removed, sep)
+  }
+
+  /** (doc_id, lines) — the shared split for the line-granular family. */
+  private def lineBase(docs: DataFrame, sep: String): DataFrame =
+    docs.select(col("doc_id"),
+      split(col("text"), java.util.regex.Pattern.quote(sep)).as("lines"))
+
+  /** One row per (normalized-line-hash, doc): sorted occurrence
+    * positions. The ONE corpus-sized exchange of the line family; the
+    * isnotnull filter mirrors what downstream joins infer so
+    * both consumers' subtrees stay identical for AQE exchange reuse
+    * ([[scrubCommonSpans]]'s steering).
+    */
+  private def lineByDoc(base: DataFrame): DataFrame =
+    base.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .filter(trim(col("line")) =!= "")
       .select(col("doc_id"), col("pos"),
         xxhash64(lower(trim(col("line")))).as("h"))
       .groupBy(col("h"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("poss"))
-    // Both branches reference `poss` itself (element_at/size on one,
-    // the array filter on the other), so the column pruner cannot
-    // specialize either branch's copy of the (h, doc) aggregate — the
-    // subtrees stay identical and AQE reuses one exchange.
-    val winners = byDoc.groupBy("h")
+
+  /** Keep-first winner per DUPLICATED hash (n > 1 — the build side stays
+    * proportional to the duplicated-line vocabulary, never the corpus).
+    * Both this branch and the removal probe reference `poss` itself
+    * (element_at/size here, the array filter there), so the column
+    * pruner cannot specialize either branch's copy of the (h, doc)
+    * aggregate — the subtrees stay identical and AQE reuses one
+    * exchange. Mergeable min/sum: a boilerplate line in a billion docs
+    * pre-combines per map task — never the single-task window a
+    * `min OVER (PARTITION BY h)` would plan.
+    */
+  private def lineWinners(byDoc: DataFrame): DataFrame =
+    byDoc.groupBy("h")
       .agg(min(struct(col("doc_id").as("d"),
              element_at(col("poss"), 1).as("p"))).as("w"),
            sum(size(col("poss"))).as("n"))
       .filter(col("n") > 1)
       .select(col("h"), col("w"))
-    val removed = byDoc.join(winners, Seq("h"))
-      .select(col("doc_id"), filter(col("poss"),
-        p => !(col("w.d") === col("doc_id") && col("w.p") === p)).as("rm"))
-      .groupBy("doc_id")
-      .agg(flatten(collect_list(col("rm"))).as("rm"))
+
+  /** Row-local rebuild from per-doc removal positions. */
+  private def lineRebuild(base: DataFrame, removed: DataFrame,
+                          sep: String): DataFrame =
     base.join(removed, Seq("doc_id"), "left")
       .withColumn("kept", expr(
         """filter(lines, (x, i) ->
@@ -343,16 +368,18 @@ object TextAnalysis {
         (size(col("lines")) - size(col("kept"))).cast("bigint")
           .as("lines_removed"))
       .orderBy("doc_id")
-  }
 
   /** Row-local line-rule cleanup — the C4 heuristics applied INSIDE each
     * document: keep a line only if it has ≥ `minWords` words,
     * (optionally) ends in terminal punctuation, and mentions no
     * blocklisted phrase (case-insensitive); emit the rebuilt text plus
-    * kept/dropped counts. Everything is one codegen'd projection over
-    * the scan — no shuffle, no UDF — so at 100 TB this is scan-bound
-    * (the best possible shape) and composes ahead of any dedup or
-    * quality screen as the cheap first pass.
+    * kept/dropped counts. Blank lines always drop (zero words — and
+    * unlike [[dedupLines]], which preserves them as document structure,
+    * a cleanup pass that keeps what it cannot score would defeat its
+    * purpose). Everything is one codegen'd projection over the scan —
+    * no shuffle, no UDF — so at 100 TB this is scan-bound (the best
+    * possible shape) and composes ahead of any dedup or quality screen
+    * as the cheap first pass.
     */
   def filterLines(docs: DataFrame, minWords: Int = 3,
                   requireTerminal: Boolean = false,
@@ -377,6 +404,156 @@ object TextAnalysis {
         (size(col("lines")) - size(col("kept"))).cast("bigint")
           .as("lines_dropped"))
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted line-hash index — the standing-corpus side of the line
+  // dedup materialized once at ingest, the way CCNet actually deploys
+  // (hashes of previously-processed shards at rest): `path/lines` holds
+  // the corpus' DISTINCT normalized line hashes, 8 bytes a row — no doc
+  // ids, no positions, no text, the smallest possible at-rest footprint
+  // for an exact-key screen. Same lifecycle verbs and crash-safety
+  // contract as the MinHash/containment/SimHash indexes
+  // ([[graft.ext.IndexStamp.appendLifecycle]] /
+  // [[graft.ext.IndexStamp.compactLifecycle]]); appends may duplicate a
+  // hash across ingest partitions (harmless under the screen's
+  // semi-join — compaction dedups).
+  // ---------------------------------------------------------------------
+
+  private def lineMarker(path: String) = s"$path/lines/_SUCCESS"
+
+  /** Canonical per-corpus index location (the `*IndexPathFor`
+    * convention; bump the version segment on layout changes).
+    */
+  def lineIndexPathFor(sfDir: String): String =
+    IndexStamp.pathUnderRoot(
+      "graft-lines1-" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** The corpus' distinct normalized non-blank line hashes. */
+  private def lineHashes(docs: DataFrame, sep: String): DataFrame =
+    lineBase(docs, sep)
+      .select(explode(col("lines")).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .select(xxhash64(lower(trim(col("line")))).as("h"))
+      .distinct()
+
+  /** Full build: the corpus' line hashes become ingest 0 (the
+    * [[graft.ext.Dedup.buildMinhashIndex]] rebuild discipline).
+    */
+  def buildLineIndex(docs: DataFrame, path: String,
+                     sep: String = "\n"): Unit = {
+    val spark = docs.sparkSession
+    IndexStamp.dropMarker(spark, lineMarker(path))
+    IndexStamp.dropCompactionRecord(spark, path)
+    lineHashes(docs, sep).withColumn("ingest", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest").parquet(s"$path/lines")
+  }
+
+  /** Append a batch's line hashes under `ingestId` (batchId-idempotent:
+    * a replayed id dynamically overwrites its own partition; a
+    * compacted-away id no-ops).
+    */
+  def appendLineIndex(docs: DataFrame, path: String,
+                      ingestId: Long = -1L, sep: String = "\n"): Unit = {
+    val spark = docs.sparkSession
+    IndexStamp.appendLifecycle(spark, path, lineMarker(path),
+        s"$path/lines", ingestId) {
+      buildLineIndex(docs, path, sep)
+    } {
+      buildLineIndex(docs.limit(0), path, sep)
+    } { id =>
+      lineHashes(docs, sep)
+        .withColumn("ingest", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest").parquet(s"$path/lines")
+    }
+  }
+
+  /** Compact: fold every ingest partition into the base (ingest 0),
+    * deduping hashes repeated across ingests — pure re-layout under the
+    * screen's semi-join semantics; folded-id replays no-op.
+    */
+  def compactLineIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean =
+    IndexStamp.compactLifecycle(spark, path, lineMarker(path),
+        Seq(s"$path/lines")) {
+      case Seq(stg) =>
+        spark.read.parquet(s"$path/lines")
+          .select(col("h")).distinct()
+          .withColumn("ingest", lit(0L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ingest").parquet(stg)
+    }
+
+  /** Build only when absent or source-stale
+    * ([[graft.ext.IndexStamp.ensureFresh]]). Returns true iff the build
+    * ran.
+    */
+  def ensureLineIndex(spark: org.apache.spark.sql.SparkSession,
+                      docs: => DataFrame, path: String,
+                      sourcePath: Option[String] = None,
+                      sep: String = "\n"): Boolean =
+    IndexStamp.ensureFresh(spark, lineMarker(path), path, sourcePath) {
+      buildLineIndex(docs, path, sep)
+    }
+
+  /** Line dedup of a batch AGAINST the persisted standing-corpus index —
+    * the deployment shape of [[dedupLines]]: every line the standing
+    * corpus already holds is cut out, and among the remaining lines
+    * keep-first applies WITHIN the batch, so the result equals
+    * `dedupLines(corpus ∪ batch)` restricted to the batch whenever
+    * corpus doc ids precede batch doc ids (the equality LineOpsSpec
+    * pins). No index data means a plain [[dedupLines]] of the batch —
+    * the dedup family's legitimate all-novel cold start. Output schema
+    * is [[dedupLines]]'s: (doc_id, clean_text, lines_removed).
+    *
+    * Shape at 100 TB: the index is the big side (every distinct line
+    * the corpus ever held), the batch is small by this operator's
+    * contract — so the batch's distinct hashes broadcast into ONE
+    * streamed semi-join scan of the hash index (`broadcastBatch`,
+    * default), the held set comes back batch-bounded and broadcasts
+    * into the batch frame: the standing corpus is never exchanged.
+    * Backfill-sized batches pass `broadcastBatch = false` for the
+    * merge plan. Batch-side work mirrors [[dedupLines]] (its one
+    * (h, doc) exchange plus row-local rebuild).
+    */
+  def dedupLinesAgainstIndex(newDocs: DataFrame, path: String,
+                             sep: String = "\n",
+                             broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/lines")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexStamp.hasIngestData(fs, dir))
+      return dedupLines(newDocs, sep)
+    val base = lineBase(newDocs, sep)
+    val byDoc = lineByDoc(base)
+    // Probe hashes derive from their own (batch-sized, row-local) pass
+    // rather than byDoc, so the winner/removal consumers keep identical
+    // subtrees for exchange reuse ([[lineWinners]]).
+    val batchHashes = lineHashes(newDocs, sep)
+    val idx = IndexCache.read(spark, s"$path/lines").select(col("h"))
+    val held = (if (broadcastBatch)
+        idx.join(broadcast(batchHashes), Seq("h"), "left_semi")
+      else idx.join(batchHashes.hint("merge"), Seq("h"), "left_semi"))
+      .distinct()
+      .withColumn("held", lit(true))
+    val winners = lineWinners(byDoc)
+    val removed = byDoc
+      .join(broadcast(held), Seq("h"), "left")
+      .join(winners, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("held"), col("poss"))
+          .when(col("w").isNotNull, filter(col("poss"),
+            p => !(col("w.d") === col("doc_id") && col("w.p") === p)))
+          .otherwise(array().cast("array<int>")).as("rm"))
+      .filter(size(col("rm")) > 0)
+      .groupBy("doc_id")
+      .agg(flatten(collect_list(col("rm"))).as("rm"))
+    lineRebuild(base, removed, sep)
   }
 
   /** Corpus-boilerplate detector: word n-grams whose DOCUMENT frequency

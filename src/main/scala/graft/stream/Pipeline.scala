@@ -804,6 +804,54 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming line dedup — [[graft.ext.TextAnalysis.dedupLines]]'s
+    * ingest-time twin, completing the line family's scan + index +
+    * stream symmetry: each micro-batch is REWRITTEN against the
+    * persisted line-hash index
+    * ([[graft.ext.TextAnalysis.dedupLinesAgainstIndex]] — held lines
+    * cut out, keep-first within the batch), the cleaned docs land in
+    * `verdictDir/batch_id=N`, and the batch's line hashes fold into
+    * the index under `ingest = batchId + 1` — ALL of them, not only
+    * novel ones: this is a rewrite screen, not a keep/drop verdict, so
+    * every incoming line is "seen" from the next trigger on
+    * (duplicate hashes across ingests are harmless under the screen's
+    * semi-join; compaction dedups). Batches arriving in doc_id order
+    * replay sequential [[graft.ext.TextAnalysis.dedupLines]] over the
+    * concatenated history exactly (LineOpsSpec pins the equality).
+    * Same batchId-idempotent replays, optional in-stream compaction,
+    * and bounded verdict retention as the sibling dedup streams.
+    */
+  def lineDedupStream(docStream: DataFrame, indexPath: String,
+                      verdictDir: String, checkpointDir: String,
+                      compactEvery: Int = 0,
+                      retainVerdictBatches: Int = 0,
+                      trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val once = batch.persist()
+          try {
+            graft.ext.TextAnalysis.dedupLinesAgainstIndex(once, indexPath)
+              .write.mode("overwrite")
+              .parquet(s"$verdictDir/batch_id=$batchId")
+            graft.ext.TextAnalysis.appendLineIndex(once, indexPath,
+              ingestId = batchId + 1)
+            if (compactEvery > 0 && batchId > 0 &&
+                batchId % compactEvery == 0) {
+              graft.ext.TextAnalysis.compactLineIndex(spark, indexPath); ()
+            }
+            pruneVerdictDirs(spark, verdictDir, batchId,
+              retainVerdictBatches)
+          } finally { once.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Streaming blocklist gate — the streaming twin of
     * [[graft.ext.TextAnalysis.blocklistGate]], completing the row-local
     * half of the streaming curation family next to [[dsirScreenStream]]:

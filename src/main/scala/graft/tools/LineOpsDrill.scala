@@ -105,6 +105,31 @@ object LineOpsDrill {
       dropped
     }
 
+    // Deployment shape: the 2M-doc corpus' line hashes at rest, a
+    // per-trigger-sized batch screened against them — half verbatim
+    // copies of corpus docs (every non-blank line held → 9 removed
+    // each), half entirely fresh (0 removed). Exact, not statistical.
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("lineops-idx").toString
+    phase("buildLineIndex (2M docs at rest)") {
+      TextAnalysis.buildLineIndex(docs, idxPath)
+      spark.read.parquet(s"$idxPath/lines").count()
+    }
+    phase("dedupLinesAgainstIndex (20k batch)") {
+      val copies = docs.filter(doc < 10000)
+        .select((doc + n * 10).as("doc_id"), col("text"))
+      val fresh = spark.range(10000)
+        .select((col("id") + n * 20).as("doc_id"))
+        .select(col("doc_id"), concat_ws("\n",
+          (0 to 9).map(j => concat(lit(s"f${j}x"), col("doc_id"),
+            lit(s" fresh alpha beta gamma line $j"))): _*).as("text"))
+      val r = TextAnalysis.dedupLinesAgainstIndex(
+          copies.unionAll(fresh), idxPath)
+        .agg(sum("lines_removed")).head().getLong(0)
+      assert(r == 9L * 10000, s"expected ${9L * 10000} removed, got $r")
+      r
+    }
+
     phase("shuffleShards (256 shards)") {
       val s = Sampling.shuffleShards(docs.select("doc_id"), col("doc_id"),
         numShards = 256, seed = "drill")

@@ -102,6 +102,56 @@ class LineOpsSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("dedupLinesAgainstIndex equals dedupLines over the union, restricted to the batch") {
+    val corpus = (0L until 30L)
+      .map(i => (i, s"line ${i % 5}\nuniq corpus $i\n"))
+      .toDF("doc_id", "text")
+    val batch = (100L until 130L)
+      .map(i => (i, s"line ${i % 9}\nuniq batch $i\n\nline ${i % 9}"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("line-idx").toString
+    TextAnalysis.buildLineIndex(corpus, tmp)
+    val expected = TextAnalysis.dedupLines(corpus.unionAll(batch))
+      .filter(col("doc_id") >= 100L).collect().toSeq
+    val got = TextAnalysis.dedupLinesAgainstIndex(batch, tmp)
+      .collect().toSeq
+    assert(got == expected)
+    // The merge plan must give identical verdicts.
+    val merge = TextAnalysis.dedupLinesAgainstIndex(batch, tmp,
+      broadcastBatch = false).collect().toSeq
+    assert(merge == expected)
+  }
+
+  test("dedupLinesAgainstIndex: cold start (no index data) is plain batch dedup") {
+    val batch = Seq((1L, "a b\nc d"), (2L, "a b\nx y")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("line-cold").toString
+    val got = TextAnalysis.dedupLinesAgainstIndex(batch, tmp).collect().toSeq
+    assert(got == TextAnalysis.dedupLines(batch).collect().toSeq)
+  }
+
+  test("line index lifecycle: append grows the screen, replay no-ops, compact preserves") {
+    val c1 = Seq((0L, "seed one\nseed two")).toDF("doc_id", "text")
+    val c2 = Seq((1L, "grown line here")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("line-life").toString
+    TextAnalysis.buildLineIndex(c1, tmp)
+    val batch = Seq((9L, "seed one\ngrown line here\nfresh line now"))
+      .toDF("doc_id", "text")
+    def screen() = TextAnalysis.dedupLinesAgainstIndex(batch, tmp)
+      .collect().head.getLong(2)
+    assert(screen() == 1L) // only "seed one" held
+    TextAnalysis.appendLineIndex(c2, tmp, ingestId = 1L)
+    assert(screen() == 2L) // "grown line here" now held too
+    // Replayed ingest id overwrites its own partition — same result.
+    TextAnalysis.appendLineIndex(c2, tmp, ingestId = 1L)
+    assert(screen() == 2L)
+    // Compaction folds ingests, screen unchanged; base survives.
+    assert(TextAnalysis.compactLineIndex(spark, tmp))
+    assert(screen() == 2L)
+    val ingests = new java.io.File(s"$tmp/lines").listFiles()
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).toSeq
+    assert(ingests == Seq("ingest=0"), ingests.toString)
+  }
+
   test("shuffleShards: numShards = 1 is a pure deterministic total order") {
     val df = (0L until 40L).toDF("doc_id")
     val out = Sampling.shuffleShards(df, col("doc_id"), numShards = 1)

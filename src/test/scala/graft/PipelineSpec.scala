@@ -773,6 +773,54 @@ class PipelineSpec extends AnyFunSuite {
       ingests.toString)
   }
 
+  test("streaming line dedup rewrites batches against the growing line-hash index") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("line-stream").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val query = Pipeline.lineDedupStream(
+      source.toDF().toDF("doc_id", "text"), idx, verdicts, ckpt,
+      compactEvery = 2, trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      // cold start: in-batch keep-first only — doc 1's copy of "shared
+      // line" loses to doc 0.
+      source.addData((0L, "shared line\nuniq zero"),
+        (1L, "shared line\nuniq one"))
+      query.processAllAvailable()
+      // batch 1: a line held by batch 0 is cut; a fresh line survives.
+      source.addData((10L, "uniq one\nfresh line"))
+      query.processAllAvailable()
+      // batch 2 (post-compaction namespace): batch 1's ADMITTED line is
+      // now held — the index grew.
+      source.addData((20L, "fresh line\nlast line"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("doc_id", "clean_text", "lines_removed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(v.toSeq == Seq(
+      (0L, "shared line\nuniq zero", 0L),
+      (1L, "uniq one", 1L),
+      (10L, "fresh line", 1L),
+      (20L, "last line", 1L)))
+    // Batches in doc_id order replay sequential dedupLines exactly.
+    val all = Seq((0L, "shared line\nuniq zero"), (1L, "shared line\nuniq one"),
+      (10L, "uniq one\nfresh line"), (20L, "fresh line\nlast line"))
+      .toDF("doc_id", "text")
+    val seq = graft.ext.TextAnalysis.dedupLines(all).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(v.toSeq == seq.toSeq)
+    // In-stream compaction folded the earlier ingests into the base.
+    val ingests = new java.io.File(s"$idx/lines").listFiles()
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).sorted.toSeq
+    assert(ingests.head == "ingest=0" && !ingests.contains("ingest=1"),
+      ingests.toString)
+  }
+
   test("streaming outlier screen flags embedding batches against the frozen model") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, udf}

@@ -340,6 +340,24 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p)
   }
 
+  test("line_dedup_indexed streams the index through broadcast joins (batch-side exchanges only)") {
+    // The standing-corpus hash index is the BIG side: it must flow
+    // through broadcast semi/outer joins (batch hashes broadcast into
+    // it, the held set broadcast back), never into a hash exchange of
+    // its own; the batch's (h, doc_id) aggregate stays the one
+    // reuse-shared exchange (winner + removal probe), the posexplode
+    // runs once, and no window appears anywhere.
+    val df = SparkEntry.queries("line_dedup_indexed")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Generate posexplode".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("shuffle_shards plans one hash exchange and a per-shard sort, never a global sort") {
     // The operator's reason to exist: a deterministic training-order
     // permutation WITHOUT a global ORDER BY of the corpus. Exactly one

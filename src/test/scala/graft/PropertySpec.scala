@@ -319,6 +319,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: dedupLines equals the sequential reference on random multi-line docs") {
+    // Reference implementation in plain Scala: walk docs in (doc_id,
+    // pos) order, keep a non-blank normalized line iff unseen, always
+    // keep blanks. Lines draw from a SMALL pool (heavy duplication),
+    // with case/pad variants and blanks mixed in.
+    import graft.ext.TextAnalysis
+    val pool = Vector("alpha beta", "Alpha Beta", " gamma ", "delta e",
+      "", "  ", "zeta y", "ETA theta", "eta theta", "iota k")
+    (1L to 3L).foreach { seed =>
+      val docs = (0 until 25).map { i =>
+        val lines = Gen.listOfN(8, Gen.oneOf(pool))
+          .pureApply(Gen.Parameters.default, Seed(seed * 500 + i))
+        (i.toLong, lines.mkString("\n"))
+      }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.map { case (id, text) =>
+        val kept = text.split("\n", -1).filter { l =>
+          val k = l.trim.toLowerCase
+          k.isEmpty || seen.add(k)
+        }
+        (id, kept.mkString("\n"),
+          (text.split("\n", -1).length - kept.length).toLong)
+      }
+      val got = TextAnalysis.dedupLines(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq == expected)
+    }
+  }
+
   test("property: dq audit violations never exceed row counts") {
     import graft.warehouse.DataQuality
     import graft.warehouse.DataQuality.RuleCheck
