@@ -1172,6 +1172,20 @@ object SparkEntry {
           numShards = 8, seed = "r18")
         .select("doc_id", "shard", "pos").orderBy("shard", "pos")),
 
+    // Shard manifest (the training-data data-card): per-shard doc count,
+    // token volume, and source spread under the same digest assignment —
+    // row-local shardId (no rank window) + one aggregate.
+    "shard_manifest" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("shard",
+          Sampling.shardId(col("doc_id"), numShards = 8, seed = "r18"))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("bigint"))
+            .as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("shard")),
+
     // Unigram log-probability fluency score (the KenLM-perplexity proxy):
     // corpus word frequencies → per-doc mean log-probability.
     "unigram_logprob" -> ((s, dir) =>
@@ -2327,6 +2341,23 @@ object SparkEntry {
     val noSpaceLen = "LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g'))"
     val normText =
       "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    // 3-token synthetic-line CTEs (the SQL twin of syntheticLines) and
+    // the normalized-occurrence CTE — ONE copy for the line-family
+    // oracles, so a chunk-width or normalization change cannot
+    // desynchronize them.
+    val lineCtes =
+      """d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')
+        |                     for i in range(0, CAST(CEIL(len(toks)/3.0) AS BIGINT))] AS lines FROM d),
+        |occ AS (SELECT doc_id, UNNEST(range(1, len(lines) + 1)) AS pos, UNNEST(lines) AS line FROM s),
+        |p AS (SELECT doc_id, pos, LOWER(TRIM(line)) AS k FROM occ WHERE TRIM(line) <> '')"""
+        .stripMargin
+    // 8-bucket digest-prefix CASE over a `dg` md5 column — the SQL twin
+    // of Sampling.digestBucket at n = 8, shared by the shuffle/manifest
+    // oracles (same hexThreshold literals as the engine plan).
+    val shard8Case = "CASE " + (1 to 7).map(i =>
+      s"WHEN substr(dg, 1, 8) < '${ext.Sampling.hexThreshold(i / 8.0)}'" +
+        s" THEN ${i - 1}").mkString(" ") + " ELSE 7 END"
     val base = Map(
       "trip_stats" ->
         s"""SELECT COUNT(*) AS total_trips, $moneySum / COUNT(*) AS avg_fare, $moneySum AS total_revenue, MIN(value) AS min_fare, MAX(value) AS max_fare FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'""",
@@ -2896,11 +2927,7 @@ object SparkEntry {
       // The string-keyed twin of the hash-keyed engine: identical up to
       // 64-bit xxh64 collisions, like every shingle-family oracle.
       "line_dedup" ->
-        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
-          |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')
-          |                     for i in range(0, CAST(CEIL(len(toks)/3.0) AS BIGINT))] AS lines FROM d),
-          |occ AS (SELECT doc_id, UNNEST(range(1, len(lines) + 1)) AS pos, UNNEST(lines) AS line FROM s),
-          |p AS (SELECT doc_id, pos, LOWER(TRIM(line)) AS k FROM occ WHERE TRIM(line) <> ''),
+        s"""WITH $lineCtes,
           |r AS (SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn FROM p),
           |rm AS (SELECT doc_id, pos FROM r WHERE rn > 1),
           |kept AS (SELECT occ.doc_id, occ.pos, occ.line
@@ -2912,11 +2939,7 @@ object SparkEntry {
           |       CAST(len(s.lines) - COALESCE(agg.n_kept, 0) AS BIGINT) AS lines_removed
           |FROM s LEFT JOIN agg USING (doc_id) ORDER BY s.doc_id""".stripMargin,
       "line_dedup_indexed" ->
-        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
-          |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')
-          |                     for i in range(0, CAST(CEIL(len(toks)/3.0) AS BIGINT))] AS lines FROM d),
-          |occ AS (SELECT doc_id, UNNEST(range(1, len(lines) + 1)) AS pos, UNNEST(lines) AS line FROM s),
-          |p AS (SELECT doc_id, pos, LOWER(TRIM(line)) AS k FROM occ WHERE TRIM(line) <> ''),
+        s"""WITH $lineCtes,
           |held AS (SELECT DISTINCT k FROM p WHERE doc_id % 2 = 0),
           |b AS (SELECT doc_id, pos, k FROM p WHERE doc_id % 2 = 1),
           |r AS (SELECT doc_id, pos, k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn FROM b),
@@ -2931,11 +2954,9 @@ object SparkEntry {
           |       CAST(len(s.lines) - COALESCE(agg.n_kept, 0) AS BIGINT) AS lines_removed
           |FROM s LEFT JOIN agg USING (doc_id) WHERE s.doc_id % 2 = 1 ORDER BY s.doc_id""".stripMargin,
       "clean_lines" ->
-        """WITH d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
-          |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')
-          |                     for i in range(0, CAST(CEIL(len(toks)/3.0) AS BIGINT))] AS lines FROM d),
+        s"""WITH $lineCtes,
           |f AS (SELECT doc_id, lines,
-          |        list_filter(lines, l -> len(string_split_regex(TRIM(l), '\s+')) >= 3
+          |        list_filter(lines, l -> len(string_split_regex(TRIM(l), '${"\\s+"}')) >= 3
           |          AND TRIM(l) <> '' AND NOT contains(LOWER(l), 'slow')) AS kept
           |      FROM s)
           |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
@@ -2944,16 +2965,19 @@ object SparkEntry {
           |FROM f ORDER BY doc_id""".stripMargin,
       // Shard thresholds are the engine's own plan-time hexThreshold
       // literals — both engines compare plain lowercase-hex strings.
-      "shuffle_shards" -> {
-        val cases = (1 to 7).map(i =>
-          s"WHEN substr(dg, 1, 8) < '${ext.Sampling.hexThreshold(i / 8.0)}'" +
-            s" THEN ${i - 1}").mkString(" ")
+      "shuffle_shards" ->
         s"""WITH d AS (SELECT doc_id, md5('r18:' || CAST(doc_id AS VARCHAR)) AS dg FROM documents),
-           |s AS (SELECT doc_id, dg, CASE $cases ELSE 7 END AS shard FROM d)
+           |s AS (SELECT doc_id, dg, $shard8Case AS shard FROM d)
            |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
            |       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY dg, doc_id) AS pos
-           |FROM s ORDER BY shard, pos""".stripMargin
-      },
+           |FROM s ORDER BY shard, pos""".stripMargin,
+      "shard_manifest" ->
+        s"""WITH d AS (SELECT doc_id, text, source, md5('r18:' || CAST(doc_id AS VARCHAR)) AS dg FROM documents),
+           |s AS (SELECT text, source, $shard8Case AS shard FROM d)
+           |SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+           |       CAST(SUM($nTokens) AS BIGINT) AS n_tokens,
+           |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
       "unigram_logprob" ->
         """WITH w AS (
           |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS w

@@ -77,15 +77,21 @@ object Sampling {
     */
   def kfoldAssign(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2, "need at least 2 folds")
-    val prefix = substring(keyDigest(key), 1, 8)
-    // when-chain built from the highest threshold down, so the ascending
-    // checks end up evaluated smallest-first (first match wins).
-    val assigned = (1 until k).reverse.foldLeft(lit(k - 1): Column) {
-      (acc, i) => when(prefix < hexThreshold(i.toDouble / k), i - 1)
-        .otherwise(acc)
-    }
-    df.withColumn("fold", assigned)
+    df.withColumn("fold", digestBucket(substring(keyDigest(key), 1, 8), k))
   }
+
+  /** Equal-width digest-prefix bucket: prefix ∈ [hexThreshold(i/n),
+    * hexThreshold((i+1)/n)) → i. The ONE ladder behind [[kfoldAssign]],
+    * [[shuffleShards]], and [[shardId]] — their equal-assignment
+    * contracts (and the oracle SQL's CASE twins) hold because there is
+    * exactly one implementation to drift. When-chain built from the
+    * highest threshold down, so the ascending checks end up evaluated
+    * smallest-first (first match wins).
+    */
+  private def digestBucket(prefix: Column, n: Int): Column =
+    (1 until n).reverse.foldLeft(lit(n - 1): Column) { (acc, i) =>
+      when(prefix < hexThreshold(i.toDouble / n), i - 1).otherwise(acc)
+    }
 
   /** 8-hex-digit digest prefix threshold for fractional probability `f`:
     * P(digest_prefix < threshold) = f exactly (up to 16^-8). Computed at
@@ -518,16 +524,45 @@ object Sampling {
   def shuffleShards(df: DataFrame, key: Column, numShards: Int,
                     seed: String = "graft"): DataFrame = {
     require(numShards >= 1, "need at least one shard")
-    val prefix = substring(col("__dg"), 1, 8)
-    val shard = (1 until numShards).reverse.foldLeft(
-        lit(numShards - 1): Column) { (acc, i) =>
-      when(prefix < hexThreshold(i.toDouble / numShards), i - 1)
-        .otherwise(acc)
-    }
+    val shard = digestBucket(substring(col("__dg"), 1, 8), numShards)
     val w = Window.partitionBy(col("shard")).orderBy(col("__dg"), key)
     df.withColumn("__dg", md5(concat_ws(":", lit(seed), key.cast("string"))))
       .withColumn("shard", shard.cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__dg")
   }
+
+  /** Digest-bucket shard id for `key` — [[shuffleShards]]'s assignment
+    * WITHOUT the rank: row-local (no window, no exchange), for
+    * manifests, routing, and any consumer that needs "which shard"
+    * but not "which position". Identical literals/thresholds, so
+    * `shardId(key, n, seed)` always equals the `shard` column
+    * [[shuffleShards]] emits for the same arguments.
+    */
+  def shardId(key: Column, numShards: Int,
+              seed: String = "graft"): Column = {
+    require(numShards >= 1, "need at least one shard")
+    digestBucket(substring(
+      md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), numShards)
+      .cast("int")
+  }
+
+  /** Materialize the [[shuffleShards]] permutation: `dir/shard=N/`
+    * parquet, each shard ONE file whose row order IS the permutation
+    * order — a trainer streams the files in shard order and replays the
+    * fixed shuffle with no sort and no shard-assignment logic of its
+    * own (`pos` rides along for seekable restarts). Costs NOTHING on
+    * top of [[shuffleShards]]'s one exchange: the rank window already
+    * leaves every task's rows hash-clustered by shard and sorted by
+    * (shard, digest, key), exactly the dynamic-partition write order —
+    * each shard lives in exactly one task, so each `shard=N/` dir gets
+    * exactly one file (SamplingSpec pins both properties). Overwrite
+    * mode: re-running the same (corpus, seed, numShards) rewrites the
+    * identical bytes — the writer is idempotent because the permutation
+    * is.
+    */
+  def writeShuffled(df: DataFrame, key: Column, numShards: Int,
+                    dir: String, seed: String = "graft"): Unit =
+    shuffleShards(df, key, numShards, seed)
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
 }

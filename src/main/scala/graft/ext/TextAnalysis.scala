@@ -474,7 +474,13 @@ object TextAnalysis {
 
   /** Compact: fold every ingest partition into the base (ingest 0),
     * deduping hashes repeated across ingests — pure re-layout under the
-    * screen's semi-join semantics; folded-id replays no-op.
+    * screen's semi-join semantics; folded-id replays no-op. The
+    * streaming twin must run this BEFORE its append and AFTER
+    * [[dropLineIngest]] hygiene (see
+    * [[graft.stream.Pipeline.lineDedupStream]]) — a fold is complete
+    * and records every present ingest id, so letting it see a crashed
+    * attempt's uncommitted partition would smuggle that batch's hashes
+    * into the base where the replayed screen cannot exclude them.
     */
   def compactLineIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): Boolean =
@@ -488,6 +494,22 @@ object TextAnalysis {
           .option("partitionOverwriteMode", "static")
           .partitionBy("ingest").parquet(stg)
     }
+
+  /** Delete one ingest partition outright — crash-leftover hygiene for
+    * the streaming twin, which calls it at the START of each trigger
+    * for its own `batchId + 1` id: an uncommitted partition a crashed
+    * attempt left behind is data no committed reader has ever seen
+    * (the screen excludes it, the verdicts were never committed), and
+    * this attempt's append rewrites it anyway — while leaving it in
+    * place would let a same-trigger compaction fold it into the base.
+    * A no-op when the partition is absent (every non-crash trigger).
+    */
+  def dropLineIngest(spark: org.apache.spark.sql.SparkSession,
+                     path: String, ingestId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/lines/ingest=$ingestId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
 
   /** Build only when absent or source-stale
     * ([[graft.ext.IndexStamp.ensureFresh]]). Returns true iff the build
@@ -520,10 +542,20 @@ object TextAnalysis {
     * Backfill-sized batches pass `broadcastBatch = false` for the
     * merge plan. Batch-side work mirrors [[dedupLines]] (its one
     * (h, doc) exchange plus row-local rebuild).
+    *
+    * `excludeIngest` drops one ingest partition from the standing side
+    * (partition-pruned on the plain read path): the streaming twin passes its
+    * own `batchId + 1` so a crash between its index append and the
+    * checkpoint commit cannot poison the replayed screen with the
+    * batch's OWN lines (every non-blank line would read as held and
+    * the rewritten text would come back blank — the data-loss replay
+    * window [[graft.stream.Pipeline.lineDedupStream]] closes).
     */
   def dedupLinesAgainstIndex(newDocs: DataFrame, path: String,
                              sep: String = "\n",
-                             broadcastBatch: Boolean = true): DataFrame = {
+                             broadcastBatch: Boolean = true,
+                             excludeIngest: Option[Long] = None)
+      : DataFrame = {
     val spark = newDocs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$path/lines")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -535,7 +567,10 @@ object TextAnalysis {
     // rather than byDoc, so the winner/removal consumers keep identical
     // subtrees for exchange reuse ([[lineWinners]]).
     val batchHashes = lineHashes(newDocs, sep)
-    val idx = IndexCache.read(spark, s"$path/lines").select(col("h"))
+    val idxAll = IndexCache.read(spark, s"$path/lines")
+    val idx = excludeIngest.fold(idxAll)(id =>
+        idxAll.filter(col("ingest") =!= lit(id)))
+      .select(col("h"))
     val held = (if (broadcastBatch)
         idx.join(broadcast(batchHashes), Seq("h"), "left_semi")
       else idx.join(batchHashes.hint("merge"), Seq("h"), "left_semi"))

@@ -818,8 +818,24 @@ object Pipeline {
     * semi-join; compaction dedups). Batches arriving in doc_id order
     * replay sequential [[graft.ext.TextAnalysis.dedupLines]] over the
     * concatenated history exactly (LineOpsSpec pins the equality).
-    * Same batchId-idempotent replays, optional in-stream compaction,
-    * and bounded verdict retention as the sibling dedup streams.
+    *
+    * Crash-replay here must be STRONGER than the siblings'
+    * batchId-idempotent appends: a replayed SimHash screen that sees
+    * the crashed attempt's own fingerprints merely flips an audit flag
+    * to a filterable self-match, but a replayed line screen that sees
+    * the batch's own hashes would rewrite every doc down to its blank
+    * lines — and the rewritten text IS the product. Three measures
+    * close the window, in trigger order: (1) [[graft.ext.TextAnalysis
+    * .dropLineIngest]] deletes any `ingest = batchId + 1` partition a
+    * crashed attempt left (uncommitted data no reader ever saw); (2)
+    * compaction runs BEFORE the append — after the hygiene delete, a
+    * fold can only ever see committed batches, so it can never smuggle
+    * this batch's hashes into the base; (3) the screen additionally
+    * excludes `ingest = batchId + 1` outright (belt to (1)'s
+    * suspenders). Replays are therefore byte-identical at every crash
+    * point (LineOpsSpec pins screen-after-append ≡ screen-before-append
+    * under the exclusion). Optional in-stream compaction and bounded
+    * verdict retention as in the sibling dedup streams.
     */
   def lineDedupStream(docStream: DataFrame, indexPath: String,
                       verdictDir: String, checkpointDir: String,
@@ -836,15 +852,20 @@ object Pipeline {
           val spark = batch.sparkSession
           val once = batch.persist()
           try {
-            graft.ext.TextAnalysis.dedupLinesAgainstIndex(once, indexPath)
-              .write.mode("overwrite")
-              .parquet(s"$verdictDir/batch_id=$batchId")
-            graft.ext.TextAnalysis.appendLineIndex(once, indexPath,
-              ingestId = batchId + 1)
+            // Crash-leftover hygiene + compact BEFORE screen and append
+            // (see scaladoc: measures (1) and (2)).
+            graft.ext.TextAnalysis.dropLineIngest(spark, indexPath,
+              batchId + 1)
             if (compactEvery > 0 && batchId > 0 &&
                 batchId % compactEvery == 0) {
               graft.ext.TextAnalysis.compactLineIndex(spark, indexPath); ()
             }
+            graft.ext.TextAnalysis.dedupLinesAgainstIndex(once, indexPath,
+                excludeIngest = Some(batchId + 1))
+              .write.mode("overwrite")
+              .parquet(s"$verdictDir/batch_id=$batchId")
+            graft.ext.TextAnalysis.appendLineIndex(once, indexPath,
+              ingestId = batchId + 1)
             pruneVerdictDirs(spark, verdictDir, batchId,
               retainVerdictBatches)
           } finally { once.unpersist(); () }

@@ -60,8 +60,16 @@ object LineOpsDrill {
       r
     }
 
-    val c997 = (0L until n).count(_ % 997 == 3) // exact, not n/997
-    val expectedRemoved = (n - 1) + (n / 4 - 1) + (c997 - 50)
+    // Exact per-family plant arithmetic for ANY n (no divisibility
+    // assumptions): hot4 = docs carrying the boilerplate plant, c997 =
+    // docs carrying a dupline plant, grp997 = how many of the 50
+    // dupline keys actually occur (small n populates fewer).
+    require(n >= 2, "need at least 2 docs for the normalization family")
+    val hot4 = (0L until n).count(_ % 4 == 0)
+    val dup997 = (0L until n).filter(_ % 997 == 3)
+    val c997 = dup997.size
+    val grp997 = dup997.map(_ % 50).distinct.size
+    val expectedRemoved = (n - 1) + (hot4 - 1) + (c997 - grp997)
 
     val out = TextAnalysis.dedupLines(docs)
     val (removed, textLen) = phase(s"dedupLines ($n docs, ${n * 10} lines)") {
@@ -84,9 +92,10 @@ object LineOpsDrill {
         .groupBy("k").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(counts("normal case line") == 1L, counts)
-      assert(counts("hotline alpha beta gamma delta") == 1L, counts)
+      assert(hot4 == 0 ||
+        counts("hotline alpha beta gamma delta") == 1L, counts)
       val grp = counts.view.filterKeys(_.startsWith("dupline grp ")).toMap
-      assert(grp.size == 50 && grp.values.forall(_ == 1L), grp)
+      assert(grp.size == grp997 && grp.values.forall(_ == 1L), grp)
       val blanks = kept.filter(col("k") === "").count()
       assert(blanks == n, s"blank lines must survive untouched: $blanks != $n")
       counts.size
@@ -96,12 +105,12 @@ object LineOpsDrill {
       val r = TextAnalysis.filterLines(docs, minWords = 3,
           blocklist = Seq("hotline"))
         .agg(sum("lines_kept"), sum("lines_dropped")).head()
-      // Drops: the blank line (all docs) and the N/4 hotline blocklist
+      // Drops: the blank line (all docs) and the hotline blocklist
       // plants — every other line (incl. the 3-word "dupline grp <k>"
       // plants) clears the word floor.
       val dropped = r.getLong(1)
-      assert(dropped == n + n / 4,
-        s"expected ${n + n / 4} dropped, got $dropped")
+      assert(dropped == n + hot4,
+        s"expected ${n + hot4} dropped, got $dropped")
       dropped
     }
 
@@ -111,12 +120,13 @@ object LineOpsDrill {
     // each), half entirely fresh (0 removed). Exact, not statistical.
     val idxPath = java.nio.file.Files
       .createTempDirectory("lineops-idx").toString
-    phase("buildLineIndex (2M docs at rest)") {
+    phase(s"buildLineIndex ($n docs at rest)") {
       TextAnalysis.buildLineIndex(docs, idxPath)
       spark.read.parquet(s"$idxPath/lines").count()
     }
-    phase("dedupLinesAgainstIndex (20k batch)") {
-      val copies = docs.filter(doc < 10000)
+    val nCopy = math.min(n, 10000L)
+    phase(s"dedupLinesAgainstIndex (${nCopy + 10000} batch)") {
+      val copies = docs.filter(doc < nCopy)
         .select((doc + n * 10).as("doc_id"), col("text"))
       val fresh = spark.range(10000)
         .select((col("id") + n * 20).as("doc_id"))
@@ -126,7 +136,7 @@ object LineOpsDrill {
       val r = TextAnalysis.dedupLinesAgainstIndex(
           copies.unionAll(fresh), idxPath)
         .agg(sum("lines_removed")).head().getLong(0)
-      assert(r == 9L * 10000, s"expected ${9L * 10000} removed, got $r")
+      assert(r == 9L * nCopy, s"expected ${9L * nCopy} removed, got $r")
       r
     }
 

@@ -152,6 +152,32 @@ class LineOpsSpec extends AnyFunSuite {
     assert(ingests == Seq("ingest=0"), ingests.toString)
   }
 
+  test("crash-replay window: excluded ingest + hygiene delete keep the screen blind to its own append") {
+    // The streaming twin's data-loss shape: a crash between the index
+    // append and the checkpoint commit must not let the REPLAYED screen
+    // see the batch's own hashes (it would rewrite every doc down to
+    // its blank lines). The screen's excludeIngest and the trigger-start
+    // dropLineIngest each independently restore the committed view.
+    val corpus = Seq((0L, "held line\nbase filler")).toDF("doc_id", "text")
+    val batch = Seq((5L, "held line\nnovel alpha\nnovel alpha"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("line-replay").toString
+    TextAnalysis.buildLineIndex(corpus, tmp)
+    def screen(excl: Option[Long]) =
+      TextAnalysis.dedupLinesAgainstIndex(batch, tmp, excludeIngest = excl)
+        .collect().toSeq
+    val before = screen(None)
+    assert(before.head.getLong(2) == 2L) // held + in-batch dup removed
+    TextAnalysis.appendLineIndex(batch, tmp, ingestId = 1L) // crashed attempt
+    assert(screen(Some(1L)) == before) // the stream's replayed screen
+    // Without the exclusion, the batch's own lines read as held — the
+    // bug shape the exclusion exists to prevent.
+    assert(screen(None).head.getLong(2) == 3L)
+    // Trigger-start hygiene restores the committed index outright.
+    TextAnalysis.dropLineIngest(spark, tmp, 1L)
+    assert(screen(None) == before)
+  }
+
   test("shuffleShards: numShards = 1 is a pure deterministic total order") {
     val df = (0L until 40L).toDF("doc_id")
     val out = Sampling.shuffleShards(df, col("doc_id"), numShards = 1)

@@ -111,6 +111,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("writeShuffled: one pos-ordered file per shard, replaying the exact permutation") {
+    val df = (0L until 400L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 2)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeShuffled(df, col("doc_id"), numShards = 8, dir, seed = "s")
+    val expected = Sampling.shuffleShards(df, col("doc_id"), 8, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).sorted
+    // Each shard dir holds exactly ONE parquet file whose physical row
+    // order is the permutation order (pos 1..n ascending, no sort).
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 8)
+    val all = shardDirs.flatMap { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+      val shard = sd.getName.stripPrefix("shard=").toInt
+      val rows = spark.read.parquet(files.head.toString)
+        .collect().map(r => (r.getLong(0), shard, r.getLong(2)))
+      assert(rows.map(_._3).toSeq == (1L to rows.length).toSeq,
+        s"${sd.getName} not in pos order")
+      rows
+    }
+    assert(all.sorted.toSeq == expected.toSeq)
+    // shardId (the row-local assignment) agrees with the written layout.
+    val ids = df.select(col("doc_id"),
+        Sampling.shardId(col("doc_id"), 8, seed = "s").as("shard"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    all.foreach { case (k, sh, _) => assert(ids(k) == sh) }
+  }
+
   test("tokenBudgetPlan sizes targets, epochs, and residual rates exactly") {
     // Source a: 40 tokens (4 docs × 10); source b: 200 (2 × 100);
     // source c is NOT in the mixture and must not appear.
