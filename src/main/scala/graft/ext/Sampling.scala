@@ -556,13 +556,21 @@ object Sampling {
     * leaves every task's rows hash-clustered by shard and sorted by
     * (shard, digest, key), exactly the dynamic-partition write order —
     * each shard lives in exactly one task, so each `shard=N/` dir gets
-    * exactly one file (SamplingSpec pins both properties). Overwrite
-    * mode: re-running the same (corpus, seed, numShards) rewrites the
-    * identical bytes — the writer is idempotent because the permutation
-    * is.
+    * exactly one file (SamplingSpec pins both properties; the write
+    * pins `maxRecordsPerFile = 0` so a session-level file-splitting
+    * knob cannot shear a shard into several files behind the
+    * contract's back). Overwrite mode, pinned STATIC: re-running the
+    * same (corpus, seed, numShards) rewrites the identical bytes, and
+    * a re-run with FEWER shards must clear the old layout entirely — a
+    * session-level dynamic overwrite would leave the old permutation's
+    * extra `shard=` dirs in place and a trainer would replay a mix of
+    * two permutations.
     */
   def writeShuffled(df: DataFrame, key: Column, numShards: Int,
                     dir: String, seed: String = "graft"): Unit =
     shuffleShards(df, key, numShards, seed)
-      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .option("maxRecordsPerFile", 0)
+      .partitionBy("shard").parquet(dir)
 }

@@ -852,6 +852,28 @@ object Pipeline {
           val spark = batch.sparkSession
           val once = batch.persist()
           try {
+            // Checkpoint↔index pairing guard: the hygiene delete below
+            // treats `ingest = batchId + 1` as uncommitted crash
+            // leftover, which is only true when THIS checkpoint's batch
+            // counter produced the index's ingests. A reset checkpoint
+            // over a progressed index would let batch 0 delete (and the
+            // screen exclude) committed data — fail loudly instead.
+            // (Residual boundary: an old run that committed ONLY batch 0
+            // is indistinguishable from a crashed attempt; the
+            // checkpoint/index pairing is a hard contract.)
+            val linesDir = new org.apache.hadoop.fs.Path(s"$indexPath/lines")
+            val lfs = linesDir.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val maxSeen = (graft.ext.IndexStamp.ingestIds(lfs, linesDir) ++
+              graft.ext.IndexStamp.compactedIds(lfs,
+                new org.apache.hadoop.fs.Path(indexPath)))
+              .foldLeft(-1L)(math.max)
+            require(maxSeen <= batchId + 1,
+              s"lineDedupStream: index at $indexPath holds ingest " +
+                s"$maxSeen but this stream's batch counter is at " +
+                s"$batchId — the checkpoint does not pair with this " +
+                "index (was it reset?); refusing the hygiene delete " +
+                "that would destroy committed index data")
             // Crash-leftover hygiene + compact BEFORE screen and append
             // (see scaladoc: measures (1) and (2)).
             graft.ext.TextAnalysis.dropLineIngest(spark, indexPath,

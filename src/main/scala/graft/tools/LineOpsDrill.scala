@@ -60,15 +60,17 @@ object LineOpsDrill {
       r
     }
 
-    // Exact per-family plant arithmetic for ANY n (no divisibility
-    // assumptions): hot4 = docs carrying the boilerplate plant, c997 =
-    // docs carrying a dupline plant, grp997 = how many of the 50
-    // dupline keys actually occur (small n populates fewer).
+    // Exact per-family plant arithmetic for ANY n ≥ 2, in closed form
+    // (no divisibility assumptions, no O(n) driver walk): hot4 = docs
+    // carrying the boilerplate plant (doc 0 always qualifies, so
+    // hot4 ≥ 1), c997 = docs carrying a dupline plant, grp997 = how
+    // many of the 50 dupline keys actually occur — min(c997, 50)
+    // because gcd(997, 50) = 1 makes the first 50 dupline docs cover
+    // all residues.
     require(n >= 2, "need at least 2 docs for the normalization family")
-    val hot4 = (0L until n).count(_ % 4 == 0)
-    val dup997 = (0L until n).filter(_ % 997 == 3)
-    val c997 = dup997.size
-    val grp997 = dup997.map(_ % 50).distinct.size
+    val hot4 = (n + 3) / 4
+    val c997 = if (n > 3) (n - 4) / 997 + 1 else 0L
+    val grp997 = math.min(c997, 50L)
     val expectedRemoved = (n - 1) + (hot4 - 1) + (c997 - grp997)
 
     val out = TextAnalysis.dedupLines(docs)
@@ -92,8 +94,7 @@ object LineOpsDrill {
         .groupBy("k").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(counts("normal case line") == 1L, counts)
-      assert(hot4 == 0 ||
-        counts("hotline alpha beta gamma delta") == 1L, counts)
+      assert(counts("hotline alpha beta gamma delta") == 1L, counts)
       val grp = counts.view.filterKeys(_.startsWith("dupline grp ")).toMap
       assert(grp.size == grp997 && grp.values.forall(_ == 1L), grp)
       val blanks = kept.filter(col("k") === "").count()

@@ -821,6 +821,39 @@ class PipelineSpec extends AnyFunSuite {
       ingests.toString)
   }
 
+  test("streaming line dedup refuses a reset checkpoint over a progressed index") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("line-stream-guard").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    // An index progressed by some OLD run (ingests through 5)…
+    graft.ext.TextAnalysis.buildLineIndex(
+      Seq((0L, "old line one")).toDF("doc_id", "text"), idx)
+    graft.ext.TextAnalysis.appendLineIndex(
+      Seq((1L, "old line two")).toDF("doc_id", "text"), idx, ingestId = 5L)
+    // …driven by a FRESH checkpoint: batch 0's hygiene delete would
+    // destroy committed data, so the pairing guard must fail loudly.
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val query = Pipeline.lineDedupStream(
+      source.toDF().toDF("doc_id", "text"), idx, verdicts, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      source.addData((9L, "incoming doc"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      assert(e.getMessage.contains("does not pair") ||
+        String.valueOf(e.getCause).contains("does not pair"), e.getMessage)
+    } finally query.stop()
+    // The committed index survived untouched.
+    val ingests = new java.io.File(s"$idx/lines").listFiles()
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).sorted.toSeq
+    assert(ingests == Seq("ingest=0", "ingest=5"), ingests.toString)
+  }
+
   test("streaming outlier screen flags embedding batches against the frozen model") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, udf}
