@@ -1165,6 +1165,39 @@ object SparkEntry {
       TextAnalysis.filterLines(syntheticLines(T(s, dir, "documents"), 3),
         minWords = 3, blocklist = Seq("slow"))),
 
+    // Gopher line-repetition signals + gate: per-doc duplicate-line
+    // fraction and duplicate-line CHAR fraction over 2-token synthetic
+    // lines (width 2 so the corpus exercises real duplicate groups —
+    // ~180 docs carry intra-doc dups at this width; the API itself
+    // operates on real newline lines).
+    "line_repetition" -> ((s, dir) =>
+      TextAnalysis.lineRepetitionStats(
+        syntheticLines(T(s, dir, "documents"), 2))),
+
+    // Gopher DOC-quality battery + gate: word bounds, mean word length,
+    // symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    // indicator-stopword hits. Word floor 25 and stopword floor 1 so the
+    // 10–99-word corpus splits on both axes (75/425 and 118/382);
+    // synthetic 3-token lines give the line fractions real line counts.
+    "gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQualityStats(
+        syntheticLines(T(s, dir, "documents"), 3),
+        minWords = 25, minStopwords = 1)),
+
+    // Gopher n-gram repetition battery + gate: top-{2,3,4}-gram char
+    // fraction and duplicated-{5..10}-gram char COVERAGE per doc. The
+    // doc's first 8 tokens are appended to its tail so the corpus
+    // exercises the union-coverage math with intermediate values
+    // (0.13–0.90 dup-5gram fractions) instead of the all-zero
+    // dup columns the raw ~30-token docs would give.
+    "gopher_ngrams" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      TextAnalysis.gopherNgramStats(
+        T(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            array_join(slice(toks, 1, 8), " ")).as("text")))
+    }),
+
     // Deterministic sharded training-order shuffle: digest-bucket shard
     // + within-shard digest rank — one fixed permutation, no global sort.
     "shuffle_shards" -> ((s, dir) =>
@@ -1500,6 +1533,27 @@ object SparkEntry {
         contamNeardupThreshold = Some(0.5))
     }),
 
+    // v4 plus the full Gopher doc-quality battery (r18) as a stage-1
+    // veto — the published word/mean-length/symbol/bullet/ellipsis/
+    // alpha/stopword rules fused into the same row-local checkpointed
+    // projection as the 2-signal pre-gate: eleven screens, still ONE
+    // corpus text scan and ONE shared shingle pass. Word floor 25 and
+    // stopword floor 1 split this corpus on both axes.
+    "corpus_prep_v5" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ext.CorpusPrep.prepare(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        blocklist = Seq("dup", "skew", "spill"),
+        blocklistMaxFraction = 0.05,
+        containmentThreshold = Some(0.5),
+        embeddings = Some(T(s, dir, "embeddings")),
+        repetitionMaxDupFrac = Some(0.05),
+        contamSpanMinRun = Some(8),
+        contamNeardupThreshold = Some(0.5),
+        gopherGate = Some(TextAnalysis.GopherGateConfig(
+          minWords = 25, minStopwords = 1)))
+    }),
+
     // The INCREMENTAL curation composite: a new batch (doc_id >= 450)
     // against the standing corpus' persisted state — row-local quality
     // + blocklist, MinHash novelty vs the standing index, DSIR
@@ -1625,6 +1679,52 @@ object SparkEntry {
         embeddings = Some(emb.filter(col("vec_id") >= 450)),
         outlierIndexPath = Some(ol),
         repetitionMaxDupFrac = Some(0.05),
+        broadcastBatch = false)
+    }),
+
+    // v3 plus the Gopher battery (r18) — stage 5c fused into the
+    // row-local projection, keeping screen-set parity with
+    // corpus_prep_v5 (nothing the batch path rejects rides in through
+    // the incremental path). Same config otherwise.
+    "curation_screen_v4" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val mh = Dedup.minhashIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 450), mh,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ds = TextAnalysis.dsirIndexPathFor(dir)
+      TextAnalysis.ensureDsirIndex(s, docs.filter(col("doc_id") < 250), ds,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val cn = Dedup.containIndexPathFor(dir)
+      Dedup.ensureContainmentIndex(s, docs.filter(col("doc_id") < 450), cn,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val sh = Dedup.simhashIndexPathFor(dir)
+      Dedup.ensureSimhashIndex(s, docs.filter(col("doc_id") < 450), sh,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ev = Contamination.evalIndexPathFor(dir)
+      Contamination.ensureEvalIndex(s, docs.filter(col("doc_id") < 50), ev,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val nd = Dedup.minhashEvalIndexPathFor(dir)
+      Dedup.ensureMinhashIndex(s, docs.filter(col("doc_id") < 50), nd,
+        sourcePath = Some(s"$dir/documents.parquet"))
+      val ol = Similarity.outlierIndexPathFor(dir)
+      Similarity.ensureOutlierIndex(s, emb.filter(col("vec_id") < 450), ol,
+        sourcePath = Some(s"$dir/embeddings.parquet"))
+      graft.ext.CorpusPrep.screenIncremental(
+        docs.filter(col("doc_id") >= 450), mh,
+        blocklist = Seq("dup", "skew", "spill"),
+        blocklistMaxFraction = 0.05,
+        dsirIndexPath = Some(ds),
+        containmentIndexPath = Some(cn),
+        simhashIndexPath = Some(sh),
+        contamIndexPath = Some(ev),
+        contamSpanMinRun = Some(8),
+        neardupEvalIndexPath = Some(nd),
+        embeddings = Some(emb.filter(col("vec_id") >= 450)),
+        outlierIndexPath = Some(ol),
+        repetitionMaxDupFrac = Some(0.05),
+        gopherGate = Some(TextAnalysis.GopherGateConfig(
+          minWords = 25, minStopwords = 1)),
         broadcastBatch = false)
     }),
 
@@ -2341,17 +2441,60 @@ object SparkEntry {
     val noSpaceLen = "LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g'))"
     val normText =
       "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
-    // 3-token synthetic-line CTEs (the SQL twin of syntheticLines) and
-    // the normalized-occurrence CTE — ONE copy for the line-family
+    // Synthetic-line CTEs (the SQL twin of syntheticLines at width `w`)
+    // and the normalized-occurrence CTE — ONE copy for the line-family
     // oracles, so a chunk-width or normalization change cannot
     // desynchronize them.
-    val lineCtes =
-      """d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
-        |s AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3], ' ')
-        |                     for i in range(0, CAST(CEIL(len(toks)/3.0) AS BIGINT))] AS lines FROM d),
+    def lineCtesW(w: Int) =
+      s"""d AS (SELECT doc_id, string_split_regex(TRIM(text), '${"\\s+"}') AS toks FROM documents),
+        |s AS (SELECT doc_id, [array_to_string(toks[i*$w+1:i*$w+$w], ' ')
+        |                     for i in range(0, CAST(CEIL(len(toks)/$w.0) AS BIGINT))] AS lines FROM d),
         |occ AS (SELECT doc_id, UNNEST(range(1, len(lines) + 1)) AS pos, UNNEST(lines) AS line FROM s),
         |p AS (SELECT doc_id, pos, LOWER(TRIM(line)) AS k FROM occ WHERE TRIM(line) <> '')"""
         .stripMargin
+    val lineCtes = lineCtesW(3)
+    // The Gopher doc-quality battery as reusable CTEs over any (doc_id,
+    // text) source — the SQL twin of TextAnalysis.gopherSignals +
+    // gopherGateOver at the composites' registered thresholds (word
+    // floor 25, stopword floor 1, the published rest). ONE copy feeds
+    // the batch composite, the incremental composite, AND the
+    // standalone gopher_quality stats oracle (which rounds `grat`'s raw
+    // ratios), so a battery-rule tweak cannot desynchronize them.
+    def gopherGateCtes(src: String, minWords: Int = 25,
+                       minStop: Int = 1): String = {
+      val stopCases = ext.TextAnalysis.GopherStopwords.map(w =>
+        s"CASE WHEN regexp_matches(LOWER(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""gsig AS (SELECT doc_id,
+         |  list_filter(string_split_regex(TRIM(text), '${"\\s+"}'), t -> t <> '') AS gtoks,
+         |  list_filter(list_transform(string_split(text, chr(10)), l -> TRIM(l)), l -> l <> '') AS glns,
+         |  ($stopCases) AS gstop, text AS gtext
+         |  FROM $src),
+         |gcalc AS (SELECT doc_id, gstop,
+         |  CAST(len(gtoks) AS BIGINT) AS gn,
+         |  CAST(COALESCE(list_sum(list_transform(gtoks, t -> LENGTH(t))), 0) AS BIGINT) AS gchars,
+         |  (LENGTH(gtext) - LENGTH(REPLACE(gtext, '#', ''))) / 1
+         |    + (LENGTH(gtext) - LENGTH(REPLACE(gtext, '…', ''))) / 1
+         |    + (LENGTH(gtext) - LENGTH(REPLACE(gtext, '...', ''))) / 3 AS gsym,
+         |  len(glns) AS gnl,
+         |  len(list_filter(glns, l -> starts_with(l, '•') OR starts_with(l, '‣') OR starts_with(l, '▪') OR starts_with(l, '- ') OR starts_with(l, '* '))) AS gbul,
+         |  len(list_filter(glns, l -> ends_with(l, '…') OR ends_with(l, '...'))) AS gell,
+         |  len(list_filter(gtoks, t -> regexp_matches(t, '[A-Za-z]'))) AS galpha
+         |  FROM gsig),
+         |grat AS (SELECT doc_id, gn, gstop,
+         |  CASE WHEN gn > 0 THEN gchars / gn ELSE 0.0 END AS gml,
+         |  CASE WHEN gn > 0 THEN gsym / gn ELSE 0.0 END AS gsr,
+         |  CASE WHEN gnl > 0 THEN gbul / CAST(gnl AS DOUBLE) ELSE 0.0 END AS gbf,
+         |  CASE WHEN gnl > 0 THEN gell / CAST(gnl AS DOUBLE) ELSE 0.0 END AS gef,
+         |  CASE WHEN gn > 0 THEN galpha / CAST(gn AS DOUBLE) ELSE 0.0 END AS gaf
+         |  FROM gcalc),
+         |gq AS (SELECT doc_id,
+         |  (gn >= $minWords AND gn <= 100000
+         |   AND gml >= 3.0 AND gml <= 10.0 AND gsr <= 0.1
+         |   AND gbf <= 0.90 AND gef <= 0.30 AND gaf >= 0.80
+         |   AND gstop >= $minStop) AS gopher_ok
+         |  FROM grat)""".stripMargin
+    }
     // 8-bucket digest-prefix CASE over a `dg` md5 column — the SQL twin
     // of Sampling.digestBucket at n = 8, shared by the shuffle/manifest
     // oracles (same hexThreshold literals as the engine plan).
@@ -2953,6 +3096,84 @@ object SparkEntry {
           |SELECT s.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
           |       CAST(len(s.lines) - COALESCE(agg.n_kept, 0) AS BIGINT) AS lines_removed
           |FROM s LEFT JOIN agg USING (doc_id) WHERE s.doc_id % 2 = 1 ORDER BY s.doc_id""".stripMargin,
+      // Gopher doc-quality battery over the width-3 synthetic-line text
+      // — the stats view of the SAME gopherGateCtes the composites use
+      // (grat's raw ratios rounded, gq's verdict passed through).
+      "gopher_quality" ->
+        s"""WITH ${lineCtesW(3)},
+           |sl AS (SELECT s.doc_id, array_to_string(s.lines, chr(10)) AS text FROM s),
+           |${gopherGateCtes("sl")}
+           |SELECT grat.doc_id, gn AS n_words,
+           |  ROUND(gml, 4) AS mean_word_len,
+           |  ROUND(gsr, 4) AS symbol_word_ratio,
+           |  ROUND(gbf, 4) AS bullet_line_frac,
+           |  ROUND(gef, 4) AS ellipsis_line_frac,
+           |  ROUND(gaf, 4) AS alpha_word_frac,
+           |  CAST(gstop AS INTEGER) AS stopword_hits,
+           |  gq.gopher_ok AS gopher_quality_ok
+           |FROM grat JOIN gq USING (doc_id) ORDER BY grat.doc_id""".stripMargin,
+      // Gopher n-gram battery — string-gram re-derivation of the
+      // engine's hashed single-pass: per n, gram counts (top: max count
+      // then max chars; dup: DISTINCT covered positions summed), same
+      // token-char mass convention, same first-8-token tail append.
+      "gopher_ngrams" -> {
+        def gramCte(n: Int) =
+          s"""g$n AS (SELECT d.doc_id, UNNEST(range(1, GREATEST(nt - $n + 2, 1))) AS i FROM d JOIN tot USING (doc_id) WHERE nt >= $n),
+             |gg$n AS (SELECT g$n.doc_id, CAST(i AS INT) AS i, array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+${n - 1}], ' ') AS gram,
+             |         CAST(list_sum(list_transform(toks[CAST(i AS INT):CAST(i AS INT)+${n - 1}], t -> LENGTH(t))) AS BIGINT) AS ch
+             |         FROM g$n JOIN d USING (doc_id))""".stripMargin
+        def topCte(n: Int) =
+          s"""c$n AS (SELECT doc_id, gram, COUNT(*) AS c, MIN(ch) AS ch FROM gg$n GROUP BY doc_id, gram),
+             |m$n AS (SELECT doc_id, MAX(c) AS mc FROM c$n GROUP BY doc_id),
+             |t$n AS (SELECT c$n.doc_id, MAX(c$n.ch) * m$n.mc AS num FROM c$n JOIN m$n ON c$n.doc_id = m$n.doc_id AND c$n.c = m$n.mc GROUP BY c$n.doc_id, m$n.mc)""".stripMargin
+        def dupCte(n: Int) =
+          s"""dup$n AS (SELECT doc_id, gram FROM gg$n GROUP BY doc_id, gram HAVING COUNT(*) > 1),
+             |cov$n AS (SELECT DISTINCT gg$n.doc_id, CAST(UNNEST(range(i, i + $n)) AS INT) AS pos FROM gg$n JOIN dup$n USING (doc_id, gram)),
+             |cc$n AS (SELECT cov$n.doc_id, CAST(SUM(LENGTH(toks[pos])) AS BIGINT) AS num FROM cov$n JOIN d USING (doc_id) GROUP BY cov$n.doc_id)""".stripMargin
+        val topNs = Seq(2, 3, 4); val dupNs = Seq(5, 6, 7, 8, 9, 10)
+        val topThr = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16")
+        val dupThr = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
+          8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+        def frac(src: String) =
+          s"CASE WHEN COALESCE(tot.tc, 0) > 0 THEN COALESCE($src.num, 0) / tot.tc ELSE 0.0 END"
+        val cols =
+          topNs.map(n => s"ROUND(${frac(s"t$n")}, 4) AS top_${n}gram_frac") ++
+          dupNs.map(n => s"ROUND(${frac(s"cc$n")}, 4) AS dup_${n}gram_frac")
+        val gate = (topNs.map(n => s"${frac(s"t$n")} <= ${topThr(n)}") ++
+          dupNs.map(n => s"${frac(s"cc$n")} <= ${dupThr(n)}"))
+          .mkString(" AND ")
+        val joins = (topNs.map(n => s"t$n") ++ dupNs.map(n => s"cc$n"))
+          .map(a => s"LEFT JOIN $a ON $a.doc_id = tot.doc_id").mkString(" ")
+        s"""WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(TRIM(text), '${"\\s+"}'), t -> t <> '') AS t0 FROM documents),
+           |d AS (SELECT doc_id, list_concat(t0, t0[1:8]) AS toks FROM d0),
+           |tot AS (SELECT doc_id, len(toks) AS nt, CAST(COALESCE(list_sum(list_transform(toks, t -> LENGTH(t))), 0) AS BIGINT) AS tc FROM d),
+           |${(topNs ++ dupNs).map(gramCte).mkString(",\n")},
+           |${topNs.map(topCte).mkString(",\n")},
+           |${dupNs.map(dupCte).mkString(",\n")}
+           |SELECT tot.doc_id, ${cols.mkString(", ")}, ($gate) AS gopher_ngram_ok
+           |FROM tot $joins ORDER BY tot.doc_id""".stripMargin
+      },
+      // Gopher line-repetition signals at width 2 — the grouped
+      // re-derivation of the engine's sorted-array fold: Σ(c−1) lines,
+      // Σ(c−1)·len chars, over the same normalized-line identity.
+      "line_repetition" ->
+        s"""WITH ${lineCtesW(2)},
+          |grp AS (SELECT doc_id, k, COUNT(*) AS c FROM p GROUP BY doc_id, k),
+          |agg AS (SELECT doc_id,
+          |        CAST(SUM(c) AS BIGINT) AS n_lines,
+          |        CAST(SUM(c - 1) AS BIGINT) AS dl,
+          |        CAST(SUM((c - 1) * LENGTH(k)) AS BIGINT) AS dc,
+          |        CAST(SUM(c * LENGTH(k)) AS BIGINT) AS tc
+          |        FROM grp GROUP BY doc_id),
+          |f AS (SELECT s.doc_id,
+          |        COALESCE(agg.n_lines, 0) AS n_lines,
+          |        CASE WHEN COALESCE(agg.n_lines, 0) > 0 THEN agg.dl / agg.n_lines ELSE 0.0 END AS df,
+          |        CASE WHEN COALESCE(agg.tc, 0) > 0 THEN agg.dc / agg.tc ELSE 0.0 END AS cf
+          |      FROM s LEFT JOIN agg USING (doc_id))
+          |SELECT doc_id, n_lines, ROUND(df, 4) AS dup_line_frac,
+          |       ROUND(cf, 4) AS dup_line_char_frac,
+          |       (df <= 0.30 AND cf <= 0.20) AS gopher_ok
+          |FROM f ORDER BY doc_id""".stripMargin,
       "clean_lines" ->
         s"""WITH $lineCtes,
           |f AS (SELECT doc_id, lines,
@@ -3458,7 +3679,8 @@ object SparkEntry {
     // indexed screen's batch-independent rule), positional corpus
     // 3-grams, gaps-and-islands run lengths, span_ok = max run < 8.
     def curationCteV2(spans: Boolean = false,
-                      neardup: Boolean = false): String = {
+                      neardup: Boolean = false,
+                      gopher: Boolean = false): String = {
       // Fuzzy (MinHash) contamination veto re-derived as per-doc EXACT
       // Jaccard against the eval slice (the contamination_neardup
       // oracle's rule; the engine's LSH banding is certified lossless
@@ -3478,6 +3700,12 @@ object SparkEntry {
         "\n  LEFT JOIN ndhit nd ON nd.doc_id = c.doc_id" else ""
       val ndElig = if (neardup) " AND neardup_ok" else ""
       val ndPass = if (neardup) ", neardup_ok" else ""
+      val gqCtes = if (!gopher) "" else gopherGateCtes("corpus") + ",\n"
+      val gCol = if (gopher) ",\n    gq.gopher_ok" else ""
+      val gJoin = if (gopher)
+        "\n  JOIN gq ON gq.doc_id = c.doc_id" else ""
+      val gElig = if (gopher) " AND gopher_ok" else ""
+      val gPass = if (gopher) ", gopher_ok" else ""
       val spanCtes = if (!spans) "" else
         """srare AS (SELECT g FROM (SELECT g, count(*) AS df FROM esh GROUP BY 1) WHERE df <= 20),
           |cposh AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
@@ -3524,7 +3752,7 @@ object SparkEntry {
          |         FROM t, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
          |crepf AS (SELECT doc_id, ROUND(1.0 - count(DISTINCT g) / count(*), 4) AS dup_3gram_frac
          |          FROM crep GROUP BY 1),
-         |$spanCtes${ndCtes}flagged AS (
+         |$spanCtes$ndCtes${gqCtes}flagged AS (
          |  SELECT c.doc_id, md5(c.text) AS content_digest,
          |    COALESCE(cm.doc_id IS NOT NULL, FALSE) AS is_contaminated,
          |    (LEN(string_split_regex(TRIM(c.text), '\\s+')) >= 5
@@ -3532,19 +3760,19 @@ object SparkEntry {
          |    bl.is_blocked,
          |    COALESCE(o.doc_id IS NOT NULL, FALSE) AS is_outlier,
          |    COALESCE(r.dup_3gram_frac <= 0.05, TRUE) AS repetition_ok,
-         |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id$spanCols$ndCol
+         |    COALESCE(cp.cluster_id, c.doc_id) AS cluster_id$spanCols$ndCol$gCol
          |  FROM corpus c LEFT JOIN contam cm ON cm.doc_id = c.doc_id
          |  LEFT JOIN comp cp ON cp.doc_id = c.doc_id
          |  JOIN bl ON bl.doc_id = c.doc_id
          |  LEFT JOIN outl o ON o.doc_id = c.doc_id
-         |  LEFT JOIN crepf r ON r.doc_id = c.doc_id$spanJoin$ndJoin),
+         |  LEFT JOIN crepf r ON r.doc_id = c.doc_id$spanJoin$ndJoin$gJoin),
          |s3 AS (
-         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier, repetition_ok$spanPass$ndPass,
-         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig) AS eligible,
+         |  SELECT doc_id, quality_ok, is_blocked, is_contaminated, is_outlier, repetition_ok$spanPass$ndPass$gPass,
+         |    (quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig$gElig) AS eligible,
          |    doc_id <> min(doc_id) OVER (PARTITION BY content_digest) AS is_exact_dup,
          |    doc_id <> min(doc_id) OVER (PARTITION BY cluster_id) AS is_near_dup,
-         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
-         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig$gElig THEN doc_id END) OVER (PARTITION BY content_digest) AS dig_surv,
+         |    min(CASE WHEN quality_ok AND NOT is_blocked AND NOT is_contaminated AND NOT is_outlier AND repetition_ok$spanElig$ndElig$gElig THEN doc_id END) OVER (PARTITION BY cluster_id) AS clu_surv
          |  FROM flagged)""".stripMargin
     }
     // The incremental-composite oracle, shared by curation_screen (base
@@ -3554,7 +3782,8 @@ object SparkEntry {
     // EVAL-side df-cap stop-gram rule — and the frozen-model outlier
     // verdict via the unrolled k-means chain fit on vec_id < 450).
     def incrementalScreenSql(full: Boolean,
-                             neardup: Boolean = false): String = {
+                             neardup: Boolean = false,
+                             gopher: Boolean = false): String = {
       // Fuzzy contamination verdict: per-doc exact Jaccard vs the eval
       // slice with the engine's (rounded-j, eval_id DESC) tie order —
       // the `best` CTE's convention for the novelty screen. Requires
@@ -3586,6 +3815,11 @@ object SparkEntry {
           |  CAST(NULL AS BIGINT) AS eval_match_id""".stripMargin
       val ndJoin = if (neardup)
         "\n  LEFT JOIN ndbest ON ndbest.doc_id = b.doc_id" else ""
+      // gopher_ok is ALWAYS emitted (TRUE when the screen is off) —
+      // the engine's verdict frame carries the column unconditionally.
+      val gCtes = if (!gopher) "" else gopherGateCtes("batch") + ",\n"
+      val gCol = if (gopher) ",\n  gq.gopher_ok" else ",\n  TRUE AS gopher_ok"
+      val gJoin = if (gopher) "\n  JOIN gq ON gq.doc_id = b.doc_id" else ""
       val contamCtes = if (!full) "" else
         s"""evals AS (SELECT * FROM documents WHERE doc_id < 50),
            |${shingleCte("evals", "v")},
@@ -3648,7 +3882,7 @@ object SparkEntry {
          |  FROM (SELECT doc_id, text,
          |          list_filter(string_split_regex(TRIM(text), '\\s+'), t -> LEN(t) > 0) AS btoks
          |        FROM batch)),
-         |${shingleCte("batch", "b")},
+         |$gCtes${shingleCte("batch", "b")},
          |${shingleCte("standing", "c")},
          |$contamCtes$ndCtes
          |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
@@ -3679,14 +3913,14 @@ object SparkEntry {
          |  cnv.best_containment, cnv.match_id AS container_id,
          |  NOT snv.is_novel AS is_hamming_dup,
          |  snv.best_hamming, snv.match_id AS hamming_match_id,
-         |  $verdictCols$ndVerdictCols
+         |  $verdictCols$ndVerdictCols$gCol
          |  FROM batch b JOIN rl ON rl.doc_id = b.doc_id
          |  LEFT JOIN best ON best.doc_id = b.doc_id
          |  LEFT JOIN dw ON dw.doc_id = b.doc_id
          |  JOIN cnv ON cnv.doc_id = b.doc_id
-         |  JOIN snv ON snv.doc_id = b.doc_id$verdictJoins$ndJoin),
+         |  JOIN snv ON snv.doc_id = b.doc_id$verdictJoins$ndJoin$gJoin),
          |flagged AS MATERIALIZED (SELECT *,
-         |  (quality_ok AND blocklist_ok AND is_novel AND dsir_ok
+         |  (quality_ok AND blocklist_ok AND gopher_ok AND is_novel AND dsir_ok
          |   AND NOT is_contained AND NOT is_hamming_dup
          |   AND NOT is_contaminated AND span_ok AND neardup_ok
          |   AND NOT is_outlier AND repetition_ok) AS eligible
@@ -3706,7 +3940,7 @@ object SparkEntry {
          |  f.contam_span_run, f.span_ok,
          |  f.neardup_ok, f.eval_jaccard, f.eval_match_id,
          |  f.is_outlier, f.outlier_zscore,
-         |  f.dup_3gram_frac, f.repetition_ok,
+         |  f.dup_3gram_frac, f.repetition_ok, f.gopher_ok,
          |  COALESCE(f.doc_id = s.cluster_id, FALSE) AS batch_survivor,
          |  (f.eligible AND COALESCE(f.doc_id = s.cluster_id, FALSE)) AS kept
          |FROM flagged f LEFT JOIN surv s ON s.doc_id = f.doc_id
@@ -4115,6 +4349,7 @@ object SparkEntry {
            |  CAST(0 AS BIGINT) AS repetition_vetoed,
            |  CAST(0 AS BIGINT) AS span_vetoed,
            |  CAST(0 AS BIGINT) AS neardup_vetoed,
+           |  CAST(0 AS BIGINT) AS gopher_vetoed,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
       // The incremental composite: every screen re-derived — row-local
@@ -4132,6 +4367,9 @@ object SparkEntry {
       "curation_screen_v2" -> incrementalScreenSql(full = true),
       "curation_screen_v3" ->
         incrementalScreenSql(full = true, neardup = true),
+      // v3 plus the Gopher battery fused into the row-local stage.
+      "curation_screen_v4" ->
+        incrementalScreenSql(full = true, neardup = true, gopher = true),
       // The indexed contamination screen standalone: same split as the
       // composite (eval = doc_id < 50, batch = doc_id >= 450), full
       // verdict shape with the max(shared, eval_id) tie rule.
@@ -4306,6 +4544,7 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN NOT repetition_ok THEN 1 ELSE 0 END) AS BIGINT) AS repetition_vetoed,
            |  CAST(0 AS BIGINT) AS span_vetoed,
            |  CAST(0 AS BIGINT) AS neardup_vetoed,
+           |  CAST(0 AS BIGINT) AS gopher_vetoed,
            |  CAST(sum(CASE WHEN eligible AND doc_id = dig_surv AND doc_id = clu_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
            |FROM s3""".stripMargin,
       // The batch composite's per-doc verdicts with the span veto on:
@@ -4315,6 +4554,7 @@ object SparkEntry {
            |SELECT doc_id, quality_ok, is_blocked, is_exact_dup, is_near_dup,
            |  is_contaminated, is_outlier, dup_3gram_frac, repetition_ok,
            |  contam_span_run, span_ok, TRUE AS neardup_ok,
+           |  TRUE AS gopher_ok,
            |  (eligible AND doc_id = dig_surv AND doc_id = clu_surv) AS kept
            |FROM s3 ORDER BY doc_id""".stripMargin,
       // All three contamination rules on: the fuzzy veto re-derived as
@@ -4324,6 +4564,19 @@ object SparkEntry {
            |SELECT doc_id, quality_ok, is_blocked, is_exact_dup, is_near_dup,
            |  is_contaminated, is_outlier, dup_3gram_frac, repetition_ok,
            |  contam_span_run, span_ok, neardup_ok,
+           |  TRUE AS gopher_ok,
+           |  (eligible AND doc_id = dig_surv AND doc_id = clu_surv) AS kept
+           |FROM s3 ORDER BY doc_id""".stripMargin,
+      // The full batch composite (v4) plus the Gopher doc-quality
+      // battery as a stage-1 veto — all ELEVEN screens re-derived,
+      // the gate at the registered thresholds (word floor 25,
+      // stopword floor 1).
+      "corpus_prep_v5" ->
+        s"""WITH RECURSIVE ${curationCteV2(spans = true, neardup = true,
+                                           gopher = true)}
+           |SELECT doc_id, quality_ok, is_blocked, is_exact_dup, is_near_dup,
+           |  is_contaminated, is_outlier, dup_3gram_frac, repetition_ok,
+           |  contam_span_run, span_ok, neardup_ok, gopher_ok,
            |  (eligible AND doc_id = dig_surv AND doc_id = clu_surv) AS kept
            |FROM s3 ORDER BY doc_id""".stripMargin,
       "train_prep" ->

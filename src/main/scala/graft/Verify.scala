@@ -2,10 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Dev use: an optional THIRD argument (comma-separated query names)
+  * restricts the dump — and oracle_sql.json — to that subset, so a new
+  * query's oracle can be checked with tools/selfcheck.py in seconds
+  * instead of re-running the full suite. The driver passes two args;
+  * that path is unchanged.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, rest @ _*) = args
+    val subset: Option[Set[String]] = rest.headOption.map(
+      _.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { w =>
+      val unknown = w -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
+    def wanted(name: String): Boolean = subset.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +31,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -43,7 +57,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val expected = SparkEntry.queries.size
+    val expected = SparkEntry.queries.count(kv => wanted(kv._1))
     val written = expected - failed.size
     if (failed.nonEmpty) {
       val msg = s"[verify] SELF-CHECK FAILED: $written/$expected queries " +
@@ -56,7 +70,7 @@ object Verify {
       catch { case _: Throwable => () }
     } else
       println(s"[verify] self-check OK: $written/$expected queries produced output")
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -123,6 +123,14 @@ object CorpusPrep {
     *                 fallback, verdict-identical (ExtSpec pin), the
     *                 same escape hatch the indexed twin's
     *                 `broadcastIndex` knob provides.
+    * @param gopherGate full Gopher DOC-quality battery as a stage-1
+    *                 veto (r18 — [[TextAnalysis.gopherQualityOkCol]]
+    *                 at the config's thresholds): the published word/
+    *                 mean-length/symbol/bullet/ellipsis/alpha/stopword
+    *                 rules join `quality_ok`'s 2-signal pre-gate in
+    *                 the SAME row-local checkpointed projection — zero
+    *                 extra corpus scans, no new exchange. None
+    *                 (default) = screen off, `gopher_ok` all-true.
     * @param sorted   order the verdict frame by doc_id (deterministic
     *                 presentation — the oracle queries' contract). A
     *                 production caller writing verdicts onward passes
@@ -133,7 +141,8 @@ object CorpusPrep {
     *         (non-canonical copy, independent verdict), is_near_dup
     *         (cluster non-survivor, independent verdict),
     *         is_contaminated, is_outlier, dup_3gram_frac /
-    *         repetition_ok, contam_span_run / span_ok, neardup_ok, and
+    *         repetition_ok, contam_span_run / span_ok, neardup_ok,
+    *         gopher_ok, and
     *         `kept` = eligible AND the minimum eligible doc of both its
     *         digest group and its (possibly containment-widened)
     *         cluster
@@ -151,6 +160,7 @@ object CorpusPrep {
               contamSpanMinRun: Option[Int] = None,
               contamNeardupThreshold: Option[Double] = None,
               contamNeardupBroadcastEval: Boolean = true,
+              gopherGate: Option[TextAnalysis.GopherGateConfig] = None,
               sorted: Boolean = true): DataFrame = {
     // One compiled shingle pass, shared by the near-dup clustering and
     // the contamination screen (hashedShingles' pos column is pruned
@@ -195,6 +205,12 @@ object CorpusPrep {
       col("doc_id"),
       TextAnalysis.qualityOkCol(col("text")).as("quality_ok"),
       blockedCol.as("is_blocked"),
+      // The full Gopher doc-quality battery (r18) fuses into the SAME
+      // row-local projection as the 2-signal pre-gate — zero extra
+      // scans, one more boolean in the checkpoint.
+      gopherGate.map(cfg =>
+          TextAnalysis.gopherQualityOkCol(col("text"), cfg))
+        .getOrElse(lit(true)).as("gopher_ok"),
       Dedup.digest(col("text")).as("content_digest"))
       .localCheckpoint(eager = false)
     val contaminated = Contamination
@@ -272,7 +288,7 @@ object CorpusPrep {
       .join(contaminated, Seq("doc_id"), "left_outer")
       .join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("content_digest"), col("cluster_id"),
-        col("quality_ok"), col("is_blocked"),
+        col("quality_ok"), col("is_blocked"), col("gopher_ok"),
         coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"),
         (if (outliers.isDefined) coalesce(col("is_outlier"), lit(false))
          else lit(false)).as("is_outlier"),
@@ -289,7 +305,7 @@ object CorpusPrep {
         (if (neardupHits.isDefined) !coalesce(col("__eval_neardup"), lit(false))
          else lit(true)).as("neardup_ok"))
       .withColumn("eligible", col("quality_ok") && !col("is_blocked") &&
-        !col("is_contaminated") && !col("is_outlier") &&
+        col("gopher_ok") && !col("is_contaminated") && !col("is_outlier") &&
         col("repetition_ok") && col("span_ok") && col("neardup_ok"))
 
     // Stage 3 — survivors: minimum eligible doc per digest group and per
@@ -317,6 +333,7 @@ object CorpusPrep {
         col("contam_span_run"),
         col("span_ok"),
         col("neardup_ok"),
+        col("gopher_ok"),
         (col("eligible") &&
           col("doc_id") === col("__digest_survivor") &&
           col("doc_id") === col("__cluster_survivor")).as("kept"))
@@ -337,6 +354,7 @@ object CorpusPrep {
     sum(when(!col("repetition_ok"), 1L).otherwise(0L)).as("repetition_vetoed"),
     sum(when(!col("span_ok"), 1L).otherwise(0L)).as("span_vetoed"),
     sum(when(!col("neardup_ok"), 1L).otherwise(0L)).as("neardup_vetoed"),
+    sum(when(!col("gopher_ok"), 1L).otherwise(0L)).as("gopher_vetoed"),
     sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
 
   /** The full pretraining shard path in one declarative plan: curation
@@ -448,6 +466,11 @@ object CorpusPrep {
     *   5b. intra-document repetition (optional): `dup_3gram_frac`/
     *      `repetition_ok` — the Gopher-style duplicate-block veto,
     *      one batch-sized aggregate (see the inline note);
+    *   5c. full Gopher doc-quality battery (optional, r18):
+    *      `gopher_ok` — [[TextAnalysis.gopherQualityOkCol]] at the
+    *      config's thresholds, fused into stage 1's row-local
+    *      projection (zero extra scans), keeping the composites'
+    *      screen-set parity with [[prepare]]'s `gopherGate`;
     *   6. intra-batch near-dup clustering among the docs passing 1–5
     *      ([[Dedup.nearDupClusters]] at `nearDupThreshold`, batch-sized
     *      by this operator's contract): `batch_survivor` keeps one doc
@@ -492,6 +515,8 @@ object CorpusPrep {
                         outlierIndexPath: Option[String] = None,
                         outlierZ: Double = 2.0,
                         repetitionMaxDupFrac: Option[Double] = None,
+                        gopherGate: Option[TextAnalysis.GopherGateConfig] =
+                          None,
                         broadcastBatch: Boolean = true,
                         sorted: Boolean = true,
                         observeName: String = "screen_incremental_clamp")
@@ -518,7 +543,12 @@ object CorpusPrep {
     val rowLocal = once.select(col("doc_id"),
       TextAnalysis.qualityOkCol(col("text")).as("quality_ok"),
       round(frac, 4).as("blocked_frac"),
-      (frac <= blocklistMaxFraction).as("blocklist_ok"))
+      (frac <= blocklistMaxFraction).as("blocklist_ok"),
+      // Stage 5c fuses here — the full battery is row-local like the
+      // pre-gate, so it costs nothing but expressions on this scan.
+      gopherGate.map(cfg =>
+          TextAnalysis.gopherQualityOkCol(col("text"), cfg))
+        .getOrElse(lit(true)).as("gopher_ok"))
     // `broadcastBatch` passes straight to the index screens — the
     // stages whose join plan depends on batch size (per-trigger batches
     // broadcast; a backfill-sized "batch" wants the co-partitioned
@@ -693,7 +723,8 @@ object CorpusPrep {
     // copies only the fuzzy rule can see) caught the kept drift in
     // r18 and now pin it.
     val flagged = withRepetition.withColumn("eligible",
-      col("quality_ok") && col("blocklist_ok") && col("is_novel") &&
+      col("quality_ok") && col("blocklist_ok") && col("gopher_ok") &&
+        col("is_novel") &&
         col("dsir_ok") && !col("is_contained") && !col("is_hamming_dup") &&
         !col("is_contaminated") && col("span_ok") && col("neardup_ok") &&
         !col("is_outlier") && col("repetition_ok"))
@@ -717,7 +748,7 @@ object CorpusPrep {
         col("contam_span_run"), col("span_ok"),
         col("neardup_ok"), col("eval_jaccard"), col("eval_match_id"),
         col("is_outlier"), col("outlier_zscore"),
-        col("dup_3gram_frac"), col("repetition_ok"),
+        col("dup_3gram_frac"), col("repetition_ok"), col("gopher_ok"),
         coalesce(col("batch_survivor"), lit(false)).as("batch_survivor"),
         (col("eligible") && coalesce(col("batch_survivor"), lit(false)))
           .as("kept"))

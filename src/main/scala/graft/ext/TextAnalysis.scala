@@ -76,6 +76,147 @@ object TextAnalysis {
   private[ext] def qualityOkCol(text: Column): Column =
     tokenCount(text) >= 5 && alphaLen(text) / length(text) > 0.6
 
+  /** Gopher's DOCUMENT-quality battery (Rae et al. 2021, table A1) —
+    * the third member of the Gopher trio next to
+    * [[lineRepetitionStats]] and [[gopherNgramStats]]: per document,
+    * word count, mean word length (token chars / words), symbol-to-word
+    * ratio (occurrences of `#`, `…` and literal `...` per word),
+    * bullet-started and ellipsis-ended NON-BLANK line fractions,
+    * fraction of words containing at least one alphabetic character,
+    * and how many of the paper's eight indicator stopwords (the, be,
+    * to, of, and, that, have, with) appear — plus the gate
+    * (`gopher_quality_ok`) at the published thresholds, every bound a
+    * parameter (the paper's 50–100 000 word window assumes web pages;
+    * a caller screening short-form corpora tightens it to fit).
+    *
+    * Shape: one codegen'd projection over the scan — regex counts and
+    * array lambdas, no shuffle, no UDF; scan-bound at 100 TB like the
+    * rest of the per-doc quality layer ([[qualityScore]] is the cheap
+    * 2-signal pre-gate; this is the full published battery). The final
+    * orderBy is the verify surface's total order, not the operator.
+    */
+  def gopherQualityStats(docs: DataFrame,
+                         minWords: Long = 50L, maxWords: Long = 100000L,
+                         minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         maxBulletFrac: Double = 0.90,
+                         maxEllipsisFrac: Double = 0.30,
+                         minAlphaFrac: Double = 0.80,
+                         minStopwords: Int = 2,
+                         sep: String = "\n"): DataFrame = {
+    val cfg = GopherGateConfig(minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, maxBulletFrac, maxEllipsisFrac, minAlphaFrac,
+      minStopwords, sep)
+    val s = gopherSignals(col("text"), sep)
+    // Two-step projection: the raw signals materialize ONCE per row,
+    // then rounding and the gate derive from the projected columns.
+    // (CollapseProject keeps the split — it refuses to inline a
+    // non-cheap alias referenced twice — so the HOF/regex trees, which
+    // subexpression elimination skips, are not re-evaluated for the
+    // gate; the single-projection form measured ~2× the per-doc cost.)
+    val raw = GopherSignals(col("__nw"), col("__ml"), col("__sr"),
+      col("__bf"), col("__ef"), col("__af"), col("__sh"))
+    docs.select(col("doc_id"), s.nWords.as("__nw"), s.meanLen.as("__ml"),
+        s.symbolRatio.as("__sr"), s.bulletFrac.as("__bf"),
+        s.ellipsisFrac.as("__ef"), s.alphaFrac.as("__af"),
+        s.stopHits.as("__sh"))
+      .select(col("doc_id"), col("__nw").as("n_words"),
+        round(col("__ml"), 4).as("mean_word_len"),
+        round(col("__sr"), 4).as("symbol_word_ratio"),
+        round(col("__bf"), 4).as("bullet_line_frac"),
+        round(col("__ef"), 4).as("ellipsis_line_frac"),
+        round(col("__af"), 4).as("alpha_word_frac"),
+        col("__sh").cast("int").as("stopword_hits"),
+        gopherGateOver(raw, cfg).as("gopher_quality_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** The tunable thresholds of [[gopherQualityStats]]' gate, as one
+    * value the curation composites can carry ([[CorpusPrep.prepare]] /
+    * [[CorpusPrep.screenIncremental]]'s `gopherGate` knob). Defaults
+    * are the published A1 numbers; the 50–100 000 word window assumes
+    * web pages — tighten for short-form corpora.
+    */
+  case class GopherGateConfig(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.90,
+      maxEllipsisFrac: Double = 0.30, minAlphaFrac: Double = 0.80,
+      minStopwords: Int = 2, sep: String = "\n")
+
+  /** The raw per-doc signal columns behind the battery — one source of
+    * truth shared by [[gopherQualityStats]] (which rounds for
+    * presentation) and [[gopherQualityOkCol]] (which gates on the
+    * unrounded values), so the rendered stats and the composites'
+    * decision can never drift apart.
+    */
+  private[ext] final case class GopherSignals(
+      nWords: Column, meanLen: Column, symbolRatio: Column,
+      bulletFrac: Column, ellipsisFrac: Column, alphaFrac: Column,
+      stopHits: Column)
+
+  private[ext] def gopherSignals(text: Column,
+                                 sep: String): GopherSignals = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    val nWords = size(toks).cast("long")
+    val tokChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val meanLen = when(nWords > 0,
+      tokChars.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    def countOf(needle: String, w: Int) =
+      (length(text) - length(replace(text, lit(needle), lit("")))) / w
+    // Three independent substring counts; the needles cannot overlap
+    // textually ('…' is one codepoint, '...' is ASCII).
+    val symbols = countOf("#", 1) + countOf("…", 1) + countOf("...", 3)
+    val symbolRatio = when(nWords > 0,
+      symbols.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val lines = filter(transform(split(text, qsep), l => trim(l)),
+      l => l =!= "")
+    val nLines = size(lines)
+    val bullets = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("‣") || l.startsWith("▪") ||
+        l.startsWith("- ") || l.startsWith("* ")))
+    val ellipses = size(filter(lines, l =>
+      l.endsWith("…") || l.endsWith("...")))
+    val bulletFrac = when(nLines > 0,
+      bullets.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      ellipses.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val alphaFrac = when(nWords > 0,
+      alphaWords.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val stopHits = GopherStopwords.map(w =>
+      when(lower(text).rlike("\\b" + w + "\\b"), lit(1))
+        .otherwise(lit(0))).reduce(_ + _)
+    GopherSignals(nWords, meanLen, symbolRatio, bulletFrac, ellipsisFrac,
+      alphaFrac, stopHits)
+  }
+
+  /** The battery's verdict as a bare Column over unrounded signals —
+    * the fusable form the composites' single row-local stage builds on
+    * (the [[qualityOkCol]] pattern).
+    */
+  private[ext] def gopherQualityOkCol(text: Column,
+                                      cfg: GopherGateConfig): Column =
+    gopherGateOver(gopherSignals(text, cfg.sep), cfg)
+
+  /** The gate conjunction over an already-built signal set — so a
+    * caller that has the signals as columns (the two-step
+    * [[gopherQualityStats]] projection) gates without re-deriving them.
+    */
+  private[ext] def gopherGateOver(s: GopherSignals,
+                                  cfg: GopherGateConfig): Column =
+    s.nWords >= cfg.minWords && s.nWords <= cfg.maxWords &&
+      s.meanLen >= cfg.minMeanLen && s.meanLen <= cfg.maxMeanLen &&
+      s.symbolRatio <= cfg.maxSymbolRatio &&
+      s.bulletFrac <= cfg.maxBulletFrac &&
+      s.ellipsisFrac <= cfg.maxEllipsisFrac &&
+      s.alphaFrac >= cfg.minAlphaFrac && s.stopHits >= cfg.minStopwords
+
+  /** The eight indicator stopwords of Gopher's quality rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   private val EnStopwords = "\\b(the|and|of|to|in|is|a)\\b"
 
   /** N-gram-free language-ID heuristic: English-stopword hit count →
@@ -403,6 +544,190 @@ object TextAnalysis {
         size(col("kept")).cast("bigint").as("lines_kept"),
         (size(col("lines")) - size(col("kept"))).cast("bigint")
           .as("lines_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher's line-level repetition signals — the quality family
+    * [[repetitionStats]] (word/bigram shares) does not cover: per
+    * document, the fraction of non-blank lines that are duplicates of
+    * another line in the SAME document (`dup_line_frac` =
+    * Σ_groups (c−1) / n_lines) and the fraction of line characters
+    * sitting in those duplicate copies (`dup_line_char_frac` =
+    * Σ_groups (c−1)·len / Σ c·len, lengths of the lower(trim)
+    * normalized line — the same identity [[dedupLines]] uses), plus the
+    * published Gopher gate (`gopher_ok`: dup_line_frac ≤ 0.30 AND
+    * dup_line_char_frac ≤ 0.20; Rae et al. 2021, table A1). A doc with
+    * no non-blank lines is trivially clean (0.0 / 0.0, gate passes).
+    *
+    * Shape: ZERO shuffle — where [[repetitionStats]] must exchange
+    * (doc, gram) rows because its grams flow into corpus-level
+    * consumers, the line groups here are consumed per-document only, so
+    * the whole computation is one projection: sort the doc's normalized
+    * non-blank lines (`array_sort`) and fold the sorted array once with
+    * `aggregate`, counting run lengths — equal lines are adjacent, so a
+    * (prev, run, dupLines, dupChars) accumulator sees every duplicate
+    * group without ever materializing a per-line frame. Higher-order
+    * functions evaluate outside whole-stage codegen but stay row-local;
+    * at 100 TB this is scan-bound like the rest of the per-doc quality
+    * layer (the final orderBy exists for the verify surface's total
+    * order, not the operator). O(L log L) per doc in its own line
+    * count — never quadratic, never a (doc, line) exchange.
+    */
+  def lineRepetitionStats(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val lines = filter(
+      transform(split(col("text"), qsep), l => lower(trim(l))),
+      l => l =!= "")
+    val sorted = array_sort(lines)
+    def fld(acc: Column, f: String) = acc.getField(f)
+    // Flush the run ending at `acc`: duplicates beyond the first copy.
+    def flushDl(acc: Column) = fld(acc, "dl") +
+      when(fld(acc, "run") > 1, fld(acc, "run") - 1).otherwise(lit(0L))
+    def flushDc(acc: Column) = fld(acc, "dc") +
+      when(fld(acc, "run") > 1,
+        (fld(acc, "run") - 1) * length(fld(acc, "prev"))).otherwise(lit(0L))
+    val zero = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("dl"), lit(0L).as("dc"))
+    val folded = aggregate(sorted, zero,
+      (acc, x) => when(x <=> fld(acc, "prev"),
+          struct(fld(acc, "prev").as("prev"),
+            (fld(acc, "run") + 1).as("run"),
+            fld(acc, "dl").as("dl"), fld(acc, "dc").as("dc")))
+        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+          flushDl(acc).as("dl"), flushDc(acc).as("dc"))),
+      acc => struct(flushDl(acc).as("dl"), flushDc(acc).as("dc")))
+    val totChars = aggregate(sorted, lit(0L), (a, x) => a + length(x))
+    val nl = size(sorted).cast("long")
+    // Two-step projection ([[gopherQualityStats]]'s rationale): the
+    // sort+fold materializes once per row; the fractions — each
+    // referenced by a rounded column AND the gate — derive from the
+    // projected counts, not from re-evaluated HOF trees.
+    val dupFrac = when(col("__nl") > 0,
+      col("__f").getField("dl").cast("double") / col("__nl").cast("double"))
+      .otherwise(lit(0.0))
+    val charFrac = when(col("__tc") > 0,
+      col("__f").getField("dc").cast("double") / col("__tc").cast("double"))
+      .otherwise(lit(0.0))
+    docs.select(col("doc_id"), nl.as("__nl"), folded.as("__f"),
+        totChars.as("__tc"))
+      .select(col("doc_id"), col("__nl").as("n_lines"),
+        round(dupFrac, 4).as("dup_line_frac"),
+        round(charFrac, 4).as("dup_line_char_frac"),
+        (dupFrac <= 0.30 && charFrac <= 0.20).as("gopher_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** The rest of Gopher's repetition battery (Rae et al. 2021, table
+    * A1) — per document, over whitespace tokens: the char fraction of
+    * the MOST FREQUENT n-gram for n = 2,3,4 (count × gram token chars /
+    * total token chars — faithful to the published measure, so
+    * overlapping occurrences can push it past 1.0) and the char
+    * fraction COVERED by duplicated n-grams for n = 5..10 (union of
+    * token positions under any n-gram occurring ≥ 2× in the doc —
+    * overlaps counted once, the coverage semantics [[scrubCommonSpans]]
+    * uses for removal), plus the published gate (`gopher_ngram_ok`:
+    * top ≤ 0.20/0.18/0.16, dup ≤ 0.15/0.14/0.13/0.12/0.11/0.10).
+    * Character mass is token characters (whitespace excluded) on both
+    * the numerator and denominator, one convention for all nine
+    * signals. Ties for "most frequent" break to the longest gram so
+    * the statistic is layout-independent and the oracle can re-derive
+    * it exactly.
+    *
+    * Shape: ZERO shuffle — like [[lineRepetitionStats]] the groups are
+    * consumed per-document only, so the whole battery is one compiled
+    * `mapPartitions` pass ([[dropRepeatedSpans]]'s pattern): per doc,
+    * token XXH64s once, then per n a rolling gram-hash count map and a
+    * boolean coverage array — O(9·L) time, O(L) transient memory in the
+    * doc's own length, embarrassingly parallel at any corpus size.
+    * Gram identity is hashed 64-bit (the shingle-family convention);
+    * the string-gram oracle agrees up to astronomically unlikely
+    * collisions. The final orderBy is the verify surface's total
+    * order, not the operator.
+    */
+  def gopherNgramStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val topNs = Seq(2, 3, 4); val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val topThr = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val lens = toks.map(_.length)
+        val tot = lens.sum.toDouble
+        val hs = toks.map { t =>
+          val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42L)
+        }
+        def grams(n: Int): Array[Long] =
+          Array.tabulate(toks.length - n + 1) { i =>
+            var h = 42L; var j = i + n - 1
+            while (j >= i) { h = h * 31 + hs(j); j -= 1 }
+            h
+          }
+        def gramChars(i: Int, n: Int): Int = {
+          var s = 0; var j = i
+          while (j < i + n) { s += lens(j); j += 1 }
+          s
+        }
+        def topFrac(n: Int): Double =
+          if (tot == 0 || toks.length < n) 0.0
+          else {
+            val gs = grams(n)
+            val m = new java.util.HashMap[Long, Array[Int]]()
+            var i = 0
+            while (i < gs.length) {
+              val e = m.get(gs(i))
+              if (e == null) m.put(gs(i), Array(1, gramChars(i, n)))
+              else e(0) += 1
+              i += 1
+            }
+            var mc = 0; var mch = 0
+            m.values.forEach { e =>
+              if (e(0) > mc) { mc = e(0); mch = e(1) }
+              else if (e(0) == mc && e(1) > mch) mch = e(1)
+            }
+            mc.toLong * mch / tot
+          }
+        def dupFrac(n: Int): Double =
+          if (tot == 0 || toks.length < n) 0.0
+          else {
+            val gs = grams(n)
+            val cnt = new java.util.HashMap[Long, Int]()
+            var i = 0
+            while (i < gs.length) {
+              cnt.merge(gs(i), 1, Integer.sum); i += 1
+            }
+            val cov = new Array[Boolean](toks.length)
+            i = 0
+            while (i < gs.length) {
+              if (cnt.get(gs(i)) > 1) {
+                var j = i; while (j < i + n) { cov(j) = true; j += 1 }
+              }
+              i += 1
+            }
+            var s = 0L; i = 0
+            while (i < toks.length) { if (cov(i)) s += lens(i); i += 1 }
+            s / tot
+          }
+        val tf = topNs.map(topFrac); val df = dupNs.map(dupFrac)
+        val ok = topNs.zip(tf).forall { case (n, f) => f <= topThr(n) } &&
+          dupNs.zip(df).forall { case (n, f) => f <= dupThr(n) }
+        (id, tf(0), tf(1), tf(2), df(0), df(1), df(2), df(3), df(4),
+          df(5), ok)
+      })
+      .toDF("doc_id", "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+        "dup_5gram_frac", "dup_6gram_frac", "dup_7gram_frac",
+        "dup_8gram_frac", "dup_9gram_frac", "dup_10gram_frac",
+        "gopher_ngram_ok")
+      .select(col("doc_id") +:
+        (topNs.map(n => s"top_${n}gram_frac") ++
+          dupNs.map(n => s"dup_${n}gram_frac"))
+          .map(c => round(col(c), 4).as(c)) :+ col("gopher_ngram_ok"): _*)
       .orderBy("doc_id")
   }
 

@@ -649,7 +649,8 @@ object Pipeline {
 
   /** Streaming curation composite — the whole incremental screen
     * ([[graft.ext.CorpusPrep.screenIncremental]]: row-local quality +
-    * blocklist, standing-corpus MinHash novelty, optional frozen-model
+    * blocklist (+ the optional full Gopher battery, `gopherGate`),
+    * standing-corpus MinHash novelty, optional frozen-model
     * DSIR selection, intra-batch near-dup clustering) as ONE
     * foreachBatch: verdicts with full per-screen audit columns land in
     * `verdictDir/batch_id=N`, and exactly the `kept` docs are admitted
@@ -685,6 +686,8 @@ object Pipeline {
                      outlierIndexPath: Option[String] = None,
                      outlierZ: Double = 2.0,
                      repetitionMaxDupFrac: Option[Double] = None,
+                     gopherGate: Option[graft.ext.TextAnalysis
+                       .GopherGateConfig] = None,
                      compactEvery: Int = 0,
                      retainVerdictBatches: Int = 0,
                      trigger: Trigger = Trigger.AvailableNow())
@@ -721,7 +724,7 @@ object Pipeline {
               contamIndexPath, contamMinShared, contamSpanMinRun,
               neardupEvalIndexPath, neardupEvalThreshold,
               emb, outlierIndexPath, outlierZ,
-              repetitionMaxDupFrac, sorted = false)
+              repetitionMaxDupFrac, gopherGate, sorted = false)
             val outDir = s"$verdictDir/batch_id=$batchId"
             verdicts.write.mode("overwrite").parquet(outDir)
             val kept = spark.read.parquet(outDir)

@@ -1575,6 +1575,58 @@ class ExtSpec extends AnyFunSuite {
     assert(ingests == Seq("ingest=0"), ingests.toString)
   }
 
+  test("gopher gate vetoes docs every other screen passes — both composite paths") {
+    // Unique-coverage plants (the r18 neardup_ok lesson): each veto doc
+    // fails ONLY the gopher battery, on a DIFFERENT rule, so a dropped
+    // gate term in either composite's kept conjunction fails here.
+    val cfg = TextAnalysis.GopherGateConfig(minWords = 20, minStopwords = 1)
+    val corpus = Seq(
+      // 31 words incl. 'the': passes everything.
+      (10L, (1 to 30).map(i => s"gwords$i").mkString(" ") + " the"),
+      // 11 words: quality_ok (>= 5 toks) but under the gopher floor.
+      (11L, (1 to 10).map(i => s"aaword$i").mkString(" ") + " the"),
+      // 26 words but mean word length > 10: fails only that rule.
+      (12L, (1 to 25).map(i => s"verylongtoken$i" + "padded")
+        .mkString(" ") + " the"),
+      // 21 words, none of the 8 indicator stopwords.
+      (13L, (1 to 21).map(i => s"nostops$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val prepared = graft.ext.CorpusPrep.prepare(corpus, evalSet,
+      gopherGate = Some(cfg))
+    val byId = prepared.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(10L).getAs[Boolean]("gopher_ok") &&
+      byId(10L).getAs[Boolean]("kept"))
+    for (id <- Seq(11L, 12L, 13L))
+      assert(byId(id).getAs[Boolean]("quality_ok") &&
+        !byId(id).getAs[Boolean]("is_near_dup") &&
+        byId(id).getAs[Boolean]("repetition_ok") &&
+        !byId(id).getAs[Boolean]("gopher_ok") &&
+        !byId(id).getAs[Boolean]("kept"), byId(id).toString)
+    assert(graft.ext.CorpusPrep.report(prepared).head()
+      .getAs[Long]("gopher_vetoed") == 3L)
+    // Gate off (default): all four ride through, column all-true.
+    val off = graft.ext.CorpusPrep.prepare(corpus, evalSet)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(Seq(10L, 11L, 12L, 13L).forall(id =>
+      off(id).getAs[Boolean]("gopher_ok") && off(id).getAs[Boolean]("kept")))
+    // The incremental twin applies the SAME gate (screen-set parity).
+    val idx = java.nio.file.Files
+      .createTempDirectory("gopher-screen-idx").toString + "/mh"
+    Dedup.buildMinhashIndex(
+      Seq((0L, (1 to 30).map(i => s"standing$i").mkString(" ")))
+        .toDF("doc_id", "text"), idx)
+    val v = CorpusPrep.screenIncremental(corpus, idx,
+        gopherGate = Some(cfg))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(v(10L).getAs[Boolean]("gopher_ok") &&
+      v(10L).getAs[Boolean]("kept"))
+    for (id <- Seq(11L, 12L, 13L))
+      assert(v(id).getAs[Boolean]("is_novel") &&
+        !v(id).getAs[Boolean]("gopher_ok") &&
+        !v(id).getAs[Boolean]("kept"), v(id).toString)
+  }
+
   test("screenIncremental: each screen vetoes independently; intra-batch dups keep one survivor") {
     // 8-letter tags keep the alpha ratio comfortably above the 0.6
     // quality boundary (4-letter tags + digits land exactly ON it).
@@ -2052,6 +2104,72 @@ class ExtSpec extends AnyFunSuite {
     assert(p.getAs[Double]("dup_word_frac") == 0.8)
     assert(p.getAs[Double]("top_word_frac") == 1.0)
     assert(p.getAs[Double]("top_bigram_frac") == 1.0)
+  }
+
+  test("gopher doc-quality battery: ratios, line fractions, stopword gate") {
+    val fx = Seq(
+      // 10 words, all alpha, two stopwords (the, with), 2 non-blank
+      // lines, no bullets/ellipses/symbols → passes at minWords=5.
+      1L -> "the quick brown fox\njumps right over with ten words",
+      // Bullet and ellipsis lines: 4 non-blank lines, 2 bulleted
+      // (- and *), 1 ellipsis-ended; '#' symbols; no stopwords → fails.
+      2L -> "- first bullet item\n* second bullet here\nplain line kept\ntrailing thought...\n## ##",
+      // Non-alpha words: 4 of 6 words have no letter → alpha 0.333.
+      3L -> "12 34 ok 56 78 go",
+      // Empty: all zeros, fails the word floor.
+      4L -> "")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityStats(fx, minWords = 5,
+        minStopwords = 2).collect().map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, c: String) = out(id).getAs[Double](c)
+    assert(out(1L).getAs[Long]("n_words") == 10)
+    assert(d(1L, "alpha_word_frac") == 1.0)
+    assert(out(1L).getAs[Int]("stopword_hits") == 2)
+    assert(out(1L).getAs[Boolean]("gopher_quality_ok"))
+    assert(d(2L, "bullet_line_frac") == 0.4) // 2 of 5 non-blank lines
+    assert(d(2L, "ellipsis_line_frac") == 0.2)
+    assert(d(2L, "symbol_word_ratio") ==
+      math.round(5.0 / 15 * 1e4) / 1e4) // four '#' + one '...' over 15 words
+    assert(!out(2L).getAs[Boolean]("gopher_quality_ok"))
+    assert(d(3L, "alpha_word_frac") == math.round(2.0 / 6 * 1e4) / 1e4)
+    assert(!out(3L).getAs[Boolean]("gopher_quality_ok"))
+    assert(out(4L).getAs[Long]("n_words") == 0L)
+    assert(!out(4L).getAs[Boolean]("gopher_quality_ok"))
+  }
+
+  test("gopher n-gram battery: top-gram char fractions and dup-gram coverage") {
+    val fx = Seq(
+      // 7 tokens of len 2 (total 14): "ab cd"×3 → top2 = 12/14; the
+      // 4-gram "ab cd ab cd"×2 → top4 = 16/14 > 1 (faithful overlap
+      // semantics); no 5-gram repeats.
+      1L -> "ab cd ab cd ab cd ef",
+      // 13 single-char tokens; "a b c d e" at pos 0 and 8 → dup5
+      // covers 10/13 positions; no 6-gram repeats.
+      2L -> "a b c d e f g h a b c d e",
+      // Degenerate two-token doc: top2 = 1.0, longer n-grams absent.
+      3L -> "x y",
+      // Empty: all zeros, gate passes.
+      4L -> "",
+      // 40 distinct len-3 tokens: top fracs tiny, dups zero → passes.
+      5L -> (1 to 40).map(i => f"t$i%02d").mkString(" "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherNgramStats(fx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = out(id).getAs[Double](c)
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(f(1L, "top_2gram_frac") == r4(12.0 / 14))
+    assert(f(1L, "top_3gram_frac") == r4(12.0 / 14))
+    assert(f(1L, "top_4gram_frac") == r4(16.0 / 14)) // > 1.0 by design
+    assert(f(1L, "dup_5gram_frac") == 0.0)
+    assert(!out(1L).getAs[Boolean]("gopher_ngram_ok"))
+    assert(f(2L, "dup_5gram_frac") == r4(10.0 / 13))
+    assert(f(2L, "dup_6gram_frac") == 0.0)
+    assert(f(2L, "top_2gram_frac") == r4(4.0 / 13))
+    assert(f(3L, "top_2gram_frac") == 1.0)
+    assert(f(3L, "top_3gram_frac") == 0.0) // no 3-grams in a 2-token doc
+    assert(out(4L).toSeq.tail == Seq.fill(9)(0.0) :+ true)
+    assert(out(5L).getAs[Boolean]("gopher_ngram_ok"))
+    assert(f(5L, "top_2gram_frac") == r4(6.0 / 120))
   }
 
   test("frequent n-grams: document frequency over hashes, text joined back") {

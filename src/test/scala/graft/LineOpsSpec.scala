@@ -58,6 +58,41 @@ class LineOpsSpec extends AnyFunSuite {
     assert(keptLines.distinct.size == keptLines.size)
   }
 
+  test("lineRepetitionStats: Gopher dup-line and dup-char fractions with gate") {
+    // doc 1: lines (normalized) = [boiler plate, x, boiler plate,
+    // boiler plate, y] → n=5, dups = 2 copies of "boiler plate"
+    // (len 12) → dup_line_frac = 2/5 = 0.4,
+    // dup_line_char_frac = 24 / (3*12 + 1 + 1) = 24/38 → gate fails.
+    // doc 2: all unique, blanks skipped → 0/0, gate passes.
+    // doc 3: empty text → 0 lines, 0.0 fractions, gate passes.
+    // doc 4: duplicate only through lower(trim) normalization.
+    val out = TextAnalysis.lineRepetitionStats(Seq(
+        1L -> "boiler plate\nx\nBoiler Plate\n boiler plate \ny",
+        2L -> "a b\n\nc d\n",
+        3L -> "",
+        4L -> "Hello\n  hello  ")
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((5L, 0.4, math.rint(24.0 / 38 * 1e4) / 1e4, false)))
+    assert(out(2L) == ((2L, 0.0, 0.0, true)))
+    assert(out(3L) == ((0L, 0.0, 0.0, true)))
+    assert(out(4L) == ((2L, 0.5, 0.5, false)))
+  }
+
+  test("lineRepetitionStats: boundary — exactly at the Gopher thresholds passes") {
+    // 10 lines, 3 dup copies → dup_line_frac 0.3 exactly; char frac
+    // under 0.2 by making the dup line short vs long unique lines.
+    val uniq = (1 to 6).map(i => s"unique line number $i padded out well")
+    val text = (Seq.fill(4)("dd") ++ uniq).mkString("\n")
+    val r = TextAnalysis.lineRepetitionStats(Seq(1L -> text)
+      .toDF("doc_id", "text")).collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 0.3)
+    assert(r.getBoolean(4), r.toString)
+  }
+
   test("filterLines: word-count, terminal-punctuation, and blocklist rules") {
     val docs = Seq(
       (1L, "This line is long enough.\nshort one\nCall now! FREE offer here\nends without period yet has five words"),

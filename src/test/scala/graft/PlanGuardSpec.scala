@@ -372,6 +372,21 @@ class PlanGuardSpec extends AnyFunSuite {
       s"window partition specs: $specs\n$p")
   }
 
+  test("gopher batteries are scan-bound: zero hash exchanges, one scan each") {
+    // All three Gopher screens (line repetition, n-gram battery, doc
+    // quality) exist as per-doc projections — their 100-TB viability IS
+    // the absence of any aggregation exchange. Only the verify
+    // surface's presentation sort (range partition) may shuffle, and
+    // the corpus must be read exactly once.
+    for (q <- Seq("line_repetition", "gopher_ngrams", "gopher_quality")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q plans a hash exchange:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q reads the corpus $scans times:\n$p")
+    }
+  }
+
   test("temperature_mixture aggregates the corpus once (reused exchange, parallel max)") {
     // Both consumers of the strata-counts frame — the 1-row global max
     // and the weights projection — must share one corpus exchange at
@@ -501,6 +516,21 @@ class PlanGuardSpec extends AnyFunSuite {
     // veto's band join broadcasts the benchmark-sized eval side — the
     // composite gains a screen without gaining a corpus-sized exchange.
     val df = SparkEntry.queries("corpus_prep_v4")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("GreaterThanOrEqual(doc_id,50)"), p)
+    assert("BroadcastHashJoin \\[[^\\]]*band_hash".r.findFirstIn(p).isDefined,
+      s"fuzzy veto's band join not broadcast:\n$p")
+  }
+
+  test("corpus_prep_v5's gopher gate adds no corpus scan and no new exchange class") {
+    // The eleventh screen is row-local by construction: v5's plan must
+    // keep v4's shape exactly — corpus text still read from NO parquet
+    // scan (the battery fuses into the stage-1 checkpointed
+    // projection), the fuzzy veto's band join still broadcast.
+    val df = SparkEntry.queries("corpus_prep_v5")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
