@@ -3,12 +3,13 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Backfill-scale proof for the BATCH curation composite at the
-  * corpus_prep_v4 config (`runMain graft.tools.PrepBackfillDrill
+  * corpus_prep_v5 config (`runMain graft.tools.PrepBackfillDrill
   * [batchDocs]`, default 2M): every screen on — quality, blocklist,
   * exact dedup, LSH near-dup clustering widened with containment
   * edges, all THREE contamination rules (scattered-count,
-  * contiguous-span, fuzzy near-dup), the semantic-outlier screen, and
-  * the repetition veto — over a parquet-backed corpus-sized batch,
+  * contiguous-span, fuzzy near-dup), the semantic-outlier screen, the
+  * repetition veto, and (r18 ext-2) the full Gopher doc-quality
+  * battery — over a parquet-backed corpus-sized batch,
   * with planted truth per family and the r16 I/O-counter convention
   * (/proc/self/io read_bytes AND write_bytes deltas around the run:
   * the write counter is where a hidden second corpus pass or a
@@ -28,6 +29,10 @@ import org.apache.spark.sql.functions._
   *     coverage, with no LSH recall-knee risk);
   *   - copy-paste stutter (own 3-token phrase × 20: ONLY the
   *     repetition veto);
+  *   - symbol spam (eight `##` tokens appended: symbol ratio 0.42 and
+  *     alpha-word fraction 0.79 — ONLY the Gopher battery; the gate's
+  *     word floor is 5 and maxMeanLen 40 so the 5-token fuzzy plants
+  *     and the ~32-char stutter tokens pass every OTHER battery rule);
   *   - garbage embeddings on fresh text (ONLY the outlier screen;
   *     outlierZ = 4 so the in-frame boundary never clips the clean
   *     cloud's own tail — the ScreenDrill pin, same reasoning).
@@ -77,8 +82,10 @@ object PrepBackfillDrill {
     val contam = plantsPerFam
     val fuzzy = plantsPerFam
     val stutter = plantsPerFam
+    val gopherSpam = plantsPerFam
     val outliers = plantsPerFam
-    val planted = blocked + 2 * twinPairs + contam + fuzzy + stutter
+    val planted =
+      blocked + 2 * twinPairs + contam + fuzzy + stutter + gopherSpam
     val fresh = batchN - planted - outliers
     val tmp = java.nio.file.Files
       .createTempDirectory("prep-backfill").toString
@@ -95,12 +102,15 @@ object PrepBackfillDrill {
           tokensN(col("k") - blocked - 2 * twinPairs + evalSeed, 30))
         .when(col("k") < blocked + 2 * twinPairs + contam + fuzzy,
           tokensN(col("k") - blocked - 2 * twinPairs - contam + ndSeed, 5))
-        .when(col("k") < planted,
+        .when(col("k") < planted - gopherSpam,
           concat_ws(" ", transform(sequence(lit(1), lit(20)),
             _ => concat_ws(" ",
               concat(lit("stutterphrasealphaworda"), col("doc_id")),
               concat(lit("stutterphrasealphawordb"), col("doc_id")),
               concat(lit("stutterphrasealphawordc"), col("doc_id"))))))
+        .when(col("k") < planted,
+          concat_ws(" ", tokensN(col("doc_id") + 13131313L, 30),
+            lit(Seq.fill(8)("##").mkString(" "))))
         .otherwise(tokensN(col("doc_id") + 7777777L, 30)).as("text"))
       .write.mode("overwrite").parquet(batchDir)
     val batch = spark.read.parquet(batchDir)
@@ -150,13 +160,16 @@ object PrepBackfillDrill {
       repetitionMaxDupFrac = Some(0.2),
       contamSpanMinRun = Some(8),
       contamNeardupThreshold = Some(0.5),
+      gopherGate = Some(graft.ext.TextAnalysis.GopherGateConfig(
+        minWords = 5, maxWords = 1000000L, maxMeanLen = 40.0,
+        minStopwords = 0)),
       sorted = false)
     val rep = graft.ext.CorpusPrep.report(out).head()
     val wall = (System.nanoTime() - t1) / 1e9
     val rGb = (ioBytes("read_bytes") - r0) / 1e9
     val wGb = (ioBytes("write_bytes") - w0) / 1e9
     val (iw1, st1) = statJiffies
-    println(f"prepare+report ($batchN%d-doc backfill, corpus_prep_v4 " +
+    println(f"prepare+report ($batchN%d-doc backfill, corpus_prep_v5 " +
       f"config): $wall%.1f s (read $rGb%.2f GB, write $wGb%.2f GB, " +
       f"iowait ${(iw1 - iw0) / 100.0}%.1f cpu-s, " +
       f"steal ${(st1 - st0) / 100.0}%.1f cpu-s)")
@@ -177,6 +190,8 @@ object PrepBackfillDrill {
       s"neardup_vetoed ${n("neardup_vetoed")}")
     assert(n("repetition_vetoed") == stutter,
       s"repetition_vetoed ${n("repetition_vetoed")}")
+    assert(n("gopher_vetoed") == gopherSpam,
+      s"gopher_vetoed ${n("gopher_vetoed")}")
     // Composite ≡ standalone: the outlier verdict column must carry the
     // standalone screen's flagged set exactly (the wiring property; see
     // the embedding-generation note for why "garbage is flagged" is not
@@ -201,7 +216,7 @@ object PrepBackfillDrill {
     assert(n("kept_docs") == expectKept,
       s"kept ${n("kept_docs")} != $expectKept " +
         s"(|flagged|=${flaggedK.size}, garbageKept=$garbageKept)")
-    println(s"plant asserts OK (ten families exact; outliers " +
+    println(s"plant asserts OK (eleven families exact; outliers " +
       s"composite≡standalone at ${flaggedK.size} flagged, " +
       s"$garbageKept garbage docs legitimately under the in-frame cut)")
     spark.stop()

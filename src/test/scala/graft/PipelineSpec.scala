@@ -466,6 +466,42 @@ class PipelineSpec extends AnyFunSuite {
       ingests.toString)
   }
 
+  test("streaming curation composite applies the gopher gate; rejects never enter the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("curation-stream-gopher").toString
+    val (idx, verdicts, ckpt) = (s"$tmp/idx", s"$tmp/verdicts", s"$tmp/ckpt")
+    def text(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    graft.ext.Dedup.buildMinhashIndex(
+      Seq((0L, text("heldtext", 30))).toDF("doc_id", "text"), idx)
+    val source = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      spark.sqlContext)
+    val query = Pipeline.curationStream(source.toDF().toDF("doc_id", "text"),
+      idx, verdicts, ckpt,
+      gopherGate = Some(graft.ext.TextAnalysis.GopherGateConfig(
+        minWords = 20, minStopwords = 0)),
+      trigger = Trigger.ProcessingTime("0 seconds"))
+    try {
+      // 10: clean; 11: quality-ok but under the gopher word floor —
+      // ONLY the battery can reject it (the unique-coverage shape).
+      source.addData(
+        (10L, text("cleandoc", 30)),   // mean word len 9.7, under the 10 bar
+        (11L, text("aadoc", 10)))      // 10 words: fails ONLY the word floor
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.read.parquet(verdicts)
+      .select("doc_id", "quality_ok", "gopher_ok", "kept").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(v.toSeq === Seq((10L, true, true, true),
+      (11L, true, false, false)), v.toSeq.toString)
+    val indexed = spark.read.parquet(s"$idx/sets").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(0L, 10L))
+  }
+
   test("streaming curation composite screens each batch and admits only kept docs") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
