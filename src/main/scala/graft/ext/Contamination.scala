@@ -197,7 +197,9 @@ object Contamination {
     */
   private def evalParams(spark: org.apache.spark.sql.SparkSession,
                          path: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$path/params").head()
+    // Metadata-validated driver memo — a plain read is a full Spark job
+    // per screen call ([[IndexStamp.cachedParamsHead]]).
+    val r = IndexStamp.cachedParamsHead(spark, s"$path/params")
     (r.getAs[Int]("n"), r.getAs[Int]("df_cap"))
   }
 
@@ -313,7 +315,9 @@ object Contamination {
   def contaminationAgainstIndex(newDocs: DataFrame, path: String,
                                 minShared: Int = 5,
                                 broadcastIndex: Boolean = true,
-                                sorted: Boolean = true): DataFrame = {
+                                sorted: Boolean = true,
+                                shingles: Option[DataFrame] = None,
+                                shinglesN: Option[Int] = None): DataFrame = {
     val spark = newDocs.sparkSession
     def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
     // Marker required — a missing index fails loudly here; a committed
@@ -325,6 +329,15 @@ object Contamination {
         lit(null).cast("long").as("shared_ngrams"),
         lit(null).cast("long").as("match_id")))
     val (n, dfCap) = evalParams(spark, path)
+    // Shared shingle stream, used only when its declared gram size
+    // equals the one STORED in the index (the Dedup.minhashMatchRows
+    // fallback rule — a mismatch recomputes, never changes verdicts).
+    shingles.foreach { _ =>
+      require(shinglesN.isDefined,
+        "shingles supplied without shinglesN: declare the gram size " +
+          "the stream was built with")
+    }
+    val sharedSh = shingles.filter(_ => shinglesN.contains(n))
     // Postings rows are distinct (eval_id, g), so count-per-gram IS the
     // eval-suite document frequency; the window runs over the tiny
     // at-rest table, never anything batch- or corpus-sized.
@@ -334,7 +347,7 @@ object Contamination {
       .filter(col("df") <= dfCap)
       .drop("df")
     val rare = if (broadcastIndex) broadcast(rare0) else rare0
-    val bGrams = Dedup.hashedShingles(newDocs, n)
+    val bGrams = sharedSh.getOrElse(Dedup.hashedShingles(newDocs, n))
       .select(col("doc_id"), col("h").as("g")).distinct()
     val matches = bGrams.join(rare, Seq("g"))
       .groupBy("doc_id", "eval_id")
@@ -386,7 +399,10 @@ object Contamination {
   def spanContaminationAgainstIndex(newDocs: DataFrame, path: String,
                                     minRunTokens: Int = 13,
                                     broadcastIndex: Boolean = true,
-                                    sorted: Boolean = true): DataFrame = {
+                                    sorted: Boolean = true,
+                                    shingles: Option[DataFrame] = None,
+                                    shinglesN: Option[Int] = None)
+      : DataFrame = {
     val spark = newDocs.sparkSession
     def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
     def allClean = present(newDocs.select(col("doc_id"),
@@ -396,12 +412,21 @@ object Contamination {
         s"$path/grams"))
       return allClean
     val (n, dfCap) = evalParams(spark, path)
+    // Shared POSITIONAL shingle stream (runs are positional — the
+    // (doc_id, h)-only form is not enough here); same stored-size
+    // fallback rule as the doc-level screen.
+    shingles.foreach { _ =>
+      require(shinglesN.isDefined,
+        "shingles supplied without shinglesN: declare the gram size " +
+          "the stream was built with")
+    }
+    val sharedSh = shingles.filter(_ => shinglesN.contains(n))
     val rare0 = IndexCache.read(spark, s"$path/grams")
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("g")
     val rare = if (broadcastIndex) broadcast(rare0) else rare0
-    val hits = Dedup.hashedShingles(newDocs, n)
+    val hits = sharedSh.getOrElse(Dedup.hashedShingles(newDocs, n))
       .select(col("doc_id"), col("pos"), col("h").as("g"))
       .join(rare, Seq("g"), "left_semi")
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -680,7 +705,10 @@ object Contamination {
   def neardupContaminationAgainstIndex(newDocs: DataFrame, path: String,
                                        threshold: Double = 0.5,
                                        broadcastIndex: Boolean = true,
-                                       sorted: Boolean = true): DataFrame = {
+                                       sorted: Boolean = true,
+                                       shingles: Option[DataFrame] = None,
+                                       shinglesN: Option[Int] = None)
+      : DataFrame = {
     val spark = newDocs.sparkSession
     def present(out: DataFrame) = if (sorted) out.orderBy("doc_id") else out
     if (IndexStamp.emptyCommittedIndex(spark, Dedup.minhashMarker(path),
@@ -690,7 +718,8 @@ object Contamination {
         lit(null).cast("double").as("jaccard"),
         lit(null).cast("long").as("match_id")))
     present(Dedup.minhashNovelAgainstIndex(newDocs, path, threshold,
-        broadcastBatch = false, broadcastIndex = broadcastIndex)
+        broadcastBatch = false, broadcastIndex = broadcastIndex,
+        shingles = shingles, shinglesN = shinglesN)
       .select(col("doc_id"), (!col("is_novel")).as("is_contaminated"),
         col("best_jaccard").as("jaccard"), col("match_id")))
   }

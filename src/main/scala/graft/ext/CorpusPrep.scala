@@ -179,9 +179,23 @@ object CorpusPrep {
     // containment, spans, repetition — from one corpus pass; otherwise
     // pos is pruned as before.
     val keepPos = containmentThreshold.isDefined || contamSpanMinRun.isDefined
+    // Widen an under-parallel corpus scan before the two CPU-heavy
+    // text passes below (stage 1's fused projection and the shared
+    // shingle pass): a small/single-row-group input otherwise runs both
+    // on ONE task and serializes the whole composite on one core. No-op
+    // at scale ([[Parallelism.widen]]).
+    // CompositeBytesPerTask, not the leaf default: the widened frame is
+    // checkpointed and re-consumed by every downstream screen job, so
+    // the per-partition floor must cover that multiplied scheduling
+    // cost ([[Parallelism.CompositeBytesPerTask]]).
+    val docsWide = Parallelism.widen(docs, Parallelism.CompositeBytesPerTask)
     val sharedShingles =
       if (shareShingles) {
-        val base = Dedup.hashedShingles(docs, 3)
+        // Composite floor here too: this stream is checkpointed and
+        // re-consumed by up to six screen families' jobs, the same
+        // multiplied-scheduling argument as the text checkpoint.
+        val base = Dedup.hashedShingles(docsWide, 3,
+          widenPerTaskBytes = Parallelism.CompositeBytesPerTask)
         Some((if (keepPos) base else base.select("doc_id", "h"))
           .localCheckpoint(eager = false))
       } else None
@@ -201,7 +215,7 @@ object CorpusPrep {
     // join and the exact-dup star edges inside the clustering, and a
     // recompute would re-read the full text column from parquet for
     // each consumer.
-    val stage1 = docs.select(
+    val stage1 = docsWide.select(
       col("doc_id"),
       TextAnalysis.qualityOkCol(col("text")).as("quality_ok"),
       blockedCol.as("is_blocked"),
@@ -537,8 +551,35 @@ object CorpusPrep {
     // reads saved, which is the difference between trigger-noise and
     // corpus-sized cost on a backfill (lazy checkpoint: the first
     // screen's action materializes it).
-    val once = batch.select(col("doc_id"), col("text"))
+    // Widened before the checkpoint ([[Parallelism.widen]], no-op at
+    // scale): the checkpoint PINS its partitioning for every consumer,
+    // so an under-parallel batch scan would otherwise serialize all the
+    // downstream text screens on one core. CompositeBytesPerTask, not
+    // the leaf floor: every checkpoint partition is re-paid by ~30
+    // downstream jobs ([[Parallelism.CompositeBytesPerTask]]).
+    val once = Parallelism.widen(batch.select(col("doc_id"), col("text")),
+        Parallelism.CompositeBytesPerTask)
       .localCheckpoint(eager = false)
+    // ONE batch TOKENIZE pass for every 3-gram consumer — [[prepare]]'s
+    // shared-shingle contract extended to the incremental path. Before
+    // this, each index screen re-derived its own gram stream from the
+    // text checkpoint (MinHash novelty, both contamination rules, the
+    // fuzzy eval screen, containment, repetition, clustering: up to six
+    // compiled tokenize+hash passes over the same bytes — trigger-noise
+    // per batch, but a second-through-sixth CORPUS pass on a
+    // backfill-shaped batch). Each screen uses the stream only when the
+    // gram size STORED in its index is 3 (the declared-N fallback rule
+    // in minhashMatchRows) — a non-default index recomputes and
+    // verdicts never change. `pos` rides along only when a positional
+    // consumer (containment, spans) is configured, the prepare keepPos
+    // rule. Lazy checkpoint: the first screen's action materializes it.
+    val incKeepPos =
+      containmentIndexPath.isDefined || contamSpanMinRun.isDefined
+    val sharedSh0 = Dedup.hashedShingles(once, 3)
+    val sharedSh = Some(
+      (if (incKeepPos) sharedSh0 else sharedSh0.select("doc_id", "h"))
+        .localCheckpoint(eager = false))
+    val sharedShN = Some(3)
     val (_, _, frac) = TextAnalysis.blocklistCols(col("text"), blocklist)
     val rowLocal = once.select(col("doc_id"),
       TextAnalysis.qualityOkCol(col("text")).as("quality_ok"),
@@ -555,7 +596,7 @@ object CorpusPrep {
     // merge plan, the minhashNovelAgainstIndex contract).
     val novelty = Dedup.minhashNovelAgainstIndex(once, minhashIndexPath,
       nearDupThreshold, broadcastBatch = broadcastBatch,
-      observeName = observeName)
+      observeName = observeName, shingles = sharedSh, shinglesN = sharedShN)
     val withDsir = dsirIndexPath match {
       case Some(p) =>
         rowLocal.join(novelty, Seq("doc_id"))
@@ -588,7 +629,8 @@ object CorpusPrep {
       case Some(p) =>
         withDsir.join(
           Dedup.containmentAgainstIndex(once, p, containmentThreshold,
-              broadcastBatch = broadcastBatch)
+              broadcastBatch = broadcastBatch,
+              shingles = sharedSh, shinglesN = sharedShN)
             .select(col("doc_id"), (!col("is_novel")).as("is_contained"),
               col("best_containment"),
               col("match_id").as("container_id")),
@@ -624,7 +666,8 @@ object CorpusPrep {
       case Some(p) =>
         withSimhash.join(
           Contamination.contaminationAgainstIndex(once, p,
-              minShared = contamMinShared, sorted = false)
+              minShared = contamMinShared, sorted = false,
+              shingles = sharedSh, shinglesN = sharedShN)
             .select(col("doc_id"), col("is_contaminated"),
               col("shared_ngrams").as("contam_shared"),
               col("match_id").as("contam_match_id")),
@@ -641,7 +684,8 @@ object CorpusPrep {
       case (Some(r), Some(p)) =>
         withContam.join(
           Contamination.spanContaminationAgainstIndex(once, p,
-              minRunTokens = r, sorted = false)
+              minRunTokens = r, sorted = false,
+              shingles = sharedSh, shinglesN = sharedShN)
             .select(col("doc_id"),
               col("max_run_tokens").as("contam_span_run"),
               (!col("is_contaminated")).as("span_ok")),
@@ -663,7 +707,8 @@ object CorpusPrep {
       case Some(p) =>
         withSpans.join(
           Contamination.neardupContaminationAgainstIndex(once, p,
-              neardupEvalThreshold, sorted = false)
+              neardupEvalThreshold, sorted = false,
+              shingles = sharedSh, shinglesN = sharedShN)
             .select(col("doc_id"), (!col("is_contaminated")).as("neardup_ok"),
               col("jaccard").as("eval_jaccard"),
               col("match_id").as("eval_match_id")),
@@ -704,7 +749,7 @@ object CorpusPrep {
     val withRepetition = repetitionMaxDupFrac match {
       case Some(t) =>
         withOutlier.join(
-          Dedup.hashedShingles(once, 3)
+          sharedSh.get
             .groupBy("doc_id")
             .agg(round(lit(1.0) - countDistinct(col("h")) / count(lit(1)), 4)
               .as("dup_3gram_frac")),
@@ -735,8 +780,16 @@ object CorpusPrep {
     val eligDocs = once.join(
       flagged.filter(col("eligible")).select("doc_id"),
       Seq("doc_id"), "left_semi")
+    // The clusterer rides the same shared stream, filtered to the
+    // eligible ids (shingles of a doc subset ≡ subset of the shingles —
+    // per-doc derivation); star edges still digest eligDocs' text, one
+    // pass over the checkpoint.
+    val eligShingles = sharedSh.map(_.join(
+      flagged.filter(col("eligible")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
     val clusters = Dedup.nearDupClusters(eligDocs,
-        threshold = nearDupThreshold, observeName = observeName + "_batch")
+        threshold = nearDupThreshold, shingles = eligShingles,
+        observeName = observeName + "_batch")
       .select(col("doc_id"), col("keep").as("batch_survivor"))
     val out = flagged.join(clusters, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("quality_ok"), col("blocked_frac"),

@@ -153,10 +153,19 @@ object Dedup {
     * bottleneck of the whole near-dup pipeline). The compiled path is the
     * documented last-resort tier of SURVEY §7.3, taken on evidence.
     */
-  def hashedShingles(docs: DataFrame, shingleSize: Int): DataFrame = {
+  def hashedShingles(docs: DataFrame, shingleSize: Int,
+                     widenPerTaskBytes: Long = Parallelism.LeafBytesPerTask)
+      : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // The flatMap below is the suite's hottest compiled pass and runs at
+    // the INPUT's partition count — widen an under-parallel source
+    // before it (no-op at scale; see [[Parallelism.widen]]). Callers
+    // whose output feeds a multi-consumer checkpoint ([[CorpusPrep
+    // .prepare]]'s shared stream) pass the composite floor instead.
+    Parallelism.widen(docs.select(col("doc_id"), col("text")),
+        widenPerTaskBytes)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val tokenHashes = text.trim.split("\\s+").map { t =>
           val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -189,7 +198,9 @@ object Dedup {
   def shingleStrings(docs: DataFrame, shingleSize: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // Same under-parallel-scan widening as [[hashedShingles]].
+    Parallelism.widen(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.trim.split("\\s+")
         val tokenHashes = toks.map { t =>
@@ -814,7 +825,9 @@ object Dedup {
     */
   private def minhashParams(spark: org.apache.spark.sql.SparkSession,
                             path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/params").head()
+    // Metadata-validated driver memo — a plain read is a full Spark job
+    // per screen call ([[IndexStamp.cachedParamsHead]]).
+    val r = IndexStamp.cachedParamsHead(spark, s"$path/params")
     (r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
       r.getAs[Int]("bands"))
   }
@@ -968,7 +981,9 @@ object Dedup {
                                broadcastBatch: Boolean = true,
                                broadcastIndex: Boolean = false,
                                maxBucket: Int = DefaultMaxBucket,
-                              observeName: String = "lsh_bucket_clamp_verified")
+                              observeName: String = "lsh_bucket_clamp_verified",
+                               shingles: Option[DataFrame] = None,
+                               shinglesN: Option[Int] = None)
       : DataFrame = {
     val spark = newDocs.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$path/bands")
@@ -980,7 +995,7 @@ object Dedup {
         .orderBy("doc_id")
     val matches = minhashMatchRows(newDocs, path, threshold,
         broadcastBatch, broadcastIndex, maxBucket, observeName,
-        withIngest = false)
+        withIngest = false, shingles = shingles, shinglesN = shinglesN)
       .groupBy("doc_id")
       .agg(max(struct(round(col("j"), 4).as("j"), col("corpus_id"))).as("m"))
       .select(col("doc_id"), col("m.j").as("best_jaccard"),
@@ -1007,9 +1022,24 @@ object Dedup {
                                     broadcastIndex: Boolean,
                                     maxBucket: Int,
                                     observeName: String,
-                                    withIngest: Boolean): DataFrame = {
+                                    withIngest: Boolean,
+                                    shingles: Option[DataFrame] = None,
+                                    shinglesN: Option[Int] = None)
+      : DataFrame = {
     val spark = newDocs.sparkSession
     val (shingleSize, numHashes, bands) = minhashParams(spark, path)
+    // A caller-provided shingle stream (the composites' one-batch-pass
+    // contract, [[containmentPairsRaw]]'s declared-N convention) is used
+    // only when its gram size equals the size STORED IN THE INDEX —
+    // unlike the in-frame operators the caller cannot know that size up
+    // front, so a mismatch falls back to a fresh pass instead of
+    // throwing (verdicts never depend on the handoff).
+    shingles.foreach { _ =>
+      require(shinglesN.isDefined,
+        "shingles supplied without shinglesN: declare the gram size " +
+          "the stream was built with")
+    }
+    val sharedSh = shingles.filter(_ => shinglesN.contains(shingleSize))
     // The shingle aggregate feeds TWO consumers (band rows; the verify
     // join-back's set_n). Exchange reuse does NOT deduplicate them here
     // the way it does in [[minhashNovel]] (measured: two full tokenize
@@ -1021,7 +1051,7 @@ object Dedup {
     // keep their measured plans: the batch there is trigger-sized by
     // contract, so the duplicate pass is bounded and not worth the
     // per-trigger block churn.
-    val newSets0 = shingleSetsOf(newDocs, shingleSize)
+    val newSets0 = shingleSetsOf(newDocs, shingleSize, sharedSh)
     val newSets =
       if (broadcastIndex) newSets0.localCheckpoint(eager = false)
       else newSets0
@@ -1272,7 +1302,9 @@ object Dedup {
     */
   private def containParams(spark: org.apache.spark.sql.SparkSession,
                             path: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$path/params").head()
+    // Metadata-validated driver memo — a plain read is a full Spark job
+    // per screen call ([[IndexStamp.cachedParamsHead]]).
+    val r = IndexStamp.cachedParamsHead(spark, s"$path/params")
     (r.getAs[Int]("shingle_size"), r.getAs[Int]("window"))
   }
 
@@ -1379,7 +1411,9 @@ object Dedup {
                               threshold: Double = 0.5,
                               broadcastBatch: Boolean = true,
                               maxBucket: Int = DefaultMaxBucket,
-                              observeName: String = "containment_idx_clamp")
+                              observeName: String = "containment_idx_clamp",
+                              shingles: Option[DataFrame] = None,
+                              shinglesN: Option[Int] = None)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = newDocs.sparkSession
@@ -1394,7 +1428,16 @@ object Dedup {
         lit(null).cast("long").as("match_id"))
         .orderBy("doc_id")
     val (shingleSize, window) = containParams(spark, path)
-    val bfp = winnowedFingerprintsRaw(newDocs, shingleSize, window)
+    // Shared POSITIONAL shingle stream, used only when its declared gram
+    // size equals the index's stored one (the minhashMatchRows rule —
+    // mismatch falls back to a fresh pass, never changes fingerprints).
+    shingles.foreach { _ =>
+      require(shinglesN.isDefined,
+        "shingles supplied without shinglesN: declare the gram size " +
+          "the stream was built with")
+    }
+    val sharedSh = shingles.filter(_ => shinglesN.contains(shingleSize))
+    val bfp = winnowedFingerprintsRaw(newDocs, shingleSize, window, sharedSh)
       .withColumn("n_fp",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val idx = IndexCache.read(spark, s"$path/fps")

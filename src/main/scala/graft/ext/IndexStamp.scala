@@ -40,6 +40,41 @@ object IndexStamp {
   private[ext] def pathUnderRoot(name: String): String =
     new Path(indexRoot, name).toString
 
+  /** Driver-side memo for the 1-row `params` tables the persisted index
+    * families store (MinHash, containment, eval-gram): reading one
+    * costs a full Spark job (plan + schema inference + a 1-task
+    * collect, tens of ms) and the screens re-read it on EVERY call —
+    * the curation composites pay it several times per trigger. The
+    * memo is validated by the params directory's own metadata listing
+    * ((name, length, mtime) of every file — the [[fingerprint]] idea,
+    * one FS metadata call, no job): a rebuild rewrites the table's
+    * part files (fresh names/mtimes), invalidating the entry, so a
+    * stale row can never be served. This caches index CONFIGURATION,
+    * never data or results; entries are one Row per index path.
+    */
+  private val paramsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.Row)]()
+
+  private[ext] def cachedParamsHead(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Row = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp =
+      try fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
+      catch { case _: java.io.FileNotFoundException => null }
+    // A missing dir falls through to the plain read so the caller sees
+    // the canonical AnalysisException, not a bare FS error.
+    val cur = if (fp == null) null else paramsMemo.get(dir)
+    if (cur != null && cur._1 == fp) cur._2
+    else {
+      val row = spark.read.parquet(dir).head()
+      if (fp != null) paramsMemo.put(dir, (fp, row))
+      row
+    }
+  }
+
   /** Fingerprint of a source file/directory: md5 over the recursive
     * (ROOT-RELATIVE file path, length, mtime) listing, order-fixed by
     * name. The relative path — not just the file name — is hashed, so

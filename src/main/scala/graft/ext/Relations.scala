@@ -60,7 +60,18 @@ object Relations {
     // `observeName` must be unique per query — a plan composing two
     // itemPairs results passes distinct names to avoid the analysis-
     // time metric-name collision.
-    val pruned = prunedFacts.groupBy("b")
+    // The stage consuming this exchange does the (basket size)² in-place
+    // pair explosion — its COST is quadratic in basket size while its
+    // INPUT bytes are linear, so AQE's byte-targeted coalescing
+    // systematically under-provisions it (measured at sf0.1: coalesced
+    // to 7 tasks, 1.36 s of the query's 2.7 s in that one stage). Pin
+    // the basket shuffle to the session's shuffle-partition count
+    // instead ([[fuzzyMatchBlocked]]'s documented rule for the same
+    // compute-fans-out-of-small-bytes shape): an explicit
+    // REPARTITION_BY_NUM is exempt from AQE coalescing, and the
+    // same-key groupBy reuses the exchange, so no second shuffle.
+    val parts = facts.sparkSession.sessionState.conf.numShufflePartitions
+    val pruned = prunedFacts.repartition(parts, col("b")).groupBy("b")
       .agg(sort_array(collect_set(col("i"))).as("arr"))
       .observe(observeName,
         sum(when(size(col("arr")) > maxBasketSize, 1L).otherwise(0L))

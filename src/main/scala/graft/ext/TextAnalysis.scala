@@ -306,7 +306,11 @@ object TextAnalysis {
   def dropRepeatedSpans(docs: DataFrame, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // Widened before the compiled pass: "scan-bound" means the scan's
+    // split count IS the parallelism, so an under-parallel input would
+    // serialize it (no-op at scale — [[Parallelism.widen]]).
+    Parallelism.widen(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val toks = text.trim.split("\\s+")
         if (toks.length < n) (id, text.trim, 0L)
@@ -652,7 +656,10 @@ object TextAnalysis {
     val topThr = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
     val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
       9 -> 0.11, 10 -> 0.10)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // Widened before the O(9·L)/doc compiled pass — an under-parallel
+    // scan would serialize it (no-op at scale, [[Parallelism.widen]]).
+    Parallelism.widen(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val toks = text.trim.split("\\s+").filter(_.nonEmpty)
         val lens = toks.map(_.length)

@@ -47,7 +47,8 @@ object Vocab {
     * scan, one shuffle, vocabulary-sized output.
     */
   private def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+    Parallelism.widen(docs.select(col("text")))
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
@@ -73,7 +74,8 @@ object Vocab {
     * runs, as in [[Graph.pageRank]]).
     */
   def learnBpeMerges(docs: DataFrame, k: Int, minPairCount: Long = 2L,
-                     reliable: Boolean = false): DataFrame = {
+                     reliable: Boolean = false,
+                     driverVocabLimit: Long = 200000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // The iteration frame is vocabulary-sized (≈10⁷ rows × a short
@@ -88,6 +90,26 @@ object Vocab {
       .coalesce(8)
       .select(split(col("w"), "").as("toks"), col("cnt"))
       .as[(Seq[String], Long)].cache()
+    // Small-histogram fast path ([[Dedup.connectedComponents]]'
+    // driverEdgeLimit pattern): the merge loop is SEQUENTIAL by nature —
+    // k rounds of (argmax job + remap + re-cache) each pay planning,
+    // codegen and stage-launch latency on the driver (measured: the
+    // k = 16 registered queries spend ~3.9 s in BETWEEN-job driver time
+    // at sf0.1, more than the jobs themselves). Below `driverVocabLimit`
+    // DISTINCT words the histogram is bounded metadata (200k words × a
+    // short token array ≈ tens of MB — the same class as the budget-plan
+    // and centroid collects), so the identical greedy loop runs on the
+    // driver: same pair enumeration (every adjacent occurrence), same
+    // (count desc, left, right) argmax with UTF-8-byte tie order (what
+    // Spark's string ordering compares), same minPairCount stop. The
+    // distributed loop below stays the scale path (a 10⁷-word web vocab
+    // exceeds the limit); 0 disables. VocabSpec pins fast ≡ distributed.
+    val nWords = if (driverVocabLimit > 0) words.count() else Long.MaxValue
+    if (nWords <= driverVocabLimit) {
+      val local = words.collect()
+      words.unpersist(false)
+      return learnBpeMergesLocal(spark, local, k, minPairCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // The previous round's frame is freed only AFTER the argmax action
     // has materialized the current one (an eager unpersist would drop
@@ -137,6 +159,68 @@ object Vocab {
       .orderBy("rank")
   }
 
+  /** Unsigned UTF-8-byte lexicographic order — exactly what Spark's
+    * UTF8String comparison (and therefore the distributed loop's
+    * `orderBy(l, r)` tie-break) uses. Java's `String.compareTo` is
+    * UTF-16 code-unit order, which diverges for supplementary code
+    * points; the fast path must tie-break identically.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    ab.length < bb.length
+  }
+
+  /** [[learnBpeMerges]]' driver fast path: the identical greedy loop
+    * over the collected (token-array, count) histogram. Kept private —
+    * the gate in [[learnBpeMerges]] is the only entry.
+    */
+  private def learnBpeMergesLocal(spark: org.apache.spark.sql.SparkSession,
+                                  hist: Array[(Seq[String], Long)], k: Int,
+                                  minPairCount: Long): DataFrame = {
+    import spark.implicits._
+    var ws: Array[(IndexedSeq[String], Long)] =
+      hist.map { case (t, c) => (t.toIndexedSeq, c) }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var stop = false
+    while (merges.length < k && !stop) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      ws.foreach { case (t, c) =>
+        var i = 0
+        while (i + 1 < t.length) {
+          val key = (t(i), t(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + c)
+          i += 1
+        }
+      }
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (p, c)) => acc match {
+          case Some((bp, bc)) if bc > c || (bc == c &&
+            (utf8Lt(bp._1, p._1) ||
+              (bp._1 == p._1 && utf8Lt(bp._2, p._2)))) => acc
+          case _ => Some((p, c))
+        }
+      }
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          merges += ((merges.length + 1, l, r, c))
+          ws = ws.map { case (t, cnt) => (mergeOnce(t, l, r), cnt) }
+        case _ => stop = true
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
   /** Collect a [[learnBpeMerges]] result into the rank-ordered merge
     * list [[bpeTokenCounts]] applies — k rows on the driver, the
     * learned artifact itself (what a tokenizer file stores).
@@ -161,7 +245,8 @@ object Vocab {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges)
-    val docWords = docs.select(col("doc_id"),
+    val docWords = Parallelism.widen(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("doc_id", "w").agg(count(lit(1)).as("n_w"))

@@ -1102,6 +1102,65 @@ class ExtSpec extends AnyFunSuite {
       .map(_.getName).count(_.startsWith("ingest=")) === 1)
   }
 
+  test("index screens consume a supplied shingle stream; gram-size mismatch falls back to a fresh pass") {
+    // The r18 one-batch-tokenize contract (screenIncremental threads ONE
+    // hashedShingles stream through every index screen): (1) a matching
+    // stream yields identical verdicts, (2) the stream is genuinely
+    // CONSUMED — a poisoned stream (one doc's shingles withheld) flips
+    // that doc's verdict, proving no silent recompute, (3) a declared
+    // gram size differing from the index's stored one falls back to a
+    // fresh pass — the poison then has no effect, (4) a stream without
+    // its declared size fails loudly.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("minhash-shared").toString + "/idx"
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "entirely unrelated words never appearing in the standing corpus"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(corpus, tmp) // stores shingle_size = 3
+    def verdicts(sh: Option[org.apache.spark.sql.DataFrame], n: Option[Int]) =
+      Dedup.minhashNovelAgainstIndex(batch, tmp, shingles = sh, shinglesN = n)
+        .select("doc_id", "is_novel").as[(Long, Boolean)].collect().toSet
+    val base = verdicts(None, None)
+    assert(base === Set((10L, false), (11L, true)))
+    val stream = Dedup.hashedShingles(batch, 3)
+    assert(verdicts(Some(stream), Some(3)) === base)
+    val poisoned = stream.filter(col("doc_id") =!= 10L)
+    assert(verdicts(Some(poisoned), Some(3)) === Set((10L, true), (11L, true)),
+      "poisoned stream must be consumed, not recomputed")
+    assert(verdicts(Some(poisoned), Some(4)) === base,
+      "declared size 4 != stored 3 must recompute a fresh pass")
+    intercept[IllegalArgumentException] { verdicts(Some(stream), None) }
+    // Same contract on the eval-gram contamination screen.
+    val evalPath = java.nio.file.Files
+      .createTempDirectory("contam-shared").toString + "/evalgrams"
+    Contamination.buildEvalIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), evalPath)
+    val cBatch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "unrelated training text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    def cVerdicts(sh: Option[org.apache.spark.sql.DataFrame], n: Option[Int]) =
+      Contamination.contaminationAgainstIndex(cBatch, evalPath,
+          shingles = sh, shinglesN = n)
+        .select("doc_id", "is_contaminated").as[(Long, Boolean)]
+        .collect().toSet
+    val cBase = cVerdicts(None, None)
+    assert(cBase === Set((100L, true), (101L, false)))
+    val cStream = Dedup.hashedShingles(cBatch, 3)
+    assert(cVerdicts(Some(cStream), Some(3)) === cBase)
+    assert(cVerdicts(Some(cStream.filter(col("doc_id") =!= 100L)), Some(3))
+      === Set((100L, false), (101L, false)),
+      "poisoned stream must be consumed, not recomputed")
+    assert(cVerdicts(Some(cStream.filter(col("doc_id") =!= 100L)), Some(4))
+      === cBase, "size mismatch must recompute a fresh pass")
+  }
+
   test("dedupKeepPreferred: NULL priority is LEAST preferred (classifiable copy survives)") {
     // A digit-free source yields a null trust rank at the SparkEntry
     // call site; Spark's raw struct-min would sort that null FIRST and

@@ -68,6 +68,29 @@ class VocabSpec extends AnyFunSuite {
     assert(got.forall(_._4 >= 5L))
   }
 
+  test("learnBpeMerges: driver fast path ≡ distributed loop (ties, non-ASCII)") {
+    // Engineered ties (equal pair counts) force the (count desc, left,
+    // right) tie-break, and the non-BMP char (U+10348, a surrogate pair
+    // in UTF-16) makes Java String order diverge from the UTF-8 byte
+    // order Spark compares — the fast path must match the loop on both.
+    val tricky = Seq(
+      (1L, "ab ab cd cd 𐍈z 𐍈z zz zz"),
+      (2L, "ab cd 𐍈z zz éé éé ss ss")).toDF("doc_id", "text")
+    for (k <- Seq(3, 10)) {
+      val fast = Vocab.learnBpeMerges(tricky, k).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val loop = Vocab.learnBpeMerges(tricky, k, driverVocabLimit = 0L).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(fast == loop, s"k=$k")
+    }
+    // And on the main corpus, where the reference already certifies the
+    // fast path: the distributed loop must agree too.
+    val fast8 = Vocab.learnBpeMerges(corpus, 8).collect().toSeq
+    val loop8 = Vocab.learnBpeMerges(corpus, 8, driverVocabLimit = 0L)
+      .collect().toSeq
+    assert(fast8 == loop8)
+  }
+
   test("bpeTokenCounts is total: empty and whitespace-only docs emit (0, 0)") {
     val docs = Seq((1L, "low lower"), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
