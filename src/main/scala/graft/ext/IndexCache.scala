@@ -114,7 +114,9 @@ private[graft] object IndexCache {
     * to the uncached engine.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    if (!enabled(spark)) return spark.read.parquet(dir)
+    // Schema-memoized plain read: same bytes, same plan, minus the
+    // per-call footer-inference job ([[IndexStamp.schemaMemoRead]]).
+    if (!enabled(spark)) return IndexStamp.schemaMemoRead(spark, dir)
     val sc = spark.sparkContext
     // Sweep entries owned by stopped contexts (stop/restart in one
     // JVM): their persisted blocks are gone with the block manager,

@@ -75,6 +75,44 @@ object IndexStamp {
     }
   }
 
+  /** Driver-side SCHEMA memo for at-rest index tables ([[paramsMemo]]'s
+    * sibling): a plain `spark.read.parquet(dir)` runs a footer-reading
+    * schema-inference job (1 task, tens of ms) on EVERY call, and the
+    * screens re-open their index tables per call — the curation
+    * composites pay 6–8 of these per trigger. A hit replays the read
+    * with the explicit inferred schema (`spark.read.schema(s)`), which
+    * skips inference entirely; the DATA is still read from parquet by
+    * the query as before — the memo holds a StructType, never rows.
+    * Validation: the directory's top-level metadata listing — an
+    * append/compact/rebuild changes it and the entry re-infers (the
+    * conservative direction: schemas are fixed per index family, so a
+    * false invalidation only costs today's behavior). Keyed by path
+    * alone — schemas are context-independent.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private[ext] def schemaMemoRead(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp =
+      try fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
+      catch { case _: java.io.FileNotFoundException => null }
+    // Missing dir → plain read, so callers keep the canonical
+    // AnalysisException.
+    val cur = if (fp == null) null else schemaMemo.get(dir)
+    if (cur != null && cur._1 == fp)
+      spark.read.schema(cur._2).parquet(dir)
+    else {
+      val df = spark.read.parquet(dir)
+      if (fp != null) schemaMemo.put(dir, (fp, df.schema))
+      df
+    }
+  }
+
   /** Fingerprint of a source file/directory: md5 over the recursive
     * (ROOT-RELATIVE file path, length, mtime) listing, order-fixed by
     * name. The relative path — not just the file name — is hashed, so

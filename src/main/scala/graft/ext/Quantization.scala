@@ -455,7 +455,7 @@ object Quantization {
   /** The codebook plus the (dim, nlist) the index was BUILT with. */
   def loadBooksMeta(spark: org.apache.spark.sql.SparkSession,
                     path: String): (Seq[Seq[Seq[Float]]], Int, Int) = {
-    val rows = spark.read.parquet(path + "/_books").collect()
+    val rows = IndexStamp.schemaMemoRead(spark, path + "/_books").collect()
     val byS = rows.groupBy(_.getInt(0))
     val books = (0 until byS.size).map { s =>
       byS(s).sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq

@@ -361,7 +361,7 @@ object Retrieval {
     // corpus stats = sum of the per-ingest mergeable rows (one per
     // build/append — a handful of rows, aggregated at plan time;
     // metadata-sized, so no cache routing)
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = graft.ext.IndexStamp.schemaMemoRead(spark, s"$path/stats")
       .agg(sum("n").as("n"), sum("sdl").as("sdl"))
     val dfr = post.groupBy("h").agg(count(lit(1)).as("df"))
 

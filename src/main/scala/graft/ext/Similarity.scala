@@ -334,7 +334,7 @@ object Similarity {
   /** The stored quantizer and the dim it was built with. */
   def loadCentroidsMeta(spark: org.apache.spark.sql.SparkSession,
                         path: String): (Seq[Seq[Float]], Int) = {
-    val rows = spark.read.parquet(s"$path/_centroids").collect()
+    val rows = IndexStamp.schemaMemoRead(spark, s"$path/_centroids").collect()
     (rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1)).toIndexedSeq,
       rows.head.getInt(2))
   }
@@ -493,7 +493,7 @@ object Similarity {
     */
   def lookupVec(spark: org.apache.spark.sql.SparkSession, path: String,
                 vecId: Long): (Array[Float], Double) = {
-    val r = spark.read.parquet(path)
+    val r = IndexStamp.schemaMemoRead(spark, path)
       .filter(col("vec_id") === vecId)
       .select(col("embedding"), col("nrm"))
       .head()
@@ -1012,7 +1012,7 @@ object Similarity {
     // Model-sized reads (k centroids + k moment rows) — residency
     // can't pay, so no IndexCache routing (models stay plain scans;
     // only the corpus-shaped index families route).
-    val cs: Seq[Seq[Float]] = spark.read.parquet(s"$path/centroids")
+    val cs: Seq[Seq[Float]] = IndexStamp.schemaMemoRead(spark, s"$path/centroids")
       .orderBy("cell").select("centroid").collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
     val centLit = typedLit(cs)
@@ -1021,7 +1021,7 @@ object Similarity {
       (vec_dot(col("embedding"), element_at(centLit, col("cell") + 1)) /
         vec_norm(col("embedding"))).as("cos"))
     scored
-      .join(broadcast(spark.read.parquet(s"$path/moments")),
+      .join(broadcast(IndexStamp.schemaMemoRead(spark, s"$path/moments")),
         Seq("cell"), "left_outer")
       .select(col("vec_id"), col("label"), col("cell"),
         round(col("cos"), 4).as("cos_centroid"),

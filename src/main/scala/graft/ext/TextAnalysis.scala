@@ -1385,7 +1385,7 @@ object TextAnalysis {
     // Model-sized read (≤ `buckets` rows, broadcast below) — residency
     // can't pay, so no IndexCache routing (the corpus-shaped
     // postings/fps/codes families route; models don't).
-    val model = spark.read.parquet(indexPath)
+    val model = IndexStamp.schemaMemoRead(spark, indexPath)
     // bounded metadata read: one row of a ≤ buckets-row table. headOption
     // shape — a 0-row model must fail with the contract named, not a
     // bare NoSuchElementException from head().

@@ -46,8 +46,7 @@ object OptProbe {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
         jobs.put(e.jobId, Job(e.jobId, desc, e.time,
           tasks = e.stageInfos.map(_.numTasks).sum))
